@@ -1,0 +1,56 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Deterministic synthetic peaks-frame source.
+  *
+  * The reference's source is a TCP stream from a physical interrogator
+  * (ref: hyperion.py:284-312, port 51972) — external I/O, not query
+  * semantics. For a reproducible, oracle-checkable equivalent we derive
+  * frames 1:1 from the driver-provided `events` table: `event_id` is the
+  * frame sequence number, `ts` the instrument timestamp, and the peak
+  * vector is a pure arithmetic function of `value`, so DuckDB can
+  * recompute every downstream result from the same parquet.
+  *
+  * Scale: this is a narrow projection over a parquet scan — no shuffle,
+  * column-pruned, partition count inherited from the source files. At
+  * 100 TB the same plan holds (one map stage).
+  */
+object FrameSource {
+  val NumPorts = 8
+  val NumPeaks = 8 // committed smoke value, ref: database_peak_streaming.py:10
+
+  /** Batch form: one frame per event.
+    * peaks[i]   = cents(value) + i*100      (i = 0..NumPeaks-1)
+    * counts[p]  = 1 per port               (sum == NumPeaks)
+    * serial     = user_id
+    *
+    * Peaks are INTEGER-VALUED doubles (value has 2 decimals → cents are
+    * exact): sums of integer-valued doubles are associativity-independent
+    * below 2^53, so window means are bit-identical regardless of Spark's
+    * partition/merge order AND match DuckDB's sequential `avg` exactly —
+    * no float-boundary flakiness in the hash-compare gate.
+    */
+  def frames(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(
+      col("event_id").as("frame_id"),
+      col("ts"),
+      col("user_id").as("serial_number"),
+      transform(sequence(lit(0), lit(NumPorts - 1)), _ => lit(1))
+        .as("peak_counts"),
+      transform(sequence(lit(0), lit(NumPeaks - 1)),
+        i => floor(col("value") * 100 + lit(0.5)).cast("double") +
+          i.cast("double") * 100).as("peaks"))
+  }
+
+  /** Streaming form over the same schema, for pipeline tests: callers feed
+    * a MemoryStream[PeaksFrame] (see PeakStreamingSpec); production would
+    * point `readStream` at a frame landing zone with this schema.
+    */
+  def framesStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(graft.model.Schemas.peaksFrameSchema)
+      .parquet(path)
+}

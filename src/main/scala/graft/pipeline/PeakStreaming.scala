@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+import graft.ops.WindowMean
+
+/** The reference's main program (SURVEY.md §3 EP1) as one pipeline:
+  * stream of peak frames → tumbling-window aggregate (per-position mean of
+  * the peak vectors + port counts of the window's last frame) → dual-
+  * resolution sinks (short-term raw, long-term 1-in-N stride) with TTL.
+  *
+  * Ref: database_peak_streaming.py:16-69 — ~97 ms window drain loop,
+  * column-wise numpy.mean, hourly flush, stride copy, age-based DELETE.
+  *
+  * Improvements over the reference, by design (SURVEY.md §2.7): event time
+  * + watermark instead of consumer wall clock; flush-on-stop instead of
+  * dropping the tail; checkpointed exactly-once sink instead of
+  * lose-on-crash buffers.
+  */
+object PeakStreaming {
+  val WindowMs = 100          // ref window ≈ 97 ms drain loop
+  val LtIncrement = 10        // ref: database_peak_streaming.py:11 (smoke)
+  val StLengthSec = 30L       // ref: database_peak_streaming.py:13 (smoke)
+
+  /** Core windowed aggregate, shared by the batch and streaming forms.
+    * Input schema: (frame_id, ts, serial_number, peak_counts, peaks).
+    * Output: (win_start ts, n_frames, port_counts of last frame,
+    * mean_peaks array).
+    *
+    * One shuffle, keyed by window; VecMean aggregates map-side so each
+    * window contributes a single partial row per input partition
+    * regardless of frame rate.
+    */
+  def windowed(frames: DataFrame, windowMs: Int = WindowMs): DataFrame =
+    frames
+      .groupBy(window(col("ts"), s"$windowMs milliseconds").as("win"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        max_by(col("peak_counts"), col("frame_id")).as("port_counts"),
+        WindowMean.vecMean(col("peaks")).as("mean_peaks"))
+      .select(col("win.start").as("win_start"), col("n_frames"),
+        col("port_counts"), col("mean_peaks"))
+
+  /** Batch-equivalent of the full pipeline with explicit seq numbers —
+    * the form the DuckDB oracle can verify. `batchId` stride semantics:
+    * the reference restarts its long-term stride at each flush
+    * (database_peak_streaming.py:52); batch form derives batch_id from the
+    * flush cadence.
+    */
+  def batch(frames: DataFrame, windowMs: Int = WindowMs,
+            flushSec: Long = 10L): DataFrame = {
+    val w = Window.partitionBy().orderBy(col("win_start"))
+    windowed(frames, windowMs)
+      .withColumn("seq", row_number().over(w))
+      .withColumn("batch_id",
+        floor(col("win_start").cast("double") / flushSec).cast("long"))
+      .withColumn("ts_epoch", col("win_start").cast("double"))
+  }
+
+  /** Streaming form: watermarked event-time windows, append mode, both
+    * sinks written per micro-batch from one aggregation via foreachBatch
+    * (the reference's flush writes st_* then stride-copies to lt_*,
+    * database_peak_streaming.py:47-58).
+    */
+  def stream(frames: DataFrame, stPath: String, ltPath: String,
+             checkpoint: String, windowMs: Int = WindowMs,
+             ltIncrement: Int = LtIncrement): DataStreamWriter[Row] = {
+    val agg = frames
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), s"$windowMs milliseconds").as("win"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        max_by(col("peak_counts"), col("frame_id")).as("port_counts"),
+        WindowMean.vecMean(col("peaks")).as("mean_peaks"))
+      .select(col("win.start").as("win_start"), col("n_frames"),
+        col("port_counts"), col("mean_peaks"))
+
+    agg.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Short-term sink: every windowed row, date-partitionable so TTL
+        // is a partition drop at scale.
+        val st = batch.withColumn("batch_id", lit(batchId))
+        st.write.mode("append").parquet(stPath)
+        // Long-term sink: per-batch stride (restarts each flush, as the
+        // reference does).
+        graft.ops.Downsample
+          .strided(st, col("win_start"), ltIncrement)
+          .write.mode("append").parquet(ltPath)
+        ()
+      }
+  }
+}

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import graft.multimodal.MultiModal
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force cosine top-k, SRP-LSH ANN), text analysis
+  * (token stats, quality, language-ID, fingerprint), multimodal binary
+  * metadata. Each op is a `queries` entry; everything SQL-expressible has
+  * a DuckDB oracle built from the same md5-based hash constructions so the
+  * values match bit-for-bit across engines.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def rs(e: String, p: Int = 4): String = {
+    val m = math.pow(10, p).toLong
+    s"floor(($e)*$m + 0.5)/$m"
+  }
+
+  // shared oracle fragments ------------------------------------------------
+  /** DuckDB n=2 word-shingle set, mirroring Dedup.shingles(text, 2). */
+  private val shSql =
+    "list_distinct(list_transform(" +
+      "generate_series(0, greatest(len(string_split(text,' '))-2, 0)), " +
+      "i -> array_to_string(list_slice(string_split(text,' '), i+1, i+2), ' ')))"
+
+  /** DuckDB minhash h_s = min over shingles of md5(s || '|' || shingle). */
+  private def mhSql(seed: Int): String =
+    s"list_min(list_transform(sh, x -> md5('$seed' || '|' || x)))"
+
+  private val MinhashN = 4       // hashes exposed by q_minhash
+  private val LshBands = 4
+  private val LshRows = 2        // 8 hashes total for LSH
+
+  /** CTE producing (doc_id, band_idx, band_key) — mirror of Dedup.lshBands
+    * with n=2, bands=4, rowsPerBand=2.
+    */
+  private val bandsCte = {
+    val sig = (0 until LshBands * LshRows).map(mhSql).mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT doc_id, $shSql AS sh FROM documents),
+       |sig AS (SELECT doc_id, $sig AS sig FROM s),
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    md5(array_to_string(list_slice(sig, b*$LshRows+1, b*$LshRows+$LshRows), '')) AS band_key
+       |  FROM sig, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS b))""".stripMargin
+  }
+
+  val defs: Map[String, Q] = Map(
+    // ---- text analysis --------------------------------------------------
+    "q_text_stats" -> ((s, d) =>
+      TextAnalysis.withQuality(documents(s, d), col("text"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("n_chars_m").cast("long").as("n_chars_m"),
+          col("avg_token_len"), col("stopword_ratio"),
+          col("punct_count").cast("long").as("punct_count"))),
+
+    "q_lang_id" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "q_token_hist" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
+    // ---- dedup ----------------------------------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDuplicates(documents(s, d), col("doc_id"), col("text"))),
+
+    "q_minhash" -> ((s, d) => {
+      val sig = Dedup.minhashSignature(col("text"), 2, MinhashN)
+      documents(s, d).select(
+        col("doc_id") +: (1 to MinhashN).map(i =>
+          element_at(sig, i).as(s"h$i")): _*)
+    }),
+
+    "q_lsh_bands" -> ((s, d) =>
+      Dedup.lshBands(documents(s, d), col("doc_id"), col("text"), 2,
+        LshBands, LshRows)),
+
+    "q_lsh_pairs" -> ((s, d) =>
+      Dedup.lshCandidatePairs(
+        Dedup.lshBands(documents(s, d), col("doc_id"), col("text"), 2,
+          LshBands, LshRows))),
+
+    "q_simhash" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        Dedup.simhash16(col("text")).cast("int").as("fp"))),
+
+    // n-gram Jaccard over deterministic pairs (consecutive doc ids) — the
+    // LSH-verification kernel with an easily-oracled pair set.
+    "q_jaccard_pairs" -> ((s, d) => {
+      val docs = documents(s, d)
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          r(Dedup.jaccard(col("ta"), col("tb"), 2), 6).as("jaccard"))
+    }),
+
+    // ---- similarity search ---------------------------------------------
+    "q_cosine_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          r(Similarity.cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "q_vec_norm" -> ((s, d) =>
+      embeddings(s, d).select(col("vec_id"),
+        r(Similarity.norm(col("embedding").cast("array<double>")), 6)
+          .as("nrm"))),
+
+    // SRP-LSH ANN — rows-only check (hyperplane literals aren't worth
+    // reproducing in SQL; correctness is spec-tested against brute force).
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .filter(Similarity.srpBucket(col("v"), 64, 4) ===
+          Similarity.srpBucket(col("qv"), 64, 4))
+        .select(col("vec_id"),
+          r(Similarity.cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // ---- multimodal -----------------------------------------------------
+    "q_media_meta" -> ((s, d) =>
+      MultiModal.withBinaryMeta(
+        MultiModal.asMediaTable(documents(s, d), "doc_id", "text"))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("header_hex"))),
+
+    // decode + frame-sample stages are typed Dataset ops on the stub
+    // decoder — deterministic, rows-only here, value-tested in specs.
+    "q_media_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = MultiModal.asMediaTable(documents(s, d), "doc_id", "text")
+        .as[MultiModal.MediaRow]
+      MultiModal.decodeFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"),
+          r(element_at(col("features"), 2), 6).as("byte_mean"))
+    }),
+
+    "q_media_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = MultiModal.asMediaTable(documents(s, d), "doc_id", "text")
+        .as[MultiModal.MediaRow]
+      MultiModal.sampleFrames(media, frameBytes = 64, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame_payload")).cast("long").as("frame_bytes"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      s"""SELECT doc_id, cast($nTok AS int) AS n_tokens,
+         | cast(length(text) AS bigint) AS n_chars_m,
+         | ${rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)}
+         |   AS avg_token_len,
+         | ${rs(s"cast($stop AS double) / $nTok", 6)} AS stopword_ratio,
+         | cast(length(text) -
+         |   length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS bigint)
+         |   AS punct_count
+         |FROM documents""".stripMargin
+    },
+
+    "q_lang_id" -> {
+      val score = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+        val in = markers.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(string_split(text,' '), t -> t IN ($in))) AS s_$lang"
+      }.mkString(", ")
+      // tie-break = LangMarkers order: a language wins if it beats every
+      // earlier language strictly and every later one weakly.
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val cases = langs.zipWithIndex.map { case (l, i) =>
+        val conds = Seq(s"s_$l > 0") ++
+          langs.take(i).map(e => s"s_$l > s_$e") ++
+          langs.drop(i + 1).map(e => s"s_$l >= s_$e")
+        s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+      }.mkString(" ")
+      s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred " +
+        s"FROM (SELECT doc_id, $score FROM documents)"
+    },
+
+    "q_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
+        "AS fp FROM documents"),
+
+    "q_token_hist" ->
+      ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, " +
+        "' ')) AS token FROM documents) GROUP BY 1 " +
+        "ORDER BY n DESC, token LIMIT 20"),
+
+    "q_dedup_exact" ->
+      ("SELECT doc_id AS dup_id, kept_id FROM (SELECT doc_id, " +
+        "min(doc_id) OVER (PARTITION BY md5(text)) AS kept_id " +
+        "FROM documents) WHERE doc_id <> kept_id"),
+
+    "q_minhash" -> {
+      val hs = (0 until MinhashN)
+        .map(i => s"${mhSql(i)} AS h${i + 1}").mkString(", ")
+      s"SELECT doc_id, $hs FROM (SELECT doc_id, $shSql AS sh FROM documents)"
+    },
+
+    "q_lsh_bands" ->
+      (bandsCte + "\nSELECT doc_id, cast(band_idx AS int) AS band_idx, " +
+        "band_key FROM bands"),
+
+    "q_lsh_pairs" ->
+      (bandsCte + """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_simhash" -> {
+      val votes = (0 until 16).map { b =>
+        "list_sum(list_transform(list_distinct(string_split(text,' ')), " +
+          s"t -> CASE WHEN strpos('89abcdef', substr(md5(t), ${b + 1}, 1)) " +
+          s"> 0 THEN 1 ELSE -1 END)) AS v$b"
+      }.mkString(", ")
+      val fp = (0 until 16)
+        .map(b => s"CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT doc_id, cast($fp AS int) AS fp " +
+        s"FROM (SELECT doc_id, $votes FROM documents)"
+    },
+
+    "q_jaccard_pairs" -> {
+      val inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+      s"""WITH s AS (SELECT doc_id, $shSql AS sh FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | ${rs(s"cast($inter AS double) / (len(a.sh) + len(b.sh) - $inter)", 6)}
+         |   AS jaccard
+         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin
+    },
+
+    "q_cosine_topk" ->
+      ("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, """ +
+        rs("list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)", 4) +
+        """ AS sim
+          |FROM embeddings, q WHERE vec_id <> 0
+          |ORDER BY sim DESC, vec_id LIMIT 10""").stripMargin,
+
+    "q_vec_norm" ->
+      (s"SELECT vec_id, ${rs("sqrt(list_sum(list_transform(" +
+        "CAST(embedding AS DOUBLE[]), x -> x*x)))", 6)} AS nrm " +
+        "FROM embeddings"),
+
+    "q_media_meta" ->
+      ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "cast(octet_length(encode(text)) AS bigint) AS n_bytes, " +
+        "lower(substr(hex(encode(text)), 1, 16)) AS header_hex " +
+        "FROM documents"))
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.ingest.FrameSource
+import graft.ops._
+import graft.pipeline.{Analyze, PeakStreaming}
+
+/** Oracle-checked queries covering the reference's operator inventory
+  * (SURVEY.md §2): every S/P/A/F operator with a batch-expressible form.
+  *
+  * Each entry has a DuckDB-equivalent in [[oracle]] formulated over the
+  * same parquet; float aggregates use the floor-based r() rounding
+  * (Tables.r) so associativity differences can't flip the hash gate.
+  */
+object ReferenceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** floor-based round for oracle SQL, mirroring Tables.r */
+  private def rs(e: String, p: Int = 4): String = {
+    val m = math.pow(10, p).toLong
+    s"floor(($e)*$m + 0.5)/$m"
+  }
+  private val winH = "cast(floor(epoch(ts)/3600)*3600 as bigint)"
+
+  val defs: Map[String, Q] = Map(
+    // S12/P1 — full scan + projection (ref: analyze_data.py:44-51)
+    "q_scan_project" -> ((s, d) =>
+      events(s, d).select(col("event_id"), col("value"),
+        epochS(col("ts")).as("ts_epoch"))),
+
+    // A1 — windowed element-wise vector mean, wide st_peak projection
+    // (ref: database_peak_streaming.py:38-45). Custom VecMean Aggregator.
+    "q_window_mean" -> ((s, d) => {
+      val cols = Seq(col("win_start").cast("long").as("win_start"),
+        col("n_frames")) ++ (1 to FrameSource.NumPeaks).map(i =>
+        r(element_at(col("mean_peaks"), i)).as(s"peak$i"))
+      PeakStreaming
+        .windowed(FrameSource.frames(s, d), windowMs = 3600 * 1000)
+        .select(cols: _*)
+    }),
+
+    // A1 long form — pure built-ins (posexplode → avg), the cross-check
+    // formulation of the same operator.
+    "q_window_mean_long" -> ((s, d) => {
+      val fr = FrameSource.frames(s, d)
+      fr.select(winBucket(col("ts"), 3600).as("win_start"),
+          posexplode(col("peaks")).as(Seq("pos", "v")))
+        .groupBy(col("win_start"), (col("pos") + 1).as("peak_no"))
+        .agg(r(avg(col("v"))).as("mean_v"))
+    }),
+
+    // A2 — per-window last frame's identity + frame count
+    // (ref: database_peak_streaming.py:31-36 takes the window's last frame)
+    "q_port_counts" -> ((s, d) => {
+      val fr = FrameSource.frames(s, d)
+      fr.groupBy(winBucket(col("ts"), 3600).as("win_start"))
+        .agg(count(lit(1)).as("n_frames"),
+          max_by(col("serial_number"), col("frame_id")).as("last_serial"))
+    }),
+
+    // A3 — stride downsample 1-in-10 (ref: database_peak_streaming.py:52-56)
+    "q_stride" -> ((s, d) =>
+      Downsample.strided(
+        events(s, d).select(col("event_id"), col("value")),
+        col("event_id"), 10)),
+
+    // A4 — min-key probe (ref: database_peak_streaming.py:68)
+    "q_min_key" -> ((s, d) =>
+      events(s, d).agg(min(col("event_id")).as("min_id"))),
+
+    // P4 — TTL survivors at deterministic "now" = max(ts)
+    // (ref: database_peak_streaming.py:65-67, st_length TTL)
+    "q_ttl_surviving" -> ((s, d) =>
+      Retention.surviving(events(s, d), col("ts"), 604800L)
+        .select(col("event_id"))),
+
+    // P5 — key-range alignment delete set
+    // (ref: database_peak_streaming.py:68-69)
+    "q_ttl_key_align" -> ((s, d) => {
+      val ev = events(s, d)
+      Retention.expiredByKeyAlignment(
+        ev, col("event_id"),
+        Retention.surviving(ev, col("ts"), 604800L), col("event_id"))
+        .select(col("event_id"))
+    }),
+
+    // A5 — running sum (ref cumsum: hyperion.py:442)
+    "q_cumsum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      events(s, d).select(col("event_id"), col("user_id"),
+        r(sum(col("value")).over(w)).as("running"))
+    }),
+
+    // F1 — epoch int+frac composition (ref: hyperion.py:467)
+    "q_ts_compose" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        (floor(epochS(col("ts"))).cast("double") +
+          (col("event_id") % 1000000) * lit(1e-9)).as("ts_composed"))),
+
+    // F4 — per-channel dBm calibration (ref: hyperion.py:533-540)
+    "q_calibrate" -> ((s, d) => {
+      val fr = FrameSource.frames(s, d)
+      val ch = (col("serial_number") % 8)
+      val scale = lit(1.0) + ch * 0.01
+      val offset = lit(-40.0) - ch
+      fr.select(col("frame_id").as("event_id"), ch.cast("int").as("channel"),
+        element_at(Calibrate.toDb(col("peaks"), scale, offset), 1)
+          .as("db_first"))
+    }),
+
+    // F5 — wavelength axis start + i*inc (ref: hyperion.py:527-531)
+    "q_wavelength_axis" -> ((s, d) => {
+      val chs = s.range(8).select(col("id").as("channel"))
+      chs.select(col("channel"),
+          posexplode(Calibrate.wavelengthAxis(
+            lit(1500.0) + col("channel"), lit(0.8), lit(16)))
+            .as(Seq("idx", "wl")))
+        .select(col("channel"), col("idx").cast("long").as("idx"), col("wl"))
+    }),
+
+    // F6/F7 — strain / temperature physics (ref: analyze_data.py:30-41,
+    // constants hyperion.py:79)
+    "q_physics" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val wl = lit(1550.0) + col("value") * 0.001
+      val withWl = events(s, d).select(col("event_id"), col("user_id"),
+        wl.as("wl"))
+      val iwl = first(col("wl")).over(w)
+      withWl
+        .withColumn("strain", Physics.strain(col("wl"), iwl, 0.89))
+        .withColumn("temp",
+          Physics.temperature(col("wl"), iwl, 0.89, 0.0079, 0.0000055,
+            lit(20.0)))
+        .withColumn("net",
+          Physics.strainNetOfThermal(col("strain"), col("temp")))
+        .select(col("event_id"), r(col("strain"), 6).as("strain"),
+          r(col("temp"), 6).as("temp"), r(col("net"), 6).as("net"))
+    }),
+
+    // F8 — channel bitmap → active channel list (ref: hyperion.py:495-501)
+    "q_bitmap_channels" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        explode(Calibrate.activeChannels(
+          (col("event_id") % 65536).cast("int"))).as("channel"))),
+
+    // EP1 + EP2 — the full pipeline: windowed means → seq numbering →
+    // 1-in-10 long-term stride → per-peak time series projection
+    // (ref: database_peak_streaming.py:16-58 + analyze_data.py:44-82)
+    "q_lt_series" -> ((s, d) => {
+      val lt = Analyze.ltTable(s, d, windowMs = 3600 * 1000, ltIncrement = 10)
+      Analyze.peakSeries(lt)
+        .select(col("seq").cast("long").as("seq"), col("ts_epoch"),
+          (col("peak_no")).cast("int").as("peak_no"),
+          r(col("peak_value")).as("peak_value"))
+    }),
+
+    // P3 — per-port split of the peak vector via cumsum slice boundaries
+    // (ref: analyze_data.py:66-82, hyperion.py:440-453)
+    "q_per_port" -> ((s, d) => {
+      val lt = Analyze.ltTable(s, d, windowMs = 3600 * 1000, ltIncrement = 10)
+      Analyze.perPortSeries(lt)
+        .select(col("seq").cast("long").as("seq"), col("ts_epoch"),
+          col("port_no").cast("int").as("port_no"),
+          col("n_in_port").cast("int").as("n_in_port"),
+          r(col("first_peak")).as("first_peak"))
+    }))
+
+  /** Exact-cents peak model (see FrameSource.frames): peak_i of a window
+    * = avg(floor(value*100+0.5) + (i-1)*100) — integer-valued doubles, so
+    * the avg is ONE exact integer sum + one division in both engines,
+    * bit-identical in any aggregation order.
+    */
+  private val cAvg = "avg(floor(value*100 + 0.5) + (i-1)*100)"
+
+  private val ltCte =
+    s"""WITH w AS (
+       |  SELECT $winH AS win_epoch, i, $cAvg AS m_i
+       |  FROM events, generate_series(1, 8) t(i)
+       |  GROUP BY 1, i),
+       |s AS (
+       |  SELECT win_epoch, i, m_i,
+       |    dense_rank() OVER (ORDER BY win_epoch) AS rn
+       |  FROM w)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT event_id, value, epoch(ts) AS ts_epoch FROM events",
+
+    "q_window_mean" -> {
+      val peaks = (1 to FrameSource.NumPeaks)
+        .map(i => s"${rs(s"avg(floor(value*100 + 0.5) + ${(i - 1) * 100})")}" +
+          s" AS peak$i").mkString(", ")
+      s"SELECT $winH AS win_start, count(*) AS n_frames, $peaks " +
+        "FROM events GROUP BY 1"
+    },
+
+    "q_window_mean_long" ->
+      (s"SELECT $winH AS win_start, cast(i AS int) AS peak_no, " +
+        s"${rs(cAvg)} AS mean_v " +
+        "FROM events, generate_series(1, 8) t(i) GROUP BY 1, i"),
+
+    "q_port_counts" ->
+      (s"SELECT $winH AS win_start, count(*) AS n_frames, " +
+        "max_by(user_id, event_id) AS last_serial FROM events GROUP BY 1"),
+
+    "q_stride" ->
+      ("SELECT event_id, value FROM (SELECT event_id, value, " +
+        "row_number() OVER (ORDER BY event_id) AS rn FROM events) " +
+        "WHERE (rn - 1) % 10 = 0"),
+
+    "q_min_key" -> "SELECT min(event_id) AS min_id FROM events",
+
+    "q_ttl_surviving" ->
+      ("SELECT event_id FROM events WHERE epoch(ts) >= " +
+        "(SELECT max(epoch(ts)) FROM events) - 604800"),
+
+    "q_ttl_key_align" ->
+      ("SELECT event_id FROM events WHERE event_id < (SELECT min(event_id) " +
+        "FROM events WHERE epoch(ts) >= " +
+        "(SELECT max(epoch(ts)) FROM events) - 604800)"),
+
+    "q_cumsum" ->
+      (s"SELECT event_id, user_id, ${rs(
+        "sum(value) OVER (PARTITION BY user_id ORDER BY event_id)")} " +
+        "AS running FROM events"),
+
+    "q_ts_compose" ->
+      ("SELECT event_id, cast(floor(epoch(ts)) AS double) + " +
+        "(event_id % 1000000) * 1e-9 AS ts_composed FROM events"),
+
+    "q_calibrate" ->
+      ("SELECT event_id, cast(user_id % 8 AS int) AS channel, " +
+        "floor(value*100 + 0.5) * (1.0/(1.0 + (user_id % 8) * 0.01)) + " +
+        "(-40.0 - (user_id % 8)) AS db_first FROM events"),
+
+    // CAST literals to DOUBLE: DuckDB parses 1500.0/0.8 as DECIMAL, and
+    // int + DECIMAL arithmetic stays DECIMAL (schema mismatch vs Spark).
+    "q_wavelength_axis" ->
+      ("SELECT ch AS channel, cast(i AS bigint) AS idx, " +
+        "(CAST(1500.0 AS DOUBLE) + ch) + i * CAST(0.8 AS DOUBLE) AS wl " +
+        "FROM generate_series(0, 7) t(ch), generate_series(0, 15) s(i)"),
+
+    "q_physics" -> {
+      val strain = "1e6 * (((wl - iwl) / iwl) / 0.89)"
+      val temp = "(wl - iwl) / (wl * 0.89 * (0.0079 + 0.0000055)) + 20.0"
+      s"""SELECT event_id, ${rs(strain, 6)} AS strain, ${rs(temp, 6)} AS temp,
+         | ${rs(s"($strain) - ($temp)", 6)} AS net FROM (
+         |  SELECT event_id, wl, first_value(wl) OVER
+         |    (PARTITION BY user_id ORDER BY event_id) AS iwl
+         |  FROM (SELECT event_id, user_id, 1550.0 + value * 0.001 AS wl
+         |        FROM events))""".stripMargin
+    },
+
+    "q_bitmap_channels" ->
+      ("SELECT event_id, cast(i AS int) AS channel FROM events, " +
+        "generate_series(0, 15) t(i) " +
+        "WHERE ((event_id % 65536) >> i) & 1 = 1"),
+
+    "q_lt_series" ->
+      (ltCte + "\n" +
+        "SELECT cast(rn AS bigint) AS seq, cast(win_epoch AS double) AS " +
+        s"ts_epoch, cast(i AS int) AS peak_no, ${rs("m_i")} AS " +
+        "peak_value FROM s WHERE (rn-1) % 10 = 0"),
+
+    "q_per_port" ->
+      (ltCte + "\n" +
+        "SELECT cast(rn AS bigint) AS seq, cast(win_epoch AS double) AS " +
+        "ts_epoch, cast(i AS int) AS port_no, cast(1 AS int) AS n_in_port, " +
+        s"${rs("m_i")} AS first_peak " +
+        "FROM s WHERE (rn-1) % 10 = 0"))
+}

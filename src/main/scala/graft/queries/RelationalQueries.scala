@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** The standard relational surface over the TPC-H-ish testdata —
+  * aggregation, joins (broadcast/shuffle, semi/anti), ranking windows,
+  * top-k, set ops, rollup, JSON extraction. All Catalyst built-ins
+  * (SURVEY.md §7.3 step 7); the engine work is plan shape: small dims are
+  * broadcast, filters sit at the scan, money sums are exact BIGINT cents
+  * (Tables.cents) so the oracle hash can't drift.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def rs(e: String, p: Int = 4): String = {
+    val m = math.pow(10, p).toLong
+    s"floor(($e)*$m + 0.5)/$m"
+  }
+  /** exact cents per row, summed as BIGINT — mirrors Tables.cents */
+  private def centsSql(e: String): String =
+    s"cast(sum(cast(floor(($e)*100 + 0.5) AS bigint)) AS bigint)"
+
+  val defs: Map[String, Q] = Map(
+    // TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures
+    "q1_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+          r(avg(col("l_quantity"))).as("avg_qty"),
+          r(avg(col("l_extendedprice"))).as("avg_price"),
+          r(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: selective dim filter → join chain → grouped top-k.
+    // customer is broadcast (1.5k rows at sf0.01); lineitem never shuffles
+    // its wide columns — only the aggregated cents survive the join.
+    "q3_top_orders" -> ((s, d) => {
+      val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: five-way join, revenue per nation. region/nation
+    // broadcast; customer↔supplier co-nation constraint.
+    "q5_nation_revenue" -> ((s, d) => {
+      val reg = region(s, d).filter(col("r_name") === "ASIA")
+      val nat = nation(s, d)
+      val cust = customer(s, d)
+      val sup = supplier(s, d)
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val li = lineitem(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+    }),
+
+    // left-semi: orders having a heavy line (EXISTS)
+    "q_semi_join" -> ((s, d) =>
+      orders(s, d).join(
+        lineitem(s, d).filter(col("l_quantity") >= 48),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"))),
+
+    // left-anti: customers with no orders (NOT EXISTS)
+    "q_anti_join" -> ((s, d) =>
+      customer(s, d).join(orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))),
+
+    // top-k: TakeOrderedAndProject, no full sort
+    "q_topk" -> ((s, d) =>
+      orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)),
+
+    // distinct aggregation
+    "q_distinct_agg" -> ((s, d) =>
+      customer(s, d).groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_cust"))),
+
+    // rollup with subtotal rows
+    "q_rollup" -> ((s, d) =>
+      lineitem(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // ranking window: top-3 orders per customer
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk").cast("int"))
+    }),
+
+    // set ops: nation keys that have customers vs suppliers
+    "q_setops" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+      val su = supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+      c.except(su).withColumn("tag", lit("cust_only"))
+        .unionByName(c.intersect(su).withColumn("tag", lit("both")))
+        .select(col("tag"), col("nk"))
+    }),
+
+    // JSON extraction from events.props
+    "q_json_extract" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    // Q4 shape: priority counts for orders with a late-shipped line
+    "q_priority_exists" -> ((s, d) => {
+      val late = lineitem(s, d).join(orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "inner")
+        .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+      late.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Q14 shape: conditional aggregation ratio over a join
+    "q_promo_share" -> ((s, d) => {
+      val li = lineitem(s, d).filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .otherwise(0L)).as("promo_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("total_cents"))
+        .select(r(col("promo_cents").cast("double") * 100 /
+          col("total_cents")).as("promo_pct"))
+    }))
+
+  private val revCents = centsSql("l_extendedprice*(1 - l_discount)")
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty,
+         | ${centsSql("l_extendedprice")} AS sum_base_cents,
+         | $revCents AS sum_disc_cents,
+         | ${centsSql("l_extendedprice*(1 - l_discount)*(1 + l_tax)")}
+         |   AS sum_charge_cents,
+         | ${rs("avg(l_quantity)")} AS avg_qty,
+         | ${rs("avg(l_extendedprice)")} AS avg_price,
+         | ${rs("avg(l_discount)")} AS avg_disc,
+         | count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         | o_orderpriority, $revCents AS revenue_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         | AND o_orderdate < TIMESTAMP '1998-01-01'
+         | AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, $revCents AS revenue_cents
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN customer ON o_custkey = c_custkey
+         |   AND c_nationkey = s_nationkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1999-01-01'
+         |GROUP BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      ("SELECT o_orderkey FROM orders WHERE EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_quantity >= 48)"),
+
+    "q_anti_join" ->
+      ("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+
+    "q_topk" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+
+    "q_distinct_agg" ->
+      ("SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, " +
+        "count(*) AS n_cust FROM customer GROUP BY 1"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty, " +
+        "count(*) AS n FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+
+    "q_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, cast(rk AS int) AS rk FROM " +
+        "(SELECT o_custkey, o_orderkey, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
+        "AS rk FROM orders) WHERE rk <= 3"),
+
+    "q_setops" ->
+      ("SELECT 'cust_only' AS tag, nk FROM " +
+        "(SELECT DISTINCT c_nationkey AS nk FROM customer EXCEPT " +
+        "SELECT DISTINCT s_nationkey AS nk FROM supplier) " +
+        "UNION ALL SELECT 'both' AS tag, nk FROM " +
+        "(SELECT DISTINCT c_nationkey AS nk FROM customer INTERSECT " +
+        "SELECT DISTINCT s_nationkey AS nk FROM supplier)"),
+
+    "q_json_extract" ->
+      ("SELECT event_id, cast(json_extract_string(props, '$.k') AS int) " +
+        "AS k FROM events"),
+
+    "q_priority_exists" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM " +
+        "(SELECT DISTINCT o_orderkey, o_orderpriority FROM orders " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate) GROUP BY 1"),
+
+    "q_promo_share" ->
+      (s"""SELECT ${rs("cast(promo_cents AS double)*100/total_cents")}
+          | AS promo_pct FROM (
+          | SELECT ${centsSql(
+             "CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) " +
+             "ELSE 0 END")} AS promo_cents,
+          | $revCents AS total_cents
+          | FROM lineitem JOIN part ON l_partkey = p_partkey
+          | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01')""".stripMargin))
+}

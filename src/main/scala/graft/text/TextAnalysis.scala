@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * fingerprinting. All built from codegen'd built-ins (split/size/
+  * transform/aggregate) — no UDFs — so they run inside whole-stage
+  * codegen and scale linearly with document bytes; nothing here
+  * shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space split keeps Spark and the DuckDB
+    * oracle (`string_split(text, ' ')`) byte-identical; a BPE-ish
+    * regex variant is [[bpeTokens]].
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word-ish tokenization: split on word/number/punct
+    * boundaries (the regex family GPT-2's tokenizer pre-splits with).
+    */
+  def bpeTokens(text: Column): Column =
+    filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => t =!= "")
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "in", "and", "is", "it", "that")
+
+  /** Quality metrics (length / punctuation / stopword ratios) used for
+    * corpus filtering.
+    */
+  def withQuality(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
+    val punct = length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+    df.withColumn("n_chars_m", length(text))
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        graft.util.Tables.r((length(text) - (nTok - 1)).cast("double") / nTok, 6))
+      .withColumn("stopword_ratio",
+        graft.util.Tables.r(stopHits.cast("double") / nTok, 6))
+      .withColumn("punct_count", punct)
+  }
+
+  /** Marker-word sets per language for the n-gram/stopword language-ID
+    * heuristic. Real-world lists; scoring is hit-count per set.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "es", "una", "y"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  /** Language ID: argmax of marker hits, ties and zero-hit docs → "und"
+    * (undetermined), per BCP-47 convention.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // struct ordering = (score, -idx): max score wins, earliest language
+    // in LangMarkers order breaks ties.
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), idx) =>
+      struct(
+        size(filter(toks, t => t.isin(markers: _*))).as("score"),
+        lit(-idx).as("nidx"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: hash of the whitespace-normalized, lowercased
+    * text. md5 so the DuckDB oracle reproduces it bit-for-bit.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,73 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Uniform access to the driver-provided parquet tables
+  * (`/root/testdata/sfN/<name>.parquet`, see TESTDATA.md) plus the few
+  * column helpers shared by every oracle-checked query.
+  *
+  * Scale notes: all loaders are plain `spark.read.parquet` — Catalyst
+  * handles predicate pushdown / column pruning, and on a real cluster the
+  * same paths would be directories of many files, so nothing here assumes
+  * single-file inputs.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String)    = table(s, d, "region")
+  def nation(s: SparkSession, d: String)    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = table(s, d, "part")
+  def orders(s: SparkSession, d: String)    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]). We read it as raw Long nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros with
+    * integral division (`div`, not `/` — double division would lose
+    * precision at 1.7e18 ns). DuckDB truncates ns→µs on read the same way,
+    * so `epoch(ts)` agrees bit-for-bit between engines.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String) = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+
+  /** Round a double column to `p` places via floor(x*10^p + 0.5)/10^p.
+    * Used (identically formulated in the oracle SQL) so Spark-vs-DuckDB
+    * float aggregation-order differences can't flip the hash compare.
+    * floor on an identical double is bit-deterministic in both engines,
+    * unlike round(), whose half-way tie-breaking differs (Spark rounds the
+    * DECIMAL string repr HALF_UP, DuckDB rounds the binary double).
+    */
+  def r(c: Column, p: Int = 4): Column = {
+    val m = math.pow(10, p)
+    floor(c * m + 0.5).cast("double") / m
+  }
+
+  /** Exact money aggregation: integerize cents per row, sum as BIGINT.
+    * Long sums are exact (no float associativity), so Spark and DuckDB
+    * agree bit-for-bit at any scale factor.
+    */
+  def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  /** Epoch seconds (with fractional part) of a timestamp column — matches
+    * DuckDB `epoch(ts)`. Spark's cast timestamp→double is epoch seconds
+    * with microsecond fraction.
+    */
+  def epochS(c: Column): Column = c.cast("double")
+
+  /** Tumbling-window start epoch: floor(epoch/width)*width as bigint.
+    * Identical formulation in DuckDB
+    * (`cast(floor(epoch(ts)/w)*w as bigint)`), so the window assignment is
+    * engine-independent — unlike `window()` structs whose output shape
+    * DuckDB can't reproduce.
+    */
+  def winBucket(ts: Column, widthSec: Int): Column =
+    (floor(epochS(ts) / widthSec) * widthSec).cast("long")
+}
