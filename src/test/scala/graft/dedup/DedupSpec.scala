@@ -1,0 +1,77 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (3L, "completely different text about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog")    // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest id per digest") {
+    val dups = Dedup.exactDuplicates(docs, $"doc_id", $"text")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(dups == Seq((1L, 0L), (4L, 0L)))
+  }
+
+  test("shingles: n-gram sets over tokens") {
+    val sh = docs.filter($"doc_id" === 3)
+      .select(Dedup.shingles($"text", 2)).as[Seq[String]].head()
+    assert(sh.contains("completely different"))
+    assert(sh.contains("spark engines"))
+    assert(sh.size == 5) // 6 tokens -> 5 bigrams, all distinct
+  }
+
+  test("jaccard: 1.0 for identical, 0 for disjoint, sane for near-dups") {
+    val pairs = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.jaccard(col("a.text"), col("b.text"), 2).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 3L)) == 0.0)
+    assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+  }
+
+  test("LSH candidate pairs include exact and near duplicates") {
+    val bands = Dedup.lshBands(docs, $"doc_id", $"text", 2,
+      bands = 4, rowsPerBand = 2)
+    val pairs = Dedup.lshCandidatePairs(bands)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical docs share every band
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((1L, 4L)))
+    // doc 3 shares no shingles with anything -> should pair with nothing
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash signature is identical for identical docs") {
+    val sigs = docs.select($"doc_id",
+        Dedup.minhashSignature($"text", 2, 8).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+    assert(sigs(0L).size == 8)
+  }
+
+  test("simhash: equal fingerprints for identical docs, hamming sane") {
+    val fps = docs.select($"doc_id", Dedup.simhash16($"text").as("fp"))
+      .as[(Long, Int)].collect().toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps.values.forall(f => f >= 0 && f < 65536))
+    val ham = docs.limit(1).select(
+      Dedup.hamming16(lit(fps(0L)), lit(fps(2L)))).as[Long].head()
+    assert(ham >= 0 && ham <= 16)
+    // near-dup should be closer than unrelated text
+    val hamFar = Integer.bitCount(fps(0L) ^ fps(3L))
+    val hamNear = Integer.bitCount(fps(0L) ^ fps(2L))
+    assert(hamNear <= hamFar)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int): Seq[(Long, Seq[Double])] = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  test("cosine: 1 for self, -1 for negation, 0 for orthogonal") {
+    val df = Seq((Seq(1.0, 0.0, 2.0), Seq(-1.0, 0.0, -2.0),
+      Seq(0.0, 3.0, 0.0))).toDF("a", "na", "o")
+    val (self, neg, orth) = df.select(
+      Similarity.cosine($"a", $"a"), Similarity.cosine($"a", $"na"),
+      Similarity.cosine($"a", $"o")).as[(Double, Double, Double)].head()
+    assert(math.abs(self - 1.0) < 1e-12)
+    assert(math.abs(neg + 1.0) < 1e-12)
+    assert(math.abs(orth) < 1e-12)
+  }
+
+  test("bruteForceTopK matches a driver-side reference computation") {
+    val data = vecs(200, 16)
+    val df = data.toDF("vec_id", "v")
+    val q = data.head._2
+    val qDf = Seq(Tuple1(q)).toDF("qv")
+    val got = Similarity.bruteForceTopK(
+      df.crossJoin(broadcast(qDf)), $"vec_id", $"v", $"qv", 5)
+      .as[(Long, Double)].collect().toSeq
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = data.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(got.map(_._1) == expected.map(_._1))
+    for ((g, e) <- got.map(_._2).zip(expected.map(_._2)))
+      assert(math.abs(g - e) < 1e-9)
+  }
+
+  test("srpBucket is deterministic and self-consistent") {
+    val data = vecs(50, 16)
+    val df = data.toDF("vec_id", "v")
+    val b1 = df.select($"vec_id",
+      Similarity.srpBucket($"v", 16, 8).as("b")).as[(Long, Int)].collect()
+    val b2 = df.select($"vec_id",
+      Similarity.srpBucket($"v", 16, 8).as("b")).as[(Long, Int)].collect()
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall { case (_, b) => b >= 0 && b < 256 })
+    // a vector lands in the same bucket as itself scaled (SRP is scale-free)
+    val scaled = data.map { case (id, v) => (id, v.map(_ * 3.7)) }.toDF("vec_id", "v")
+    val b3 = scaled.select($"vec_id",
+      Similarity.srpBucket($"v", 16, 8).as("b")).as[(Long, Int)].collect()
+    assert(b1.toSeq == b3.toSeq)
+  }
+
+  test("lshTopK returns a subset of brute-force candidates with exact sims") {
+    val data = vecs(300, 16)
+    val df = data.toDF("vec_id", "v")
+    val q = data.head._2
+    val qDf = Seq(Tuple1(q)).toDF("qv")
+    val lsh = Similarity.lshTopK(df, $"vec_id", $"v",
+      // query column must be resolvable against df -> inline literal array
+      array(q.map(lit): _*), 16, 4, 10).as[(Long, Double)].collect()
+    assert(lsh.nonEmpty) // query's own bucket contains at least itself
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = data.toMap
+    for ((id, s) <- lsh) assert(math.abs(s - cos(byId(id), q)) < 1e-9)
+  }
+
+  test("ivfAssign picks the max-dot-product centroid") {
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val df = Seq((0L, Seq(0.9, 0.1)), (1L, Seq(0.1, 0.9)), (2L, Seq(-5.0, 0.0)))
+      .toDF("vec_id", "v")
+    val cells = df.select($"vec_id", Similarity.ivfAssign($"v", cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(cells == Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+}
