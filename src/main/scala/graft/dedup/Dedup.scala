@@ -47,7 +47,9 @@ object Dedup {
 
   /** MinHash signature: for seed s, sig(s) = min over shingles of
     * md5(s || '|' || shingle) — a lexicographic min of hex strings, which
-    * is a valid min-wise hash family and engine-portable.
+    * is a valid min-wise hash family and engine-portable. Costs one md5
+    * per (shingle, seed); fine for small `numHashes`, use
+    * [[chunkMinhash]] for the LSH path.
     */
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
     array((0 until numHashes).map { s =>
@@ -55,29 +57,70 @@ object Dedup {
         sh => md5(concat(lit(s.toString), lit("|"), sh))))
     }: _*)
 
-  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
-    * hashes; band key = md5 of the concatenated band. Docs sharing any
-    * band key are candidates.
-    * Returns (band_idx, band_key, doc_id) — group/self-join on
-    * (band_idx, band_key) to get candidate pairs.
+  /** Seeded minhash as a DataFrame op: explode the shingle set, aggregate
+    * mins per doc. The explode → codegen'd partial HashAggregate shape is
+    * the scale formulation: per-shingle hashing runs inside whole-stage
+    * codegen, map-side partials collapse to one row per (doc, partition)
+    * before the shuffle.
+    *
+    * Caveat: a doc whose shingle set is empty vanishes (explode drops
+    * it) — can't happen here since `split` always yields ≥1 token.
+    */
+  def minhashDf(docs: DataFrame, id: Column, text: Column, n: Int,
+                numHashes: Int): DataFrame = {
+    val ex = graft.util.Tables.parallelize(
+        docs.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"), explode(shingles(col("__t"), n)).as("sh"))
+    val aggs = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("sh")))).as(s"h${s + 1}"))
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding from chunk-minhash signatures: ONE md5 per shingle; the
+    * k 16-bit sub-hashes are the digest's 4-hex-char chunks (a standard
+    * cheap min-wise family — 128/4 = up to 32 chunks). 16-bit collisions
+    * (~1/65k per shingle pair) only add candidates, which exact-Jaccard
+    * verification filters anyway.
+    *
+    * Band key = md5 of the concatenated band. Docs sharing any band key
+    * are candidates. Returns (doc_id, band_idx, band_key).
+    *
+    * Plan shape at scale: parallelize (no-op on real multi-file inputs) →
+    * explode shingles → md5 once in codegen → partial min-agg map-side →
+    * one shuffle keyed by doc_id → 4-band expansion of the tiny sig table.
     */
   def lshBands(docs: DataFrame, id: Column, text: Column, n: Int,
                bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignature(text, n, bands * rowsPerBand)
-    docs.select(id.as("doc_id"), sig.as("sig"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(array_join(slice(col("sig"), b * rowsPerBand + lit(1),
-            lit(rowsPerBand)), "")))).as(Seq("band_idx", "band_key")))
+    val k = bands * rowsPerBand
+    require(k <= 32, "md5 yields at most 32 4-hex-char chunks")
+    val ex = graft.util.Tables.parallelize(
+        docs.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"), explode(shingles(col("__t"), n)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("d"))
+    val aggs = (0 until k).map(c =>
+      min(substring(col("d"), c * 4 + 1, 4)).as(s"m$c"))
+    val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sigArr = array((0 until k).map(c => col(s"m$c")): _*)
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(slice(sigArr, b * rowsPerBand + lit(1),
+          lit(rowsPerBand)), "")))).as(Seq("band_idx", "band_key")))
   }
 
   /** Candidate near-dup pairs from LSH: docs sharing ≥1 band. The
     * self-join shuffles on band key only — at 100 TB this is the step
     * that replaces the quadratic all-pairs compare.
+    *
+    * The bands table is materialized once (`localCheckpoint`) before the
+    * self-join: without it Spark recomputes the whole shingle→minhash
+    * pipeline on BOTH join sides. The bands table is narrow
+    * (id, int, 32-char key) — a tiny fraction of corpus bytes, safe to
+    * persist even at scale.
     */
   def lshCandidatePairs(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.as("a")
-    val b = bandsDf.as("b")
+    val mat = bandsDf.localCheckpoint(false)
+    val a = mat.as("a")
+    val b = mat.as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
@@ -92,6 +135,27 @@ object Dedup {
     val sb = shingles(bText, n)
     val inter = size(array_intersect(sa, sb)).cast("double")
     inter / (size(sa) + size(sb) - size(array_intersect(sa, sb)))
+  }
+
+  /** SimHash as a DataFrame op — same explode+agg scale shape as
+    * [[minhashDf]]: one md5 per distinct token (16 votes read nibbles of
+    * that digest), codegen'd partial sums map-side, one shuffle by doc.
+    * Semantics identical to [[simhash16]] (cross-checked in DedupSpec).
+    */
+  def simhashDf(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val ex = graft.util.Tables.parallelize(
+        docs.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("__t")))).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("d"))
+    val votes = (0 until 16).map(b =>
+      sum(when(instr(lit("89abcdef"), substring(col("d"), b + 1, 1)) > 0, 1)
+        .otherwise(-1)).as(s"v$b"))
+    ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0)))
+          .reduce(_ + _).cast("int").as("fp"))
   }
 
   /** SimHash fingerprint (16-bit, engine-portable): token hash bits come

@@ -40,12 +40,16 @@ object PipelineQueries {
   private val LshRows = 2        // 8 hashes total for LSH
 
   /** CTE producing (doc_id, band_idx, band_key) — mirror of Dedup.lshBands
-    * with n=2, bands=4, rowsPerBand=2.
+    * with n=2, bands=4, rowsPerBand=2: ONE md5 per shingle, k 16-bit
+    * chunk-min hashes (Dedup.chunkMinhash).
     */
   private val bandsCte = {
-    val sig = (0 until LshBands * LshRows).map(mhSql).mkString("[", ", ", "]")
+    val sig = (0 until LshBands * LshRows)
+      .map(c => s"list_min(list_transform(dg, d -> substr(d, ${c * 4 + 1}, 4)))")
+      .mkString("[", ", ", "]")
     s"""WITH s AS (SELECT doc_id, $shSql AS sh FROM documents),
-       |sig AS (SELECT doc_id, $sig AS sig FROM s),
+       |dg AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS dg FROM s),
+       |sig AS (SELECT doc_id, $sig AS sig FROM dg),
        |bands AS (
        |  SELECT doc_id, b AS band_idx,
        |    md5(array_to_string(list_slice(sig, b*$LshRows+1, b*$LshRows+$LshRows), '')) AS band_key
@@ -80,12 +84,9 @@ object PipelineQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(documents(s, d), col("doc_id"), col("text"))),
 
-    "q_minhash" -> ((s, d) => {
-      val sig = Dedup.minhashSignature(col("text"), 2, MinhashN)
-      documents(s, d).select(
-        col("doc_id") +: (1 to MinhashN).map(i =>
-          element_at(sig, i).as(s"h$i")): _*)
-    }),
+    "q_minhash" -> ((s, d) =>
+      Dedup.minhashDf(documents(s, d), col("doc_id"), col("text"), 2,
+        MinhashN)),
 
     "q_lsh_bands" -> ((s, d) =>
       Dedup.lshBands(documents(s, d), col("doc_id"), col("text"), 2,
@@ -97,8 +98,7 @@ object PipelineQueries {
           LshBands, LshRows))),
 
     "q_simhash" -> ((s, d) =>
-      documents(s, d).select(col("doc_id"),
-        Dedup.simhash16(col("text")).cast("int").as("fp"))),
+      Dedup.simhashDf(documents(s, d), col("doc_id"), col("text"))),
 
     // n-gram Jaccard over deterministic pairs (consecutive doc ids) — the
     // LSH-verification kernel with an easily-oracled pair set.

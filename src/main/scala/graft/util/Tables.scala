@@ -38,6 +38,18 @@ object Tables {
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
+  /** Ensure at least the session's default parallelism for expensive
+    * per-row compute (hashing, decoding). No-op when the scan already
+    * yields enough splits — the normal case at scale, where inputs are
+    * thousands of files; for few-file local inputs this one narrow
+    * round-robin shuffle unlocks all cores before the heavy map work.
+    */
+  def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
+
   /** Round a double column to `p` places via floor(x*10^p + 0.5)/10^p.
     * Used (identically formulated in the oracle SQL) so Spark-vs-DuckDB
     * float aggregation-order differences can't flip the hash compare.

@@ -61,6 +61,25 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0L).size == 8)
   }
 
+  test("minhashDf (explode+agg scale form) equals the column form") {
+    val dfForm = Dedup.minhashDf(docs, $"doc_id", $"text", 2, 4)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(i => r.getString(i))).toMap
+    val colForm = docs.select($"doc_id",
+        Dedup.minhashSignature($"text", 2, 4).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(dfForm.keySet == colForm.keySet)
+    for (k <- dfForm.keySet) assert(dfForm(k) == colForm(k), s"doc $k")
+  }
+
+  test("simhashDf (explode+agg scale form) equals the column form") {
+    val dfForm = Dedup.simhashDf(docs, $"doc_id", $"text")
+      .as[(Long, Int)].collect().toMap
+    val colForm = docs.select($"doc_id", Dedup.simhash16($"text").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(dfForm == colForm)
+  }
+
   test("simhash: equal fingerprints for identical docs, hamming sane") {
     val fps = docs.select($"doc_id", Dedup.simhash16($"text").as("fp"))
       .as[(Long, Int)].collect().toMap
