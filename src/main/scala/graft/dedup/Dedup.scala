@@ -33,6 +33,31 @@ object Dedup {
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
   }
 
+  /** Exploded (doc_id, shingle) rows for the min-aggregating hash paths.
+    *
+    * Formulated as explode(index sequence) + scalar slice/array_join —
+    * NOT a transform() lambda — because higher-order functions are
+    * evaluated interpreted (no codegen): profiled cold-JVM cost of the
+    * lambda form was ~4 s for 256 K shingles vs <1 s warm. The Generate +
+    * scalar-projection shape keeps the whole scan→explode→hash→partial-agg
+    * stage inside one WholeStageCodegen span.
+    *
+    * Duplicate shingles are NOT removed: every consumer aggregates with
+    * min(), which is duplicate-insensitive, so the result is identical to
+    * the distinct-set semantics at zero dedup cost.
+    */
+  private def explodedShingles(docs: DataFrame, id: Column, text: Column,
+                               n: Int): DataFrame =
+    graft.util.Tables.parallelize(
+        docs.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"), TextAnalysis.tokens(col("__t")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))))
+          .as("i"))
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), col("i") + lit(1), lit(n)), " ")
+          .as("sh"))
+
   /** Exact dedup: keep the lowest doc id per content digest.
     * Returns (dup_id, kept_id) for every row that would be removed.
     */
@@ -68,9 +93,7 @@ object Dedup {
     */
   def minhashDf(docs: DataFrame, id: Column, text: Column, n: Int,
                 numHashes: Int): DataFrame = {
-    val ex = graft.util.Tables.parallelize(
-        docs.select(id.as("doc_id"), text.as("__t")))
-      .select(col("doc_id"), explode(shingles(col("__t"), n)).as("sh"))
+    val ex = explodedShingles(docs, id, text, n)
     val aggs = (0 until numHashes).map(s =>
       min(md5(concat(lit(s.toString), lit("|"), col("sh")))).as(s"h${s + 1}"))
     ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -93,14 +116,18 @@ object Dedup {
                bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     require(k <= 32, "md5 yields at most 32 4-hex-char chunks")
-    val ex = graft.util.Tables.parallelize(
-        docs.select(id.as("doc_id"), text.as("__t")))
-      .select(col("doc_id"), explode(shingles(col("__t"), n)).as("sh"))
+    val ex = explodedShingles(docs, id, text, n)
       .select(col("doc_id"), md5(col("sh")).as("d"))
+    // Chunk mins aggregate as INTs, not 4-char strings: a var-length
+    // (string) agg buffer forces SortAggregate (two extra sorts); the
+    // fixed-width int buffer keeps the codegen'd HashAggregate. The hex
+    // form is restored losslessly after the agg (lpad zero-fill).
     val aggs = (0 until k).map(c =>
-      min(substring(col("d"), c * 4 + 1, 4)).as(s"m$c"))
+      min(conv(substring(col("d"), c * 4 + 1, 4), 16, 10).cast("int"))
+        .as(s"m$c"))
     val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val sigArr = array((0 until k).map(c => col(s"m$c")): _*)
+    val sigArr = array((0 until k).map(c =>
+      lpad(lower(hex(col(s"m$c"))), 4, "0")): _*)
     sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(array_join(slice(sigArr, b * rowsPerBand + lit(1),

@@ -23,7 +23,9 @@ object Analyze {
               ltIncrement: Int): DataFrame = {
     val windowed = PeakStreaming.batch(
       FrameSource.frames(spark, sfDir), windowMs)
-    Downsample.strided(windowed, col("win_start"), ltIncrement)
+    // seq is already the dense window-grid index — stride is a pure
+    // filter, not a row_number sort (Downsample scale note).
+    Downsample.stridedByKey(windowed, col("seq") - 1, ltIncrement)
   }
 
   /** P1/P2 — time series per peak position: (seq, ts_epoch, peak value),

@@ -61,11 +61,16 @@ object ReferenceQueries {
           max_by(col("serial_number"), col("frame_id")).as("last_serial"))
     }),
 
-    // A3 — stride downsample 1-in-10 (ref: database_peak_streaming.py:52-56)
-    "q_stride" -> ((s, d) =>
-      Downsample.strided(
-        events(s, d).select(col("event_id"), col("value")),
-        col("event_id"), 10)),
+    // A3 — stride downsample 1-in-10 (ref: database_peak_streaming.py:52-56).
+    // event_id is dense, so the stride is a pure filter against the
+    // broadcast min — no global row_number sort (Downsample scale note).
+    "q_stride" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("value"))
+      val mn = ev.agg(min(col("event_id")).as("__mn"))
+      Downsample.stridedByKey(
+          ev.crossJoin(broadcast(mn)), col("event_id") - col("__mn"), 10)
+        .select(col("event_id"), col("value"))
+    }),
 
     // A4 — min-key probe (ref: database_peak_streaming.py:68)
     "q_min_key" -> ((s, d) =>
@@ -175,6 +180,8 @@ object ReferenceQueries {
     */
   private val cAvg = "avg(floor(value*100 + 0.5) + (i-1)*100)"
 
+  // rn = window-grid index relative to the first window (mirrors
+  // PeakStreaming.batch's arithmetic seq; `//` = DuckDB integer division).
   private val ltCte =
     s"""WITH w AS (
        |  SELECT $winH AS win_epoch, i, $cAvg AS m_i
@@ -182,7 +189,7 @@ object ReferenceQueries {
        |  GROUP BY 1, i),
        |s AS (
        |  SELECT win_epoch, i, m_i,
-       |    dense_rank() OVER (ORDER BY win_epoch) AS rn
+       |    (win_epoch - (SELECT min(win_epoch) FROM w)) // 3600 + 1 AS rn
        |  FROM w)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -207,9 +214,8 @@ object ReferenceQueries {
         "max_by(user_id, event_id) AS last_serial FROM events GROUP BY 1"),
 
     "q_stride" ->
-      ("SELECT event_id, value FROM (SELECT event_id, value, " +
-        "row_number() OVER (ORDER BY event_id) AS rn FROM events) " +
-        "WHERE (rn - 1) % 10 = 0"),
+      ("SELECT event_id, value FROM events WHERE " +
+        "(event_id - (SELECT min(event_id) FROM events)) % 10 = 0"),
 
     "q_min_key" -> "SELECT min(event_id) AS min_id FROM events",
 

@@ -46,7 +46,12 @@ object Tables {
     */
   def parallelize(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    // Decide from the driver-side file listing, NOT df.rdd.getNumPartitions:
+    // the .rdd probe forces physical planning + RDD conversion of the whole
+    // plan on every call. Many input files already split into enough scan
+    // partitions (the normal case at scale); for few-file local inputs one
+    // narrow round-robin shuffle unlocks all cores before heavy map work.
+    if (df.inputFiles.length >= math.max(2, target / 2)) df
     else df.repartition(target)
   }
 
