@@ -1,6 +1,9 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
 
 /** Benchmark main — one JSON line per run, consumed by the driver.
   *
@@ -51,7 +54,45 @@ object Bench {
       .map { case (k, v) => s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"")}\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val streaming = streamingFigure(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** End-to-end streaming throughput: every frame derived from the sf
+    * dir's events is pushed through the full PeakStreaming pipeline
+    * (watermark → hourly windows → VecMean → dual st/lt parquet sinks)
+    * as a file-source stream drained with Trigger.AvailableNow across
+    * multiple micro-batches. frames_per_sec is processing capacity —
+    * compare the reference's 10 Hz live ingest loop.
+    */
+  private def streamingFigure(spark: SparkSession, sfDir: String): String =
+    try {
+      val tmp = Files.createTempDirectory("graft_stream_bench").toString
+      val src = s"$tmp/src"
+      val frames = graft.ingest.FrameSource.frames(spark, sfDir)
+      frames.repartition(16).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      val n = spark.read.parquet(src).count()
+      val t0 = System.nanoTime()
+      // One data batch (files are not time-ordered — more batches would
+      // advance the watermark past later files' events and drop them),
+      // then the no-data finalization batch closes the windows.
+      val query = graft.pipeline.PeakStreaming.stream(
+          spark.readStream.schema(schema).parquet(src),
+          s"$tmp/st", s"$tmp/lt", s"$tmp/ck",
+          windowMs = 3600 * 1000)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stRows = spark.read.parquet(s"$tmp/st").count()
+      val ltRows = spark.read.parquet(s"$tmp/lt").count()
+      s"""{"frames":$n,"elapsed_sec":$sec,"frames_per_sec":${n / sec},""" +
+        s""""st_rows":$stRows,"lt_rows":$ltRows}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${e.toString.linesIterator.next().take(200)
+          .replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+    }
 }

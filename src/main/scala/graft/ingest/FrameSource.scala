@@ -53,4 +53,46 @@ object FrameSource {
   def framesStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(graft.model.Schemas.peaksFrameSchema)
       .parquet(path)
+
+  val NumSensors = 4
+
+  /** S2/S5 — sensor stream (ref: hyperion.py:388-420: per-sensor float
+    * values at a fixed rate). Deterministic synthetic form, same recipe as
+    * [[frames]]: values[k] = cents(value) + k*1000 — integer-valued
+    * doubles, so every downstream aggregate is oracle-exact.
+    */
+  def sensorFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(
+      col("event_id").as("frame_id"),
+      col("ts"),
+      transform(sequence(lit(0), lit(NumSensors - 1)),
+        k => floor(col("value") * 100 + lit(0.5)).cast("double") +
+          k.cast("double") * 1000).as("values"))
+  }
+
+  val SpectrumChannels = 8
+  val SpectrumPoints = 16
+
+  /** S3/S6 — spectrum stream (ref: hyperion.py:473-515): header carries
+    * start wavelength / increment / point count / active-channel bitmap;
+    * payload is a channels × points uint16 count matrix. Synthetic matrix:
+    * raw[c][p] = (cents(value) + c*1000 + p*7) mod 65536 — a genuine
+    * nested ARRAY<ARRAY<INT>> column the calibration pipeline consumes.
+    */
+  def spectrumFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(
+      col("event_id").as("frame_id"),
+      col("ts"),
+      lit(1500.0).as("start_wavelength"),
+      lit(0.8).as("wavelength_increment"),
+      lit(SpectrumPoints).as("num_points"),
+      (col("event_id") % 256).cast("int").as("active_channel_bits"),
+      transform(sequence(lit(0), lit(SpectrumChannels - 1)), c =>
+        transform(sequence(lit(0), lit(SpectrumPoints - 1)), p =>
+          ((floor(col("value") * 100 + lit(0.5)).cast("long") +
+            c.cast("long") * 1000 + p.cast("long") * 7) % 65536)
+            .cast("int"))).as("spectrum"))
+  }
 }

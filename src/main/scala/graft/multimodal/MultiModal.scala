@@ -1,29 +1,42 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `BINARY` columns with typed metadata, plus decode / feature-extract /
-  * resize / frame-sample stages.
+  * frame-sample stages.
   *
-  * The container has no image/audio codecs, so the decode kernels are
-  * deterministic STUBS (clearly marked below) — but the Spark-side
-  * plumbing is real and tested: schema, batch shape, partition-local
-  * processing via `mapPartitions` (the Scala analogue of `mapInPandas` —
-  * one iterator per partition, so a real decoder would amortize model/
-  * codec init per-partition, the property that matters at 100 TB).
+  * Decode status:
+  *  - image: REAL — BMP containers decoded with `javax.imageio` (pure
+  *    JDK, no native codecs);
+  *  - audio: REAL — WAV/PCM decoded by a hand-rolled RIFF chunk walker
+  *    (pure JDK);
+  *  - video: STUB — no pure-JVM video codec exists; the frame sampler
+  *    keeps the real partition/batch shape over opaque chunks.
+  *
+  * Everything runs via `mapPartitions` (the Scala analogue of
+  * `mapInPandas` — one iterator per partition, so codec/model
+  * initialization amortizes per-task, the property that matters at
+  * 100 TB).
   */
 object MultiModal {
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
-  final case class MediaMeta(
-      media_id: Long, kind: String, n_bytes: Long, header_hex: String,
-      width: Int, height: Int, features: Seq[Double])
 
-  /** Wrap any string column as a binary payload table (the testdata has no
-    * media files; documents.text bytes stand in as payloads so the
-    * pipeline shape is exercised end-to-end).
+  /** Decoded container facts. Fields are None where the modality has no
+    * such notion (duration of an image) or the payload isn't decodable.
+    */
+  final case class DecodedMedia(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Option[Int], height: Option[Int], duration_ms: Option[Double])
+
+  /** Wrap any string column as a binary payload table (payload = raw text
+    * bytes; the oracle-checkable metadata surface for q_media_meta).
     */
   def asMediaTable(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(
@@ -34,36 +47,126 @@ object MultiModal {
       encode(col(text), "UTF-8").as("payload"))
 
   // ------------------------------------------------------------------
-  // STUB DECODERS — deterministic fakes standing in for libjpeg/ffmpeg.
-  // Real deployments swap these bodies; signatures and batch shape stay.
+  // Deterministic REAL-container payload builders (the test fixture;
+  // the decoders below never see these internals, only the bytes).
   // ------------------------------------------------------------------
 
-  /** STUB: "decode" an image: dimensions derived from payload length,
-    * features = 4 byte-histogram moments. Deterministic pure function.
-    */
-  private[multimodal] def stubDecode(payload: Array[Byte]): (Int, Int, Seq[Double]) = {
-    val n = payload.length
-    val w = math.max(1, n % 640)
-    val h = math.max(1, (n / 7) % 480)
-    var sum = 0L; var sumSq = 0L
+  /** Minimal 24bpp bottom-up BMP with deterministic pixel bytes. */
+  private[multimodal] def buildBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val imageSize = rowSize * h
+    val buf = ByteBuffer.allocate(54 + imageSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize)
+      .putInt(0).putInt(54)                       // reserved, pixel offset
+    buf.putInt(40).putInt(w).putInt(h)            // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(imageSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
     var i = 0
-    while (i < n) { val b = payload(i) & 0xff; sum += b; sumSq += b.toLong * b; i += 1 }
-    val mean = if (n == 0) 0.0 else sum.toDouble / n
-    val varr = if (n == 0) 0.0 else sumSq.toDouble / n - mean * mean
-    (w, h, Seq(n.toDouble, mean, varr, (payload.headOption.getOrElse(0: Byte) & 0xff).toDouble))
+    while (i < imageSize) {
+      buf.put(((seed * 31 + i) % 256).toByte)
+      i += 1
+    }
+    buf.array()
   }
 
-  /** Decode + feature-extract over partitions. Iterator-per-partition so
-    * codec/model initialization happens once per task, not per row.
+  /** Minimal PCM16 mono WAV with deterministic samples. */
+  private[multimodal] def buildWav(nSamples: Int, sampleRate: Int,
+                                   seed: Long): Array[Byte] = {
+    val dataSize = 2 * nSamples
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)  // byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+    buf.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort((((seed * 7 + i) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Media table with REAL container payloads, deterministic per id:
+    *  - image: BMP,  w = 1 + id%13, h = 1 + id%7
+    *  - audio: WAV,  8 kHz PCM16 mono, n = 16 + id%33 samples
+    *  - video: opaque chunk stream of 64 + id%128 bytes (stub modality)
     */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+  def asRealMediaTable(docs: DataFrame, id: String): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { mid =>
+          (mid % 3) match {
+            case 0 => MediaRow(mid, "image",
+              buildBmp((1 + mid % 13).toInt, (1 + mid % 7).toInt, mid))
+            case 1 => MediaRow(mid, "audio",
+              buildWav((16 + mid % 33).toInt, 8000, mid))
+            case _ => MediaRow(mid, "video",
+              Array.tabulate((64 + mid % 128).toInt)(i =>
+                ((mid * 13 + i) % 256).toByte))
+          }
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL decoders — dispatch on container magic, not on the kind label.
+  // ------------------------------------------------------------------
+
+  /** Parse WAV: RIFF chunk walk to fmt + data → duration in ms. */
+  private[multimodal] def wavDurationMs(payload: Array[Byte]): Option[Double] = {
+    if (payload.length < 44) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val riff = new Array[Byte](4); buf.get(riff); buf.getInt()
+    val wave = new Array[Byte](4); buf.get(wave)
+    if (new String(riff) != "RIFF" || new String(wave) != "WAVE") return None
+    var sampleRate = 0; var blockAlign = 0; var dataSize = -1
+    while (buf.remaining() >= 8 && (sampleRate == 0 || dataSize < 0)) {
+      val tag = new Array[Byte](4); buf.get(tag)
+      val size = buf.getInt()
+      new String(tag) match {
+        case "fmt " =>
+          val p = buf.position()
+          buf.getShort()                       // audio format
+          buf.getShort()                       // channels
+          sampleRate = buf.getInt()
+          buf.getInt()                         // byte rate
+          blockAlign = buf.getShort().toInt
+          buf.position(p + size)
+        case "data" =>
+          dataSize = size
+          buf.position(math.min(buf.position() + size, buf.limit()))
+        case _ =>
+          buf.position(math.min(buf.position() + size, buf.limit()))
+      }
+    }
+    if (sampleRate <= 0 || blockAlign <= 0 || dataSize < 0) None
+    else Some(dataSize.toDouble / blockAlign / sampleRate * 1000.0)
+  }
+
+  /** Decode each payload by its magic bytes: BMP/PNG → `ImageIO` (pure
+    * JDK) for dimensions; RIFF/WAVE → manual PCM parse for duration;
+    * anything else (the stub video chunks) → byte length only.
+    */
+  def decodeMedia(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: init decoder/codec context HERE, once per partition
+      // per-partition: ImageIO plugin scan happens once per JVM; a real
+      // codec context (e.g. ffmpeg) would be initialized HERE, per task
       rows.map { r =>
-        val (w, h, feats) = stubDecode(r.payload)
-        val hdr = r.payload.take(8).map(b => f"${b & 0xff}%02x").mkString
-        MediaMeta(r.media_id, r.kind, r.payload.length.toLong, hdr, w, h, feats)
+        val p = r.payload
+        val isImage = p.length >= 2 &&
+          ((p(0) == 'B' && p(1) == 'M') ||
+            (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'))
+        val dims =
+          if (isImage)
+            Option(ImageIO.read(new ByteArrayInputStream(p)))
+              .map(img => (img.getWidth, img.getHeight))
+          else None
+        DecodedMedia(r.media_id, r.kind, p.length.toLong,
+          dims.map(_._1), dims.map(_._2), wavDurationMs(p))
       }
     }
   }

@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S13 — CSV export sink (ref: analyze_data.py:8-16, pandas `to_csv` of
+  * the long-term tables).
+  *
+  * A thin, explicit wrapper over the DataFrame CSV writer so the export
+  * surface is a named operator: header row on by default (the reference
+  * writes one), overwrite semantics, optional coalesce for a
+  * single-file export (the reference writes one file; at scale leave
+  * `coalesce = 0` so every partition writes in parallel).
+  */
+object Export {
+  def toCsv(df: DataFrame, path: String, header: Boolean = true,
+            coalesce: Int = 0): Unit = {
+    val out = if (coalesce > 0) df.coalesce(coalesce) else df
+    out.write.mode("overwrite").option("header", header.toString).csv(path)
+  }
+
+  /** Schema-explicit CSV read-back (no inference job at scale). */
+  def fromCsv(spark: SparkSession, path: String, ddl: String,
+              header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).schema(ddl).csv(path)
+}

@@ -27,7 +27,11 @@ object Physics {
   def strainNetOfThermal(totalStrain: Column, temp: Column): Column =
     totalStrain - temp
 
-  /** F6 — fiber delay in ns for a given distance and index of refraction. */
+  /** F6 — fiber delay in ns for a given distance and index of refraction.
+    * floor(x + 0.5) instead of round(): identical for every non-tie value
+    * but engine-deterministic at .5 boundaries (Spark rounds the decimal
+    * repr HALF_UP, DuckDB rounds the binary double — see Tables.r).
+    */
   def delayNs(distanceM: Column, ior: Column): Column =
-    round(lit(2.0) * distanceM * ior / SpeedOfLight * 1e9)
+    floor(lit(2.0) * distanceM * ior / SpeedOfLight * 1e9 + 0.5).cast("long")
 }

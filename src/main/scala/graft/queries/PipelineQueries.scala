@@ -38,6 +38,8 @@ object PipelineQueries {
   private val MinhashN = 4       // hashes exposed by q_minhash
   private val LshBands = 4
   private val LshRows = 2        // 8 hashes total for LSH
+  private val AnnBits = 6        // SRP bucket bits (64 buckets)
+  private val AnnProbes = 16     // multi-probe: ~1/4 of the bucket space
 
   /** CTE producing (doc_id, band_idx, band_key) — mirror of Dedup.lshBands
     * with n=2, bands=4, rowsPerBand=2: ONE md5 per shingle, k 16-bit
@@ -101,14 +103,20 @@ object PipelineQueries {
       Dedup.simhashDf(documents(s, d), col("doc_id"), col("text"))),
 
     // n-gram Jaccard over deterministic pairs (consecutive doc ids) — the
-    // LSH-verification kernel with an easily-oracled pair set.
+    // LSH-verification kernel with an easily-oracled pair set. Shingle
+    // arrays are materialized once per doc BEFORE the self-join (not once
+    // per pair side) and the intersection is computed once — profiled 4×
+    // cheaper than inlining Dedup.jaccard over raw text columns.
     "q_jaccard_pairs" -> ((s, d) => {
-      val docs = documents(s, d)
-      val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      val sh = parallelize(documents(s, d))
+        .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
-          r(Dedup.jaccard(col("ta"), col("tb"), 2), 6).as("jaccard"))
+          r(inter / (size(col("sa")) + size(col("sb")) - inter), 6)
+            .as("jaccard"))
     }),
 
     // ---- similarity search ---------------------------------------------
@@ -128,20 +136,47 @@ object PipelineQueries {
         r(Similarity.norm(col("embedding").cast("array<double>")), 6)
           .as("nrm"))),
 
-    // SRP-LSH ANN — rows-only check (hyperplane literals aren't worth
-    // reproducing in SQL; correctness is spec-tested against brute force).
+    // SRP-LSH ANN, query-directed multi-probe — rows-only check
+    // (hyperplane literals aren't worth reproducing in SQL; recall is
+    // MEASURED by q_ann_recall and spec-gated in SimilaritySpec).
+    // Lookup-style op: the single query vector is fetched driver-side,
+    // probe buckets are literals pushed into the scan filter.
     "q_ann_lsh" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      emb.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= 0)
-        .filter(Similarity.srpBucket(col("v"), 64, 4) ===
-          Similarity.srpBucket(col("qv"), 64, 4))
-        .select(col("vec_id"),
-          r(Similarity.cosine(col("v"), col("qv")), 4).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(20)
+      val qv = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Double](1).toArray
+      Similarity.annSearch(emb.filter(col("vec_id") =!= 0),
+          col("vec_id"), col("v"), qv, dim = 64, nBits = AnnBits,
+          nProbes = AnnProbes, k = 20)
+        .select(col("vec_id"), r(col("sim"), 4).as("sim"))
+    }),
+
+    // Recall@k of the multi-probe ANN vs exact brute force — the quality
+    // of the index is a measured number, not an assertion. Deterministic
+    // (seeded hyperplanes, fixed query); rows-only for the driver gate.
+    // On THIS synthetic table (near-uniform vectors, top cosines ~0.37 —
+    // LSH's worst case) it measures ~0.5 at a 25% scan fraction;
+    // SimilaritySpec proves ≥0.9 at the same bits/probes on clustered
+    // embeddings, the realistic distribution.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Double](1).toArray
+      val cand = emb.filter(col("vec_id") =!= 0)
+      val k = 10
+      val qCol = array(qv.map(lit): _*)
+      val bf = Similarity.bruteForceTopK(cand, col("vec_id"), col("v"),
+        qCol, k).select(col("vec_id"))
+      val ann = Similarity.annSearch(cand, col("vec_id"), col("v"), qv,
+        dim = 64, nBits = AnnBits, nProbes = AnnProbes, k = k)
+        .select(col("vec_id"))
+      ann.join(bf, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(k).as("k"), col("n_overlap"),
+          (col("n_overlap") / k).as("recall"),
+          lit(AnnProbes.toDouble / (1 << AnnBits)).as("scan_frac"))
     }),
 
     // ---- multimodal -----------------------------------------------------
@@ -151,17 +186,16 @@ object PipelineQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("header_hex"))),
 
-    // decode + frame-sample stages are typed Dataset ops on the stub
-    // decoder — deterministic, rows-only here, value-tested in specs.
-    "q_media_decode" -> ((s, d) => {
-      import s.implicits._
-      val media = MultiModal.asMediaTable(documents(s, d), "doc_id", "text")
-        .as[MultiModal.MediaRow]
-      MultiModal.decodeFeatures(media).toDF()
+    // REAL container decode: BMP via javax.imageio, WAV via RIFF parse
+    // (video stays an opaque chunk stream — no pure-JVM codec). The
+    // oracle recomputes the decoded facts arithmetically from doc_id,
+    // so a wrong decode (not just a wrong label) fails the hash gate.
+    "q_media_decode" -> ((s, d) =>
+      MultiModal.decodeMedia(
+          MultiModal.asRealMediaTable(documents(s, d), "doc_id"))
+        .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"),
-          r(element_at(col("features"), 2), 6).as("byte_mean"))
-    }),
+          col("width"), col("height"), col("duration_ms"))),
 
     "q_media_frames" -> ((s, d) => {
       import s.implicits._
@@ -279,5 +313,27 @@ object PipelineQueries {
         "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
         "cast(octet_length(encode(text)) AS bigint) AS n_bytes, " +
         "lower(substr(hex(encode(text)), 1, 16)) AS header_hex " +
-        "FROM documents"))
+        "FROM documents"),
+
+    // Decoded facts recomputed arithmetically: BMP size = 54 + h*rowSize
+    // (rows padded to 4 bytes), WAV size = 44 + 2n, duration follows the
+    // decoder's exact op order ((2n)/blockAlign/rate*1000) so the double
+    // bits match.
+    "q_media_decode" ->
+      ("""SELECT doc_id AS media_id,
+         | CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         | cast(CASE
+         |   WHEN doc_id % 3 = 0 THEN
+         |     54 + (1 + doc_id % 7) * ((3*(1 + doc_id % 13) + 3) // 4 * 4)
+         |   WHEN doc_id % 3 = 1 THEN 44 + 2*(16 + doc_id % 33)
+         |   ELSE 64 + doc_id % 128 END AS bigint) AS n_bytes,
+         | cast(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 13 END AS int)
+         |   AS width,
+         | cast(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 7 END AS int)
+         |   AS height,
+         | CASE WHEN doc_id % 3 = 1 THEN
+         |   cast(2*(16 + doc_id % 33) AS double) / 2 / 8000 * 1000
+         | END AS duration_ms
+         |FROM documents""").stripMargin)
 }

@@ -171,6 +171,71 @@ object ReferenceQueries {
           col("port_no").cast("int").as("port_no"),
           col("n_in_port").cast("int").as("n_in_port"),
           r(col("first_peak")).as("first_peak"))
+    }),
+
+    // S2/S5 — sensor stream decode: per-sensor time series off the
+    // sensor frames (ref: hyperion.py:388-420)
+    "q_sensor_series" -> ((s, d) =>
+      FrameSource.sensorFrames(s, d)
+        .select(col("frame_id"), posexplode(col("values"))
+          .as(Seq("k", "sval")))
+        .select(col("frame_id"), (col("k") + 1).cast("int").as("sensor_no"),
+          col("sval"))),
+
+    // S3/S6 — spectrum decode: uint16 channels×points matrix → active
+    // channels (header bitmap) → per-point dBm + wavelength axis zip
+    // (ref: hyperion.py:495-501 bitmap, 527-531 axis, 533-540 cal).
+    // Frames subsampled 1-in-50 to keep the oracle compare bounded; the
+    // plan (scan → nested posexplode → filter → zip) is scale-invariant.
+    "q_spectrum_calibrate" -> ((s, d) => {
+      val sp = FrameSource.spectrumFrames(s, d)
+        .filter(col("frame_id") % 50 === 0)
+      val perCh = sp.select(col("frame_id"), col("active_channel_bits"),
+          col("start_wavelength"), col("wavelength_increment"),
+          col("num_points"),
+          posexplode(col("spectrum")).as(Seq("ch", "raw")))
+        .filter(col("active_channel_bits")
+          .bitwiseAND(pow(lit(2), col("ch")).cast("int")) =!= 0)
+      val scale = lit(1.0) + col("ch") * 0.01
+      val offset = lit(-40.0) - col("ch")
+      perCh.select(col("frame_id"), col("ch").cast("int").as("channel"),
+          posexplode(arrays_zip(
+            Calibrate.wavelengthAxis(col("start_wavelength"),
+              col("wavelength_increment"), col("num_points")),
+            Calibrate.toDb(col("raw"), scale, offset)).as("z"))
+            .as(Seq("p", "z")))
+        .select(col("frame_id"), col("channel"),
+          col("p").cast("int").as("point_idx"),
+          col("z").getField("0").as("wl"),
+          r(col("z").getField("1"), 6).as("db"))
+    }),
+
+    // F6 — fiber delay physics (ref: hyperion.py:1150-1153)
+    "q_delay_physics" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        Physics.delayNs(col("value"), lit(1.4682)).as("delay_ns"))),
+
+    // S11 — catalog scan (ref: database_peak_streaming.py:103-106 /
+    // analyze_data.py:21-24 list sqlite_master): register the data-dir
+    // tables as views, then enumerate them from the session catalog.
+    "q_catalog_scan" -> ((s, d) => {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .foreach(n => table(s, d, n).createOrReplaceTempView(s"graft_$n"))
+      s.catalog.listTables()
+        .filter(col("name").startsWith("graft_"))
+        .select(col("name").as("table_name"),
+          col("isTemporary").cast("boolean").as("is_temp"))
+    }),
+
+    // S13 — CSV export sink + read-back (ref: analyze_data.py:8-16): the
+    // roundtrip IS the check — what the sink wrote must reproduce the
+    // source exactly.
+    "q_csv_roundtrip" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_csv_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      Export.toCsv(events(s, d).select(col("event_id"), col("value")), path)
+      Export.fromCsv(s, path, "event_id BIGINT, value DOUBLE")
     }))
 
   /** Exact-cents peak model (see FrameSource.frames): peak_i of a window
@@ -276,5 +341,37 @@ object ReferenceQueries {
         "SELECT cast(rn AS bigint) AS seq, cast(win_epoch AS double) AS " +
         "ts_epoch, cast(i AS int) AS port_no, cast(1 AS int) AS n_in_port, " +
         s"${rs("m_i")} AS first_peak " +
-        "FROM s WHERE (rn-1) % 10 = 0"))
+        "FROM s WHERE (rn-1) % 10 = 0"),
+
+    "q_sensor_series" ->
+      ("SELECT event_id AS frame_id, cast(k+1 AS int) AS sensor_no, " +
+        "floor(value*100 + 0.5) + k*1000 AS sval " +
+        "FROM events, generate_series(0, 3) t(k)"),
+
+    "q_spectrum_calibrate" -> {
+      val raw = "((cast(floor(value*100 + 0.5) AS bigint) " +
+        "+ ch*1000 + p*7) % 65536)"
+      s"""SELECT event_id AS frame_id, cast(ch AS int) AS channel,
+         | cast(p AS int) AS point_idx,
+         | CAST(1500.0 AS DOUBLE) + p * CAST(0.8 AS DOUBLE) AS wl,
+         | ${rs(s"$raw * (1.0/(1.0 + ch*0.01)) + (-40.0 - ch)", 6)} AS db
+         |FROM events, generate_series(0, 7) c(ch),
+         | generate_series(0, 15) s(p)
+         |WHERE event_id % 50 = 0
+         | AND ((event_id % 256) >> ch) & 1 = 1""".stripMargin
+    },
+
+    "q_delay_physics" ->
+      ("SELECT event_id, cast(floor(2.0*value*1.4682/299792458.0*1e9 " +
+        "+ 0.5) AS bigint) AS delay_ns FROM events"),
+
+    "q_catalog_scan" -> {
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      "SELECT * FROM (VALUES " +
+        names.map(n => s"('graft_$n', true)").mkString(", ") +
+        ") t(table_name, is_temp)"
+    },
+
+    "q_csv_roundtrip" -> "SELECT event_id, value FROM events")
 }

@@ -138,15 +138,15 @@ object RelationalQueries {
       events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
-    // Q4 shape: priority counts for orders with a late-shipped line
-    "q_priority_exists" -> ((s, d) => {
-      val late = lineitem(s, d).join(orders(s, d),
+    // Q4 shape: priority counts for orders with a late-shipped line.
+    // left_semi is the EXISTS plan: no joined-row blowup, no distinct
+    // shuffle — each order emits at most once.
+    "q_priority_exists" -> ((s, d) =>
+      orders(s, d).join(lineitem(s, d),
         col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate"), "inner")
-        .select(col("o_orderkey"), col("o_orderpriority")).distinct()
-      late.groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"))
-    }),
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))),
 
     // Q14 shape: conditional aggregation ratio over a join
     "q_promo_share" -> ((s, d) => {

@@ -38,15 +38,13 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
 
-  /** Sign-random-projection LSH bucket id (`nBits`-bit). Hyperplanes are
-    * deterministic pseudo-random unit-free vectors derived from a seeded
-    * xorshift — same bucket ⇒ likely-high cosine. Bucket join replaces
-    * the all-pairs compare at scale.
+  /** Deterministic SRP hyperplanes (splitmix64-seeded, in [-1, 1)) —
+    * shared by the column-side bucketer and the driver-side probe
+    * generator so both sides of the index agree bit-for-bit.
     */
-  def srpBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    val planes: Seq[Array[Double]] = (0 until nBits).map { b =>
+  def srpPlanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] =
+    (0 until nBits).map { b =>
       Array.tabulate(dim) { i =>
-        // splitmix64-ish deterministic pseudo-random in [-1, 1)
         var z = seed + (b.toLong * dim + i) * 0x9E3779B97F4A7C15L
         z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
         z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -54,16 +52,23 @@ object Similarity {
         (z.toDouble / Long.MaxValue.toDouble)
       }
     }
-    val bits = planes.zipWithIndex.map { case (plane, b) =>
-      val planeCol = array(plane.map(lit): _*)
-      val proj = dot(vec, planeCol)
-      when(proj > 0, lit(1 << b)).otherwise(lit(0))
+
+  /** Sign-random-projection LSH bucket id (`nBits`-bit): same bucket ⇒
+    * likely-high cosine. Bucket join / bucket-pruned scan replaces the
+    * all-pairs compare at scale.
+    */
+  def srpBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val bits = srpPlanes(dim, nBits, seed).zipWithIndex.map {
+      case (plane, b) =>
+        val planeCol = array(plane.map(lit): _*)
+        val proj = dot(vec, planeCol)
+        when(proj > 0, lit(1 << b)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: query joins only its own bucket; a multi-probe
-    * variant would also join neighboring buckets (Hamming-1) for recall.
+  /** LSH-bucketed ANN, single probe: query joins only its own bucket.
+    * Cheapest, lowest recall — [[annSearch]] is the multi-probe form.
     */
   def lshTopK(emb: DataFrame, id: Column, vec: Column, query: Column,
               dim: Int, nBits: Int, k: Int): DataFrame = {
@@ -72,6 +77,46 @@ object Similarity {
     val qBucket = srpBucket(query, dim, nBits)
     bucketed.filter(col("bucket") === qBucket)
       .select(col("vec_id"), cosine(col("v"), query).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Query-directed multi-probe order (Lv et al., VLDB'07 adapted to SRP):
+    * the base bucket first, then buckets flipping the bits whose
+    * hyperplane margin |q·plane| is smallest — the flips most likely to
+    * hold a true neighbor — then the pairwise flips of the smallest
+    * margins. Driver-side: the query is one vector; the probe list is a
+    * handful of ints pushed into the bucket filter (partition-prunable
+    * when the table is written bucketed by `bucket`).
+    */
+  def srpProbes(query: Array[Double], dim: Int, nBits: Int, nProbes: Int,
+                seed: Long = 42L): Seq[Int] = {
+    val planes = srpPlanes(dim, nBits, seed)
+    val projs = planes.map(p => p.zip(query).map { case (a, b) => a * b }.sum)
+    val base = projs.zipWithIndex
+      .map { case (pr, b) => if (pr > 0) 1 << b else 0 }.sum
+    val byMargin = projs.map(math.abs).zipWithIndex.sortBy(_._1).map(_._2)
+    val singles = byMargin.map(b => base ^ (1 << b))
+    val pairs = for {
+      i <- byMargin.indices; j <- (i + 1) until nBits
+    } yield base ^ (1 << byMargin(i)) ^ (1 << byMargin(j))
+    (Seq(base) ++ singles ++ pairs).distinct.take(nProbes)
+  }
+
+  /** Multi-probe SRP-LSH ANN search for one query vector: probe the
+    * `nProbes` most promising buckets, exact-cosine re-rank, top-k.
+    * Scan cost ≈ nProbes/2^nBits of the corpus vs 1/2^nBits single-probe,
+    * for a measured recall gain (see q_ann_recall / SimilaritySpec).
+    */
+  def annSearch(emb: DataFrame, id: Column, vec: Column,
+                queryVec: Array[Double], dim: Int, nBits: Int,
+                nProbes: Int, k: Int, seed: Long = 42L): DataFrame = {
+    val probes = srpProbes(queryVec, dim, nBits, nProbes, seed)
+    val qCol = array(queryVec.map(lit): _*)
+    emb.select(id.as("vec_id"), vec.as("v"),
+        srpBucket(vec, dim, nBits, seed).as("bucket"))
+      .filter(col("bucket").isin(probes: _*))
+      .select(col("vec_id"), cosine(col("v"), qCol).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -27,17 +27,35 @@ class MultiModalSpec extends SparkSpec {
     assert(m(1) == (1L, 50L, "6262626262626262"))
   }
 
-  test("stub decoder is deterministic and feature shape is stable") {
-    val ds = media.as[MultiModal.MediaRow]
-    val out = MultiModal.decodeFeatures(ds).collect().sortBy(_.media_id)
-    assert(out.length == 3)
-    val img = out(0)
-    assert(img.n_bytes == 100 && img.width == 100 % 640)
-    assert(img.features.length == 4)
-    assert(img.features(1) == 0x61.toDouble) // mean byte of all-'a' payload
-    // determinism: second run identical
-    val again = MultiModal.decodeFeatures(ds).collect().sortBy(_.media_id)
-    assert(out.map(_.features).toSeq == again.map(_.features).toSeq)
+  test("BMP builder roundtrips through the real javax.imageio decoder") {
+    for ((w, h) <- Seq((1, 1), (5, 3), (13, 7))) {
+      val bytes = MultiModal.buildBmp(w, h, seed = 42L)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO failed on ${w}x$h BMP")
+      assert(img.getWidth == w && img.getHeight == h)
+      assert(bytes.length == 54 + h * ((3 * w + 3) / 4 * 4))
+    }
+  }
+
+  test("WAV builder roundtrips through the RIFF parser") {
+    val bytes = MultiModal.buildWav(nSamples = 800, sampleRate = 8000, 9L)
+    assert(MultiModal.wavDurationMs(bytes).contains(100.0)) // 800/8k s
+    assert(MultiModal.wavDurationMs("not a wav".getBytes).isEmpty)
+  }
+
+  test("decodeMedia: real dims/duration by magic, opaque video by length") {
+    val docs = Seq((0L, ""), (1L, ""), (2L, "")).toDF("doc_id", "text")
+    val out = MultiModal.decodeMedia(
+        MultiModal.asRealMediaTable(docs, "doc_id"))
+      .collect().sortBy(_.media_id)
+    assert(out(0).kind == "image" &&
+      out(0).width.contains(1) && out(0).height.contains(1) &&
+      out(0).duration_ms.isEmpty)
+    assert(out(1).kind == "audio" && out(1).width.isEmpty &&
+      out(1).duration_ms.contains(2.0 * 17 / 2 / 8000 * 1000))
+    assert(out(2).kind == "video" && out(2).width.isEmpty &&
+      out(2).duration_ms.isEmpty && out(2).n_bytes == 66)
   }
 
   test("frame sampling: stride over fixed-size chunks") {

@@ -91,7 +91,7 @@ class OpsSpec extends SparkSpec {
       .head()
     assert(math.abs(strain - 1e6 * (0.5 / 1550.0 / 0.89)) < 1e-9)
     val delay = df.select(Physics.delayNs(lit(100.0), lit(1.468)))
-      .as[Double].head()
-    assert(delay == math.round(2 * 100.0 * 1.468 / 299792458.0 * 1e9).toDouble)
+      .as[Long].head()
+    assert(delay == math.round(2 * 100.0 * 1.468 / 299792458.0 * 1e9))
   }
 }

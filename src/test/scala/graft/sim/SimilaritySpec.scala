@@ -74,6 +74,48 @@ class SimilaritySpec extends SparkSpec {
     for ((id, s) <- lsh) assert(math.abs(s - cos(byId(id), q)) < 1e-9)
   }
 
+  test("srpProbes: base bucket first, then smallest-margin flips, distinct") {
+    val q = vecs(1, 16).head._2.toArray
+    val probes = Similarity.srpProbes(q, 16, 6, nProbes = 8)
+    assert(probes.length == 8 && probes.distinct.length == 8)
+    assert(probes.forall(p => p >= 0 && p < 64))
+    // first probe is the query's own bucket; next are Hamming-1 flips
+    assert(Integer.bitCount(probes.head ^ probes(1)) == 1)
+  }
+
+  test("annSearch multi-probe recall@10 beats single-probe and passes 0.9") {
+    // Clustered fixture — the realistic shape for document embeddings
+    // (uniform gaussians are LSH's worst case: top-k cosines ~0.3 put
+    // neighbors ~2.3 bucket bits away, so no probe count short of a full
+    // scan reaches 0.9; clustered neighbors share most bucket bits).
+    val data = {
+      val rnd = new scala.util.Random(7)
+      val centers = Seq.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+      (0 until 500).map { i =>
+        val c = centers(i % 10)
+        (i.toLong, c.toSeq.map(_ + 0.3 * rnd.nextGaussian()))
+      }
+    }
+    val df = data.toDF("vec_id", "v")
+    val q = data.head._2.toArray
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = data.map { case (id, v) => (id, cos(v, q.toSeq)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    def recallAt(nProbes: Int): Double = {
+      val got = Similarity.annSearch(df, $"vec_id", $"v", q,
+        dim = 64, nBits = 6, nProbes = nProbes, k = 10)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      got.intersect(truth).size / 10.0
+    }
+    val single = recallAt(1)
+    val multi = recallAt(16)
+    assert(multi >= single)
+    assert(multi >= 0.9, s"multi-probe recall $multi < 0.9 (single $single)")
+  }
+
   test("ivfAssign picks the max-dot-product centroid") {
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
     val df = Seq((0L, Seq(0.9, 0.1)), (1L, Seq(0.1, 0.9)), (2L, Seq(-5.0, 0.0)))
