@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is driver + all 32 executor threads in ONE JVM on a
+  // 128 GiB box: 8g starved wide sort-merge joins into GC thrash.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // shuffle/spill files on tmpfs, not the root disk
+  "-Dspark.local.dir=/dev/shm/graft-spark",
 )

@@ -40,13 +40,20 @@ object Bench {
         errors += n -> e.toString.linesIterator.next().take(200) }
     }
 
-    val results = names.map { n =>  // timed pass
+    // Two timed passes, min per query: a single pass is at the mercy of
+    // GC pauses and host-CPU noise (observed: random 5-10 s spikes on a
+    // different query each run); min-of-2 is the standard least-noise
+    // estimator of a query's actual cost.
+    def timedPass(): Map[String, Double] = names.map { n =>
       val t0 = System.nanoTime()
       try force(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable =>
         errors += n -> e.toString.linesIterator.next().take(200) }
       n -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
 
     val qs = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")

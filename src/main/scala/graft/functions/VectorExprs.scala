@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * The `functions`-only formulation (`aggregate(zip_with(a, b, _*_))`)
+  * is correct but interpreted: higher-order functions never enter
+  * whole-stage codegen, so at 100 TB every dot product pays lambda
+  * dispatch per element. These expressions generate a tight primitive
+  * loop via `doGenCode` (with an interpreted `eval` fallback) and are
+  * drop-in replacements used by [[graft.sim.Similarity]].
+  *
+  * Float-exactness contract (the DuckDB oracle depends on it): all
+  * accumulations run in index order, exactly like the in-order fold of
+  * `aggregate(...)` — same doubles, bit for bit.
+  *
+  * Null semantics: null array → null result (standard null-intolerant
+  * binary expression); mismatched lengths → null (mirrors zip_with's
+  * null-padding folding to null). Array ELEMENTS are assumed non-null
+  * (embedding columns decoded from parquet floats).
+  */
+object VectorExprs {
+  // inputs cast to array<double> at the Column layer (a no-op when
+  // already double) — the expressions themselves demand exact types
+  private def d(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(d(a)), ColumnBridge.expression(d(b))))
+
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(d(a)), ColumnBridge.expression(d(b))))
+
+  def norm(a: Column): Column =
+    ColumnBridge.column(NormL2(ColumnBridge.expression(d(a))))
+}
+
+private[functions] trait ArrayDoubleInputs extends Expression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"requires array<double> inputs, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayDoubleInputs {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var acc = 0.0; var i = 0
+      val n = x.numElements()
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      |if ($x.numElements() != $y.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  double acc = 0.0;
+      |  int n = $x.numElements();
+      |  for (int i = 0; i < n; i++) {
+      |    acc += $x.getDouble(i) * $y.getDouble(i);
+      |  }
+      |  ${ev.value} = acc;
+      |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a, b) = dot/(sqrt(Σa²)·sqrt(Σb²)), one pass, in index order —
+  * bit-identical to dot(a,b)/(norm(a)*norm(b)) over the HOF forms.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayDoubleInputs {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      |if ($x.numElements() != $y.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  double dot = 0.0, na = 0.0, nb = 0.0;
+      |  int n = $x.numElements();
+      |  for (int i = 0; i < n; i++) {
+      |    double xi = $x.getDouble(i); double yi = $y.getDouble(i);
+      |    dot += xi * yi; na += xi * xi; nb += yi * yi;
+      |  }
+      |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+      |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+case class NormL2(child: Expression)
+    extends UnaryExpression with ArrayDoubleInputs {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0; var i = 0
+    val n = x.numElements()
+    while (i < n) { val xi = x.getDouble(i); acc += xi * xi; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => s"""
+      |double acc = 0.0;
+      |int n = $x.numElements();
+      |for (int i = 0; i < n; i++) {
+      |  double xi = $x.getDouble(i);
+      |  acc += xi * xi;
+      |}
+      |${ev.value} = java.lang.Math.sqrt(acc);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NormL2 =
+    copy(child = newChild)
+}

@@ -35,15 +35,17 @@ object FrameSource {
     */
   def frames(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
+    // array(scalar exprs), not transform(sequence, lambda): higher-order
+    // functions evaluate interpreted; the scalar array constructor stays
+    // in whole-stage codegen (and CSE dedups the repeated floor()).
     ev.select(
       col("event_id").as("frame_id"),
       col("ts"),
       col("user_id").as("serial_number"),
-      transform(sequence(lit(0), lit(NumPorts - 1)), _ => lit(1))
-        .as("peak_counts"),
-      transform(sequence(lit(0), lit(NumPeaks - 1)),
-        i => floor(col("value") * 100 + lit(0.5)).cast("double") +
-          i.cast("double") * 100).as("peaks"))
+      array(Seq.fill(NumPorts)(lit(1)): _*).as("peak_counts"),
+      array((0 until NumPeaks).map(i =>
+        floor(col("value") * 100 + lit(0.5)).cast("double") +
+          lit(i.toDouble) * 100): _*).as("peaks"))
   }
 
   /** Streaming form over the same schema, for pipeline tests: callers feed
@@ -66,9 +68,9 @@ object FrameSource {
     ev.select(
       col("event_id").as("frame_id"),
       col("ts"),
-      transform(sequence(lit(0), lit(NumSensors - 1)),
-        k => floor(col("value") * 100 + lit(0.5)).cast("double") +
-          k.cast("double") * 1000).as("values"))
+      array((0 until NumSensors).map(k =>
+        floor(col("value") * 100 + lit(0.5)).cast("double") +
+          lit(k.toDouble) * 1000): _*).as("values"))
   }
 
   val SpectrumChannels = 8
@@ -89,10 +91,10 @@ object FrameSource {
       lit(0.8).as("wavelength_increment"),
       lit(SpectrumPoints).as("num_points"),
       (col("event_id") % 256).cast("int").as("active_channel_bits"),
-      transform(sequence(lit(0), lit(SpectrumChannels - 1)), c =>
-        transform(sequence(lit(0), lit(SpectrumPoints - 1)), p =>
+      array((0 until SpectrumChannels).map(c =>
+        array((0 until SpectrumPoints).map(p =>
           ((floor(col("value") * 100 + lit(0.5)).cast("long") +
-            c.cast("long") * 1000 + p.cast("long") * 7) % 65536)
-            .cast("int"))).as("spectrum"))
+            lit(c.toLong) * 1000 + lit(p.toLong) * 7) % 65536)
+            .cast("int")): _*)): _*).as("spectrum"))
   }
 }

@@ -198,16 +198,20 @@ object ReferenceQueries {
           .bitwiseAND(pow(lit(2), col("ch")).cast("int")) =!= 0)
       val scale = lit(1.0) + col("ch") * 0.01
       val offset = lit(-40.0) - col("ch")
+      // second posexplode over the channel's raw points, then SCALAR
+      // wl/db arithmetic — the arrays_zip(wavelengthAxis, toDb) form is
+      // two interpreted higher-order transforms per channel; this stays
+      // in codegen end to end (same values: identical op order).
       perCh.select(col("frame_id"), col("ch").cast("int").as("channel"),
-          posexplode(arrays_zip(
-            Calibrate.wavelengthAxis(col("start_wavelength"),
-              col("wavelength_increment"), col("num_points")),
-            Calibrate.toDb(col("raw"), scale, offset)).as("z"))
-            .as(Seq("p", "z")))
+          col("start_wavelength"), col("wavelength_increment"),
+          scale.as("sc"), offset.as("off"),
+          posexplode(col("raw")).as(Seq("p", "rawv")))
         .select(col("frame_id"), col("channel"),
           col("p").cast("int").as("point_idx"),
-          col("z").getField("0").as("wl"),
-          r(col("z").getField("1"), 6).as("db"))
+          (col("start_wavelength") +
+            col("p").cast("double") * col("wavelength_increment")).as("wl"),
+          r(col("rawv").cast("double") * (lit(1.0) / col("sc")) +
+            col("off"), 6).as("db"))
     }),
 
     // F6 — fiber delay physics (ref: hyperion.py:1150-1153)

@@ -11,21 +11,32 @@ import org.apache.spark.sql.functions._
   * sign-random-projection LSH bucketing so candidate generation touches
   * only same-bucket vectors, plus an IVF-style coarse quantizer.
   *
-  * All vector math is higher-order array expressions (`zip_with` +
-  * `aggregate`) over doubles — in-order folds, so the DuckDB oracle's
-  * sequential sums match bit-for-bit before rounding.
+  * Vector math runs through the native codegen'd expressions in
+  * [[graft.functions.VectorExprs]] (tight primitive loops inside
+  * whole-stage codegen); accumulation is in index order, so the DuckDB
+  * oracle's sequential sums match bit-for-bit before rounding. The
+  * equivalent `aggregate(zip_with(...))` higher-order forms are kept as
+  * cross-checks in SimilaritySpec.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
+
+  def norm(a: Column): Column = graft.functions.VectorExprs.norm(a)
+
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine(a, b)
+
+  /** Higher-order-function formulations — the portable reference
+    * semantics the native expressions are tested against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
+  def normHof(a: Column): Column =
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k against one query vector (given as a
     * same-typed array column, e.g. from a 1-row broadcast join).

@@ -13,8 +13,18 @@ import org.apache.spark.sql.functions._
   * single-file inputs.
   */
 object Tables {
+  /** Plan cache keyed by (session, path): `spark.read.parquet` builds a
+    * fresh InMemoryFileIndex + reads footers for schema on every call —
+    * pure driver overhead when 50 queries each re-open the same tables.
+    * Reusing the analyzed relation is what a catalog does; the physical
+    * plan of each query is still built per query.
+    */
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    planCache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String)    = table(s, d, "region")
   def nation(s: SparkSession, d: String)    = table(s, d, "nation")
@@ -31,9 +41,11 @@ object Tables {
     * so `epoch(ts)` agrees bit-for-bit between engines.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    planCache.getOrElseUpdate((s, s"$d/events.parquet#decoded"), {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    })
   }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")

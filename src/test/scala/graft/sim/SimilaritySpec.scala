@@ -74,6 +74,31 @@ class SimilaritySpec extends SparkSpec {
     for ((id, s) <- lsh) assert(math.abs(s - cos(byId(id), q)) < 1e-9)
   }
 
+  test("native vector expressions equal the HOF formulations bit-for-bit") {
+    val data = vecs(100, 16)
+    val df = data.zip(data.reverse).map { case ((i, a), (_, b)) => (i, a, b) }
+      .toDF("vec_id", "a", "b")
+    val rows = df.select(
+      Similarity.dot($"a", $"b"), Similarity.dotHof($"a", $"b"),
+      Similarity.norm($"a"), Similarity.normHof($"a"),
+      Similarity.cosine($"a", $"b"),
+      Similarity.dotHof($"a", $"b") /
+        (Similarity.normHof($"a") * Similarity.normHof($"b")))
+      .as[(Double, Double, Double, Double, Double, Double)].collect()
+    for ((d1, d2, n1, n2, c1, c2) <- rows) {
+      assert(d1 == d2)   // exact, not approximate: same fold order
+      assert(n1 == n2)
+      assert(c1 == c2)
+    }
+    // float input arrays coerce implicitly
+    val f = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("x", "y")
+    assert(f.select(Similarity.dot($"x", $"y")).as[Double].head() == 11.0)
+    // mismatched lengths -> null, like the zip_with null-padded fold
+    val m = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("x", "y")
+    assert(m.select(Similarity.dot($"x", $"y")).isEmpty === false)
+    assert(m.select(Similarity.dot($"x", $"y")).head().isNullAt(0))
+  }
+
   test("srpProbes: base bucket first, then smallest-margin flips, distinct") {
     val q = vecs(1, 16).head._2.toArray
     val probes = Similarity.srpProbes(q, 16, 6, nProbes = 8)
