@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{CosineSim, DotProduct, NormL2}
+
+/** SQL surface for the native vector expressions: `graft_dot`,
+  * `graft_cosine`, `graft_norm` become callable from `spark.sql(...)`.
+  *
+  * Two registration paths:
+  *  - new sessions: `.config("spark.sql.extensions",
+  *    "graft.ext.GraftExtensions")` (or `.withExtensions(new
+  *    GraftExtensions)`) — the sanctioned plugin mechanism;
+  *  - existing sessions: [[GraftFunctions.register]] (temp functions).
+  */
+object GraftFunctions {
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
+      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getCanonicalName, "graft_cosine"),
+      (c: Seq[Expression]) => CosineSim(c(0), c(1))),
+    (FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[NormL2].getCanonicalName, "graft_norm"),
+      (c: Seq[Expression]) => NormL2(c.head)))
+
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, _, builder) =>
+      ColumnBridge.registerTempFunction(spark, id.funcName, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}

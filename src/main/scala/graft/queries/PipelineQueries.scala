@@ -119,6 +119,27 @@ object PipelineQueries {
             .as("jaccard"))
     }),
 
+    // Embedding-cosine near-dup: SRP-bucket blocking (same 6-bit bucket)
+    // → exact cosine on candidates → threshold. The blocked-join shape is
+    // the 100 TB formulation (never all-pairs); the oracle reproduces the
+    // EXACT same blocking by embedding the seeded hyperplanes as SQL
+    // literals, so bucket assignment and sim agree bit-for-bit.
+    "q_embed_neardup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", Similarity.srpBucket(col("v"), 64, AnnBits))
+      val mat = emb.localCheckpoint(false)
+      val a = mat.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("bucket"))
+      val b = mat.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("bucket").as("bucket_b"))
+      a.join(b, col("bucket") === col("bucket_b") &&
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          r(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))
+        .filter(col("sim") >= 0.2)
+    }),
+
     // ---- similarity search ---------------------------------------------
     "q_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -294,6 +315,23 @@ object PipelineQueries {
          |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin
     },
 
+    "q_embed_neardup" -> {
+      // the same seeded hyperplanes srpBucket uses, as SQL array literals
+      val bucket = graft.sim.Similarity.srpPlanes(64, AnnBits)
+        .zipWithIndex.map { case (plane, b) =>
+          val arr = plane.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         $bucket AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  ${rs("list_cosine_similarity(a.v, c.v)", 4)} AS sim
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE ${rs("list_cosine_similarity(a.v, c.v)", 4)} >= 0.2""".stripMargin
+    },
+
     "q_cosine_topk" ->
       ("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id = 0)
@@ -314,6 +352,16 @@ object PipelineQueries {
         "cast(octet_length(encode(text)) AS bigint) AS n_bytes, " +
         "lower(substr(hex(encode(text)), 1, 16)) AS header_hex " +
         "FROM documents"),
+
+    // frame sampling arithmetic recomputed over the payload length
+    // (series bound 8191 ≫ max frames/doc; DuckDB lacks lateral
+    // generate_series so over-generate + filter)
+    "q_media_frames" ->
+      ("""SELECT doc_id AS media_id, cast(f AS int) AS frame_idx,
+         | cast(least(64, octet_length(encode(text)) - f*64) AS bigint)
+         |   AS frame_bytes
+         |FROM documents, generate_series(0, 8191, 2) t(f)
+         |WHERE f < greatest(octet_length(encode(text)) // 64, 1)""").stripMargin,
 
     // Decoded facts recomputed arithmetically: BMP size = 54 + h*rowSize
     // (rows padded to 4 bytes), WAV size = 44 + 2n, duration follows the

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming operators (SURVEY.md §2.7 extension):
+  * per-key state the built-in windowed aggregates can't express —
+  * `KeyValueGroupedDataset.flatMapGroupsWithState` with explicit
+  * timeout-driven eviction.
+  *
+  * Scale notes: state lives in the state store, partitioned by key —
+  * one shuffle on the group key, then O(1) per-event updates; TTL via
+  * GroupStateTimeout so idle keys are evicted instead of leaking (the
+  * reference's drain loop keeps per-stream state implicitly in process
+  * memory, ref: database_peak_streaming.py:16-69).
+  */
+object StatefulOps {
+
+  final case class FrameEvent(serial: Long, ts: Timestamp, firstPeak: Double)
+
+  /** Per-serial running monitor state. */
+  final case class SerialState(
+      nFrames: Long, sumFirstPeak: Double, lastTsMs: Long)
+
+  final case class SerialUpdate(
+      serial: Long, n_frames: Long, mean_first_peak: Double, last_ts_ms: Long)
+
+  /** Live per-serial monitor: running count / mean-of-first-peak /
+    * last-seen, emitted once per micro-batch per active key. With
+    * `idleMs > 0`, idle keys time out after that much processing time
+    * and emit a final row before their state is evicted (production
+    * setting — keeps the store bounded); `idleMs = 0` keeps state for
+    * the life of the query (bounded-key workloads, tests).
+    */
+  def serialMonitor(events: Dataset[FrameEvent],
+                    idleMs: Long = 0L): Dataset[SerialUpdate] = {
+    import events.sparkSession.implicits._
+    val timeout = if (idleMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.serial)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (serial: Long, rows: Iterator[FrameEvent],
+         state: GroupState[SerialState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SerialUpdate(serial, s.nFrames, s.sumFirstPeak / s.nFrames,
+                s.lastTsMs))
+          } else {
+            val prev = state.getOption.getOrElse(SerialState(0L, 0.0, 0L))
+            val next = rows.foldLeft(prev) { (s, e) =>
+              SerialState(s.nFrames + 1, s.sumFirstPeak + e.firstPeak,
+                math.max(s.lastTsMs, e.ts.getTime))
+            }
+            state.update(next)
+            if (idleMs > 0) state.setTimeoutDuration(idleMs)
+            Iterator.single(
+              SerialUpdate(serial, next.nFrames,
+                next.sumFirstPeak / next.nFrames, next.lastTsMs))
+          }
+      }
+  }
+
+  /** Streaming exact dedup on a content digest within the watermark
+    * horizon — the streaming form of [[graft.dedup.Dedup.exactDuplicates]]
+    * using the BUILT-IN state operator (preferred over custom state when
+    * semantics fit): state per digest is dropped once the watermark
+    * passes, so it cannot grow unboundedly.
+    */
+  def dedupByDigest(docs: DataFrame, tsCol: String, digestCol: String,
+                    watermark: String = "10 seconds"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(digestCol)
+}

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on an existing session (the
+    * FunctionRegistry hangs off `sessionState`, which is private[sql]).
+    * For new sessions prefer `spark.sql.extensions` +
+    * [[graft.ext.GraftExtensions]], which needs no bridge.
+    */
+  def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
+                           name: String,
+                           builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
