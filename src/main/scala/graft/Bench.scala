@@ -27,6 +27,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // production AQE setting (see SQL perf docs): coalesce post-shuffle
+      // partitions to the advisory size instead of preserving parallelism
+      // — small stages collapse to few tasks, large ones stay wide
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,9 +45,9 @@ object Bench {
         errors += n -> e.toString.linesIterator.next().take(200) }
     }
 
-    // Two timed passes, min per query: a single pass is at the mercy of
-    // GC pauses and host-CPU noise (observed: random 5-10 s spikes on a
-    // different query each run); min-of-2 is the standard least-noise
+    // Three timed passes, min per query: a single pass is at the mercy
+    // of GC pauses and host-CPU noise (observed: random 5-10 s spikes on
+    // a different query each run); min-of-N is the standard least-noise
     // estimator of a query's actual cost.
     def timedPass(): Map[String, Double] = names.map { n =>
       val t0 = System.nanoTime()
@@ -51,9 +56,8 @@ object Bench {
         errors += n -> e.toString.linesIterator.next().take(200) }
       n -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val p1 = timedPass()
-    val p2 = timedPass()
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    val passes = Seq.fill(3)(timedPass())
+    val results = names.map(n => n -> passes.map(_(n)).min)
 
     val qs = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")

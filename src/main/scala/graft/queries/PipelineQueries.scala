@@ -40,6 +40,7 @@ object PipelineQueries {
   private val LshRows = 2        // 8 hashes total for LSH
   private val AnnBits = 6        // SRP bucket bits (64 buckets)
   private val AnnProbes = 16     // multi-probe: ~1/4 of the bucket space
+  private val IvfCells = 8       // IVF coarse-quantizer cells
 
   /** CTE producing (doc_id, band_idx, band_key) — mirror of Dedup.lshBands
     * with n=2, bands=4, rowsPerBand=2: ONE md5 per shingle, k 16-bit
@@ -200,6 +201,30 @@ object PipelineQueries {
           lit(AnnProbes.toDouble / (1 << AnnBits)).as("scan_frac"))
     }),
 
+    // IVF-bucketed ANN, single-probe (the oracle-expressible config;
+    // multi-probe via Similarity.ivfProbes is the production path):
+    // assign every vector to its max-dot centroid cell, scan only the
+    // query's cell, exact-cosine re-rank. Deterministic seeded centroids
+    // → the DuckDB oracle reproduces the cell argmax from the same
+    // literals, so this one IS hash-checked (unlike SRP multi-probe,
+    // whose query-directed probe list is driver-side).
+    "q_ann_ivf" -> ((s, d) => {
+      val cents = Similarity.ivfCentroids(64, IvfCells)
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Double](1).toArray
+      val qCell = Similarity.ivfProbes(qv, cents, 1).head
+      val qCol = array(qv.map(lit): _*)
+      emb.filter(col("vec_id") =!= 0)
+        .withColumn("cell", Similarity.ivfAssign(col("v"), cents))
+        .filter(col("cell") === qCell)
+        .select(col("vec_id"),
+          r(Similarity.cosine(col("v"), qCol), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // ---- multimodal -----------------------------------------------------
     "q_media_meta" -> ((s, d) =>
       MultiModal.withBinaryMeta(
@@ -330,6 +355,29 @@ object PipelineQueries {
          |  ${rs("list_cosine_similarity(a.v, c.v)", 4)} AS sim
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          |WHERE ${rs("list_cosine_similarity(a.v, c.v)", 4)} >= 0.2""".stripMargin
+    },
+
+    "q_ann_ivf" -> {
+      // same seeded centroids as Similarity.ivfCentroids(64, 8), as SQL
+      // literals; cell = 0-based position of the first max dot (matching
+      // least(struct(-dot, cell)) tie-breaking)
+      def dots(vecExpr: String) = graft.sim.Similarity.ivfCentroids(64, 8)
+        .map(c => s"list_dot_product($vecExpr, ${c.mkString("[", ", ", "]")})")
+        .mkString("[", ", ", "]")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 0),
+         |cells AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_position(ds, list_max(ds)) - 1 AS cell
+         |  FROM (SELECT vec_id, embedding,
+         |          ${dots("CAST(embedding AS DOUBLE[])")} AS ds
+         |        FROM embeddings)),
+         |qc AS (SELECT list_position(ds, list_max(ds)) - 1 AS cell
+         |       FROM (SELECT ${dots("qv")} AS ds FROM q))
+         |SELECT vec_id, ${rs("list_cosine_similarity(v, qv)", 4)} AS sim
+         |FROM cells, q, qc
+         |WHERE cells.cell = qc.cell AND vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
     },
 
     "q_cosine_topk" ->

@@ -132,6 +132,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic IVF centroids (same seeded generator family as the
+    * SRP planes). Production would k-means these; the fixed seed keeps
+    * every engine — and the DuckDB oracle — on identical cells.
+    */
+  def ivfCentroids(dim: Int, k: Int, seed: Long = 7L): Seq[Array[Double]] =
+    srpPlanes(dim, k, seed)
+
+  /** IVF probe order for one query: cells ranked by descending
+    * query·centroid; probe the first `nprobe`. Driver-side, like
+    * [[srpProbes]] — a handful of ints pushed into the cell filter.
+    */
+  def ivfProbes(query: Array[Double], centroids: Seq[Array[Double]],
+                nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(query).map { case (a, b) => a * b }.sum, i)
+      }
+      .sortBy { case (d, i) => (-d, i) }
+      .take(nprobe).map(_._2)
+
   /** IVF-style coarse quantizer: assign each vector to the nearest of
     * `centroids` (k-means-style cells); ANN then probes only the top
     * cells. Centroids arrive as a small Seq (broadcast as literals).
