@@ -24,7 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Null semantics: null array → null result (standard null-intolerant
   * binary expression); mismatched lengths → null (mirrors zip_with's
   * null-padding folding to null). Array ELEMENTS are assumed non-null
-  * (embedding columns decoded from parquet floats).
+  * (embedding columns decoded from parquet floats). Zero-norm edge:
+  * cosine of a zero vector is NaN (IEEE 0/0), where the dot/(norm*norm)
+  * column formulation would raise DIVIDE_BY_ZERO under ANSI mode —
+  * NaN is the right "undefined" for a similarity score.
   */
 object VectorExprs {
   // inputs cast to array<double> at the Column layer (a no-op when

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Randomized law checks (seeded, batched into single DataFrame evals so
+  * 200 cases cost one Spark job, not 200).
+  */
+class LawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(1234)
+
+  test("laws: native vector exprs == HOF forms on random arrays") {
+    // mixed dims per row (same dim within a pair), negatives and zero
+    // ELEMENTS — but never all-zero vectors: cosine of a zero-norm
+    // vector is NaN from the native expr while the ANSI `/` in the HOF
+    // comparison throws DIVIDE_BY_ZERO (documented divergence).
+    val rows = (1 to 200).map { i =>
+      val dim = 1 + rnd.nextInt(16)
+      def vec() = Seq.tabulate(dim)(j =>
+        if (j == 0) 1.0 + rnd.nextDouble()
+        else rnd.nextInt(5) match {
+          case 0 => 0.0
+          case _ => rnd.nextGaussian() * 10
+        })
+      (i, vec(), vec())
+    }
+    val df = rows.toDF("i", "a", "b")
+    val bad = df.select(
+      (Similarity.dot($"a", $"b") === Similarity.dotHof($"a", $"b")).as("d") &&
+        (Similarity.norm($"a") === Similarity.normHof($"a")).as("n") &&
+        (Similarity.cosine($"a", $"b") ===
+          Similarity.dotHof($"a", $"b") /
+            (Similarity.normHof($"a") * Similarity.normHof($"b"))).as("c"))
+      .as[Boolean].collect()
+    assert(bad.forall(identity), "native/HOF mismatch on some random row")
+    // zero-norm edge: native cosine is NaN (no ANSI divide error)
+    val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(z.isNaN)
+  }
+
+  test("laws: jaccard is 1 on self and symmetric") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rows = (1 to 100).map { i =>
+      def text() = Seq.fill(2 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, text(), text())
+    }
+    val df = rows.toDF("i", "ta", "tb")
+    val checks = df.select(
+      (Dedup.jaccard($"ta", $"ta", 2) === 1.0).as("self"),
+      (Dedup.jaccard($"ta", $"tb", 2) === Dedup.jaccard($"tb", $"ta", 2))
+        .as("sym"))
+      .as[(Boolean, Boolean)].collect()
+    assert(checks.forall { case (s, y) => s && y })
+  }
+
+  test("laws: shingle count within [1, max(tokens-n+1, 1)]") {
+    val vocab = Vector("a", "b", "c", "d")
+    val rows = (1 to 100).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = rows.toDF("i", "text")
+    val checks = df.select(
+      size(Dedup.shingles($"text", 2)).as("ns"),
+      size(TextAnalysis.tokens($"text")).as("nt"))
+      .as[(Int, Int)].collect()
+    assert(checks.forall { case (ns, nt) =>
+      ns >= 1 && ns <= math.max(nt - 1, 1) })
+  }
+
+  test("laws: srpBucket invariant under positive scaling, in range") {
+    val rows = (1 to 100).map { i =>
+      val v = Seq.fill(8)(rnd.nextGaussian())
+      val s = 0.1 + rnd.nextDouble() * 50
+      (i, v, v.map(_ * s))
+    }
+    val df = rows.toDF("i", "v", "vs")
+    val eq = df.select(
+      (Similarity.srpBucket($"v", 8, 6) === Similarity.srpBucket($"vs", 8, 6))
+        .as("eq"),
+      Similarity.srpBucket($"v", 8, 6).as("b"))
+      .as[(Boolean, Int)].collect()
+    assert(eq.forall { case (e, b) => e && b >= 0 && b < 64 })
+  }
+}
