@@ -45,19 +45,27 @@ object Bench {
         errors += n -> e.toString.linesIterator.next().take(200) }
     }
 
-    // Three timed passes, min per query: a single pass is at the mercy
-    // of GC pauses and host-CPU noise (observed: random 5-10 s spikes on
-    // a different query each run); min-of-N is the standard least-noise
-    // estimator of a query's actual cost.
-    def timedPass(): Map[String, Double] = names.map { n =>
+    // Two timed passes + targeted re-measure, min per query: a single
+    // pass is at the mercy of GC pauses and host-CPU noise (observed:
+    // random 5-10 s spikes on a different query each run). Queries whose
+    // two timings disagree by >50% get a third measurement — robustness
+    // of min-of-3 where it matters, without a full extra pass of
+    // driver wall-time.
+    def time1(n: String): Double = {
       val t0 = System.nanoTime()
       try force(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable =>
         errors += n -> e.toString.linesIterator.next().take(200) }
-      n -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val passes = Seq.fill(3)(timedPass())
-    val results = names.map(n => n -> passes.map(_(n)).min)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timedPass(): Map[String, Double] = names.map(n => n -> time1(n)).toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val p3 = names
+      .filter(n => math.max(p1(n), p2(n)) > 1.5 * math.min(p1(n), p2(n)))
+      .map(n => n -> time1(n)).toMap
+    val results = names.map(n =>
+      n -> (Seq(p1(n), p2(n)) ++ p3.get(n)).min)
 
     val qs = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")

@@ -148,6 +148,22 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))),
 
+    // As-of join: every event matched to its user's latest checkpoint
+    // (every 10th event) at or before its timestamp — the time-series
+    // join Spark lacks natively, composed as tag+union+keyed-window
+    // (graft.ops.AsofJoin); DuckDB's native ASOF LEFT JOIN is the oracle.
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("ts"), col("value"))
+      val cps = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("cp_id"), col("value").as("cp_value"))
+      graft.ops.AsofJoin
+        .asofLeft(ev, cps, Seq("user_id"), "ts", Seq("cp_id", "cp_value"))
+        .select(col("event_id"), col("user_id"),
+          epochS(col("ts")).as("ts_epoch"), col("cp_id"), col("cp_value"))
+    }),
+
     // Q14 shape: conditional aggregation ratio over a join
     "q_promo_share" -> ((s, d) => {
       val li = lineitem(s, d).filter(
@@ -249,6 +265,14 @@ object RelationalQueries {
         "(SELECT DISTINCT o_orderkey, o_orderpriority FROM orders " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "AND l_shipdate > o_orderdate) GROUP BY 1"),
+
+    "q_asof_join" ->
+      ("""SELECT l.event_id, l.user_id, epoch(l.ts) AS ts_epoch,
+         | r.event_id AS cp_id, r.value AS cp_value
+         |FROM events l ASOF LEFT JOIN
+         | (SELECT user_id, ts, event_id, value FROM events
+         |  WHERE event_id % 10 = 0) r
+         | ON l.user_id = r.user_id AND l.ts >= r.ts""").stripMargin,
 
     "q_promo_share" ->
       (s"""SELECT ${rs("cast(promo_cents AS double)*100/total_cents")}
