@@ -72,6 +72,14 @@ object PipelineQueries {
       documents(s, d).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // corpus quality filter — the end-cap of the text-analysis pipeline:
+    // keep docs passing the length / stopword / punctuation gates
+    "q_quality_filter" -> ((s, d) =>
+      TextAnalysis.withQuality(documents(s, d), col("text"))
+        .filter(col("n_tokens") >= 5 && col("stopword_ratio") <= 0.5 &&
+          col("punct_count") <= 50)
+        .select(col("doc_id"))),
+
     "q_fingerprint" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -289,6 +297,21 @@ object PipelineQueries {
     "q_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
         "AS fp FROM documents"),
+
+    "q_quality_filter" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      s"""SELECT doc_id FROM (
+         | SELECT doc_id, cast($nTok AS int) AS n_tokens,
+         |  ${rs(s"cast($stop AS double) / $nTok", 6)} AS stopword_ratio,
+         |  length(text) -
+         |    length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+         |    AS punct_count
+         | FROM documents)
+         |WHERE n_tokens >= 5 AND stopword_ratio <= 0.5
+         | AND punct_count <= 50""".stripMargin
+    },
 
     "q_token_hist" ->
       ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, " +

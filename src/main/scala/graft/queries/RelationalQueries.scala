@@ -164,6 +164,19 @@ object RelationalQueries {
           epochS(col("ts")).as("ts_epoch"), col("cp_id"), col("cp_value"))
     }),
 
+    // Range join: events (points on the value axis) against intervals
+    // [v, v+2) from every 100th event — grid-bucketed equi-join
+    // (graft.ops.RangeJoin), never a nested-loop inequality join.
+    "q_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val pts = ev.select(col("event_id").as("p_id"), col("value").as("x"))
+      val ivs = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("iv_id"), col("value").as("lo"),
+          (col("value") + 2.0).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(pts, ivs, "x", "lo", "hi", 2.0)
+        .select(col("p_id"), col("iv_id"), col("x"), col("lo"))
+    }),
+
     // Q14 shape: conditional aggregation ratio over a join
     "q_promo_share" -> ((s, d) => {
       val li = lineitem(s, d).filter(
@@ -265,6 +278,13 @@ object RelationalQueries {
         "(SELECT DISTINCT o_orderkey, o_orderpriority FROM orders " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "AND l_shipdate > o_orderdate) GROUP BY 1"),
+
+    "q_range_join" ->
+      ("""SELECT p.event_id AS p_id, i.event_id AS iv_id,
+         | p.value AS x, i.value AS lo
+         |FROM events p JOIN
+         | (SELECT event_id, value FROM events WHERE event_id % 100 = 0) i
+         | ON p.value >= i.value AND p.value < i.value + 2.0""").stripMargin,
 
     "q_asof_join" ->
       ("""SELECT l.event_id, l.user_id, epoch(l.ts) AS ts_epoch,
