@@ -173,6 +173,21 @@ object ReferenceQueries {
           r(col("first_peak")).as("first_peak"))
     }),
 
+    // P3/S4 with NON-UNIFORM port counts — cumsum boundaries genuinely
+    // vary ([2,3,1,2] over the 8-peak vector), unlike the pipeline's
+    // one-peak-per-port frames (ref: hyperion.py:440-453 slices by
+    // arbitrary per-port counts).
+    "q_per_port_split" -> ((s, d) => {
+      val fr = FrameSource.frames(s, d)
+      val counts = array(lit(2), lit(3), lit(1), lit(2))
+      fr.select(col("frame_id"),
+          posexplode(ChannelSlice.channelSlices(col("peaks"), counts))
+            .as(Seq("p", "port_peaks")))
+        .select(col("frame_id"), (col("p") + 1).cast("int").as("port_no"),
+          size(col("port_peaks")).cast("int").as("n_in_port"),
+          element_at(col("port_peaks"), 1).as("first_peak"))
+    }),
+
     // S2/S5 — sensor stream decode: per-sensor time series off the
     // sensor frames (ref: hyperion.py:388-420)
     "q_sensor_series" -> ((s, d) =>
@@ -346,6 +361,16 @@ object ReferenceQueries {
         "ts_epoch, cast(i AS int) AS port_no, cast(1 AS int) AS n_in_port, " +
         s"${rs("m_i")} AS first_peak " +
         "FROM s WHERE (rn-1) % 10 = 0"),
+
+    // cumsum boundaries of [2,3,1,2] are [0,2,5,6]
+    "q_per_port_split" ->
+      ("""SELECT event_id AS frame_id, cast(p+1 AS int) AS port_no,
+         | cast(CASE p WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 1
+         |      ELSE 2 END AS int) AS n_in_port,
+         | floor(value*100 + 0.5) +
+         |   (CASE p WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 5
+         |    ELSE 6 END)*100 AS first_peak
+         |FROM events, generate_series(0, 3) t(p)""").stripMargin,
 
     "q_sensor_series" ->
       ("SELECT event_id AS frame_id, cast(k+1 AS int) AS sensor_no, " +
