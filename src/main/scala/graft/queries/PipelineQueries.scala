@@ -84,6 +84,15 @@ object PipelineQueries {
       documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // token counting, both tokenizers: whitespace and the BPE-ish
+    // boundary split (GPT-2-style pre-split family). The BPE count
+    // equals the number of maximal same-class ([a-zA-Z0-9] vs not) runs,
+    // which the oracle recomputes with regexp_extract_all.
+    "q_token_count" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_ws"),
+        size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe"))),
+
     "q_token_hist" -> ((s, d) =>
       documents(s, d)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -312,6 +321,11 @@ object PipelineQueries {
          |WHERE n_tokens >= 5 AND stopword_ratio <= 0.5
          | AND punct_count <= 50""".stripMargin
     },
+
+    "q_token_count" ->
+      ("SELECT doc_id, cast(len(string_split(text, ' ')) AS int) AS n_ws, " +
+        "cast(len(regexp_extract_all(text, " +
+        "'[a-zA-Z0-9]+|[^a-zA-Z0-9]+')) AS int) AS n_bpe FROM documents"),
 
     "q_token_hist" ->
       ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, " +
