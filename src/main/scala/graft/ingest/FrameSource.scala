@@ -56,6 +56,24 @@ object FrameSource {
     spark.readStream.schema(graft.model.Schemas.peaksFrameSchema)
       .parquet(path)
 
+  /** Streaming forms of the sensor/spectrum sources (S2/S3): same
+    * schemas as the batch builders, read from a landing zone. The
+    * builders above define the schema contract; production points these
+    * at the instrument gateway's drop directory (or any other
+    * Structured Streaming source with the same schema).
+    */
+  def sensorStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("frame_id BIGINT, ts TIMESTAMP, values ARRAY<DOUBLE>")
+      .parquet(path)
+
+  def spectrumStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("frame_id BIGINT, ts TIMESTAMP, start_wavelength DOUBLE, " +
+        "wavelength_increment DOUBLE, num_points INT, " +
+        "active_channel_bits INT, spectrum ARRAY<ARRAY<INT>>")
+      .parquet(path)
+
   val NumSensors = 4
 
   /** S2/S5 — sensor stream (ref: hyperion.py:388-420: per-sensor float

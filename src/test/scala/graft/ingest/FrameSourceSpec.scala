@@ -54,6 +54,24 @@ class FrameSourceSpec extends SparkSpec {
     assert(db.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("spectrumStream: streaming decode of the nested matrix end to end") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_spec_stream").toString
+    FrameSource.spectrumFrames(spark, sf).limit(32)
+      .write.parquet(s"$tmp/src")
+    val q = FrameSource.spectrumStream(spark, s"$tmp/src")
+      .select(col("frame_id"), posexplode(col("spectrum")).as(Seq("ch", "raw")))
+      .select(col("frame_id"), col("ch"),
+        element_at(col("raw"), 1).as("raw0"))
+      .writeStream.format("memory").queryName("spec_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("spec_stream").count() ==
+        32L * FrameSource.SpectrumChannels)
+    } finally q.stop()
+  }
+
   test("CSV export sink roundtrips exactly") {
     import spark.implicits._
     val src = Seq((1L, 1.25, "a"), (2L, -3.5, "b"), (3L, 0.0, "c,d"))
