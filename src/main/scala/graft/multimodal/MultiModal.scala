@@ -171,6 +171,86 @@ object MultiModal {
     }
   }
 
+  final case class MediaFeatures(
+      media_id: Long, kind: String,
+      mean_sample: Option[Double], peak_sample: Option[Int])
+
+  /** REAL feature extraction: image → mean/max over the decoded raster
+    * samples (all bands — `javax.imageio` raster access); audio → mean
+    * absolute amplitude / peak of the PCM samples. Video chunks yield
+    * None. Runs per-partition like decode.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') {
+          val img = ImageIO.read(new ByteArrayInputStream(p))
+          if (img == null) MediaFeatures(r.media_id, r.kind, None, None)
+          else {
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            var sum = 0L; var peak = 0; var n = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                var b = 0
+                while (b < bands) {
+                  val v = raster.getSample(x, y, b)
+                  sum += v; if (v > peak) peak = v; n += 1
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            MediaFeatures(r.media_id, r.kind,
+              Some(sum.toDouble / n), Some(peak))
+          }
+        } else if (p.length >= 44 && p(0) == 'R' && p(1) == 'I') {
+          val buf = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+          buf.position(44)
+          var sum = 0L; var peak = 0; var n = 0L
+          while (buf.remaining() >= 2) {
+            val v = math.abs(buf.getShort().toInt)
+            sum += v; if (v > peak) peak = v; n += 1
+          }
+          MediaFeatures(r.media_id, r.kind,
+            if (n > 0) Some(sum.toDouble / n) else None,
+            if (n > 0) Some(peak) else None)
+        } else MediaFeatures(r.media_id, r.kind, None, None)
+      }
+    }
+  }
+
+  /** REAL image resize (pure JVM): decode → Graphics2D scale → BMP
+    * re-encode. Non-image payloads pass through untouched.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') {
+          val img = ImageIO.read(new ByteArrayInputStream(p))
+          if (img == null) r
+          else {
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = out.createGraphics()
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            ImageIO.write(out, "bmp", bos)
+            MediaRow(r.media_id, r.kind, bos.toByteArray)
+          }
+        } else r
+      }
+    }
+  }
+
   /** Declarative metadata extraction — the oracle-checkable subset
     * (byte length + header hex) as pure column expressions.
     */

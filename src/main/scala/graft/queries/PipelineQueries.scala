@@ -264,6 +264,16 @@ object PipelineQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("duration_ms"))),
 
+    // REAL feature extraction over decoded rasters / PCM samples —
+    // rows-only (the raster mean has no tractable closed form in SQL);
+    // values are spec-verified against hand-computed fixtures.
+    "q_media_features" -> ((s, d) =>
+      MultiModal.extractFeatures(
+          MultiModal.asRealMediaTable(documents(s, d), "doc_id"))
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          r(col("mean_sample"), 4).as("mean_sample"), col("peak_sample"))),
+
     "q_media_frames" -> ((s, d) => {
       import s.implicits._
       val media = MultiModal.asMediaTable(documents(s, d), "doc_id", "text")

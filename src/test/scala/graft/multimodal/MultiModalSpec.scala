@@ -58,6 +58,34 @@ class MultiModalSpec extends SparkSpec {
       out(2).duration_ms.isEmpty && out(2).n_bytes == 66)
   }
 
+  test("extractFeatures: raster/PCM stats match hand-computed values") {
+    val docs = Seq((0L, ""), (1L, "")).toDF("doc_id", "text")
+    val out = MultiModal.extractFeatures(
+        MultiModal.asRealMediaTable(docs, "doc_id"))
+      .collect().sortBy(_.media_id)
+    // image id 0: 1x1 BMP, pixel bytes = (0*31 + i) % 256 for i in 0..2
+    // raster samples are {0,1,2} in some band order -> mean 1, peak 2
+    assert(out(0).mean_sample.contains(1.0) && out(0).peak_sample.contains(2))
+    // audio id 1: 17 samples, sample(i) = ((1*7 + i) % 65536) - 32768
+    val samples = (0 until 17).map(i => ((7 + i) % 65536) - 32768)
+    val absVals = samples.map(math.abs)
+    assert(out(1).mean_sample.contains(absVals.sum.toDouble / 17))
+    assert(out(1).peak_sample.contains(absVals.max))
+  }
+
+  test("resizeImages: real rescale re-decodes at the target dims") {
+    val docs = Seq((3L, "")).toDF("doc_id", "text") // id 3 -> image 4x4
+    val resized = MultiModal.resizeImages(
+      MultiModal.asRealMediaTable(docs, "doc_id"), 2, 2).collect().head
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.payload))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    // determinism
+    val again = MultiModal.resizeImages(
+      MultiModal.asRealMediaTable(docs, "doc_id"), 2, 2).collect().head
+    assert(resized.payload.toSeq == again.payload.toSeq)
+  }
+
   test("frame sampling: stride over fixed-size chunks") {
     val ds = media.as[MultiModal.MediaRow]
     val frames = MultiModal.sampleFrames(ds, frameBytes = 30, stride = 2)
