@@ -114,6 +114,19 @@ object RelationalQueries {
         .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
           count(lit(1)).as("n"))),
 
+    // top-3 orders per customer through the CUSTOM plan node
+    // (graft.plans.TopKPerKey: LogicalPlan + Rule + Strategy + SparkPlan,
+    // bounded per-key heaps instead of a window sort) — same rows as the
+    // q_window_rank formulation, checked against the same window oracle.
+    "q_topk_per_key" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+          orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice")),
+          keys = Seq("o_custkey"),
+          order = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+          k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
+
     // ranking window: top-3 orders per customer
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -254,6 +267,12 @@ object RelationalQueries {
         "cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty, " +
         "count(*) AS n FROM lineitem " +
         "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+
+    "q_topk_per_key" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
+        "AS rn FROM orders) WHERE rn <= 3"),
 
     "q_window_rank" ->
       ("SELECT o_custkey, o_orderkey, cast(rk AS int) AS rk FROM " +

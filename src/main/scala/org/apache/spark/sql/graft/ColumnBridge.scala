@@ -25,4 +25,31 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** DataFrame from a custom LogicalPlan (classic `Dataset.ofRows` is
+    * private[sql]).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently attach a planner strategy + optimizer rule to an
+    * existing session via the public experimental hooks (new sessions
+    * should use `spark.sql.extensions`).
+    */
+  def attachStrategy(spark: org.apache.spark.sql.SparkSession,
+                     strategy: org.apache.spark.sql.execution.SparkStrategy,
+                     rule: org.apache.spark.sql.catalyst.rules.Rule[
+                       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+      : Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!s.experimental.extraStrategies.contains(strategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ strategy
+    if (!s.experimental.extraOptimizations.contains(rule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
+  }
 }
