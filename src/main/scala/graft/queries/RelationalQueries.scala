@@ -108,6 +108,23 @@ object RelationalQueries {
         .agg(countDistinct(col("c_nationkey")).as("n_nations"),
           count(lit(1)).as("n_cust"))),
 
+    // TPC-H Q13 shape: LEFT OUTER join + two-level aggregation —
+    // customers with zero orders stay (count = 0), then the histogram
+    // of order counts
+    "q_order_dist" -> ((s, d) =>
+      customer(s, d).join(orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("n_cust"))),
+
+    // cube: all grouping-set combinations with subtotals
+    "q_cube" -> ((s, d) =>
+      orders(s, d).cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))),
+
     // rollup with subtotal rows
     "q_rollup" -> ((s, d) =>
       lineitem(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
@@ -261,6 +278,19 @@ object RelationalQueries {
     "q_distinct_agg" ->
       ("SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, " +
         "count(*) AS n_cust FROM customer GROUP BY 1"),
+
+    "q_order_dist" ->
+      ("""SELECT c_count, count(*) AS n_cust FROM (
+         |  SELECT c_custkey, count(o_orderkey) AS c_count
+         |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         |  GROUP BY c_custkey)
+         |GROUP BY c_count""").stripMargin,
+
+    "q_cube" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n, " +
+        "cast(sum(cast(floor(o_totalprice*100 + 0.5) AS bigint)) AS bigint)" +
+        " AS total_cents FROM orders " +
+        "GROUP BY CUBE (o_orderpriority, o_orderstatus)"),
 
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +
