@@ -1,30 +1,59 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Scratch plan-audit main — not part of the shipped surface. */
+/** Scratch plan-audit / timing main — not part of the shipped surface.
+  *
+  * SPARK_GRAFT_PROFILE=q_a,q_b  → time those queries (min of 3 after
+  * warmup) and dump the formatted plan of each.
+  * Default: plan-shape asserts for the join-family queries (no
+  * BroadcastNestedLoop / CartesianProduct anywhere).
+  */
 object Profile {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    for (q <- Seq("q_asof_join", "q_range_join", "q_embed_neardup",
-        "q_ann_ivf")) {
-      val plan = SparkEntry.queries(q)(spark, d)
-        .queryExecution.executedPlan.toString
-      val bad = Seq("BroadcastNestedLoop", "CartesianProduct")
-        .filter(plan.contains)
-      println(s"PLANCHECK $q: " +
-        (if (bad.isEmpty) "OK" else s"BAD ${bad.mkString(",")}"))
-      println(plan.linesIterator
-        .filter(l => l.contains("Join") || l.contains("Exchange") ||
-          l.contains("Window"))
-        .map(_.trim.take(120)).mkString("  ", "\n  ", "\n"))
+    sys.env.get("SPARK_GRAFT_PROFILE") match {
+      case Some(list) =>
+        for (q <- list.split(",").map(_.trim).filter(_.nonEmpty)) {
+          val mk = () => SparkEntry.queries(q)(spark, d)
+          force(mk())                      // warmup
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            force(mk())
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"TIME $q%-24s min=${times.min}%.3f  all=" +
+            times.map(t => f"$t%.3f").mkString(","))
+          if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+            mk().explain("formatted")
+        }
+      case None =>
+        for (q <- Seq("q_asof_join", "q_range_join", "q_embed_neardup",
+            "q_ann_ivf")) {
+          val plan = SparkEntry.queries(q)(spark, d)
+            .queryExecution.executedPlan.toString
+          val bad = Seq("BroadcastNestedLoop", "CartesianProduct")
+            .filter(plan.contains)
+          println(s"PLANCHECK $q: " +
+            (if (bad.isEmpty) "OK" else s"BAD ${bad.mkString(",")}"))
+          println(plan.linesIterator
+            .filter(l => l.contains("Join") || l.contains("Exchange") ||
+              l.contains("Window"))
+            .map(_.trim.take(120)).mkString("  ", "\n  ", "\n"))
+        }
     }
     spark.stop()
   }

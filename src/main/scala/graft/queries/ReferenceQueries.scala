@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
-import graft.ingest.FrameSource
+import graft.ingest.{FrameCodec, FrameSource}
 import graft.ops._
 import graft.pipeline.{Analyze, PeakStreaming}
 
@@ -247,6 +247,75 @@ object ReferenceQueries {
           col("isTemporary").cast("boolean").as("is_temp"))
     }),
 
+    // S4/S5/S6 binary path — byte-level decode of the reference's ACTUAL
+    // wire formats (hyperion.py:424-453 peaks, 388-420 sensor, 475-500
+    // spectrum): typed rows → encode to the little-endian frame bytes →
+    // decode back through the native FrameCodec expressions → project the
+    // decoded fields. The oracle recomputes every field arithmetically
+    // from `events`, so a wrong offset/width/endianness in EITHER
+    // direction fails the hash gate (and FrameCodecSpec pins the exact
+    // layout against hand-built fixtures, so encode/decode can't be
+    // mutually-inverse-but-wrong).
+    "q_frame_decode" -> ((s, d) => {
+      val fr = FrameSource.frames(s, d)
+      val bin = FrameCodec.encodePeaks(col("serial_number"),
+        floor(epochS(col("ts"))).cast("long"),
+        col("frame_id") % 1000000000L,
+        col("peak_counts"), col("peaks"))
+      fr.select(col("frame_id"), FrameCodec.decodePeaks(bin).as("f"))
+        .select(col("frame_id"),
+          col("f.length").as("hdr_len"),
+          col("f.serial_number").as("serial_number"),
+          col("f.timestamp_int").as("ts_int"),
+          col("f.timestamp_frac").as("ts_frac"),
+          size(col("f.peak_counts")).as("n_ports"),
+          element_at(col("f.peaks"), 1).as("peak_first"),
+          element_at(col("f.peaks"), FrameSource.NumPeaks).as("peak_last"),
+          // ts composition exactly as the reference (hyperion.py:452):
+          // frac*1e-9 + int
+          (col("f.timestamp_frac") * lit(1e-9) + col("f.timestamp_int"))
+            .as("ts_composed"))
+    }),
+
+    "q_sensor_decode" -> ((s, d) => {
+      val sf = FrameSource.sensorFrames(s, d)
+      val bin = FrameCodec.encodeSensor(
+        col("frame_id") % 256, (col("frame_id") % 100),
+        col("frame_id"), floor(epochS(col("ts"))).cast("long"),
+        col("frame_id") % 1000000000L, col("values"))
+      sf.select(col("frame_id"), FrameCodec.decodeSensor(bin).as("f"))
+        .select(col("frame_id"),
+          col("f.status").as("status"),
+          col("f.buffer_percentage").as("buffer_pct"),
+          col("f.serial_number").as("serial_number"),
+          col("f.timestamp_int").as("ts_int"),
+          size(col("f.values")).as("n_sensors"),
+          element_at(col("f.values"), 1).as("v_first"),
+          element_at(col("f.values"), FrameSource.NumSensors).as("v_last"))
+    }),
+
+    "q_spectrum_decode" -> ((s, d) => {
+      val sp = FrameSource.spectrumFrames(s, d)
+        .filter(col("frame_id") % 50 === 0)
+      val bin = FrameCodec.encodeSpectrum(col("frame_id"),
+        floor(epochS(col("ts"))).cast("long"),
+        col("frame_id") % 1000000000L,
+        col("start_wavelength"), col("wavelength_increment"),
+        col("active_channel_bits"), col("spectrum"))
+      sp.select(col("frame_id"), FrameCodec.decodeSpectrum(bin).as("f"))
+        .select(col("frame_id"),
+          col("f.serial_number").as("serial_number"),
+          col("f.start_wavelength").as("start_wl"),
+          col("f.wavelength_increment").as("wl_inc"),
+          col("f.num_points").as("num_points"),
+          col("f.num_channels").as("num_channels"),
+          col("f.active_channel_bits").as("active_bits"),
+          element_at(element_at(col("f.spectrum"), 1), 1).as("m_first"),
+          element_at(element_at(col("f.spectrum"),
+            FrameSource.SpectrumChannels), FrameSource.SpectrumPoints)
+            .as("m_last"))
+    }),
+
     // S13 — CSV export sink + read-back (ref: analyze_data.py:8-16): the
     // roundtrip IS the check — what the sink wrote must reproduce the
     // source exactly.
@@ -401,6 +470,47 @@ object ReferenceQueries {
         names.map(n => s"('graft_$n', true)").mkString(", ") +
         ") t(table_name, is_temp)"
     },
+
+    // binary round-trips: every field recomputed arithmetically — what the
+    // decode of the encode MUST produce if both sides implement the wire
+    // layout correctly. cents = floor(value*100 + 0.5).
+    "q_frame_decode" ->
+      ("""SELECT event_id AS frame_id,
+         | cast(24 + 2*8 AS int) AS hdr_len,
+         | user_id AS serial_number,
+         | cast(floor(epoch(ts)) AS bigint) AS ts_int,
+         | event_id % 1000000000 AS ts_frac,
+         | cast(8 AS int) AS n_ports,
+         | floor(value*100 + 0.5) AS peak_first,
+         | floor(value*100 + 0.5) + 700 AS peak_last,
+         | (event_id % 1000000000) * 1e-9 + cast(floor(epoch(ts)) AS bigint)
+         |   AS ts_composed
+         |FROM events""").stripMargin,
+
+    "q_sensor_decode" ->
+      ("""SELECT event_id AS frame_id,
+         | cast(event_id % 256 AS int) AS status,
+         | cast(event_id % 100 AS int) AS buffer_pct,
+         | event_id AS serial_number,
+         | cast(floor(epoch(ts)) AS bigint) AS ts_int,
+         | cast(4 AS int) AS n_sensors,
+         | floor(value*100 + 0.5) AS v_first,
+         | floor(value*100 + 0.5) + 3000 AS v_last
+         |FROM events""").stripMargin,
+
+    "q_spectrum_decode" ->
+      ("""SELECT event_id AS frame_id,
+         | event_id AS serial_number,
+         | CAST(1500.0 AS DOUBLE) AS start_wl,
+         | CAST(0.8 AS DOUBLE) AS wl_inc,
+         | cast(16 AS int) AS num_points,
+         | cast(8 AS int) AS num_channels,
+         | cast(event_id % 256 AS int) AS active_bits,
+         | cast(cast(floor(value*100 + 0.5) AS bigint) % 65536 AS int)
+         |   AS m_first,
+         | cast((cast(floor(value*100 + 0.5) AS bigint) + 7*1000 + 15*7)
+         |   % 65536 AS int) AS m_last
+         |FROM events WHERE event_id % 50 = 0""").stripMargin,
 
     "q_csv_roundtrip" -> "SELECT event_id, value FROM events")
 }
