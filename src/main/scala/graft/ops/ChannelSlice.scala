@@ -34,6 +34,21 @@ object ChannelSlice {
     zip_with(bounds, counts, (b, c) => slice(peaks, b + 1, c))
   }
 
+  /** Static-counts fast path of [[channelSlices]]: when the per-port
+    * counts are known at plan time — exactly how the reference's batch
+    * analyzer works (analyze_data.py:66-82 derives the column ranges ONCE
+    * from the first row's counts) — the prefix sums fold at compile time
+    * and the result is a plain `array(slice, slice, …)` of builtin
+    * slices: fully codegen'd, no interpreted higher-order lambdas per
+    * row. OpsSpec asserts static ≡ dynamic on the same inputs.
+    */
+  def channelSlicesStatic(peaks: Column, counts: Seq[Int]): Column = {
+    val bounds = counts.scanLeft(0)(_ + _)
+    array(counts.zipWithIndex.map { case (c, i) =>
+      slice(peaks, bounds(i) + 1, c)
+    }: _*)
+  }
+
   /** 1-based channel access, ref: HACQPeaksData.__getitem__
     * (hyperion.py:455-460).
     */

@@ -55,8 +55,15 @@ object WindowMean {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
-  /** Column form of [[VecMean]]: `vec_mean(arrayCol)`. */
-  def vecMean(c: Column): Column = udaf(VecMean).apply(c)
+  /** Column form: `vec_mean(arrayCol)` — the native
+    * [[graft.functions.VecMeanExpr]] (no per-row encoder round trip);
+    * [[vecMeanTyped]] is the Aggregator form, kept as the semantic
+    * cross-check (LawsSpec asserts bit-identical results).
+    */
+  def vecMean(c: Column): Column = graft.functions.VecMeanExpr.vecMean(c)
+
+  /** Typed-Aggregator formulation of the same aggregate. */
+  def vecMeanTyped(c: Column): Column = udaf(VecMean).apply(c)
 
   /** Built-in-only formulation: explode by position, avg per (keys, pos),
     * re-assemble the vector ordered by position.

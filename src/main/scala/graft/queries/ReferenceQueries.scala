@@ -111,8 +111,11 @@ object ReferenceQueries {
       val ch = (col("serial_number") % 8)
       val scale = lit(1.0) + ch * 0.01
       val offset = lit(-40.0) - ch
+      // scalar kernel on the one needed element — converting the whole
+      // vector through the transform() lambda then discarding 7/8 of it
+      // pays interpreted HOF cost per row (same double either way)
       fr.select(col("frame_id").as("event_id"), ch.cast("int").as("channel"),
-        element_at(Calibrate.toDb(col("peaks"), scale, offset), 1)
+        Calibrate.toDbScalar(element_at(col("peaks"), 1), scale, offset)
           .as("db_first"))
     }),
 
@@ -179,10 +182,15 @@ object ReferenceQueries {
     // arbitrary per-port counts).
     "q_per_port_split" -> ((s, d) => {
       val fr = FrameSource.frames(s, d)
-      val counts = array(lit(2), lit(3), lit(1), lit(2))
+      // static-counts slicing (the batch analyzer's semantics — counts
+      // derived once, analyze_data.py:66-82): prefix sums fold at plan
+      // time, every slice is a codegen'd builtin. The dynamic
+      // channelSlices(HOF) form is plan-equivalent but interpreted per
+      // row (profiled 4× slower at 100k frames); OpsSpec pins
+      // static ≡ dynamic.
       fr.select(col("frame_id"),
-          posexplode(ChannelSlice.channelSlices(col("peaks"), counts))
-            .as(Seq("p", "port_peaks")))
+          posexplode(ChannelSlice.channelSlicesStatic(col("peaks"),
+            Seq(2, 3, 1, 2))).as(Seq("p", "port_peaks")))
         .select(col("frame_id"), (col("p") + 1).cast("int").as("port_no"),
           size(col("port_peaks")).cast("int").as("n_in_port"),
           element_at(col("port_peaks"), 1).as("first_peak"))
@@ -205,18 +213,32 @@ object ReferenceQueries {
     "q_spectrum_calibrate" -> ((s, d) => {
       val sp = FrameSource.spectrumFrames(s, d)
         .filter(col("frame_id") % 50 === 0)
+      // Explode channel INDICES (a constant 8-int sequence), not the
+      // matrix: the bitmap filter then gates a bare int BEFORE the 8×16
+      // matrix is touched, and the matrix construction lives in exactly
+      // one Project. (Exploding `spectrum` directly made
+      // InferFiltersFromGenerate materialize a `size(<whole matrix
+      // build>) > 0` predicate below the Generate — the full 128-element
+      // construction duplicated into the scan filter; 11× DuckDB in
+      // BENCH_r02.) The active channel's row is then fetched with one
+      // element_at and its points exploded — header columns projected
+      // once, everything whole-stage codegen.
       val perCh = sp.select(col("frame_id"), col("active_channel_bits"),
           col("start_wavelength"), col("wavelength_increment"),
-          col("num_points"),
-          posexplode(col("spectrum")).as(Seq("ch", "raw")))
+          col("spectrum"),
+          explode(sequence(lit(0),
+            lit(FrameSource.SpectrumChannels - 1))).as("ch"))
         .filter(col("active_channel_bits")
-          .bitwiseAND(pow(lit(2), col("ch")).cast("int")) =!= 0)
+          .bitwiseAND(expr("shiftleft(1, ch)")) =!= 0)
+        .select(col("frame_id"), col("ch"), col("start_wavelength"),
+          col("wavelength_increment"),
+          element_at(col("spectrum"), col("ch") + 1).as("raw"))
       val scale = lit(1.0) + col("ch") * 0.01
       val offset = lit(-40.0) - col("ch")
-      // second posexplode over the channel's raw points, then SCALAR
-      // wl/db arithmetic — the arrays_zip(wavelengthAxis, toDb) form is
-      // two interpreted higher-order transforms per channel; this stays
-      // in codegen end to end (same values: identical op order).
+      // SCALAR wl/db arithmetic after the point explode — the
+      // arrays_zip(wavelengthAxis, toDb) form is two interpreted
+      // higher-order transforms per channel (same values: identical op
+      // order, see Calibrate.toDbScalar).
       perCh.select(col("frame_id"), col("ch").cast("int").as("channel"),
           col("start_wavelength"), col("wavelength_increment"),
           scale.as("sc"), offset.as("off"),
@@ -225,8 +247,8 @@ object ReferenceQueries {
           col("p").cast("int").as("point_idx"),
           (col("start_wavelength") +
             col("p").cast("double") * col("wavelength_increment")).as("wl"),
-          r(col("rawv").cast("double") * (lit(1.0) / col("sc")) +
-            col("off"), 6).as("db"))
+          r(Calibrate.toDbScalar(col("rawv"), col("sc"), col("off")), 6)
+            .as("db"))
     }),
 
     // F6 — fiber delay physics (ref: hyperion.py:1150-1153)

@@ -31,6 +31,18 @@ class OpsSpec extends SparkSpec {
     assert(ch3 == Seq(3.0, 4.0, 5.0))
   }
 
+  test("channelSlicesStatic ≡ channelSlices (HOF) on the same inputs") {
+    val counts = Seq(2, 0, 3, 1)
+    val df = (0 until 20)
+      .map(i => Seq.tabulate(6)(j => (i * 10 + j).toDouble))
+      .toDF("peaks")
+    val dyn = df.select(ChannelSlice.channelSlices($"peaks",
+        array(counts.map(lit): _*)).as("s")).as[Seq[Seq[Double]]].collect()
+    val sta = df.select(ChannelSlice.channelSlicesStatic($"peaks", counts)
+        .as("s")).as[Seq[Seq[Double]]].collect()
+    assert(dyn.toSeq == sta.toSeq)
+  }
+
   // ---- Downsample -------------------------------------------------------
 
   test("strided keeps every inc-th row in order, restarting per partition") {

@@ -31,6 +31,28 @@ class WindowMeanSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-9, s"key $k")
   }
 
+  test("native VecMeanExpr ≡ typed Aggregator (exact, integer values)") {
+    // integer-valued doubles: sums are exact below 2^53, so the compare
+    // is bit-exact regardless of partial-merge arrival order
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i =>
+      (i % 13L, Seq.fill(6)((rnd.nextInt(20001) - 10000).toDouble)))
+    val df = rows.toDF("k", "v").repartition(5)
+    val native = df.groupBy($"k").agg(WindowMean.vecMean($"v").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val typed = df.groupBy($"k").agg(WindowMean.vecMeanTyped($"v").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(native == typed)
+  }
+
+  test("native VecMeanExpr serialize/deserialize round-trips the buffer") {
+    val e = graft.functions.VecMeanExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(null))
+    val b = new graft.functions.VecMeanBuffer(Array(1.5, -2.25, 1e9), 7L)
+    val rt = e.deserialize(e.serialize(b))
+    assert(rt.n == 7L && rt.sums.toSeq == Seq(1.5, -2.25, 1e9))
+  }
+
   test("property: VecMean merge is partition-invariant (integer values)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 50) {
