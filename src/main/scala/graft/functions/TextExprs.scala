@@ -1,0 +1,237 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass text expressions for the corpus-analysis hot path.
+  *
+  * The `functions`-only formulations (`size(filter(split(text, " "),
+  * t => t.isin(...)))`, `aggregate(split(text, ""), …)`) are correct but
+  * interpreted: array higher-order lambdas never enter whole-stage
+  * codegen, so every document pays per-token lambda dispatch and a
+  * materialized token array. These expressions make ONE pass over the
+  * string per row via a compiled method referenced from generated code
+  * (`ctx.addReferenceObj` — the standard pattern for config-carrying
+  * builtins), allocating nothing but the candidate token strings.
+  *
+  * Semantics are pinned to the HOF forms bit-for-bit (TextAnalysis keeps
+  * them as cross-checks; TextExprsSpec asserts equality), so the DuckDB
+  * oracle parity of every downstream query is unchanged.
+  */
+object TextExprs {
+
+  def tokenSetCount(text: Column, tokens: Seq[String]): Column =
+    ColumnBridge.column(TokenSetCount(ColumnBridge.expression(text), tokens))
+
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text), markers))
+
+  def rollingFp(text: Column): Column =
+    ColumnBridge.column(RollingFpExpr(ColumnBridge.expression(text)))
+
+  def bpeTokenCount(text: Column): Column =
+    ColumnBridge.column(BpeCountExpr(ColumnBridge.expression(text)))
+}
+
+/** Count of space-delimited tokens contained in `tokens` (duplicates
+  * count; multi-space runs produce empty tokens that never match).
+  * ≡ `size(filter(split(text, " "), t => t.isin(tokens: _*)))`.
+  */
+case class TokenSetCount(child: Expression, tokens: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"requires string input, got ${child.dataType.simpleString}")
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    tokens.foreach(s.add)
+    s
+  }
+
+  def compute(s: UTF8String): Int = {
+    val str = s.toString
+    var count = 0
+    var start = 0
+    while (start <= str.length) {
+      var end = str.indexOf(' ', start)
+      if (end < 0) end = str.length
+      if (end > start && set.contains(str.substring(start, end))) count += 1
+      start = end + 1
+    }
+    count
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSetCount", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
+    copy(child = newChild)
+  override def prettyName: String = "token_set_count"
+}
+
+/** Marker-hit argmax language ID ≡ the greatest(struct(score, -idx, lang))
+  * over per-language [[TokenSetCount]]s: highest hit count wins, ties go
+  * to the earliest language in `markers`, zero hits → "und". A token
+  * appearing in several languages' marker lists scores for each (exactly
+  * like the independent per-language filters).
+  */
+case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"requires string input, got ${child.dataType.simpleString}")
+
+  @transient private lazy val langs: Array[UTF8String] =
+    markers.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+  @transient private lazy val map: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    markers.zipWithIndex.foreach { case ((_, toks), idx) =>
+      toks.foreach { t =>
+        val prev = m.get(t)
+        m.put(t, if (prev == null) Array(idx) else prev :+ idx)
+      }
+    }
+    m
+  }
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val scores = new Array[Int](langs.length)
+    var start = 0
+    while (start <= str.length) {
+      var end = str.indexOf(' ', start)
+      if (end < 0) end = str.length
+      if (end > start) {
+        val hit = map.get(str.substring(start, end))
+        if (hit != null) {
+          var i = 0
+          while (i < hit.length) { scores(hit(i)) += 1; i += 1 }
+        }
+      }
+      start = end + 1
+    }
+    var bestIdx = 0
+    var i = 1
+    while (i < scores.length) {
+      if (scores(i) > scores(bestIdx)) bestIdx = i
+      i += 1
+    }
+    if (scores(bestIdx) > 0) langs(bestIdx) else und
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langId", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id"
+}
+
+/** Count of BPE-ish pre-split tokens ≡ `size(filter(split(text,
+  * "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => t =!= ""))`: the
+  * boundary-split yields one fragment per maximal [a-zA-Z0-9] run plus
+  * one fragment per non-alphanumeric code point (adjacent boundaries
+  * coincide, so no interior empties; edge empties are filtered). One
+  * code-point pass instead of regex split + interpreted filter lambda.
+  */
+case class BpeCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"requires string input, got ${child.dataType.simpleString}")
+
+  def compute(s: UTF8String): Int = {
+    val str = s.toString
+    var count = 0
+    var inRun = false
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9')
+      if (alnum) {
+        if (!inRun) { count += 1; inRun = true }
+      } else {
+        count += 1
+        inRun = false
+      }
+      i += Character.charCount(cp)
+    }
+    count
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCount", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_token_count"
+}
+
+/** Rabin-Karp rolling fingerprint: fold h = (h*31 + codepoint) mod 1e9+7
+  * over the character stream — ≡ `aggregate(filter(split(text, ""),
+  * c => c =!= ""), 0L, (h, c) => (h*31 + ascii(c)) % 1000000007L)`
+  * (empty-regex split advances by code point, `ascii` is the fragment's
+  * code point).
+  */
+case class RollingFpExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"requires string input, got ${child.dataType.simpleString}")
+
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingFp", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFpExpr =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_fp"
+}

@@ -29,12 +29,23 @@ import org.apache.spark.sql.graft.ColumnBridge
   * unspecified, like any unsorted relational result.
   */
 object TopKPerKey {
+  /** Distinct keys a partition holds in heap form before falling back to
+    * the spillable external sort (heap memory ≈ keys × k × rowBytes; at
+    * the default 64 Ki keys × k=3 × ~100 B ≈ 20 MB/task).
+    */
+  val DefaultSpillKeyLimit: Int = 1 << 16
+
   /** @param order (columnName, descending) pairs; include a tiebreaker
     *              for deterministic results
+    * @param spillKeyLimit max distinct keys held as in-memory heaps per
+    *              partition; beyond it the operator switches to a
+    *              disk-spillable sort-based top-k (same results)
     */
   def apply(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
-            k: Int): DataFrame = {
+            k: Int,
+            spillKeyLimit: Int = DefaultSpillKeyLimit): DataFrame = {
     require(k > 0, "k must be positive")
+    require(spillKeyLimit > 0, "spillKeyLimit must be positive")
     val spark = df.sparkSession
     ColumnBridge.attachStrategy(spark, TopKPerKeyStrategy,
       TopKKeyFilterPushdown)
@@ -49,12 +60,13 @@ object TopKPerKey {
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }
     ColumnBridge.ofRows(spark,
-      TopKPerKeyNode(k, keys.map(attr), sortOrders, analyzed))
+      TopKPerKeyNode(k, keys.map(attr), sortOrders, analyzed, spillKeyLimit))
   }
 }
 
 case class TopKPerKeyNode(k: Int, keys: Seq[Expression],
-                          order: Seq[SortOrder], child: LogicalPlan)
+                          order: Seq[SortOrder], child: LogicalPlan,
+                          spillKeyLimit: Int = TopKPerKey.DefaultSpillKeyLimit)
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(
@@ -68,7 +80,7 @@ case class TopKPerKeyNode(k: Int, keys: Seq[Expression],
 object TopKKeyFilterPushdown extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
-        t @ TopKPerKeyNode(_, keys, _, child))
+        t @ TopKPerKeyNode(_, keys, _, child, _))
         if cond.references.subsetOf(
           AttributeSet(keys.flatMap(_.references))) &&
           cond.deterministic =>
@@ -78,14 +90,25 @@ object TopKKeyFilterPushdown extends Rule[LogicalPlan] {
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case TopKPerKeyNode(k, keys, order, child, spillKeyLimit) =>
+      TopKPerKeyExec(k, keys, order, planLater(child), spillKeyLimit) :: Nil
     case _ => Nil
   }
 }
 
+/** One pass of bounded per-key heaps (O(n log k), no sort) while the
+  * distinct-key count stays under `spillKeyLimit`; beyond it — the
+  * high-cardinality regime where heap memory (keys × k rows) would OOM
+  * where WindowExec spills — the partition falls back to the spillable
+  * external sort (`SortBridge`, the same task-memory-managed sorter
+  * SortExec uses) over (keys ASC, order): surviving heap rows are a
+  * provable superset of their keys' top-k (the heap invariant only ever
+  * drops rows ranked below k), so heaps + remaining input feed the
+  * sorter and one ordered scan emits the first k rows per key group.
+  */
 case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
-                          order: Seq[SortOrder], child: SparkPlan)
+                          order: Seq[SortOrder], child: SparkPlan,
+                          spillKeyLimit: Int)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
@@ -99,29 +122,89 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    val keyLimit = spillKeyLimit
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // max-heap in sort order: head = worst of the current best k
       val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
       val heaps =
         mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var overflow = false
+      var pending: InternalRow = null // the row that tripped the limit
+      while (iter.hasNext && !overflow) {
+        val row = iter.next()
         val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kLimit) heap.enqueue(row.copy())
+            else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
           case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < kLimit) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+            if (heaps.size >= keyLimit) {
+              overflow = true
+              pending = row // inserted into the sorter before iter resumes
+            } else {
+              val h = mutable.PriorityQueue.empty[InternalRow](ord)
+              h.enqueue(row.copy())
+              heaps.put(key.copy(), h)
+            }
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      if (!overflow) heaps.valuesIterator.flatMap(_.iterator)
+      else sortedFallback(
+        heaps.valuesIterator.flatMap(_.iterator) ++
+          Iterator.single(pending) ++ iter,
+        keyExprs, sortOrder, childOutput, kLimit)
     }, preservesPartitioning = true)
+  }
+
+  /** Spill-safe top-k: external-sort all candidate rows by
+    * (keys ASC, order), then emit the first k of each key group.
+    */
+  private def sortedFallback(rows: Iterator[InternalRow],
+                             keyExprs: Seq[Expression],
+                             sortOrder: Seq[SortOrder],
+                             childOutput: Seq[Attribute],
+                             kLimit: Int): Iterator[InternalRow] = {
+    val fullOrder =
+      keyExprs.map(SortOrder(_, Ascending)) ++ sortOrder
+    val sorter = org.apache.spark.sql.graft.SortBridge
+      .createSorter(fullOrder, childOutput)
+    val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+    rows.foreach(r => sorter.insertRow(toUnsafe(r)))
+    val sorted = sorter.sort()
+    val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+    new Iterator[InternalRow] {
+      private var currentKey: UnsafeRow = _
+      private var emitted = 0
+      private var nextRow: InternalRow = advance()
+      private def advance(): InternalRow = {
+        while (sorted.hasNext) {
+          // the sorter's iterator REUSES its row buffer — this iterator
+          // looks one row ahead, so emitted rows must be copied or the
+          // lookahead overwrites them under the consumer
+          val r = sorted.next()
+          val key = keyProj(r)
+          if (currentKey == null || key != currentKey) {
+            currentKey = key.copy()
+            emitted = 1
+            return r.copy()
+          } else if (emitted < kLimit) {
+            emitted += 1
+            return r.copy()
+          }
+        }
+        null
+      }
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow
+        nextRow = advance()
+        r
+      }
+    }
   }
 
   override protected def withNewChildInternal(

@@ -95,7 +95,10 @@ object PipelineQueries {
     "q_token_count" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).as("n_ws"),
-        size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe"))),
+        // native run-count ≡ size(bpeTokens) (TextExprsSpec) — the regex
+        // split + interpreted filter materializes every fragment just to
+        // count them
+        graft.functions.TextExprs.bpeTokenCount(col("text")).as("n_bpe"))),
 
     "q_token_hist" -> ((s, d) =>
       documents(s, d)

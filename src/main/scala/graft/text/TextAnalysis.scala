@@ -35,7 +35,9 @@ object TextAnalysis {
   def withQuality(df: DataFrame, text: Column): DataFrame = {
     val toks = tokens(text)
     val nTok = size(toks)
-    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
+    // native single-pass token-set count (≡ the size(filter(..isin..))
+    // HOF form, which evaluates interpreted — TextExprsSpec pins equality)
+    val stopHits = graft.functions.TextExprs.tokenSetCount(text, Stopwords)
     val punct = length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
     df.withColumn("n_chars_m", length(text))
       .withColumn("n_tokens", nTok)
@@ -57,9 +59,17 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我", "有"))
 
   /** Language ID: argmax of marker hits, ties and zero-hit docs → "und"
-    * (undetermined), per BCP-47 convention.
+    * (undetermined), per BCP-47 convention. Native one-pass scorer
+    * ([[graft.functions.LangIdExpr]]); [[langIdHof]] is the builtin-HOF
+    * cross-check form.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.TextExprs.langId(text, LangMarkers)
+
+  /** HOF formulation of [[langId]] — 5 interpreted token-filters per doc;
+    * kept as the semantic reference (TextExprsSpec: langId ≡ langIdHof).
+    */
+  def langIdHof(text: Column): Column = {
     val toks = tokens(text)
     // struct ordering = (score, -idx): max score wins, earliest language
     // in LangMarkers order breaks ties.
@@ -82,15 +92,20 @@ object TextAnalysis {
   /** Rolling (Rabin-Karp polynomial) fingerprint over the character
     * stream: h = fold(h*31 + code) mod 1e9+7 — the incremental-hash
     * family used for shingle windows; exact BIGINT arithmetic, so any
-    * engine reproduces it.
-    *
-    * Folds over `split(text, "")` rather than indexing with
-    * `substr(i, 1)`: per-index substring is O(position) on UTF8 bytes
-    * (quadratic per document — profiled 3× slower); the split is one
-    * linear pass. Empty fragments are filtered (split can emit them at
-    * the boundaries).
+    * engine reproduces it. Native one-pass code-point fold
+    * ([[graft.functions.RollingFpExpr]]); [[rollingFingerprintHof]] is
+    * the builtin cross-check.
     */
   def rollingFingerprint(text: Column): Column =
+    graft.functions.TextExprs.rollingFp(text)
+
+  /** HOF formulation of [[rollingFingerprint]]: folds over
+    * `split(text, "")` (one fragment per code point) rather than indexing
+    * with `substr(i, 1)` — per-index substring is O(position) on UTF8
+    * bytes, quadratic per document. Interpreted lambda per char; kept as
+    * the semantic reference (TextExprsSpec: native ≡ HOF).
+    */
+  def rollingFingerprintHof(text: Column): Column =
     aggregate(
       filter(split(text, ""), c => c =!= ""),
       lit(0L),

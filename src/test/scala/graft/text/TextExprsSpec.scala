@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextExprs
+
+/** Native text expressions ≡ the builtin-HOF reference forms, on both a
+  * hand-built multilingual fixture and the real documents table — the
+  * equality that keeps the DuckDB oracle parity intact after swapping
+  * the hot path to the one-pass native scorers.
+  */
+class TextExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = Seq(
+    "the cat sat of the mat and it is that",
+    "der hund und die katze ist ein tier",
+    "le chat et la souris est une histoire",
+    "el gato y los perros es una historia",
+    "的 是 了 在 我 有 什么",
+    "una le est",                       // fr/es marker overlap
+    "xyzzy plugh",                      // zero hits -> und
+    "",                                 // empty doc
+    "a  the   of",                      // multi-space runs
+    "the the the und und le le la es es") // cross-language tie material
+
+  private def docs = fixture.toDF("text")
+
+  test("tokenSetCount ≡ size(filter(split, isin))") {
+    val hof = size(filter(split($"text", " "),
+      t => t.isin(TextAnalysis.Stopwords: _*)))
+    val out = docs.select(
+      TextExprs.tokenSetCount($"text", TextAnalysis.Stopwords).as("n"),
+      hof.as("h")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("native langId ≡ HOF langId on fixture + real documents") {
+    val fx = docs.select(TextAnalysis.langId($"text").as("a"),
+      TextAnalysis.langIdHof($"text").as("b")).collect()
+    fx.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = real.select(TextAnalysis.langId(col("text")).as("a"),
+      TextAnalysis.langIdHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(cmp == 0)
+  }
+
+  test("native rollingFp ≡ HOF fold on fixture + real documents") {
+    val fx = docs.select(TextAnalysis.rollingFingerprint($"text").as("a"),
+      TextAnalysis.rollingFingerprintHof($"text").as("b")).collect()
+    fx.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = real.select(
+      TextAnalysis.rollingFingerprint(col("text")).as("a"),
+      TextAnalysis.rollingFingerprintHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(cmp == 0)
+  }
+
+  test("native bpeTokenCount ≡ size(bpeTokens) on fixture + real documents") {
+    val edge = (fixture ++ Seq("a!!b", "!!", "!a!", "a1b2", " x ", "...a...b"))
+      .toDF("text")
+    val fx = edge.select(TextExprs.bpeTokenCount($"text").as("a"),
+      size(TextAnalysis.bpeTokens($"text")).as("b")).collect()
+    fx.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = real.select(TextExprs.bpeTokenCount(col("text")).as("a"),
+      size(TextAnalysis.bpeTokens(col("text"))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(cmp == 0)
+  }
+
+  test("rollingFp hand-check: h = ((0*31+c1)*31+c2)... mod 1e9+7") {
+    val expected = "abc".foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    val got = Seq("abc").toDF("t")
+      .select(TextExprs.rollingFp($"t")).as[Long].head()
+    assert(got == expected)
+  }
+
+  test("native text exprs stay inside whole-stage codegen") {
+    val plan = spark.range(5).select(
+        TextExprs.langId(concat(lit("the x "), col("id")),
+          TextAnalysis.LangMarkers).as("l"),
+        TextExprs.rollingFp(col("id").cast("string")).as("f"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.trim.startsWith("*(") && l.contains("lang_id")), plan)
+  }
+}
