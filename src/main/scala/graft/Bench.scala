@@ -32,6 +32,9 @@ object Bench {
       // — small stages collapse to few tasks, large ones stay wide
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // ~70 queries × several codegen stages cycle the default 100-entry
+      // generated-class cache — recompiles then dominate small queries
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

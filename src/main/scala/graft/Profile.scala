@@ -21,10 +21,32 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (sys.env.contains("SPARK_GRAFT_EXPERIMENT")) {
+      import org.apache.spark.sql.functions._
+      val fr = graft.ingest.FrameSource.spectrumFrames(spark, d)
+        .filter(col("frame_id") % 50 === 0)
+      def t(name: String)(mk: => DataFrame): Unit = {
+        force(mk)
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); force(mk)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"EXP $name%-28s min=${times.min}%.3f")
+      }
+      t("scan_only") { graft.util.Tables.events(spark, d)
+        .filter(col("event_id") % 50 === 0).select(col("event_id")) }
+      t("spectrum_frames") { fr }
+      t("spectrum_encode") { fr.select(graft.ingest.FrameCodec.encodeSpectrum(
+        col("frame_id"), lit(0L), lit(0L), col("start_wavelength"),
+        col("wavelength_increment"), col("active_channel_bits"),
+        col("spectrum")).as("b")) }
+      spark.stop(); return
+    }
     sys.env.get("SPARK_GRAFT_PROFILE") match {
       case Some(list) =>
         for (q <- list.split(",").map(_.trim).filter(_.nonEmpty)) {

@@ -44,6 +44,56 @@ object VectorExprs {
 
   def norm(a: Column): Column =
     ColumnBridge.column(NormL2(ColumnBridge.expression(d(a))))
+
+  /** Index of the max-dot-product centroid (first index wins ties) —
+    * the IVF cell assignment kernel. One native call per row looping
+    * centroids × dim; the `least(struct(-dot, idx), …)` column form
+    * unrolls one struct expression per centroid, which at
+    * corpus-scaled cell counts (hundreds) compiles into a JIT-hostile
+    * giant method.
+    */
+  def argmaxDot(vec: Column, centroids: Seq[Array[Double]]): Column =
+    ColumnBridge.column(ArgMaxDot(ColumnBridge.expression(d(vec)),
+      centroids.map(_.toSeq)))
+}
+
+case class ArgMaxDot(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with ArrayDoubleInputs {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  def compute(x: ArrayData): Int = {
+    val v = x.toDoubleArray()
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(v.length, cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += v(i) * cent(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argmaxDot", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxDot =
+    copy(child = newChild)
+  override def prettyName: String = "argmax_dot"
 }
 
 private[functions] trait ArrayDoubleInputs extends Expression {

@@ -3,6 +3,7 @@ package graft.ingest
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
@@ -121,6 +122,38 @@ object FrameCodec {
 
   def decodeSpectrum(bin: Column): Column =
     invoke("decodeSpectrumBytes", spectrumSchema, nullable = true, bin)
+
+  /** Deterministic synthetic spectrum matrix for [[FrameSource]]:
+    * raw[c][p] = (cents + c*1000 + p*7) mod 65536. One native call per
+    * row building the nested array in a tight loop — the unrolled
+    * 128-scalar-expression `array(array(...))` form generated a huge
+    * codegen method (past the JIT's compilation threshold) that cost
+    * ~100 µs/row interpreted.
+    */
+  def synthSpectrum(cents: Column, channels: Int, points: Int): Column =
+    invoke("synthSpectrumMatrix",
+      ArrayType(ArrayType(IntegerType, containsNull = false),
+        containsNull = false), nullable = false,
+      cents.cast("long"), lit(channels).cast("int"), lit(points).cast("int"))
+
+  def synthSpectrumMatrix(cents: Long, channels: Int,
+                          points: Int): ArrayData = {
+    val rows = new Array[Any](channels)
+    var c = 0
+    while (c < channels) {
+      val row = new Array[Int](points)
+      var p = 0
+      while (p < points) {
+        // plain Java % — dividend-sign semantics, identical to Spark's
+        // Remainder and DuckDB's %
+        row(p) = ((cents + c * 1000L + p * 7L) % 65536L).toInt
+        p += 1
+      }
+      rows(c) = new GenericArrayData(row)
+      c += 1
+    }
+    new GenericArrayData(rows)
+  }
 
   // ---- static byte-level implementations (called from generated code) ----
 

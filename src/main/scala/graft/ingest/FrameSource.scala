@@ -109,10 +109,12 @@ object FrameSource {
       lit(0.8).as("wavelength_increment"),
       lit(SpectrumPoints).as("num_points"),
       (col("event_id") % 256).cast("int").as("active_channel_bits"),
-      array((0 until SpectrumChannels).map(c =>
-        array((0 until SpectrumPoints).map(p =>
-          ((floor(col("value") * 100 + lit(0.5)).cast("long") +
-            lit(c.toLong) * 1000 + lit(p.toLong) * 7) % 65536)
-            .cast("int")): _*)): _*).as("spectrum"))
+      // one native call per row (FrameCodec.synthSpectrum) — the unrolled
+      // 128-scalar array(array(...)) construction compiled into a
+      // JIT-hostile giant method (~100 µs/row); same values:
+      // raw[c][p] = (cents + c*1000 + p*7) % 65536
+      FrameCodec.synthSpectrum(
+        floor(col("value") * 100 + lit(0.5)).cast("long"),
+        SpectrumChannels, SpectrumPoints).as("spectrum"))
   }
 }

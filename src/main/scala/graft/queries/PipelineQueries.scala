@@ -38,9 +38,27 @@ object PipelineQueries {
   private val MinhashN = 4       // hashes exposed by q_minhash
   private val LshBands = 4
   private val LshRows = 2        // 8 hashes total for LSH
-  private val AnnBits = 6        // SRP bucket bits (64 buckets)
-  private val AnnProbes = 16     // multi-probe: ~1/4 of the bucket space
-  private val IvfCells = 8       // IVF coarse-quantizer cells
+
+  /** ANN/near-dup blocking parameters are FUNCTIONS of corpus size
+    * (within-bucket joins are quadratic in occupancy — fixed bits that
+    * are fine at 10^5 vectors melt down at 10^9). Targets are chosen so
+    * the sf0.01 instantiation (500 embeddings) lands on bits=6 /
+    * cells=8 — exactly the literal hyperplane/centroid sets the oracle
+    * SQL embeds, so the driver's DuckDB compare stays bit-exact while
+    * bench runs at other scale factors get properly scaled blocking.
+    */
+  private val AnnTargetBucket = 8L
+  private val IvfTargetCell = 64L
+  private def embCount(s: SparkSession, d: String): Long =
+    embeddings(s, d).count()
+  private def annBits(n: Long): Int =
+    Similarity.srpBitsFor(n, AnnTargetBucket)
+  private def annProbes(bits: Int): Int = math.max(1, (1 << bits) / 4)
+  private def ivfCells(n: Long): Int =
+    Similarity.ivfCellsFor(n, IvfTargetCell)
+  /** the sf0.01 values, which the static oracle SQL is generated for */
+  private val AnnBits = 6
+  private val IvfCells = 8
 
   /** CTE producing (doc_id, band_idx, band_key) — mirror of Dedup.lshBands
     * with n=2, bands=4, rowsPerBand=2: ONE md5 per shingle, k 16-bit
@@ -152,7 +170,8 @@ object PipelineQueries {
     "q_embed_neardup" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("bucket", Similarity.srpBucket(col("v"), 64, AnnBits))
+        .withColumn("bucket",
+          Similarity.srpBucket(col("v"), 64, annBits(embCount(s, d))))
       val mat = emb.localCheckpoint(false)
       val a = mat.select(col("vec_id").as("id_a"), col("v").as("va"),
         col("bucket"))
@@ -192,9 +211,10 @@ object PipelineQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val qv = emb.filter(col("vec_id") === 0)
         .head().getSeq[Double](1).toArray
+      val bits = annBits(embCount(s, d))
       Similarity.annSearch(emb.filter(col("vec_id") =!= 0),
-          col("vec_id"), col("v"), qv, dim = 64, nBits = AnnBits,
-          nProbes = AnnProbes, k = 20)
+          col("vec_id"), col("v"), qv, dim = 64, nBits = bits,
+          nProbes = annProbes(bits), k = 20)
         .select(col("vec_id"), r(col("sim"), 4).as("sim"))
     }),
 
@@ -212,17 +232,19 @@ object PipelineQueries {
         .head().getSeq[Double](1).toArray
       val cand = emb.filter(col("vec_id") =!= 0)
       val k = 10
+      val bits = annBits(embCount(s, d))
+      val probes = annProbes(bits)
       val qCol = array(qv.map(lit): _*)
       val bf = Similarity.bruteForceTopK(cand, col("vec_id"), col("v"),
         qCol, k).select(col("vec_id"))
       val ann = Similarity.annSearch(cand, col("vec_id"), col("v"), qv,
-        dim = 64, nBits = AnnBits, nProbes = AnnProbes, k = k)
+        dim = 64, nBits = bits, nProbes = probes, k = k)
         .select(col("vec_id"))
       ann.join(bf, "vec_id")
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(k).as("k"), col("n_overlap"),
           (col("n_overlap") / k).as("recall"),
-          lit(AnnProbes.toDouble / (1 << AnnBits)).as("scan_frac"))
+          lit(probes.toDouble / (1 << bits)).as("scan_frac"))
     }),
 
     // IVF-bucketed ANN, single-probe (the oracle-expressible config;
@@ -233,7 +255,7 @@ object PipelineQueries {
     // literals, so this one IS hash-checked (unlike SRP multi-probe,
     // whose query-directed probe list is driver-side).
     "q_ann_ivf" -> ((s, d) => {
-      val cents = Similarity.ivfCentroids(64, IvfCells)
+      val cents = Similarity.ivfCentroids(64, ivfCells(embCount(s, d)))
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val qv = emb.filter(col("vec_id") === 0)
@@ -247,6 +269,44 @@ object PipelineQueries {
           r(Similarity.cosine(col("v"), qCol), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Multi-probe IVF (nprobe=2): the production recall/scan-cost knob —
+    // probe the two highest-dot cells, exact-cosine re-rank across both.
+    // Hash-checked like q_ann_ivf: the oracle re-derives the top-2 cell
+    // argmaxes from the same centroid literals (first-max tie-breaking in
+    // both engines).
+    "q_ann_ivf_probe" -> ((s, d) => {
+      val cents = Similarity.ivfCentroids(64, ivfCells(embCount(s, d)))
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Double](1).toArray
+      val probes = Similarity.ivfProbes(qv, cents, 2)
+      val qCol = array(qv.map(lit): _*)
+      emb.filter(col("vec_id") =!= 0)
+        .withColumn("cell", Similarity.ivfAssign(col("v"), cents))
+        .filter(col("cell").isin(probes: _*))
+        .select(col("vec_id"), col("cell"),
+          r(Similarity.cosine(col("v"), qCol), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Bucket-occupancy skew guard over the SRP blocking (bits scaled by
+    // corpus size): the histogram that must be CHECKED before trusting a
+    // blocked self-join at a new scale — a hot bucket is quadratic
+    // blowup. Exact p99 here for oracle parity; the operator's default
+    // is the one-pass percentile_approx sketch.
+    "q_bucket_occupancy" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("embedding").cast("array<double>").as("v"))
+      val bits = annBits(embCount(s, d))
+      Similarity.bucketOccupancy(emb,
+          Similarity.srpBucket(col("v"), 64, bits), exactP99 = true)
+        .select(col("n_buckets"), col("max_bucket"),
+          r(col("p99_bucket")).as("p99_bucket"),
+          r(col("avg_bucket")).as("avg_bucket"))
     }),
 
     // ---- multimodal -----------------------------------------------------
@@ -440,6 +500,55 @@ object PipelineQueries {
          |FROM cells, q, qc
          |WHERE cells.cell = qc.cell AND vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // top-2 cells via first-max argmax twice (second pass masks the
+    // first winner), mirroring ivfProbes' (-dot, idx) ordering
+    "q_ann_ivf_probe" -> {
+      def dots(vecExpr: String) = graft.sim.Similarity.ivfCentroids(64, 8)
+        .map(c => s"list_dot_product($vecExpr, ${c.mkString("[", ", ", "]")})")
+        .mkString("[", ", ", "]")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 0),
+         |cells AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_position(ds, list_max(ds)) - 1 AS cell
+         |  FROM (SELECT vec_id, embedding,
+         |          ${dots("CAST(embedding AS DOUBLE[])")} AS ds
+         |        FROM embeddings)),
+         |qd AS (SELECT ${dots("qv")} AS ds FROM q),
+         |qp AS (
+         |  SELECT c1, list_position(ds2, list_max(ds2)) - 1 AS c2
+         |  FROM (
+         |    SELECT ds, list_position(ds, list_max(ds)) - 1 AS c1,
+         |      list_transform(generate_series(1, len(ds)),
+         |        j -> CASE WHEN j - 1 = list_position(ds, list_max(ds)) - 1
+         |             THEN -1e308 ELSE ds[j] END) AS ds2
+         |    FROM qd))
+         |SELECT vec_id, cast(cell AS int) AS cell,
+         |  ${rs("list_cosine_similarity(v, qv)", 4)} AS sim
+         |FROM cells, q, qp
+         |WHERE (cells.cell = qp.c1 OR cells.cell = qp.c2) AND vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // same seeded 6-bit hyperplane literals as q_embed_neardup; exact
+    // p99 (quantile_cont ≡ Spark's sort-based percentile: both
+    // interpolate at (n-1)*q)
+    "q_bucket_occupancy" -> {
+      val bucket = graft.sim.Similarity.srpPlanes(64, AnnBits)
+        .zipWithIndex.map { case (plane, b) =>
+          val arr = plane.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr)" +
+            s" > 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT $bucket AS bucket, count(*) AS n
+         |  FROM embeddings GROUP BY 1)
+         |SELECT count(*) AS n_buckets, max(n) AS max_bucket,
+         |  ${rs("quantile_cont(n, 0.99)", 4)} AS p99_bucket,
+         |  ${rs("avg(n)", 4)} AS avg_bucket
+         |FROM c""".stripMargin
     },
 
     "q_cosine_topk" ->

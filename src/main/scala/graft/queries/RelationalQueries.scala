@@ -85,13 +85,13 @@ object RelationalQueries {
     // left-semi: orders having a heavy line (EXISTS)
     "q_semi_join" -> ((s, d) =>
       orders(s, d).join(
-        lineitem(s, d).filter(col("l_quantity") >= 48),
+        lineitem(s, d).filter(col("l_quantity") >= 48).hint("shuffle_hash"),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
         .select(col("o_orderkey"))),
 
     // left-anti: customers with no orders (NOT EXISTS)
     "q_anti_join" -> ((s, d) =>
-      customer(s, d).join(orders(s, d),
+      customer(s, d).join(orders(s, d).hint("shuffle_hash"),
         col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"))),
 
@@ -112,7 +112,7 @@ object RelationalQueries {
     // customers with zero orders stay (count = 0), then the histogram
     // of order counts
     "q_order_dist" -> ((s, d) =>
-      customer(s, d).join(orders(s, d),
+      customer(s, d).join(orders(s, d).hint("shuffle_hash"),
           col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("c_count"))

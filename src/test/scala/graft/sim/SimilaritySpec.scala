@@ -141,6 +141,47 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= 0.9, s"multi-probe recall $multi < 0.9 (single $single)")
   }
 
+  test("srpBitsFor / ivfCellsFor scale with corpus size and clamp") {
+    // constant expected occupancy: doubling n adds one bit
+    assert(Similarity.srpBitsFor(500, 8) == 6)   // the sf0.01 oracle value
+    assert(Similarity.srpBitsFor(1000, 8) == 7)
+    assert(Similarity.srpBitsFor(1L << 40, 8) == 30) // maxBits clamp
+    assert(Similarity.srpBitsFor(10, 64) == 4)       // minBits clamp
+    assert(Similarity.ivfCellsFor(500, 64) == 8)     // the sf0.01 value
+    assert(Similarity.ivfCellsFor(5000, 64) == 79)
+    assert(Similarity.ivfCellsFor(1, 64) == 4)       // minCells clamp
+  }
+
+  test("bucketOccupancy bounds the max bucket on the clustered fixture") {
+    // 10 clusters of 50 — the skew-guard histogram must see per-cluster
+    // bucket concentration but no runaway bucket beyond cluster size
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 500).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.toSeq.map(_ + 0.3 * rnd.nextGaussian()))
+    }
+    val df = data.toDF("vec_id", "v")
+    val bits = Similarity.srpBitsFor(500, 8)
+    val occ = Similarity.bucketOccupancy(df,
+        Similarity.srpBucket($"v", 64, bits))
+      .as[(Long, Long, Double, Double)].head()
+    val (nBuckets, maxBucket, p99, avg) = occ
+    assert(nBuckets >= 10)           // clusters spread over ≥ #cluster buckets
+    assert(maxBucket <= 3 * 50,      // no runaway bucket vs cluster size 50
+      s"max bucket $maxBucket")
+    assert(p99 <= maxBucket && avg <= maxBucket)
+  }
+
+  test("ivfProbes(nprobe=2) are the two highest-dot cells in order") {
+    val cents = Seq(Array(1.0, 0.0), Array(0.5, 0.5), Array(0.0, 1.0))
+    assert(Similarity.ivfProbes(Array(1.0, 0.1), cents, 2) == Seq(0, 1))
+    assert(Similarity.ivfProbes(Array(0.1, 1.0), cents, 2) == Seq(2, 1))
+    // tie → lower index first
+    assert(Similarity.ivfProbes(Array(1.0, 1.0),
+      Seq(Array(1.0, 0.0), Array(0.0, 1.0)), 2) == Seq(0, 1))
+  }
+
   test("ivfAssign picks the max-dot-product centroid") {
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
     val df = Seq((0L, Seq(0.9, 0.1)), (1L, Seq(0.1, 0.9)), (2L, Seq(-5.0, 0.0)))
@@ -148,5 +189,21 @@ class SimilaritySpec extends SparkSpec {
     val cells = df.select($"vec_id", Similarity.ivfAssign($"v", cents).as("c"))
       .as[(Long, Int)].collect().toMap
     assert(cells == Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
+  test("native ivfAssign ≡ least(struct) column form, incl. ties") {
+    val rnd = new scala.util.Random(3)
+    val cents = Seq.fill(17)(Array.fill(16)(rnd.nextGaussian()))
+    val data = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian()))) ++
+      // exact-tie rows: equal dots against duplicated centroids
+      Seq((900L, cents(3).toSeq), (901L, Seq.fill(16)(0.0)))
+    val df = data.toDF("vec_id", "v")
+    val dupCents = cents :+ cents(3) // duplicate → tie on every row's dot
+    val cmp = df.select(
+        Similarity.ivfAssign($"v", dupCents).as("a"),
+        Similarity.ivfAssignCols($"v", dupCents).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(cmp == 0)
   }
 }
