@@ -77,7 +77,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val streaming = streamingFigure(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"sf":"$sfDir"}"""
+    println(json)
+    // also persist as a file: the driver's stdout capture truncates long
+    // lines, which left BENCH_r02 without machine-readable per-query
+    // numbers (ADVICE r2) — bench_out.json survives verbatim
+    try Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 
@@ -85,33 +93,50 @@ object Bench {
     * dir's events is pushed through the full PeakStreaming pipeline
     * (watermark → hourly windows → VecMean → dual st/lt parquet sinks)
     * as a file-source stream drained with Trigger.AvailableNow across
-    * multiple micro-batches. frames_per_sec is processing capacity —
-    * compare the reference's 10 Hz live ingest loop.
+    * MANY micro-batches: the feed is written as time-ordered slices
+    * (sequential writes → increasing modification times, which is the
+    * file source's pick order) and `maxFilesPerTrigger` caps each batch
+    * at one slice, so watermark advancement and windowed-state eviction
+    * are exercised batch over batch — not collapsed into one giant
+    * batch. frames_per_sec is processing capacity — compare the
+    * reference's 10 Hz live ingest loop.
     */
   private def streamingFigure(spark: SparkSession, sfDir: String): String =
     try {
+      import org.apache.spark.sql.functions._
       val tmp = Files.createTempDirectory("graft_stream_bench").toString
       val src = s"$tmp/src"
       val frames = graft.ingest.FrameSource.frames(spark, sfDir)
-      frames.repartition(16).write.parquet(src)
+      val Array(mnMs, mxMs) = frames
+        .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val nSlices = 16
+      val width = math.max(1L, (mxMs - mnMs) / nSlices + 1)
+      val sliced = frames.withColumn("__slice",
+        ((unix_millis(col("ts")) - mnMs) / width).cast("int"))
+      for (i <- 0 until nSlices) {
+        sliced.filter(col("__slice") === i).drop("__slice")
+          .coalesce(1) // one file per slice → exactly one batch per slice
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(src)
+      }
       val schema = spark.read.parquet(src).schema
       val n = spark.read.parquet(src).count()
       val t0 = System.nanoTime()
-      // One data batch (files are not time-ordered — more batches would
-      // advance the watermark past later files' events and drop them),
-      // then the no-data finalization batch closes the windows.
       val query = graft.pipeline.PeakStreaming.stream(
-          spark.readStream.schema(schema).parquet(src),
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1") // = one time slice
+            .parquet(src),
           s"$tmp/st", s"$tmp/lt", s"$tmp/ck",
           windowMs = 3600 * 1000)
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
+      val nBatches = query.recentProgress.count(_.numInputRows > 0)
       val stRows = spark.read.parquet(s"$tmp/st").count()
       val ltRows = spark.read.parquet(s"$tmp/lt").count()
       s"""{"frames":$n,"elapsed_sec":$sec,"frames_per_sec":${n / sec},""" +
-        s""""st_rows":$stRows,"lt_rows":$ltRows}"""
+        s""""n_batches":$nBatches,"st_rows":$stRows,"lt_rows":$ltRows}"""
     } catch {
       case e: Throwable =>
         s"""{"error":"${e.toString.linesIterator.next().take(200)

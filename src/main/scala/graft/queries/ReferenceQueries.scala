@@ -338,6 +338,19 @@ object ReferenceQueries {
             .as("m_last"))
     }),
 
+    // S10 — SQL DDL bootstrap (ref: database_peak_streaming.py:74-101):
+    // the four generated CREATE TABLE IF NOT EXISTS statements through
+    // spark.sql, then the catalog enumeration (sqlite_master equivalent)
+    // with per-table column counts: id+timestamp+8 ports = 10,
+    // id+8 peaks = 9.
+    "q_ddl_catalog" -> ((s, d) => {
+      val loc = System.getProperty("java.io.tmpdir") +
+        "/graft_ddl_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Ddl.bootstrap(s, FrameSource.NumPorts,
+        FrameSource.NumPeaks, loc)
+      graft.util.Ddl.catalogTables(s)
+    }),
+
     // S13 — CSV export sink + read-back (ref: analyze_data.py:8-16): the
     // roundtrip IS the check — what the sink wrote must reproduce the
     // source exactly.
@@ -492,6 +505,11 @@ object ReferenceQueries {
         names.map(n => s"('graft_$n', true)").mkString(", ") +
         ") t(table_name, is_temp)"
     },
+
+    "q_ddl_catalog" ->
+      ("SELECT * FROM (VALUES ('lt_data', cast(10 AS bigint)), " +
+        "('lt_peak', cast(9 AS bigint)), ('st_data', cast(10 AS bigint)), " +
+        "('st_peak', cast(9 AS bigint))) t(table_name, n_cols)"),
 
     // binary round-trips: every field recomputed arithmetically — what the
     // decode of the encode MUST produce if both sides implement the wire
