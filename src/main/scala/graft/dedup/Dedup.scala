@@ -138,14 +138,27 @@ object Dedup {
     * self-join shuffles on band key only — at 100 TB this is the step
     * that replaces the quadratic all-pairs compare.
     *
-    * The bands table is materialized once (`localCheckpoint`) before the
-    * self-join: without it Spark recomputes the whole shingle→minhash
-    * pipeline on BOTH join sides. The bands table is narrow
-    * (id, int, 32-char key) — a tiny fraction of corpus bytes, safe to
-    * persist even at scale.
+    * The bands table is materialized once before the self-join: without
+    * it Spark recomputes the whole shingle→minhash pipeline on BOTH
+    * join sides. Two materialization modes:
+    *  - `materializePath = None` (interactive/default):
+    *    `localCheckpoint` — executor-local blocks, zero external I/O,
+    *    but blocks die with an executor and the lineage is truncated
+    *    (no recompute on loss).
+    *  - `materializePath = Some(dir)` (the 100 TB configuration): the
+    *    narrow bands table (id, int, 32-char key — a tiny fraction of
+    *    corpus bytes) is written to reliable storage and re-read, so a
+    *    lost executor re-reads instead of re-hashing the corpus, and
+    *    the run is resumable across job restarts.
     */
-  def lshCandidatePairs(bandsDf: DataFrame): DataFrame = {
-    val mat = bandsDf.localCheckpoint(false)
+  def lshCandidatePairs(bandsDf: DataFrame,
+                        materializePath: Option[String] = None): DataFrame = {
+    val mat = materializePath match {
+      case Some(dir) =>
+        bandsDf.write.mode("overwrite").parquet(dir)
+        bandsDf.sparkSession.read.parquet(dir)
+      case None => bandsDf.localCheckpoint(false)
+    }
     val a = mat.as("a")
     val b = mat.as("b")
     a.join(b,

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *    JDK, no native codecs);
   *  - audio: REAL — WAV/PCM decoded by a hand-rolled RIFF chunk walker
   *    (pure JDK);
-  *  - video: STUB — no pure-JVM video codec exists; the frame sampler
-  *    keeps the real partition/batch shape over opaque chunks.
+  *  - animated GIF: REAL — multi-frame decode via the JDK's GIF reader
+  *    (frame sampling yields decoded frames re-encoded as BMP rows);
+  *  - true video (mp4/mkv): STUB — no pure-JVM codec exists; the frame
+  *    sampler keeps the real partition/batch shape over opaque chunks.
   *
   * Everything runs via `mapPartitions` (the Scala analogue of
   * `mapInPandas` — one iterator per partition, so codec/model
@@ -259,18 +261,99 @@ object MultiModal {
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       .withColumn("header_hex", lower(hex(substring(col("payload"), 1, 8))))
 
-  /** STUB frame-sampler: pick every `stride`-th "frame" (payload chunk of
-    * `frameBytes`) — the partition/batch shape of real video sampling.
+  /** Deterministic multi-frame animated GIF fixture, written with the
+    * JDK's own GIF encoder (so the bytes are a REAL container, not a
+    * hand-rolled approximation of one).
+    */
+  private[multimodal] def buildGif(w: Int, h: Int, nFrames: Int,
+                                   seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (((seed * 31 + f * 97 + y * w + x) % 255)
+            * 0x010101).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  private def isGif(p: Array[Byte]): Boolean =
+    p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8'
+
+  /** Frame sampler, REAL for GIF containers: every `stride`-th frame is
+    * decoded with the JDK's multi-frame GIF reader and re-encoded as a
+    * standalone BMP payload (decoded pixels, decoded dimensions —
+    * downstream stages treat each frame as an image row). True video
+    * containers (mp4/mkv — no pure-JVM codec exists) keep the opaque
+    * chunk-sampling shape: every `stride`-th `frameBytes` chunk.
+    * One reader per partition (the mapPartitions codec-amortization
+    * pattern — a real ffmpeg context would be initialized the same way).
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
                    stride: Int): DataFrame = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val nFrames = math.max(1, r.payload.length / math.max(1, frameBytes))
-      (0 until nFrames by stride).map { f =>
-        (r.media_id, f,
-          r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+    media.mapPartitions { rows =>
+      lazy val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        if (isGif(r.payload)) {
+          reader.setInput(ImageIO.createImageInputStream(
+            new ByteArrayInputStream(r.payload)))
+          val n = reader.getNumImages(true)
+          (0 until n by stride).map { f =>
+            val img = reader.read(f)
+            val bgr = new java.awt.image.BufferedImage(img.getWidth,
+              img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = bgr.createGraphics()
+            g.drawImage(img, 0, 0, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            ImageIO.write(bgr, "bmp", bos)
+            (r.media_id, f, bos.toByteArray)
+          }
+        } else {
+          val nFrames =
+            math.max(1, r.payload.length / math.max(1, frameBytes))
+          (0 until nFrames by stride).map { f =>
+            (r.media_id, f,
+              r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+          }
+        }
       }
     }.toDF("media_id", "frame_idx", "frame_payload")
+  }
+
+  /** GIF media table: deterministic multi-frame animations per id
+    * (w = 2 + id%5, h = 1 + id%3, frames = 2 + id%4).
+    */
+  def asGifMediaTable(docs: DataFrame, id: String): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { mid =>
+          MediaRow(mid, "video",
+            buildGif((2 + mid % 5).toInt, (1 + mid % 3).toInt,
+              (2 + mid % 4).toInt, mid))
+        }
+      }
   }
 }

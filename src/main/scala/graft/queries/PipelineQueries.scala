@@ -344,6 +344,29 @@ object PipelineQueries {
       MultiModal.sampleFrames(media, frameBytes = 64, stride = 2)
         .select(col("media_id"), col("frame_idx"),
           octet_length(col("frame_payload")).cast("long").as("frame_bytes"))
+    }),
+
+    // REAL multi-frame decode: deterministic animated GIFs (JDK-encoded)
+    // → every 2nd frame decoded by the JDK's GIF reader → each decoded
+    // frame's DIMENSIONS re-read from the re-encoded BMP payload. The
+    // oracle recomputes frame indices and dimensions arithmetically, so
+    // a sampler that faked the decode (or returned wrong frames) fails
+    // the hash gate. 1-in-10 ids keeps the fixture-encode cost bounded.
+    "q_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val gifs = MultiModal.asGifMediaTable(
+        documents(s, d).filter(col("doc_id") % 10 === 0), "doc_id")
+      val frames = MultiModal.sampleFrames(gifs, frameBytes = 64, stride = 2)
+        .select(col("media_id"), col("frame_idx"), col("frame_payload"))
+        .as[(Long, Int, Array[Byte])]
+      MultiModal.decodeMedia(
+          frames.map { case (id, f, p) =>
+            MultiModal.MediaRow(id * 1000 + f, "image", p)
+          })
+        .toDF()
+        .select((col("media_id") / 1000).cast("long").as("media_id"),
+          (col("media_id") % 1000).cast("int").as("frame_idx"),
+          col("width").as("w"), col("height").as("h"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -581,6 +604,14 @@ object PipelineQueries {
          |   AS frame_bytes
          |FROM documents, generate_series(0, 8191, 2) t(f)
          |WHERE f < greatest(octet_length(encode(text)) // 64, 1)""").stripMargin,
+
+    // frame_idx 0,2,4 of nFrames = 2 + id%4; dims w = 2+id%5, h = 1+id%3
+    "q_video_frames" ->
+      ("""SELECT doc_id AS media_id, cast(f AS int) AS frame_idx,
+         | cast(2 + doc_id % 5 AS int) AS w,
+         | cast(1 + doc_id % 3 AS int) AS h
+         |FROM documents, generate_series(0, 4, 2) t(f)
+         |WHERE doc_id % 10 = 0 AND f < 2 + doc_id % 4""").stripMargin,
 
     // Decoded facts recomputed arithmetically: BMP size = 54 + h*rowSize
     // (rows padded to 4 bytes), WAV size = 44 + 2n, duration follows the

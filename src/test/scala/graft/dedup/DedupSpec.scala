@@ -50,6 +50,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
     // doc 3 shares no shingles with anything -> should pair with nothing
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+
+    // reliable-storage materialization (the 100 TB config): identical
+    // pairs, and the narrow bands table lands as parquet at the path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_bands").toString + "/bands"
+    val persisted = Dedup.lshCandidatePairs(bands, Some(dir))
+      .as[(Long, Long)].collect().toSet
+    assert(persisted == pairs)
+    assert(spark.read.parquet(dir).columns.toSeq ==
+      Seq("doc_id", "band_idx", "band_key"))
   }
 
   test("minhash signature is identical for identical docs") {

@@ -94,4 +94,27 @@ class MultiModalSpec extends SparkSpec {
     assert(frames.toSeq == Seq((0L, 0), (0L, 2), (1L, 0),
       (2L, 0), (2L, 2), (2L, 4)))
   }
+
+  test("GIF frame sampling: REAL multi-frame decode, dims + indices") {
+    // hand-built 5-frame 4x3 animation; stride 2 → frames 0, 2, 4, each
+    // a decoded BMP whose re-decoded dimensions must match the source
+    val gif = MultiModal.buildGif(w = 4, h = 3, nFrames = 5, seed = 9L)
+    assert(new String(gif.take(6)) == "GIF89a") // a real container
+    val ds = Seq(MultiModal.MediaRow(42L, "video", gif)).toDS()
+    val frames = MultiModal.sampleFrames(ds, frameBytes = 64, stride = 2)
+      .select($"media_id", $"frame_idx", $"frame_payload")
+      .as[(Long, Int, Array[Byte])].collect().sortBy(_._2)
+    assert(frames.map(f => (f._1, f._2)).toSeq ==
+      Seq((42L, 0), (42L, 2), (42L, 4)))
+    frames.foreach { case (_, _, p) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(img.getWidth == 4 && img.getHeight == 3)
+    }
+    // stride 1 over a 2-frame GIF → both frames
+    val gif2 = MultiModal.buildGif(2, 2, 2, 1L)
+    val all = MultiModal.sampleFrames(
+        Seq(MultiModal.MediaRow(7L, "video", gif2)).toDS(), 64, 1)
+      .select($"frame_idx").as[Int].collect().sorted
+    assert(all.toSeq == Seq(0, 1))
+  }
 }
