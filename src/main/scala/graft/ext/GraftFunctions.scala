@@ -5,10 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CosineSim, DotProduct, NormL2}
+import graft.functions.{BpeCountExpr, CosineSim, DotProduct, LangIdExpr, NormL2, RollingFpExpr, TokenSetCount, VecMeanExpr}
+import graft.text.TextAnalysis
 
-/** SQL surface for the native vector expressions: `graft_dot`,
-  * `graft_cosine`, `graft_norm` become callable from `spark.sql(...)`.
+/** SQL surface for the native expressions: `graft_dot`, `graft_cosine`,
+  * `graft_norm`, `graft_lang_id`, `graft_rolling_fp`,
+  * `graft_bpe_count`, `graft_stopword_count`, and the `graft_vec_mean`
+  * aggregate become callable from `spark.sql(...)`.
   *
   * Two registration paths:
   *  - new sessions: `.config("spark.sql.extensions",
@@ -27,7 +30,28 @@ object GraftFunctions {
       (c: Seq[Expression]) => CosineSim(c(0), c(1))),
     (FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[NormL2].getCanonicalName, "graft_norm"),
-      (c: Seq[Expression]) => NormL2(c.head)))
+      (c: Seq[Expression]) => NormL2(c.head)),
+    (FunctionIdentifier("graft_lang_id"),
+      new ExpressionInfo(classOf[LangIdExpr].getCanonicalName,
+        "graft_lang_id"),
+      (c: Seq[Expression]) => LangIdExpr(c.head, TextAnalysis.LangMarkers)),
+    (FunctionIdentifier("graft_rolling_fp"),
+      new ExpressionInfo(classOf[RollingFpExpr].getCanonicalName,
+        "graft_rolling_fp"),
+      (c: Seq[Expression]) => RollingFpExpr(c.head)),
+    (FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeCountExpr].getCanonicalName,
+        "graft_bpe_count"),
+      (c: Seq[Expression]) => BpeCountExpr(c.head)),
+    (FunctionIdentifier("graft_stopword_count"),
+      new ExpressionInfo(classOf[TokenSetCount].getCanonicalName,
+        "graft_stopword_count"),
+      (c: Seq[Expression]) =>
+        TokenSetCount(c.head, TextAnalysis.Stopwords)),
+    (FunctionIdentifier("graft_vec_mean"),
+      new ExpressionInfo(classOf[VecMeanExpr].getCanonicalName,
+        "graft_vec_mean"),
+      (c: Seq[Expression]) => VecMeanExpr(c.head).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
     descriptions.foreach { case (id, _, builder) =>

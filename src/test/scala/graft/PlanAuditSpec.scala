@@ -1,0 +1,91 @@
+package graft
+
+/** Executable plan-shape audit for the scale-critical queries: the
+  * properties that make these plans survive a 100×/1000× scale-up are
+  * asserted against the actual physical plans, not just claimed in
+  * comments — a regression that reintroduces a cartesian product, drops
+  * a broadcast hint, loses column pruning, or re-materializes the LSH
+  * pipeline on both join sides fails CI here.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("no nested-loop/cartesian joins anywhere in the join-family plans") {
+    for (q <- Seq("q_asof_join", "q_range_join", "q_embed_neardup",
+        "q_ann_ivf", "q_ann_ivf_probe", "q_lsh_pairs", "q_jaccard_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoop") &&
+        !p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q_scan_project: column-pruned parquet scan") {
+    val p = plan("q_scan_project")
+    // events has (event_id, ts, user_id, value, props) — props/user_id
+    // must not be read for a 3-column projection
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("props"), s"unpruned scan:\n$p")
+  }
+
+  test("q1_agg: shipdate filter reaches the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), s"filter not pushed:\n$p")
+  }
+
+  test("q3: dimension broadcast + top-k as TakeOrderedAndProject") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_topk: TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("q_window_mean: map-side partial vec_mean before one exchange") {
+    val p = plan("q_window_mean")
+    val partialIdx = p.indexOf("partial_vec_mean")
+    assert(partialIdx >= 0, s"no map-side partial aggregation:\n$p")
+    // partial agg must sit BELOW the exchange (later in the tree print)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial agg not below the exchange:\n$p")
+  }
+
+  test("q_spectrum_calibrate: matrix built once, bitmap gates before it") {
+    val p = plan("q_spectrum_calibrate")
+    // exactly ONE synthSpectrum call site in the whole plan — the
+    // stacked-Generate form duplicated the full matrix build into an
+    // inferred filter (11× DuckDB in BENCH_r02)
+    val hits = "synthSpectrumMatrix".r.findAllIn(p).size
+    assert(hits == 1, s"matrix construction appears $hits times:\n$p")
+    assert("Generate ".r.findAllIn(p).size == 2, p) // channel + point
+  }
+
+  test("q_lsh_pairs: bands materialized — documents scanned on no side") {
+    val p = plan("q_lsh_pairs")
+    assert(!p.contains("documents.parquet"),
+      s"join side recomputes the shingle pipeline:\n$p")
+  }
+
+  test("q_topk_per_key: custom exec with one hash exchange, no window sort") {
+    val p = plan("q_topk_per_key")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_stride / q_min_key: scalar probes broadcast, no global sort") {
+    for (q <- Seq("q_stride", "q_ttl_surviving")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("GlobalLimit") || !p.contains("Sort "), s"$q:\n$p")
+    }
+  }
+}

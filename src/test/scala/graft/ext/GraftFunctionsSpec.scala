@@ -15,12 +15,39 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(c == 1.0 && d == 11.0 && n == 5.0)
   }
 
+  test("registered SQL text kernels evaluate the native expressions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_lang_id('the cat and the hat') AS lang, " +
+        "graft_rolling_fp('abc') AS fp, " +
+        "graft_bpe_count('a!!b') AS bpe, " +
+        "graft_stopword_count('the cat of x') AS stop").head()
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) ==
+      "abc".foldLeft(0L)((h, ch) => (h * 31 + ch) % 1000000007L))
+    assert(r.getInt(2) == 4) // a, !, !, b (each non-alnum char is a token)
+    assert(r.getInt(3) == 2) // the, of
+  }
+
+  test("graft_vec_mean SQL aggregate equals the Column-form aggregate") {
+    GraftFunctions.register(spark)
+    Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)), (2L, Seq(5.0, 6.0)))
+      .toDF("k", "v").createOrReplaceTempView("vm_in")
+    val out = spark.sql(
+      "SELECT k, graft_vec_mean(v) AS m FROM vm_in GROUP BY k")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(2.0, 3.0) && out(2L) == Seq(5.0, 6.0))
+  }
+
   test("extensions class injects the same function descriptions") {
     // the extensions path is exercised structurally (a fresh session per
     // suite would need its own SparkContext); descriptions must be
     // complete and distinct
     val names = GraftFunctions.descriptions.map(_._1.funcName)
-    assert(names == Seq("graft_dot", "graft_cosine", "graft_norm"))
+    assert(names == Seq("graft_dot", "graft_cosine", "graft_norm",
+      "graft_lang_id", "graft_rolling_fp", "graft_bpe_count",
+      "graft_stopword_count", "graft_vec_mean"))
+    assert(names.distinct.size == names.size)
     val ext = new GraftExtensions
     val se = new org.apache.spark.sql.SparkSessionExtensions
     ext(se)   // must not throw; injection is validated on session build
