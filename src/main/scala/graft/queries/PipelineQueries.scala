@@ -328,8 +328,10 @@ object PipelineQueries {
           col("width"), col("height"), col("duration_ms"))),
 
     // REAL feature extraction over decoded rasters / PCM samples —
-    // rows-only (the raster mean has no tractable closed form in SQL);
-    // values are spec-verified against hand-computed fixtures.
+    // hash-checked: the deterministic fixture generators make the
+    // decoded raster bytes / PCM amplitudes arithmetically
+    // reconstructible, so DuckDB recomputes mean/peak over the exact
+    // sample sets (BMP row padding excluded, all 3 bands summed).
     "q_media_features" -> ((s, d) =>
       MultiModal.extractFeatures(
           MultiModal.asRealMediaTable(documents(s, d), "doc_id"))
@@ -604,6 +606,37 @@ object PipelineQueries {
          |   AS frame_bytes
          |FROM documents, generate_series(0, 8191, 2) t(f)
          |WHERE f < greatest(octet_length(encode(text)) // 64, 1)""").stripMargin,
+
+    // decoded-feature facts recomputed arithmetically: image samples are
+    // the non-padding BMP pixel bytes (fr*rowSize + x*3 + b offsets,
+    // value (id*31 + offset) % 256, x*3+b flattened to j in [0, 3w));
+    // audio samples are |((id*7 + i) % 65536) - 32768|; video → NULL.
+    // Integer sums are exact, single double division in both engines.
+    "q_media_features" ->
+      ("""WITH base AS (
+         |  SELECT doc_id,
+         |    1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h,
+         |    ((3*(1 + doc_id % 13) + 3) // 4) * 4 AS rowsize,
+         |    16 + doc_id % 33 AS ns
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      flatten(list_transform(generate_series(0, h - 1), fr ->
+         |        list_transform(generate_series(0, 3*w - 1), j ->
+         |          (doc_id*31 + fr*rowsize + j) % 256)))
+         |    WHEN doc_id % 3 = 1 THEN
+         |      list_transform(generate_series(0, ns - 1), i ->
+         |        abs((doc_id*7 + i) % 65536 - 32768))
+         |    END AS samples
+         |  FROM base)
+         |SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  """ + rs("cast(list_sum(samples) AS double) / len(samples)", 4) +
+        """ AS mean_sample,
+          |  cast(list_max(samples) AS int) AS peak_sample
+          |FROM feat""").stripMargin,
 
     // frame_idx 0,2,4 of nFrames = 2 + id%4; dims w = 2+id%5, h = 1+id%3
     "q_video_frames" ->
