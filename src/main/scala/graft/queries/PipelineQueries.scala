@@ -201,11 +201,12 @@ object PipelineQueries {
         r(Similarity.norm(col("embedding").cast("array<double>")), 6)
           .as("nrm"))),
 
-    // SRP-LSH ANN, query-directed multi-probe — rows-only check
-    // (hyperplane literals aren't worth reproducing in SQL; recall is
-    // MEASURED by q_ann_recall and spec-gated in SimilaritySpec).
-    // Lookup-style op: the single query vector is fetched driver-side,
-    // probe buckets are literals pushed into the scan filter.
+    // SRP-LSH ANN, query-directed multi-probe — hash-checked: the
+    // oracle re-derives the full probe sequence (base bucket,
+    // margin-ordered single flips, pairwise flips) from the hyperplane
+    // literals in SQL (see annProbeCtes). Lookup-style op: the single
+    // query vector is fetched driver-side, probe buckets are literals
+    // pushed into the scan filter.
     "q_ann_lsh" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -220,7 +221,8 @@ object PipelineQueries {
 
     // Recall@k of the multi-probe ANN vs exact brute force — the quality
     // of the index is a measured number, not an assertion. Deterministic
-    // (seeded hyperplanes, fixed query); rows-only for the driver gate.
+    // (seeded hyperplanes, fixed query); hash-checked (both sides of the
+    // intersection recomputed in SQL).
     // On THIS synthetic table (near-uniform vectors, top cosines ~0.37 —
     // LSH's worst case) it measures ~0.5 at a 25% scan fraction;
     // SimilaritySpec proves ≥0.9 at the same bits/probes on clustered
@@ -371,7 +373,82 @@ object PipelineQueries {
           col("width").as("w"), col("height").as("h"))
     }))
 
+  /** Shared ANN oracle CTEs (sf0.01 instantiation: 6 bits, 16 probes):
+    * reproduces Similarity.srpProbes EXACTLY in SQL — base bucket from
+    * the plane-projection signs, bit order by ascending |margin| (ties
+    * by bit index, like Scala's stable sortBy), then base / single-bit
+    * flips / pairwise flips in generation order, first AnnProbes taken
+    * (the 1+6+15 candidates are all distinct, so Scala's `.distinct`
+    * is a no-op). Every arithmetic step is exact int/xor or an
+    * identically-ordered double op, so probe lists agree bit-for-bit.
+    */
+  private def annProbeCtes: String = {
+    val planes = graft.sim.Similarity.srpPlanes(64, AnnBits)
+    val projs = planes
+      .map(p => s"list_dot_product(qv, ${p.mkString("[", ", ", "]")})")
+      .mkString("[", ", ", "]")
+    val bucket = planes.zipWithIndex.map { case (plane, b) =>
+      s"(CASE WHEN list_dot_product(v, ${plane.mkString("[", ", ", "]")})" +
+        s" > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id = 0),
+       |pj AS (SELECT qv, $projs AS projs FROM q),
+       |pr AS (SELECT qv,
+       |  cast(list_sum(list_transform(generate_series(1, $AnnBits), b ->
+       |    CASE WHEN projs[b] > 0 THEN 1 << (b - 1) ELSE 0 END)) AS int)
+       |    AS base,
+       |  list_transform(list_sort(
+       |    list_transform(generate_series(1, $AnnBits), b ->
+       |      {'m': abs(projs[b]), 'b': b - 1})), s -> s.b) AS bm
+       |  FROM pj),
+       |probes AS (SELECT qv, list_slice(
+       |    list_prepend(base, list_concat(
+       |      list_transform(generate_series(1, $AnnBits), i ->
+       |        xor(base, 1 << bm[i])),
+       |      flatten(list_transform(generate_series(1, $AnnBits), i ->
+       |        list_transform(generate_series(i + 1, $AnnBits), j ->
+       |          xor(xor(base, 1 << bm[i]), 1 << bm[j])))))),
+       |    1, $AnnProbes) AS ps
+       |  FROM pr),
+       |bkt AS (SELECT vec_id, v, $bucket AS bucket
+       |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |              FROM embeddings WHERE vec_id <> 0))""".stripMargin
+  }
+
+  /** the sf0.01 probe count (bits=6 → 64 buckets / 4) */
+  private val AnnProbes = 16
+
   val oracle: Map[String, String] = Map(
+    // multi-probe SRP-LSH ANN: probe buckets re-derived in SQL (see
+    // annProbeCtes), exact-cosine re-rank on the probed subset; ordered
+    // by the UNROUNDED sim exactly as the Spark plan
+    "q_ann_lsh" ->
+      s"""WITH $annProbeCtes
+         |SELECT b.vec_id,
+         |  ${rs("list_cosine_similarity(b.v, probes.qv)", 4)} AS sim
+         |FROM bkt b, probes
+         |WHERE list_contains(probes.ps, b.bucket)
+         |ORDER BY list_cosine_similarity(b.v, probes.qv) DESC, b.vec_id
+         |LIMIT 20""".stripMargin,
+
+    // recall@10 of the multi-probe ANN vs exact brute force — both sides
+    // of the intersection recomputed in SQL
+    "q_ann_recall" ->
+      s"""WITH $annProbeCtes,
+         |bf AS (
+         |  SELECT b.vec_id FROM bkt b, q
+         |  ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id
+         |  LIMIT 10),
+         |ann AS (
+         |  SELECT b.vec_id FROM bkt b, probes
+         |  WHERE list_contains(probes.ps, b.bucket)
+         |  ORDER BY list_cosine_similarity(b.v, probes.qv) DESC, b.vec_id
+         |  LIMIT 10)
+         |SELECT cast(10 AS int) AS k, count(*) AS n_overlap,
+         |  cast(count(*) AS double) / 10 AS recall,
+         |  CAST(0.25 AS DOUBLE) AS scan_frac
+         |FROM ann JOIN bf USING (vec_id)""".stripMargin,
     "q_text_stats" -> {
       val nTok = "len(string_split(text,' '))"
       val stop = "len(list_filter(string_split(text,' '), " +
