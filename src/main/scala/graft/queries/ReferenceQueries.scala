@@ -92,6 +92,21 @@ object ReferenceQueries {
         .select(col("event_id"))
     }),
 
+    // Session windows — gap-based sessionization (session_window, the
+    // one windowing family the tumbling/sliding pipeline didn't cover;
+    // in streaming the same expression runs with a watermark and merges
+    // sessions across micro-batches). 30-minute gap per user; output =
+    // session start + event count + value cents (exact).
+    "q_session_agg" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .select(col("user_id"),
+          epochS(col("w.start")).as("session_start"),
+          col("n_events"), col("value_cents"))),
+
     // A5 — running sum (ref cumsum: hyperion.py:442)
     "q_cumsum" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -415,6 +430,30 @@ object ReferenceQueries {
       ("SELECT event_id FROM events WHERE event_id < (SELECT min(event_id) " +
         "FROM events WHERE epoch(ts) >= " +
         "(SELECT max(epoch(ts)) FROM events) - 604800)"),
+
+    // gaps-and-islands: a new session starts where the gap from the
+    // previous event exceeds 30 min; session id = running count of
+    // starts; start = min(ts) per island — exactly session_window's
+    // assignment for gap-based sessions
+    "q_session_agg" ->
+      ("""WITH g AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |        IS NULL
+         |      THEN 1 ELSE 0 END AS is_start
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM g)
+         |SELECT user_id, epoch(min(ts)) AS session_start,
+         |  count(*) AS n_events,
+         |  cast(sum(cast(floor(value*100 + 0.5) AS bigint)) AS bigint)
+         |    AS value_cents
+         |FROM s GROUP BY user_id, sid""").stripMargin,
 
     "q_cumsum" ->
       (s"SELECT event_id, user_id, ${rs(

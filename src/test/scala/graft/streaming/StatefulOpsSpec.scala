@@ -57,4 +57,32 @@ class StatefulOpsSpec extends SparkSpec {
       assert(digests.toSeq == Seq("d1", "d2", "d3"))
     } finally q.stop()
   }
+
+  test("session_window streaming: gap-merged sessions close at watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FrameEvent]
+    val agg = in.toDS()
+      .withWatermark("ts", "1 second")
+      .groupBy($"serial", session_window($"ts", "10 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"serial", $"w.start".as("start"), $"n")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // serial 1: events at 10s and 15s merge into one session (gap<10);
+      // the event at 100s starts a new one and pushes the watermark far
+      // past the first session's end -> first session emits
+      in.addData(FrameEvent(1L, ts(10), 1.0), FrameEvent(1L, ts(15), 1.0))
+      q.processAllAvailable()
+      in.addData(FrameEvent(1L, ts(100), 1.0))
+      q.processAllAvailable()
+      in.addData(FrameEvent(1L, ts(200), 1.0)) // closes the 100s session
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select($"serial", $"start".cast("long"), $"n")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows.contains((1L, 10L, 2L)), rows)  // merged 10s+15s session
+      assert(rows.contains((1L, 100L, 1L)), rows)
+    } finally q.stop()
+  }
 }
