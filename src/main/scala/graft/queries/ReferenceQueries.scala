@@ -437,7 +437,7 @@ object ReferenceQueries {
     // assignment for gap-based sessions
     "q_session_agg" ->
       ("""WITH g AS (
-         |  SELECT user_id, ts, value,
+         |  SELECT user_id, event_id, ts, value,
          |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
          |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
          |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -446,7 +446,7 @@ object ReferenceQueries {
          |  FROM events),
          |s AS (
          |  SELECT user_id, ts, value,
-         |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+         |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |      ROWS UNBOUNDED PRECEDING) AS sid
          |  FROM g)
          |SELECT user_id, epoch(min(ts)) AS session_start,
