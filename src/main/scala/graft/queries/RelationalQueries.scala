@@ -154,6 +154,28 @@ object RelationalQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("rk").cast("int"))
     }),
 
+    // pivot: order-status counts per priority as columns (explicit value
+    // list so the output schema is static; count cells with no rows are
+    // null in Spark's pivot vs 0 in conditional aggregation — na.fill
+    // aligns them)
+    "q_pivot" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))),
+
+    // unpivot (melt): the wide pivot result back to long (status, n)
+    // rows — stack-style unpivot with the same static value list
+    "q_unpivot" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "n")),
+
     // set ops: nation keys that have customers vs suppliers
     "q_setops" -> ((s, d) => {
       val c = customer(s, d).select(col("c_nationkey").as("nk")).distinct()
@@ -309,6 +331,24 @@ object RelationalQueries {
         "(SELECT o_custkey, o_orderkey, row_number() OVER " +
         "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
         "AS rk FROM orders) WHERE rk <= 3"),
+
+    "q_pivot" ->
+      ("""SELECT o_orderpriority,
+         | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+         | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+         | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+         |FROM orders GROUP BY 1""").stripMargin,
+
+    "q_unpivot" ->
+      ("""WITH w AS (
+         |  SELECT o_orderpriority,
+         |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f,
+         |    count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o,
+         |    count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p
+         |  FROM orders GROUP BY 1)
+         |SELECT o_orderpriority, 'F' AS status, f AS n FROM w
+         |UNION ALL SELECT o_orderpriority, 'O', o FROM w
+         |UNION ALL SELECT o_orderpriority, 'P', p FROM w""").stripMargin,
 
     "q_setops" ->
       ("SELECT 'cust_only' AS tag, nk FROM " +
