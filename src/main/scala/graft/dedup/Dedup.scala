@@ -177,6 +177,26 @@ object Dedup {
     inter / (size(sa) + size(sb) - size(array_intersect(sa, sb)))
   }
 
+  /** Exact n-token span overlap — the contamination / exact-substring
+    * dedup kernel (flag training docs sharing any verbatim n-token span
+    * with a benchmark/eval set). Both sides explode to (md5(span), id)
+    * and meet in an equi-join on the 32-char digest: shuffles narrow
+    * hashes, never text; at 100 TB the right side (benchmark suite) is
+    * tiny and broadcastable while the left streams through map tasks.
+    * Distinct (left, right) doc pairs out.
+    */
+  def spanOverlap(docs: DataFrame, id: Column, text: Column,
+                  bench: DataFrame, benchId: Column, benchText: Column,
+                  n: Int): DataFrame = {
+    val d = explodedShingles(docs, id, text, n)
+      .select(col("doc_id"), md5(col("sh")).as("g"))
+    val b = explodedShingles(bench, benchId, benchText, n)
+      .select(col("doc_id").as("bench_id"), md5(col("sh")).as("g"))
+    d.join(b, "g")
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+  }
+
   /** SimHash as a DataFrame op — same explode+agg scale shape as
     * [[minhashDf]]: one md5 per distinct token (16 votes read nibbles of
     * that digest), codegen'd partial sums map-side, one shuffle by doc.

@@ -145,6 +145,27 @@ object PipelineQueries {
     "q_simhash" -> ((s, d) =>
       Dedup.simhashDf(documents(s, d), col("doc_id"), col("text"))),
 
+    // Contamination detection: training docs sharing any verbatim
+    // 5-token span with the "benchmark set" (every 20th doc, the driver
+    // data's stand-in for an eval suite). Exact-span semantics — the
+    // complement of the probabilistic MinHash/LSH path.
+    "q_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.spanOverlap(
+          docs.filter(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 20 === 0), col("doc_id"), col("text"),
+          n = 5)
+    }),
+
+    // PII scrub: emails and long digit runs redacted with typed
+    // placeholders; output is the scrubbed text's md5 so the oracle
+    // compares the full rewrite without hauling text through the gate.
+    "q_pii_scrub" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_md5"),
+        (TextAnalysis.scrubPii(col("text")) =!= col("text"))
+          .as("was_scrubbed"))),
+
     // n-gram Jaccard over deterministic pairs (consecutive doc ids) — the
     // LSH-verification kernel with an easily-oracled pair set. Shingle
     // arrays are materialized once per doc BEFORE the self-join (not once
@@ -553,6 +574,34 @@ object PipelineQueries {
         .mkString(" + ")
       s"SELECT doc_id, cast($fp AS int) AS fp " +
         s"FROM (SELECT doc_id, $votes FROM documents)"
+    },
+
+    // 5-token spans, partial tail shingle included exactly like
+    // explodedShingles (i up to max(len-5, 0), slice end-capped)
+    "q_contamination" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      generate_series(0, greatest(len(toks) - 5, 0)),
+         |      i -> md5(array_to_string(list_slice(toks, i+1, i+5), ' '))))
+         |      AS g
+         |  FROM t)
+         |SELECT a.doc_id, b.doc_id AS bench_id
+         |FROM g a JOIN g b ON a.g = b.g
+         |WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+         |GROUP BY 1, 2""").stripMargin,
+
+    "q_pii_scrub" -> {
+      // DuckDB '...' literals pass backslashes through verbatim, so the
+      // Java pattern strings are valid RE2 as-is
+      val scrub = "regexp_replace(regexp_replace(text, " +
+        s"'${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), " +
+        s"'${TextAnalysis.DigitRunPattern}', '<NUMBER>', 'g')"
+      s"""SELECT doc_id, md5($scrub) AS scrubbed_md5,
+         | ($scrub <> text) AS was_scrubbed
+         |FROM documents""".stripMargin
     },
 
     "q_jaccard_pairs" -> {

@@ -83,6 +83,19 @@ object TextAnalysis {
     when(best("score") > 0, best("lang")).otherwise(lit("und"))
   }
 
+  /** PII scrub for a training corpus: redact email addresses and
+    * long digit runs (phone-ish) with typed placeholders. Pure
+    * codegen'd regexp_replace — RE2-compatible patterns so any engine
+    * (and the DuckDB oracle) applies the identical rewrite.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val DigitRunPattern = "[0-9][0-9 ()-]{6,}[0-9]"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      DigitRunPattern, "<NUMBER>")
+
   /** Document fingerprint: hash of the whitespace-normalized, lowercased
     * text. md5 so the DuckDB oracle reproduces it bit-for-bit.
     */

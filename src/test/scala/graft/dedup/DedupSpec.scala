@@ -62,6 +62,20 @@ class DedupSpec extends SparkSpec {
       Seq("doc_id", "band_idx", "band_key"))
   }
 
+  test("spanOverlap flags exact n-token spans only") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "completely different words entirely here now"),
+      (3L, "ends with quick brown fox jumps too")).toDF("id", "t")
+    val bench = Seq(
+      (100L, "prefix then quick brown fox jumps suffix"),
+      (101L, "nothing shared at all whatsoever")).toDF("id", "t")
+    val hits = Dedup.spanOverlap(train, $"id", $"t", bench, $"id", $"t", 4)
+      .as[(Long, Long)].collect().toSet
+    // "quick brown fox jumps" is the shared 4-token span of docs 1 and 3
+    assert(hits == Set((1L, 100L), (3L, 100L)))
+  }
+
   test("minhash signature is identical for identical docs") {
     val sigs = docs.select($"doc_id",
         Dedup.minhashSignature($"text", 2, 8).as("sig"))

@@ -81,6 +81,21 @@ class TextExprsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("scrubPii redacts emails and digit runs, leaves clean text alone") {
+    val rows = Seq(
+      "contact me at jane.doe+x@example.co.uk today",
+      "call 555 123-4567 or (555) 7654321 now",
+      "short 12345 stays",                // 5 digits — below the run bound
+      "nothing to scrub here").toDF("text")
+    val out = rows.select(TextAnalysis.scrubPii($"text")).as[String]
+      .collect().toSeq
+    assert(out(0) == "contact me at <EMAIL> today")
+    // runs anchor on digits, so a leading "(" stays outside the match
+    assert(out(1) == "call <NUMBER> or (<NUMBER> now")
+    assert(out(2) == "short 12345 stays")
+    assert(out(3) == "nothing to scrub here")
+  }
+
   test("native text exprs stay inside whole-stage codegen") {
     val plan = spark.range(5).select(
         TextExprs.langId(concat(lit("the x "), col("id")),
