@@ -316,19 +316,32 @@ object MultiModal {
       lazy val reader = ImageIO.getImageReadersByFormatName("gif").next()
       rows.flatMap { r =>
         if (isGif(r.payload)) {
-          reader.setInput(ImageIO.createImageInputStream(
-            new ByteArrayInputStream(r.payload)))
-          val n = reader.getNumImages(true)
-          (0 until n by stride).map { f =>
-            val img = reader.read(f)
-            val bgr = new java.awt.image.BufferedImage(img.getWidth,
-              img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            val g = bgr.createGraphics()
-            g.drawImage(img, 0, 0, null)
-            g.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            ImageIO.write(bgr, "bmp", bos)
-            (r.media_id, f, bos.toByteArray)
+          // poison-payload guard: a truncated/corrupt container must not
+          // kill a 1000-executor stage — it degrades to the opaque
+          // chunk path (same contract as FrameCodec's null-on-truncated)
+          try {
+            reader.setInput(ImageIO.createImageInputStream(
+              new ByteArrayInputStream(r.payload)))
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { f =>
+              val img = reader.read(f)
+              val bgr = new java.awt.image.BufferedImage(img.getWidth,
+                img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              val g = bgr.createGraphics()
+              g.drawImage(img, 0, 0, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              ImageIO.write(bgr, "bmp", bos)
+              (r.media_id, f, bos.toByteArray)
+            }
+          } catch {
+            case _: Exception =>
+              val nFrames =
+                math.max(1, r.payload.length / math.max(1, frameBytes))
+              (0 until nFrames by stride).map { f =>
+                (r.media_id, f,
+                  r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+              }
           }
         } else {
           val nFrames =

@@ -117,4 +117,15 @@ class MultiModalSpec extends SparkSpec {
       .select($"frame_idx").as[Int].collect().sorted
     assert(all.toSeq == Seq(0, 1))
   }
+
+  test("corrupt GIF payload degrades to chunk sampling, never throws") {
+    // a real GIF header with a truncated body
+    val poison = MultiModal.buildGif(4, 4, 3, 2L).take(20)
+    val out = MultiModal.sampleFrames(
+        Seq(MultiModal.MediaRow(13L, "video", poison)).toDS(),
+        frameBytes = 8, stride = 1)
+      .select($"media_id", $"frame_idx").as[(Long, Int)].collect()
+    // 20 bytes / 8 → 2 chunk frames; the stage completes
+    assert(out.map(_._1).forall(_ == 13L) && out.length == 2)
+  }
 }
