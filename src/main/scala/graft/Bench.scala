@@ -121,20 +121,28 @@ object Bench {
       }
       val schema = spark.read.parquet(src).schema
       val n = spark.read.parquet(src).count()
-      val t0 = System.nanoTime()
-      val query = graft.pipeline.PeakStreaming.stream(
-          spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1") // = one time slice
-            .parquet(src),
-          s"$tmp/st", s"$tmp/lt", s"$tmp/ck",
-          windowMs = 3600 * 1000)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val nBatches = query.recentProgress.count(_.numInputRows > 0)
-      val stRows = spark.read.parquet(s"$tmp/st").count()
-      val ltRows = spark.read.parquet(s"$tmp/lt").count()
+      // two full drains (fresh sinks/checkpoint each), min by elapsed:
+      // the 16-micro-batch drain schedules ~50 jobs and is the figure
+      // most exposed to host-CPU noise — same rationale as the query
+      // passes' min-of-2
+      def drain(run: Int): (Double, Int, Long, Long) = {
+        val st = s"$tmp/st$run"; val lt = s"$tmp/lt$run"
+        val t0 = System.nanoTime()
+        val query = graft.pipeline.PeakStreaming.stream(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1") // = one time slice
+              .parquet(src),
+            st, lt, s"$tmp/ck$run",
+            windowMs = 3600 * 1000)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        ((sec), query.recentProgress.count(_.numInputRows > 0),
+          spark.read.parquet(st).count(), spark.read.parquet(lt).count())
+      }
+      val (sec, nBatches, stRows, ltRows) =
+        Seq(drain(1), drain(2)).minBy(_._1)
       s"""{"frames":$n,"elapsed_sec":$sec,"frames_per_sec":${n / sec},""" +
         s""""n_batches":$nBatches,"st_rows":$stRows,"lt_rows":$ltRows}"""
     } catch {
