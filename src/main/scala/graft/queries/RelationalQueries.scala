@@ -185,6 +185,27 @@ object RelationalQueries {
         .select(col("tag"), col("nk"))
     }),
 
+    // scalar-function parity battery (§2.6): date parts + truncation,
+    // string ops incl. edit distance, math with floor-rounding, bit ops
+    // — one row per event, every value recomputed identically by the
+    // oracle (UTC session, so date parts are timezone-free)
+    "q_scalar_funcs" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("h"),
+        epochS(date_trunc("month", col("ts"))).as("month_start"),
+        upper(substring(col("props"), 1, 8)).as("up8"),
+        length(trim(col("props"))).cast("long").as("trim_len"),
+        levenshtein(substring(col("props"), 1, 6), lit("{\"k\":1"))
+          .as("lev"),
+        r(exp(col("value") / 100), 6).as("e"),
+        r(log(col("value") + 1), 6).as("l"),
+        r(sqrt(abs(col("value"))), 6).as("sq"),
+        (col("event_id") % 7).as("pm"),
+        col("event_id").bitwiseXOR(255).as("bx"))),
+
     // JSON extraction from events.props
     "q_json_extract" -> ((s, d) =>
       events(s, d).select(col("event_id"),
@@ -361,6 +382,21 @@ object RelationalQueries {
     "q_json_extract" ->
       ("SELECT event_id, cast(json_extract_string(props, '$.k') AS int) " +
         "AS k FROM events"),
+
+    "q_scalar_funcs" ->
+      (s"""SELECT event_id,
+          | cast(year(ts) AS int) AS y, cast(month(ts) AS int) AS mo,
+          | cast(day(ts) AS int) AS dom, cast(hour(ts) AS int) AS h,
+          | epoch(date_trunc('month', ts)) AS month_start,
+          | upper(substr(props, 1, 8)) AS up8,
+          | cast(length(trim(props)) AS bigint) AS trim_len,
+          | cast(levenshtein(substr(props, 1, 6), '{"k":1') AS int) AS lev,
+          | ${rs("exp(value / 100)", 6)} AS e,
+          | ${rs("ln(value + 1)", 6)} AS l,
+          | ${rs("sqrt(abs(value))", 6)} AS sq,
+          | event_id % 7 AS pm,
+          | xor(event_id, 255) AS bx
+          |FROM events""").stripMargin,
 
     "q_priority_exists" ->
       ("SELECT o_orderpriority, count(*) AS n_orders FROM " +
