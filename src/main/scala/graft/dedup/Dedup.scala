@@ -177,6 +177,31 @@ object Dedup {
     inter / (size(sa) + size(sb) - size(array_intersect(sa, sb)))
   }
 
+  /** Deterministic hash-bucket corpus sampling: keep a row iff the
+    * first byte of md5(key) falls under the rate. The scale-correct
+    * sampling method — reproducible across runs/retries (no rand()),
+    * uniform, and a pure scan filter (no shuffle); the same predicate
+    * selects the identical sample in any engine.
+    *
+    * @param rate256 keep buckets [0, rate256) of the 256 first-byte
+    *                values — e.g. 26 ≈ a 10.2 % sample
+    */
+  def hashSample(df: DataFrame, key: Column, rate256: Int): DataFrame =
+    df.filter(
+      conv(substring(md5(key.cast("string").cast("binary")), 1, 2), 16, 10)
+        .cast("int") < rate256)
+
+  /** MinHash Jaccard ESTIMATE for a pair: the fraction of equal
+    * signature components — E[estimate] = true Jaccard, the property
+    * that lets a k-component signature stand in for the full shingle
+    * sets at 100 TB. Signature columns are equal-length arrays.
+    */
+  def minhashJaccardEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    (0 until k).map(i =>
+      when(element_at(sigA, i + 1) === element_at(sigB, i + 1), 1.0)
+        .otherwise(0.0))
+      .reduce(_ + _) / k
+
   /** Exact n-token span overlap — the contamination / exact-substring
     * dedup kernel (flag training docs sharing any verbatim n-token span
     * with a benchmark/eval set). Both sides explode to (md5(span), id)

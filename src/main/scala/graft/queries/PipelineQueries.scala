@@ -145,6 +145,30 @@ object PipelineQueries {
     "q_simhash" -> ((s, d) =>
       Dedup.simhashDf(documents(s, d), col("doc_id"), col("text"))),
 
+    // Deterministic hash-bucket subsample (~10 %) — reproducible corpus
+    // sampling as a pure scan filter, no rand(), no shuffle
+    "q_corpus_sample" -> ((s, d) =>
+      Dedup.hashSample(documents(s, d), col("doc_id"), rate256 = 26)
+        .select(col("doc_id"))),
+
+    // MinHash Jaccard estimate vs exact Jaccard on consecutive-id pairs:
+    // the estimator whose expectation equals the true Jaccard — both the
+    // estimate (signature-component agreement) and the exact value are
+    // recomputed by the oracle from the same md5 constructions
+    "q_minhash_estimate" -> ((s, d) => {
+      val k = 8
+      val sig = Dedup.minhashDf(documents(s, d), col("doc_id"), col("text"),
+          2, k)
+        .select(col("doc_id"),
+          array((1 to k).map(i => col(s"h$i")): _*).as("sig"))
+      val a = sig.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+      val b = sig.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          r(Dedup.minhashJaccardEstimate(col("sa"), col("sb"), k), 6)
+            .as("jaccard_est"))
+    }),
+
     // Contamination detection: training docs sharing any verbatim
     // 5-token span with the "benchmark set" (every 20th doc, the driver
     // data's stand-in for an eval suite). Exact-span semantics — the
@@ -574,6 +598,26 @@ object PipelineQueries {
         .mkString(" + ")
       s"SELECT doc_id, cast($fp AS int) AS fp " +
         s"FROM (SELECT doc_id, $votes FROM documents)"
+    },
+
+    "q_corpus_sample" ->
+      ("SELECT doc_id FROM documents WHERE " +
+        "cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 2)) " +
+        "AS int) < 26"),
+
+    "q_minhash_estimate" -> {
+      val sigs = (0 until 8).map(i => mhSql(i))
+      val eq = sigs.zip(sigs).zipWithIndex.map { case (_, i) =>
+        s"CASE WHEN a.s${i + 1} = b.s${i + 1} THEN 1.0 ELSE 0.0 END"
+      }.mkString(" + ")
+      val sel = sigs.zipWithIndex
+        .map { case (h, i) => s"$h AS s${i + 1}" }.mkString(", ")
+      s"""WITH sig AS (
+         |  SELECT doc_id, $sel
+         |  FROM (SELECT doc_id, $shSql AS sh FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ${rs(s"($eq) / 8", 6)} AS jaccard_est
+         |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1""".stripMargin
     },
 
     // 5-token spans, partial tail shingle included exactly like
