@@ -353,6 +353,39 @@ object ReferenceQueries {
             .as("m_last"))
     }),
 
+    // S1/S7/S8 at-rest form — the full byte-faithful ingest path through
+    // the CUSTOM DataSource V2 reader: frames encoded to the wire format,
+    // wrapped in the BBHI transport record header, written as one dump
+    // file per partition (the split unit), then read back through
+    // `format("graft-frames")` which decodes straight to typed rows.
+    // Oracle recomputes every decoded field arithmetically — a wrong
+    // record header, wrong split, or wrong decode fails the hash gate.
+    "q_frame_dump_scan" -> ((s, d) => {
+      val dir = System.getProperty("java.io.tmpdir") +
+        "/graft_dump_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!new java.io.File(dir).exists()) {
+        val fr = FrameSource.frames(s, d)
+        val bin = fr.select(FrameCodec.encodePeaks(col("serial_number"),
+          floor(epochS(col("ts"))).cast("long"),
+          col("frame_id") % 1000000000L,
+          col("peak_counts"), col("peaks")).as("b"))
+        import s.implicits._
+        bin.as[Array[Byte]].foreachPartition {
+          (it: Iterator[Array[Byte]]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            graft.sources.FrameDump.writeFile(
+              s"$dir/part-$pid.bin", it)
+        }
+      }
+      s.read.format("graft-frames").option("kind", "peaks").load(dir)
+        .select(col("serial_number"),
+          col("timestamp_int").as("ts_int"),
+          col("timestamp_frac").as("ts_frac"),
+          size(col("peak_counts")).as("n_ports"),
+          element_at(col("peaks"), 1).as("peak_first"),
+          element_at(col("peaks"), FrameSource.NumPeaks).as("peak_last"))
+    }),
+
     // S10 — SQL DDL bootstrap (ref: database_peak_streaming.py:74-101):
     // the four generated CREATE TABLE IF NOT EXISTS statements through
     // spark.sql, then the catalog enumeration (sqlite_master equivalent)
@@ -544,6 +577,17 @@ object ReferenceQueries {
         names.map(n => s"('graft_$n', true)").mkString(", ") +
         ") t(table_name, is_temp)"
     },
+
+    // no frame_id in the wire format, so rows are keyed by the decoded
+    // fields themselves (ts_frac = event_id % 1e9 is unique at these SFs)
+    "q_frame_dump_scan" ->
+      ("""SELECT user_id AS serial_number,
+         | cast(floor(epoch(ts)) AS bigint) AS ts_int,
+         | event_id % 1000000000 AS ts_frac,
+         | cast(8 AS int) AS n_ports,
+         | floor(value*100 + 0.5) AS peak_first,
+         | floor(value*100 + 0.5) + 700 AS peak_last
+         |FROM events""").stripMargin,
 
     "q_ddl_catalog" ->
       ("SELECT * FROM (VALUES ('lt_data', cast(10 AS bigint)), " +

@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.ingest.FrameCodec
+
+/** DataSource V2 batch reader for binary frame-dump files — the at-rest
+  * form of the reference's TCP stream: each record is the 8-byte
+  * `BBHI` read header `(status:u8, response_type:u8, message_length:u16,
+  * content_length:u32)` followed by `message_length` ASCII bytes
+  * (empty on the data stream) and `content_length` frame bytes
+  * (ref: hyperion.py:133-149 read loop, 266-279 fast-streaming header
+  * elision) — decoded straight to typed rows through [[FrameCodec]].
+  *
+  * ```
+  * spark.read.format("graft-frames")
+  *   .option("kind", "peaks" | "sensor" | "spectrum")
+  *   .load("/path/to/dump-dir")
+  * ```
+  *
+  * Scale notes: records are variable-length with no sync markers, so a
+  * FILE is the split unit (one InputPartition per file — the dump
+  * writer's job is to emit many files; same contract as concatenated
+  * gzip/avro-without-sync). Corrupt/truncated records and frames decode
+  * to skipped rows, never task failures. Column pruning is left to
+  * Spark's ProjectExec (frames are narrow; a pruning Scan would save
+  * little), predicate pushdown likewise — the source's value is the
+  * byte-faithful ingest path.
+  */
+class FrameDumpSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-frames"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FrameDumpSource.schemaFor(
+      Option(options.get("kind")).getOrElse("peaks"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FrameDumpTable(schema,
+      Option(properties.get("kind")).getOrElse("peaks"),
+      Option(properties.get("path")).orElse(
+        Option(properties.get("paths"))).getOrElse(
+        throw new IllegalArgumentException("graft-frames requires a path")))
+}
+
+object FrameDumpSource {
+  def schemaFor(kind: String): StructType = kind match {
+    case "peaks"    => FrameCodec.peaksSchema
+    case "sensor"   => FrameCodec.sensorSchema
+    case "spectrum" => FrameCodec.spectrumSchema
+    case other => throw new IllegalArgumentException(
+      s"unknown frame kind: $other (peaks|sensor|spectrum)")
+  }
+}
+
+class FrameDumpTable(schema: StructType, kind: String, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-frames($kind)@$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = schema
+      override def toBatch: Batch = this
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val conf = org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).filter(_.isFile)
+              .map(_.getPath.toString).sorted
+          else Array(path)
+        files.map(f => FrameFilePartition(f): InputPartition)
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val serConf = new SerializableConfiguration(
+          org.apache.spark.sql.SparkSession.active
+            .sparkContext.hadoopConfiguration)
+        val k = kind
+        new PartitionReaderFactory {
+          override def createReader(
+              partition: InputPartition): PartitionReader[InternalRow] =
+            new FrameDumpReader(
+              partition.asInstanceOf[FrameFilePartition].file, k, serConf)
+        }
+      }
+    }
+}
+
+case class FrameFilePartition(file: String) extends InputPartition
+
+/** Sequential record reader for one dump file. Malformed records
+  * (truncated header/content, undecodable frame) end or skip cleanly.
+  */
+class FrameDumpReader(file: String, kind: String,
+                      conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private val in = {
+    val p = new Path(file)
+    p.getFileSystem(conf.value).open(p)
+  }
+  private var row: InternalRow = _
+
+  private def readFully(n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) return null
+      off += r
+    }
+    buf
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      val hdr = readFully(8)
+      if (hdr == null) return false
+      // BBHI little-endian: status, response_type, message_length u16,
+      // content_length u32
+      val messageLen = ((hdr(2) & 0xFF) | ((hdr(3) & 0xFF) << 8))
+      val contentLen = ((hdr(4) & 0xFF) | ((hdr(5) & 0xFF) << 8) |
+        ((hdr(6) & 0xFF) << 16) | ((hdr(7) & 0xFF).toLong << 24)).toInt
+      if (messageLen > 0 && readFully(messageLen) == null) return false
+      val content = readFully(contentLen)
+      if (content == null) return false
+      val decoded = kind match {
+        case "peaks"    => FrameCodec.decodePeaksBytes(content)
+        case "sensor"   => FrameCodec.decodeSensorBytes(content)
+        case "spectrum" => FrameCodec.decodeSpectrumBytes(content)
+      }
+      if (decoded != null) { // poison frame -> skip, keep reading
+        row = decoded
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+/** Dump-file writer helpers (the producer side for tests/fixtures and
+  * landing-zone writers): wraps each frame in the `BBHI` record header
+  * with an empty message, exactly as the wire protocol frames it.
+  */
+object FrameDump {
+  def record(frame: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + frame.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(0.toByte).put(0.toByte).putShort(0.toShort)
+    out.putInt(frame.length)
+    out.put(frame)
+    out.array()
+  }
+
+  /** Write the partition's frames as ONE dump file (call from
+    * `foreachPartition`; file-per-partition is the parallel layout the
+    * reader splits on).
+    */
+  def writeFile(path: String, frames: Iterator[Array[Byte]]): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val os = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f))
+    try frames.foreach(fr => os.write(record(fr)))
+    finally os.close()
+  }
+}

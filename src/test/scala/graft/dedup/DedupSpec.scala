@@ -76,6 +76,41 @@ class DedupSpec extends SparkSpec {
     assert(hits == Set((1L, 100L), (3L, 100L)))
   }
 
+  test("hashSample: deterministic, disjoint-complement, rate-monotone") {
+    val df = (0 until 2000).map(_.toLong).toDF("id")
+    val s10 = Dedup.hashSample(df, $"id", 26).as[Long].collect().toSet
+    val s10b = Dedup.hashSample(df, $"id", 26).as[Long].collect().toSet
+    assert(s10 == s10b)                       // reproducible, no rand()
+    val s50 = Dedup.hashSample(df, $"id", 128).as[Long].collect().toSet
+    assert(s10.subsetOf(s50))                 // buckets nest by rate
+    assert(math.abs(s10.size / 2000.0 - 26.0 / 256) < 0.03)
+    assert(math.abs(s50.size / 2000.0 - 0.5) < 0.05)
+  }
+
+  test("minhash Jaccard estimate tracks exact Jaccard on near-dups") {
+    // identical docs -> estimate 1; disjoint docs -> estimate 0;
+    // near-dups -> estimate within a loose band of the exact value
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally disjoint words nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val k = 8
+    val sig = Dedup.minhashDf(docs, $"doc_id", $"text", 2, k)
+      .select($"doc_id", array((1 to k).map(i => col(s"h$i")): _*).as("sig"))
+    val a = sig.select($"doc_id".as("ia"), $"sig".as("sa"))
+    val b = sig.select($"doc_id".as("ib"), $"sig".as("sb"))
+    val est = a.join(b, $"ia" < $"ib")
+      .select($"ia", $"ib",
+        Dedup.minhashJaccardEstimate($"sa", $"sb", k).as("e"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, e) => (x, y) -> e }.toMap
+    assert(est((0L, 1L)) == 1.0)              // identical
+    assert(est((0L, 3L)) == 0.0)              // disjoint
+    assert(est((0L, 2L)) > 0.3)               // near-dup: high agreement
+  }
+
   test("minhash signature is identical for identical docs") {
     val sigs = docs.select($"doc_id",
         Dedup.minhashSignature($"text", 2, 8).as("sig"))
