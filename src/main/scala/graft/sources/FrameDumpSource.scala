@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,11 +67,48 @@ object FrameDumpSource {
 }
 
 class FrameDumpTable(schema: StructType, kind: String, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-frames($kind)@$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  /** Write path: one dump file per task, written to a temp name and
+    * renamed on task commit (retries/speculation never publish partial
+    * files); truncate (overwrite mode) clears the directory first.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          private val serConf = new SerializableConfiguration(
+            org.apache.spark.sql.SparkSession.active
+              .sparkContext.hadoopConfiguration)
+          if (doTruncate) {
+            val p = new Path(path)
+            val fs = p.getFileSystem(serConf.value)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+
+          override def createBatchWriterFactory(
+              info: PhysicalWriteInfo): DataWriterFactory = {
+            val k = kind
+            val dir = path
+            val conf = serConf
+            new DataWriterFactory {
+              override def createWriter(partitionId: Int,
+                  taskId: Long): DataWriter[InternalRow] =
+                new FrameDumpWriter(dir, k, partitionId, taskId, conf)
+            }
+          }
+          override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -158,6 +196,49 @@ class FrameDumpReader(file: String, kind: String,
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Per-task dump writer: typed rows (the kind's schema) re-encoded to
+  * wire bytes, BBHI-framed, one file per task via temp + rename.
+  */
+class FrameDumpWriter(dir: String, kind: String, partitionId: Int,
+                      taskId: Long, conf: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+  private val fs = new Path(dir).getFileSystem(conf.value)
+  private val tmpPath =
+    new Path(dir, s".part-$partitionId-$taskId.bin.tmp")
+  private val finalPath = new Path(dir, f"part-$partitionId%05d.bin")
+  private val out = fs.create(tmpPath, true)
+
+  override def write(row: InternalRow): Unit = {
+    val frame = kind match {
+      case "peaks" => FrameCodec.encodePeaksBytes(
+        row.getLong(2), row.getLong(3), row.getLong(4),
+        row.getArray(5), row.getArray(6))
+      case "sensor" => FrameCodec.encodeSensorBytes(
+        row.getInt(1), row.getInt(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getArray(6))
+      case "spectrum" => FrameCodec.encodeSpectrumBytes(
+        row.getLong(2), row.getLong(3), row.getLong(4),
+        row.getDouble(5), row.getDouble(6), row.getInt(9),
+        row.getArray(10))
+    }
+    out.write(FrameDump.record(frame))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    fs.delete(finalPath, false)
+    fs.rename(tmpPath, finalPath)
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Dump-file writer helpers (the producer side for tests/fixtures and

@@ -49,6 +49,31 @@ class FrameDumpSourceSpec extends SparkSpec {
     assert(rows == Seq(7L))
   }
 
+  test("DSv2 write path: df.write.format round-trips through the reader") {
+    val src = Files.createTempDirectory("graft_dump_w_src").toString
+    FrameDump.writeFile(s"$src/a.bin",
+      Iterator(encodedPeaks(1), encodedPeaks(2), encodedPeaks(3)))
+    val df = spark.read.format("graft-frames")
+      .option("kind", "peaks").load(src)
+
+    val dst = Files.createTempDirectory("graft_dump_w_dst").toString + "/out"
+    df.write.format("graft-frames").option("kind", "peaks")
+      .mode("append").save(dst)
+    val back = spark.read.format("graft-frames")
+      .option("kind", "peaks").load(dst)
+      .select($"serial_number", element_at($"peaks", 1))
+      .as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 1.5), (2L, 3.0), (3L, 4.5)))
+
+    // overwrite truncates the previous files
+    df.filter($"serial_number" === 1).write.format("graft-frames")
+      .option("kind", "peaks").mode("overwrite").save(dst)
+    val after = spark.read.format("graft-frames")
+      .option("kind", "peaks").load(dst)
+      .select($"serial_number").as[Long].collect().toSeq
+    assert(after == Seq(1L))
+  }
+
   test("spectrum kind decodes the matrix through the same source") {
     val dir = Files.createTempDirectory("graft_dump_spec").toString
     val bin = Seq(5L).toDF("s")
