@@ -51,7 +51,13 @@ object GraftFunctions {
     (FunctionIdentifier("graft_vec_mean"),
       new ExpressionInfo(classOf[VecMeanExpr].getCanonicalName,
         "graft_vec_mean"),
-      (c: Seq[Expression]) => VecMeanExpr(c.head).toAggregateExpression()))
+      // SQL callers may pass array<int>/array<float> — cast like the
+      // Column-layer entry point does
+      (c: Seq[Expression]) => VecMeanExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(c.head,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)))
+        .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
     descriptions.foreach { case (id, _, builder) =>

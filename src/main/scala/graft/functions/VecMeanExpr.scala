@@ -41,6 +41,18 @@ case class VecMeanExpr(
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 
+  // demanded explicitly: the SQL registration path has no Column-layer
+  // cast, and toDoubleArray on an int-array ArrayData would either
+  // throw or silently reinterpret bytes
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_mean requires array<double>, got ${other.simpleString}")
+    }
+
   override def createAggregationBuffer(): VecMeanBuffer =
     new VecMeanBuffer(Array.emptyDoubleArray, 0L)
 

@@ -277,7 +277,10 @@ object FrameCodec {
     val nPts = buf.getInt
     val nCh = buf.getShort & 0xFFFF
     val activeBits = buf.getShort & 0xFFFF
-    if (nPts < 0 || bytes.length - 48 < 2 * nCh * nPts) return null
+    // Long arithmetic: a corrupt header with huge num_points must fail
+    // the guard (return null), not overflow 32-bit and pass it
+    if (nPts < 0 ||
+      (bytes.length - 48).toLong < 2L * nCh * nPts) return null
     val rows = new Array[Any](nCh)
     var c = 0
     while (c < nCh) {

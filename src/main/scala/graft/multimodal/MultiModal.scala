@@ -314,6 +314,14 @@ object MultiModal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       lazy val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      def chunkFrames(r: MediaRow): Seq[(Long, Int, Array[Byte])] = {
+        val nFrames =
+          math.max(1, r.payload.length / math.max(1, frameBytes))
+        (0 until nFrames by stride).map { f =>
+          (r.media_id, f,
+            r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
       rows.flatMap { r =>
         if (isGif(r.payload)) {
           // poison-payload guard: a truncated/corrupt container must not
@@ -335,22 +343,9 @@ object MultiModal {
               (r.media_id, f, bos.toByteArray)
             }
           } catch {
-            case _: Exception =>
-              val nFrames =
-                math.max(1, r.payload.length / math.max(1, frameBytes))
-              (0 until nFrames by stride).map { f =>
-                (r.media_id, f,
-                  r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
-              }
+            case _: Exception => chunkFrames(r)
           }
-        } else {
-          val nFrames =
-            math.max(1, r.payload.length / math.max(1, frameBytes))
-          (0 until nFrames by stride).map { f =>
-            (r.media_id, f,
-              r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
-          }
-        }
+        } else chunkFrames(r)
       }
     }.toDF("media_id", "frame_idx", "frame_payload")
   }

@@ -49,8 +49,13 @@ object PipelineQueries {
     */
   private val AnnTargetBucket = 8L
   private val IvfTargetCell = 64L
+  // memoized per (session, dir): six ANN queries each need the corpus
+  // size for blocking parameters — one metadata-count job total, not one
+  // per query construction
+  private val embCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
   private def embCount(s: SparkSession, d: String): Long =
-    embeddings(s, d).count()
+    embCountCache.getOrElseUpdate((s, d), embeddings(s, d).count())
   private def annBits(n: Long): Int =
     Similarity.srpBitsFor(n, AnnTargetBucket)
   private def annProbes(bits: Int): Int = math.max(1, (1 << bits) / 4)

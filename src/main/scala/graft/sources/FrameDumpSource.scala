@@ -48,12 +48,19 @@ class FrameDumpSource extends TableProvider with DataSourceRegister {
       Option(options.get("kind")).getOrElse("peaks"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // case-insensitive like inferSchema — a capitalized option key must
+    // not silently fall back to the peaks layout
+    val opts = new CaseInsensitiveStringMap(properties)
+    if (opts.containsKey("paths"))
+      throw new IllegalArgumentException(
+        "graft-frames supports a single directory/file path " +
+          "(point it at the dump directory; files are the split unit)")
     new FrameDumpTable(schema,
-      Option(properties.get("kind")).getOrElse("peaks"),
-      Option(properties.get("path")).orElse(
-        Option(properties.get("paths"))).getOrElse(
+      Option(opts.get("kind")).getOrElse("peaks"),
+      Option(opts.get("path")).getOrElse(
         throw new IllegalArgumentException("graft-frames requires a path")))
+  }
 }
 
 object FrameDumpSource {
@@ -176,10 +183,15 @@ class FrameDumpReader(file: String, kind: String,
       // BBHI little-endian: status, response_type, message_length u16,
       // content_length u32
       val messageLen = ((hdr(2) & 0xFF) | ((hdr(3) & 0xFF) << 8))
-      val contentLen = ((hdr(4) & 0xFF) | ((hdr(5) & 0xFF) << 8) |
-        ((hdr(6) & 0xFF) << 16) | ((hdr(7) & 0xFF).toLong << 24)).toInt
+      val contentLen = ((hdr(4) & 0xFF).toLong | ((hdr(5) & 0xFF).toLong << 8) |
+        ((hdr(6) & 0xFF).toLong << 16) | ((hdr(7) & 0xFF).toLong << 24))
+      // insane u32 length = corrupt header; records can't be resynced
+      // (no markers), so stop this file cleanly instead of allocating
+      // gigabytes or a negative array
+      if (contentLen < 0 || contentLen > FrameDumpReader.MaxRecordBytes)
+        return false
       if (messageLen > 0 && readFully(messageLen) == null) return false
-      val content = readFully(contentLen)
+      val content = readFully(contentLen.toInt)
       if (content == null) return false
       val decoded = kind match {
         case "peaks"    => FrameCodec.decodePeaksBytes(content)
@@ -198,6 +210,13 @@ class FrameDumpReader(file: String, kind: String,
   override def close(): Unit = in.close()
 }
 
+object FrameDumpReader {
+  /** largest plausible single frame (spectra: 48 + 2·16·65535 ≈ 2 MiB;
+    * 64 MiB leaves generous headroom)
+    */
+  val MaxRecordBytes: Long = 64L * 1024 * 1024
+}
+
 /** Per-task dump writer: typed rows (the kind's schema) re-encoded to
   * wire bytes, BBHI-framed, one file per task via temp + rename.
   */
@@ -205,9 +224,15 @@ class FrameDumpWriter(dir: String, kind: String, partitionId: Int,
                       taskId: Long, conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
   private val fs = new Path(dir).getFileSystem(conf.value)
+  // taskId in the FINAL name too: append jobs must ADD files, and a
+  // partition-only name would let a second append's task clobber the
+  // first job's part file (Spark's commit coordinator guarantees a
+  // single committed attempt per partition per job, so one file per
+  // partition per job survives)
   private val tmpPath =
     new Path(dir, s".part-$partitionId-$taskId.bin.tmp")
-  private val finalPath = new Path(dir, f"part-$partitionId%05d.bin")
+  private val finalPath =
+    new Path(dir, f"part-$partitionId%05d-$taskId.bin")
   private val out = fs.create(tmpPath, true)
 
   override def write(row: InternalRow): Unit = {
