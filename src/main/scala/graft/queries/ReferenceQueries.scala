@@ -92,6 +92,18 @@ object ReferenceQueries {
         .select(col("event_id"))
     }),
 
+    // Sliding windows — width 2 h, slide 1 h: every event lands in
+    // exactly two overlapping windows (the third windowing family after
+    // tumbling and session; in streaming the same expression runs
+    // watermarked). Exact cents aggregation.
+    "q_sliding_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .select(epochS(col("w.start")).as("win_start"),
+          col("n_events"), col("value_cents"))),
+
     // Session windows — gap-based sessionization (session_window, the
     // one windowing family the tumbling/sliding pipeline didn't cover;
     // in streaming the same expression runs with a watermark and merges
@@ -463,6 +475,18 @@ object ReferenceQueries {
       ("SELECT event_id FROM events WHERE event_id < (SELECT min(event_id) " +
         "FROM events WHERE epoch(ts) >= " +
         "(SELECT max(epoch(ts)) FROM events) - 604800)"),
+
+    // every event belongs to windows starting at its hour bucket and
+    // one slide earlier — enumerate both, no filter needed (width =
+    // 2 × slide)
+    "q_sliding_window" ->
+      ("""SELECT cast(floor(epoch(ts)/3600)*3600 - k*3600 AS double)
+         |   AS win_start,
+         | count(*) AS n_events,
+         | cast(sum(cast(floor(value*100 + 0.5) AS bigint)) AS bigint)
+         |   AS value_cents
+         |FROM events, generate_series(0, 1) t(k)
+         |GROUP BY 1""").stripMargin,
 
     // gaps-and-islands: a new session starts where the gap from the
     // previous event exceeds 30 min; session id = running count of
