@@ -211,6 +211,43 @@ object RelationalQueries {
       events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
+    // explicit GROUPING SETS with grouping_id — the general form rollup/
+    // cube specialize; identical SQL runs on both engines (spark.sql
+    // entry path over a registered view)
+    "q_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  cast(grouping(o_orderpriority) AS int) AS g_pri,
+          |  cast(grouping(o_orderstatus) AS int) AS g_st,
+          |  count(*) AS n
+          |FROM v_orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |""".stripMargin)
+    }),
+
+    // analytic window-function battery: lead/lag/ntile/nth + running
+    // extremes over one partition spec (standard default frames)
+    "q_window_battery" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        ntile(4).over(w).as("quartile"),
+        min(cents(col("o_totalprice"))).over(w).as("run_min_cents"),
+        max(cents(col("o_totalprice"))).over(w).as("run_max_cents"))
+    }),
+
+    // correlated scalar subquery: orders above their customer's average
+    "q_corr_subquery" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_orderkey FROM v_orders o
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM v_orders i
+          |                      WHERE i.o_custkey = o.o_custkey)
+          |""".stripMargin)
+    }),
+
     // Q4 shape: priority counts for orders with a late-shipped line.
     // left_semi is the EXISTS plan: no joined-row blowup, no distinct
     // shuffle — each order emits at most once.
@@ -397,6 +434,34 @@ object RelationalQueries {
           | event_id % 7 AS pm,
           | xor(event_id, 255) AS bx
           |FROM events""").stripMargin,
+
+    "q_grouping_sets" ->
+      ("""SELECT o_orderpriority, o_orderstatus,
+         |  cast(grouping(o_orderpriority) AS int) AS g_pri,
+         |  cast(grouping(o_orderstatus) AS int) AS g_st,
+         |  count(*) AS n
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+         |""").stripMargin,
+
+    "q_window_battery" ->
+      ("""SELECT o_custkey, o_orderkey,
+         |  lag(o_orderkey, 1) OVER w AS prev_key,
+         |  lead(o_orderkey, 1) OVER w AS next_key,
+         |  cast(ntile(4) OVER w AS int) AS quartile,
+         |  min(cast(floor(o_totalprice*100 + 0.5) AS bigint)) OVER w
+         |    AS run_min_cents,
+         |  max(cast(floor(o_totalprice*100 + 0.5) AS bigint)) OVER w
+         |    AS run_max_cents
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         |""").stripMargin,
+
+    "q_corr_subquery" ->
+      ("""SELECT o_orderkey FROM orders o
+         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+         |                      WHERE i.o_custkey = o.o_custkey)
+         |""").stripMargin,
 
     "q_priority_exists" ->
       ("SELECT o_orderpriority, count(*) AS n_orders FROM " +
