@@ -88,4 +88,49 @@ class LawsSpec extends SparkSpec {
       .as[(Boolean, Int)].collect()
     assert(eq.forall { case (e, b) => e && b >= 0 && b < 64 })
   }
+
+  test("laws: frame codec decode∘encode = id on random frames (all kinds)") {
+    import graft.ingest.FrameCodec
+    // 200 random peaks frames: varying count/peak lengths, extreme
+    // doubles, u32-boundary timestamps, u64-wrap serials
+    val peaks = (1 to 200).map { i =>
+      val nC = rnd.nextInt(6)
+      val nP = rnd.nextInt(10)
+      (rnd.nextLong(), rnd.nextInt().toLong & 0xFFFFFFFFL,
+        rnd.nextInt().toLong & 0xFFFFFFFFL,
+        Seq.fill(nC)(rnd.nextInt(65536) - 32768),
+        Seq.fill(nP)(rnd.nextInt(4) match {
+          case 0 => 0.0
+          case 1 => Double.MinPositiveValue
+          case 2 => -1.7e308
+          case _ => rnd.nextGaussian() * 1e9
+        }))
+    }
+    val pdf = peaks.toDF("serial", "ti", "tf", "counts", "ps")
+    val bad = pdf.select(
+        FrameCodec.decodePeaks(FrameCodec.encodePeaks($"serial", $"ti",
+          $"tf", $"counts", $"ps")).as("f"),
+        $"serial", $"ti", $"tf", $"counts", $"ps")
+      .filter($"f.serial_number" =!= $"serial" ||
+        $"f.timestamp_int" =!= $"ti" || $"f.timestamp_frac" =!= $"tf" ||
+        $"f.peak_counts" =!= $"counts" || $"f.peaks" =!= $"ps")
+      .count()
+    assert(bad == 0)
+
+    // 100 random sensor frames incl. u8-boundary status values
+    val sensors = (1 to 100).map { i =>
+      (rnd.nextInt(256), rnd.nextInt(256), rnd.nextLong(),
+        rnd.nextInt().toLong & 0xFFFFFFFFL, (i * 7L) % 1000000000L,
+        Seq.fill(rnd.nextInt(8))(rnd.nextGaussian() * 1e6))
+    }
+    val sdf = sensors.toDF("st", "bp", "serial", "ti", "tf", "vs")
+    val sbad = sdf.select(
+        FrameCodec.decodeSensor(FrameCodec.encodeSensor($"st", $"bp",
+          $"serial", $"ti", $"tf", $"vs")).as("f"),
+        $"st", $"bp", $"serial", $"vs")
+      .filter($"f.status" =!= $"st" || $"f.buffer_percentage" =!= $"bp" ||
+        $"f.serial_number" =!= $"serial" || $"f.values" =!= $"vs")
+      .count()
+    assert(sbad == 0)
+  }
 }
