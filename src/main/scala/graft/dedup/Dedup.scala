@@ -169,6 +169,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a candidate-pair edge set — the dedup
+    * CLUSTERING step (LSH pairs → duplicate groups → keep min-id per
+    * group). Iterative min-label propagation: each round every node
+    * takes the minimum of its own label and its neighbors' labels;
+    * converged when no label changes. O(component diameter) rounds —
+    * near-dup clusters are shallow (pairs share bands transitively), so
+    * a handful of rounds in practice; each round is one shuffle, with
+    * `localCheckpoint` cutting lineage so round N doesn't replay rounds
+    * 1..N-1 (the standard Spark iterative-algorithm shape; GraphFrames'
+    * CC does the same with checkpoints).
+    *
+    * @param edges (id_a, id_b) candidate pairs (either orientation)
+    * @return (doc_id, cluster_id = min id reachable in the component)
+    *         for every id appearing in `edges`
+    */
+  def duplicateClusters(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === col("id2"))
+        .select(col("id"), least(col("label"), col("nmin")).as("label"))
+        .localCheckpoint(false)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact shingle-set Jaccard for a pair DataFrame carrying both texts. */
   def jaccard(aText: Column, bText: Column, n: Int): Column = {
     val sa = shingles(aText, n)

@@ -174,6 +174,16 @@ object PipelineQueries {
             .as("jaccard_est"))
     }),
 
+    // Dedup clustering: LSH candidate pairs → connected components →
+    // (doc, cluster head). Iterative min-label propagation on the Spark
+    // side; the oracle computes the same component minima with a
+    // recursive CTE — algorithm-independent ground truth.
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.lshCandidatePairs(
+          Dedup.lshBands(documents(s, d), col("doc_id"), col("text"), 2,
+            LshBands, LshRows)))),
+
     // Contamination detection: training docs sharing any verbatim
     // 5-token span with the "benchmark set" (every 20th doc, the driver
     // data's stand-in for an eval suite). Exact-span semantics — the
@@ -624,6 +634,29 @@ object PipelineQueries {
          |  ${rs(s"($eq) / 8", 6)} AS jaccard_est
          |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1""".stripMargin
     },
+
+    // recursive reachability from the same band-derived edges; min
+    // reachable id per node = component head, however computed
+    "q_dedup_clusters" ->
+      (bandsCte + """,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges)
+        |, reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        |  SELECT * FROM r)
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY 1""").stripMargin,
 
     // 5-token spans, partial tail shingle included exactly like
     // explodedShingles (i up to max(len-5, 0), slice end-capped)

@@ -62,6 +62,16 @@ class DedupSpec extends SparkSpec {
       Seq("doc_id", "band_idx", "band_key"))
   }
 
+  test("duplicateClusters: multi-hop components collapse to the min id") {
+    // chain 10-20-30-40 (3 hops), pair 50-60, singleton edge 70-80
+    val edges = Seq((10L, 20L), (20L, 30L), (30L, 40L), (50L, 60L),
+      (80L, 70L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      50L -> 50L, 60L -> 50L, 70L -> 70L, 80L -> 70L))
+  }
+
   test("spanOverlap flags exact n-token spans only") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the dog"),
