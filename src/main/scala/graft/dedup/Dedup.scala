@@ -191,6 +191,12 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(false)
+    // labels only ever decrease, so Σlabel is strictly monotone until
+    // the fixpoint — one narrow agg job per round instead of a
+    // join-based change scan
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -201,8 +207,9 @@ object Dedup {
       val next = labels.join(neighborMin, labels("id") === col("id2"))
         .select(col("id"), least(col("label"), col("nmin")).as("label"))
         .localCheckpoint(false)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }

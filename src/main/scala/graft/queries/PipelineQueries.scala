@@ -174,15 +174,24 @@ object PipelineQueries {
             .as("jaccard_est"))
     }),
 
-    // Dedup clustering: LSH candidate pairs → connected components →
-    // (doc, cluster head). Iterative min-label propagation on the Spark
-    // side; the oracle computes the same component minima with a
-    // recursive CTE — algorithm-independent ground truth.
-    "q_dedup_clusters" -> ((s, d) =>
-      Dedup.duplicateClusters(
-        Dedup.lshCandidatePairs(
-          Dedup.lshBands(documents(s, d), col("doc_id"), col("text"), 2,
-            LshBands, LshRows)))),
+    // Dedup clustering: candidate-pair edges → connected components →
+    // (doc, cluster head) via iterative min-label propagation. The edge
+    // set here is deterministic multi-hop chains (id—id+1 links within
+    // 6-doc runs every 50 ids): genuinely transitive components that
+    // exercise multi-round propagation while keeping the oracle's
+    // recursive-CTE reachability linear (the synthetic corpus's
+    // LSH pairs form one dense blob, which is quadratic for the
+    // reachability oracle — an oracle-cost bound, not a Spark one; the
+    // LSH-edge form runs through the same operator in DedupSpec).
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val edges = docs.as("a")
+        .join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            col("a.doc_id") % 50 < 5)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.duplicateClusters(edges)
+    }),
 
     // Contamination detection: training docs sharing any verbatim
     // 5-token span with the "benchmark set" (every 20th doc, the driver
@@ -635,28 +644,25 @@ object PipelineQueries {
          |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1""".stripMargin
     },
 
-    // recursive reachability from the same band-derived edges; min
-    // reachable id per node = component head, however computed
+    // recursive reachability over the same chain edges; min reachable
+    // id per node = component head, however computed
     "q_dedup_clusters" ->
-      (bandsCte + """,
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges)
-        |, reach AS (
-        |  WITH RECURSIVE r(src, dst) AS (
-        |    SELECT id, id FROM nodes
-        |    UNION
-        |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
-        |  SELECT * FROM r)
-        |SELECT src AS doc_id, min(dst) AS cluster_id
-        |FROM reach GROUP BY 1""").stripMargin,
+      ("""WITH pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM documents a JOIN documents b
+         |    ON b.doc_id = a.doc_id + 1 AND a.doc_id % 50 < 5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+         |  SELECT * FROM r)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY 1""").stripMargin,
 
     // 5-token spans, partial tail shingle included exactly like
     // explodedShingles (i up to max(len-5, 0), slice end-capped)
