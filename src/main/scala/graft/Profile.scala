@@ -51,8 +51,9 @@ object Profile {
       case Some(list) =>
         for (q <- list.split(",").map(_.trim).filter(_.nonEmpty)) {
           val mk = () => SparkEntry.queries(q)(spark, d)
+          val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
           force(mk())                      // warmup
-          val times = (1 to 3).map { _ =>
+          val times = (1 to iters).map { _ =>
             val t0 = System.nanoTime()
             force(mk())
             (System.nanoTime() - t0) / 1e9

@@ -171,49 +171,115 @@ object Dedup {
 
   /** Connected components over a candidate-pair edge set — the dedup
     * CLUSTERING step (LSH pairs → duplicate groups → keep min-id per
-    * group). Iterative min-label propagation: each round every node
-    * takes the minimum of its own label and its neighbors' labels;
-    * converged when no label changes. O(component diameter) rounds —
-    * near-dup clusters are shallow (pairs share bands transitively), so
-    * a handful of rounds in practice; each round is one shuffle, with
-    * `localCheckpoint` cutting lineage so round N doesn't replay rounds
-    * 1..N-1 (the standard Spark iterative-algorithm shape; GraphFrames'
-    * CC does the same with checkpoints).
+    * group). Iterated min-label propagation WITH GRAPH CONTRACTION
+    * (the shape of Cracker / "CC in MapReduce and beyond"-family
+    * algorithms): each batch runs `roundsPerBatch` lazy 1-hop
+    * min-label rounds (no driver action per round), then CONTRACTS the
+    * graph — every edge (u,v) becomes (label(u), label(v)), self-loops
+    * drop out — and the next batch runs on the contracted graph. A
+    * chain shrinks ~`roundsPerBatch`× per batch, so total rounds are
+    * O(log diameter), not O(diameter): a 60-hop chain that plain
+    * propagation could never finish inside a fixed round budget
+    * collapses in 3 batches.
+    *
+    * Convergence is a certificate, not a history compare: the
+    * contracted edge set is empty iff every component is uniformly
+    * labeled (and since label(v) <= v always and labels are drawn from
+    * component ids, the uniform label IS the component min). A
+    * non-converged exit after `maxIters` total rounds is an ERROR,
+    * never a silently wrong clustering.
+    *
+    * Materialization modes mirror [[lshCandidatePairs]]:
+    *  - `materializePath = None`: `localCheckpoint` — executor-local
+    *    blocks, fastest, but not resilient to executor loss.
+    *  - `materializePath = Some(dir)` (the 100 TB configuration): the
+    *    contracted edge set and per-batch label maps go to reliable
+    *    storage, so a lost executor re-reads instead of replaying
+    *    rounds, and the iteration is resumable across job restarts.
     *
     * @param edges (id_a, id_b) candidate pairs (either orientation)
     * @return (doc_id, cluster_id = min id reachable in the component)
     *         for every id appearing in `edges`
     */
-  def duplicateClusters(edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(false)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(false)
-    // labels only ever decrease, so Σlabel is strictly monotone until
-    // the fixpoint — one narrow agg job per round instead of a
-    // join-based change scan
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
-    var prevSum = labelSum(labels)
+  def duplicateClusters(edges: DataFrame, maxIters: Int = 100,
+                        materializePath: Option[String] = None,
+                        roundsPerBatch: Int = 5): DataFrame = {
+    require(roundsPerBatch >= 1, "roundsPerBatch must be >= 1")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame, name: String): DataFrame =
+      materializePath match {
+        case Some(dir) =>
+          val p = s"$dir/$name"
+          df.write.mode("overwrite").parquet(p)
+          spark.read.parquet(p)
+        case None => df.localCheckpoint(false)
+      }
+    var sym = materialize(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      "edges")
+    // global: original node -> current root, composed batch by batch
+    // (left join: a root absent from the contracted graph is final)
+    var global: DataFrame = null
     var converged = false
     var iter = 0
+    var batch = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = sym
-        .join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, labels("id") === col("id2"))
-        .select(col("id"), least(col("label"), col("nmin")).as("label"))
-        .localCheckpoint(false)
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
+      batch += 1
+      // Round 1 of each batch is free: labels enter the batch as the
+      // identity (the contracted graph's nodes ARE the current roots),
+      // so min-over-neighbors-and-self is one aggregate — no
+      // distinct-universe shuffle, no lookup join.
+      var cur = sym
+        .union(sym.select(col("src"), col("src").as("dst")))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("label"))
       iter += 1
+      var b = 1
+      while (b < roundsPerBatch && iter < maxIters) {
+        // 1-hop round: label'(v) = min over (neighbors ∪ self) of
+        // label(·). `cur` is referenced once per round, so the lazy
+        // chain stays linear in plan size — one job per batch.
+        cur = sym
+          .union(sym.select(col("src"), col("src").as("dst")))
+          .join(cur.select(col("id").as("tid"), col("label").as("tlabel")),
+            col("dst") === col("tid"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("tlabel")).as("label"))
+        b += 1
+        iter += 1
+      }
+      val labels = materialize(cur, s"labels_$batch")
+      global =
+        if (global == null) labels
+        else global.join(
+            labels.select(col("id").as("nid"), col("label").as("nlabel")),
+            global("label") === col("nid"), "left")
+          .select(global("id"),
+            coalesce(col("nlabel"), global("label")).as("label"))
+      // contract: edges between roots; empty <=> converged
+      val la = labels.select(col("id").as("sid"), col("label").as("sl"))
+      val lb = labels.select(col("id").as("did"), col("label").as("dl"))
+      sym = materialize(
+        sym.join(la, col("src") === col("sid"))
+          .join(lb, col("dst") === col("did"))
+          .filter(col("sl") =!= col("dl"))
+          .select(col("sl").as("src"), col("dl").as("dst"))
+          .distinct(),
+        s"contracted_$batch")
+      converged = sym.isEmpty
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within maxIters=$maxIters " +
+          s"total rounds ($batch contraction batches); the contracted " +
+          "graph still has edges — raise maxIters (each batch shrinks " +
+          s"chains ~${roundsPerBatch}x, so rounds needed is " +
+          "logarithmic in component diameter); refusing to return " +
+          "partially-merged clusters")
+    materialize(
+      global.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+      "clusters")
   }
 
   /** Exact shingle-set Jaccard for a pair DataFrame carrying both texts. */

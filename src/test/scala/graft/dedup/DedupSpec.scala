@@ -72,6 +72,58 @@ class DedupSpec extends SparkSpec {
       50L -> 50L, 60L -> 50L, 70L -> 70L, 80L -> 70L))
   }
 
+  test("duplicateClusters: a 60-hop chain converges (pointer doubling)") {
+    // A chain-shaped component much longer than any plausible 1-hop
+    // round budget: 61 nodes, min id planted mid-chain. Plain min-label
+    // propagation would need 30+ rounds; pointer doubling collapses it
+    // within the default maxIters with rounds to spare.
+    val ids = (1L to 30L) ++ Seq(0L) ++ (31L to 60L)
+    val edges = ids.zip(ids.tail).map { case (a, b) => (a, b) }
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 61)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("duplicateClusters: reliable-storage mode matches and survives " +
+      "a cache wipe") {
+    val edges = Seq((10L, 20L), (20L, 30L), (30L, 40L), (50L, 60L))
+      .toDF("id_a", "id_b")
+    val expect = Dedup.duplicateClusters(edges)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cc").toString
+    val persisted = Dedup.duplicateClusters(edges,
+      materializePath = Some(dir))
+    assert(persisted.as[(Long, Long)].collect().toMap == expect)
+    // edges + per-batch labels landed on (simulated) reliable storage
+    assert(new java.io.File(s"$dir/edges").exists())
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("labels_")))
+    // simulate losing every executor-local block: wipe all persisted
+    // RDDs, then re-read the result — it must come back from storage
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(persisted.as[(Long, Long)].collect().toMap == expect)
+  }
+
+  test("duplicateClusters: refuses to return non-converged labels") {
+    // maxIters=1 leaves a 5-node chain mid-propagation -> hard error,
+    // never a silently wrong clustering
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIters = 1)
+    }
+    // ...but an input that IS converged after round 1 passes the
+    // certificate check even at maxIters=1
+    val pairs = Seq((1L, 2L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, maxIters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("spanOverlap flags exact n-token spans only") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the dog"),
