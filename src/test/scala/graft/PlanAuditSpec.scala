@@ -74,6 +74,21 @@ class PlanAuditSpec extends SparkSpec {
       s"join side recomputes the shingle pipeline:\n$p")
   }
 
+  test("q_priority_exists: lineitem pre-aggregated below an equi hash join") {
+    val p = plan("q_priority_exists")
+    // the EXISTS is answered from max(l_shipdate) per order: a partial
+    // HashAggregate must collapse lineitem BEFORE any join, and the join
+    // must be hash-based on the order key — no sort-merge, no
+    // nested-loop fallback for the (now post-join) date predicate
+    val joinIdx = math.max(p.indexOf("BroadcastHashJoin"),
+      p.indexOf("ShuffledHashJoin"))
+    assert(joinIdx >= 0, s"no hash join:\n$p")
+    val aggIdx = p.indexOf("partial_max(l_shipdate")
+    assert(aggIdx >= 0, s"lineitem not pre-aggregated:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_topk_per_key: custom exec with one hash exchange, no window sort") {
     val p = plan("q_topk_per_key")
     assert(p.contains("TopKPerKey"), p)
