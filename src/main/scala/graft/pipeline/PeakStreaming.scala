@@ -95,18 +95,28 @@ object PeakStreaming {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Short-term sink: every windowed row, date-partitionable so TTL
-        // is a partition drop at scale.
+        // IDEMPOTENT dual sink: each micro-batch lands in its own
+        // `batch_id=<id>` partition via DYNAMIC partition overwrite, so
+        // a batch replayed after a crash (checkpoint has the offsets
+        // but not the commit) rewrites exactly its own partition
+        // instead of appending duplicates — the Spark equivalent of
+        // the reference's one-SQLite-transaction-per-flush atomicity
+        // (database_peak_streaming.py:60-63). Metadata-only at scale:
+        // only the replayed batch's files are touched.
         val st = batch.withColumn("batch_id", lit(batchId))
-        st.write.mode("append").parquet(stPath)
+        st.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(stPath)
         // Long-term sink: per-batch stride (restarts each flush, as the
-        // reference does). Partitioned by batch_id: within one micro-batch
+        // reference does). Strided within batch_id: within one micro-batch
         // that is a single bounded partition — the reference's per-flush
         // restart semantics — never a whole-history sort.
         graft.ops.Downsample
           .strided(st, col("win_start"), ltIncrement,
             partitionBy = Seq(col("batch_id")))
-          .write.mode("append").parquet(ltPath)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(ltPath)
         ()
       }
   }

@@ -56,10 +56,15 @@ class FrameDumpSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-frames supports a single directory/file path " +
           "(point it at the dump directory; files are the split unit)")
-    new FrameDumpTable(schema,
-      Option(opts.get("kind")).getOrElse("peaks"),
+    val kind = Option(opts.get("kind")).getOrElse("peaks")
+    // validate even when the caller supplied an explicit schema (which
+    // skips inferSchema): a bad kind must be a clean driver-side error,
+    // not a MatchError inside executor tasks
+    FrameDumpSource.schemaFor(kind)
+    new FrameDumpTable(schema, kind,
       Option(opts.get("path")).getOrElse(
-        throw new IllegalArgumentException("graft-frames requires a path")))
+        throw new IllegalArgumentException("graft-frames requires a path")),
+      Option(opts.get("maxFramesPerTrigger")).map(_.toLong))
   }
 }
 
@@ -73,13 +78,14 @@ object FrameDumpSource {
   }
 }
 
-class FrameDumpTable(schema: StructType, kind: String, path: String)
+class FrameDumpTable(schema: StructType, kind: String, path: String,
+                     maxFramesPerTrigger: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-frames($kind)@$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   /** Write path: one dump file per task, written to a temp name and
     * renamed on task commit (retries/speculation never publish partial
@@ -123,6 +129,15 @@ class FrameDumpTable(schema: StructType, kind: String, path: String)
       override def readSchema(): StructType = schema
       override def toBatch: Batch = this
 
+      override def toMicroBatchStream(
+          checkpointLocation: String): org.apache.spark.sql.connector
+            .read.streaming.MicroBatchStream =
+        new FrameMicroBatchStream(path, kind,
+          Option(options.get("maxFramesPerTrigger")).map(_.toLong)
+            .orElse(maxFramesPerTrigger),
+          org.apache.spark.sql.SparkSession.active
+            .sparkContext.hadoopConfiguration)
+
       override def planInputPartitions(): Array[InputPartition] = {
         val conf = org.apache.spark.sql.SparkSession.active
           .sparkContext.hadoopConfiguration
@@ -131,6 +146,11 @@ class FrameDumpTable(schema: StructType, kind: String, path: String)
         val files =
           if (fs.getFileStatus(p).isDirectory)
             fs.listStatus(p).filter(_.isFile)
+              // hidden-file convention: '.'/'_' prefixes are in-flight
+              // temps (e.g. an aborted task's orphaned .part-*.bin.tmp)
+              // — scanning one would surface duplicate/partial rows
+              .filterNot(f => f.getPath.getName.startsWith(".") ||
+                f.getPath.getName.startsWith("_"))
               .map(_.getPath.toString).sorted
           else Array(path)
         files.map(f => FrameFilePartition(f): InputPartition)
@@ -153,17 +173,22 @@ class FrameDumpTable(schema: StructType, kind: String, path: String)
 
 case class FrameFilePartition(file: String) extends InputPartition
 
-/** Sequential record reader for one dump file. Malformed records
-  * (truncated header/content, undecodable frame) end or skip cleanly.
+/** Sequential record reader for one dump file, optionally over a raw
+  * RECORD range `[skip, skip+take)` (the streaming form's unit — raw
+  * record ordinals, so a poison frame that decodes to null still
+  * advances the range deterministically). Malformed records (truncated
+  * header/content, undecodable frame) end or skip cleanly.
   */
 class FrameDumpReader(file: String, kind: String,
-                      conf: SerializableConfiguration)
+                      conf: SerializableConfiguration,
+                      skip: Long = 0L, take: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(file)
     p.getFileSystem(conf.value).open(p)
   }
   private var row: InternalRow = _
+  private var consumed = 0L
 
   private def readFully(n: Int): Array[Byte] = {
     val buf = new Array[Byte](n)
@@ -176,8 +201,19 @@ class FrameDumpReader(file: String, kind: String,
     buf
   }
 
+  private def skipFully(n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      val r = in.skip(left)
+      if (r <= 0) return false
+      left -= r
+    }
+    true
+  }
+
   override def next(): Boolean = {
     while (true) {
+      if (consumed >= skip + take) return false
       val hdr = readFully(8)
       if (hdr == null) return false
       // BBHI little-endian: status, response_type, message_length u16,
@@ -190,17 +226,23 @@ class FrameDumpReader(file: String, kind: String,
       // gigabytes or a negative array
       if (contentLen < 0 || contentLen > FrameDumpReader.MaxRecordBytes)
         return false
-      if (messageLen > 0 && readFully(messageLen) == null) return false
-      val content = readFully(contentLen.toInt)
-      if (content == null) return false
-      val decoded = kind match {
-        case "peaks"    => FrameCodec.decodePeaksBytes(content)
-        case "sensor"   => FrameCodec.decodeSensorBytes(content)
-        case "spectrum" => FrameCodec.decodeSpectrumBytes(content)
-      }
-      if (decoded != null) { // poison frame -> skip, keep reading
-        row = decoded
-        return true
+      val inRange = consumed >= skip
+      consumed += 1
+      if (!inRange) { // seek past the record without decoding
+        if (!skipFully(messageLen.toLong + contentLen)) return false
+      } else {
+        if (messageLen > 0 && readFully(messageLen) == null) return false
+        val content = readFully(contentLen.toInt)
+        if (content == null) return false
+        val decoded = kind match {
+          case "peaks"    => FrameCodec.decodePeaksBytes(content)
+          case "sensor"   => FrameCodec.decodeSensorBytes(content)
+          case "spectrum" => FrameCodec.decodeSpectrumBytes(content)
+        }
+        if (decoded != null) { // poison frame -> skip, keep reading
+          row = decoded
+          return true
+        }
       }
     }
     false

@@ -1,0 +1,182 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.ingest.FrameCodec
+
+/** The micro-batch streaming form of `graft-frames`: offset semantics,
+  * admission control (`maxFramesPerTrigger`), AvailableNow drains,
+  * exactly-once delivery through the idempotent PeakStreaming sink
+  * (crash-replay proof), and bounded per-batch intake (the reference's
+  * bounded-queue backpressure, database_peak_streaming.py:109).
+  */
+class FrameStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def encodedPeaks(id: Long, tsSec: Long): Array[Byte] =
+    Seq(id).toDF("s")
+      .select(FrameCodec.encodePeaks(col("s"), lit(tsSec), col("s"),
+        array(lit(1), lit(1)),
+        array(col("s").cast("double"), col("s").cast("double") + 10)))
+      .as[Array[Byte]].head()
+
+  /** n frames across `files` dump files, frame i at t0+i seconds. */
+  private def writeDump(dir: String, n: Int, files: Int,
+                        t0: Long = 1700000000L): Unit = {
+    val perFile = (n + files - 1) / files
+    for (f <- 0 until files) {
+      val ids = (f * perFile) until math.min(n, (f + 1) * perFile)
+      FrameDump.writeFile(f"$dir/part-$f%03d.bin",
+        ids.iterator.map(i => encodedPeaks(i.toLong, t0 + i)))
+    }
+  }
+
+  private def streamDf(dir: String, maxPerTrigger: Int) =
+    spark.readStream.format("graft-frames")
+      .option("kind", "peaks")
+      .option("maxFramesPerTrigger", maxPerTrigger.toString)
+      .load(dir)
+
+  test("offsets advance, every frame arrives exactly once, batches " +
+      "respect maxFramesPerTrigger") {
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    writeDump(dir, n = 100, files = 4)
+    val out = Files.createTempDirectory("graft_stream_out").toString
+
+    val q = streamDf(dir, maxPerTrigger = 17)
+      .select($"serial_number", $"timestamp_int")
+      .writeStream
+      .option("checkpointLocation", s"$out/ck")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$out/rows")
+      .start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(s"$out/rows")
+      .select($"serial_number").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 100L)) // exactly once, nothing lost
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length == 6) // ceil(100/17) admission-controlled batches
+    assert(progress.forall(_.numInputRows <= 17),
+      progress.map(_.numInputRows).mkString(","))
+    // committed offsets are the frame ordinals: the checkpoint's last
+    // offset file must read back as 100
+    val offsetsDir = new java.io.File(s"$out/ck/offsets")
+    val last = offsetsDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    val lastOffset = Files.readAllLines(last.toPath).toArray.mkString("\n")
+      .linesIterator.toSeq.last.trim
+    assert(lastOffset == "100", s"checkpoint offset: $lastOffset")
+  }
+
+  test("growing landing dir: new files picked up by the next trigger") {
+    val dir = Files.createTempDirectory("graft_stream_grow").toString
+    writeDump(dir, n = 20, files = 1)
+    val out = Files.createTempDirectory("graft_stream_grow_out").toString
+
+    def drain(): Unit = {
+      val q = streamDf(dir, maxPerTrigger = 50)
+        .select($"serial_number")
+        .writeStream
+        .option("checkpointLocation", s"$out/ck")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$out/rows")
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // append a SECOND landing file (names must sort after — the
+    // producer contract) and drain again from the same checkpoint
+    FrameDump.writeFile(s"$dir/part-001.bin",
+      (20 until 30).iterator.map(i => encodedPeaks(i.toLong, 1700000050L)))
+    drain()
+    val got = spark.read.parquet(s"$out/rows")
+      .select($"serial_number").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 30L))
+  }
+
+  test("crash replay is idempotent: a re-run batch overwrites its own " +
+      "batch_id partition, never duplicates") {
+    val dir = Files.createTempDirectory("graft_replay_src").toString
+    writeDump(dir, n = 120, files = 3)
+    val out = Files.createTempDirectory("graft_replay_out").toString
+    val st = s"$out/st"; val lt = s"$out/lt"; val ck = s"$out/ck"
+
+    def drain(): Unit = {
+      val frames = streamDf(dir, maxPerTrigger = 40)
+        .select($"timestamp_frac".as("frame_id"),
+          timestamp_seconds($"timestamp_int").as("ts"),
+          $"serial_number", $"peak_counts", $"peaks")
+      val q = graft.pipeline.PeakStreaming
+        .stream(frames, st, lt, ck, windowMs = 10 * 1000)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // deregistration from the per-checkpoint active-query lock can
+      // trail awaitTermination; the restart below reuses the checkpoint
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    drain()
+    val stRows = spark.read.parquet(st).count()
+    val ltRows = spark.read.parquet(lt).count()
+    assert(stRows > 0 && ltRows > 0)
+
+    // simulate a crash BETWEEN the sink write and the commit record:
+    // delete the newest commit file; on restart Structured Streaming
+    // re-runs that batch's foreachBatch against the same sinks
+    val commits = new java.io.File(s"$ck/commits")
+    val newest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    assert(newest.delete())
+    // the local FS keeps a sibling checksum file; a stale one blocks
+    // the commit log's atomic re-write of the replayed batch
+    new java.io.File(commits, s".${newest.getName}.crc").delete()
+    drain()
+
+    assert(spark.read.parquet(st).count() == stRows,
+      "replayed batch duplicated short-term rows")
+    assert(spark.read.parquet(lt).count() == ltRows,
+      "replayed batch duplicated long-term rows")
+    // batch ids are still unique partitions
+    val perBatch = spark.read.parquet(st)
+      .groupBy($"batch_id").count().as[(Long, Long)].collect().toMap
+    assert(perBatch.keySet.size == perBatch.size)
+  }
+
+  test("backpressure: bounded intake and bounded windowed state under " +
+      "a time-ordered drain") {
+    val dir = Files.createTempDirectory("graft_bp_src").toString
+    // 300 frames, 1 s apart -> 30 ten-second windows, time-ordered files
+    writeDump(dir, n = 300, files = 6)
+    val out = Files.createTempDirectory("graft_bp_out").toString
+
+    val frames = streamDf(dir, maxPerTrigger = 30)
+      .select($"timestamp_frac".as("frame_id"),
+        timestamp_seconds($"timestamp_int").as("ts"),
+        $"serial_number", $"peak_counts", $"peaks")
+    val q = graft.pipeline.PeakStreaming
+      .stream(frames, s"$out/st", s"$out/lt", s"$out/ck",
+        windowMs = 10 * 1000)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 10) // 300/30: genuinely incremental drain
+    assert(progress.forall(_.numInputRows <= 30)) // the queue bound
+    // watermark eviction keeps state bounded: the snapshot plateaus at
+    // ~in-flight + watermark-lag windows (observed steady 10) instead
+    // of accreting all 30 windows of the run — the streaming analogue
+    // of the reference's bounded queue
+    val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(stateRows.nonEmpty && stateRows.max <= 12,
+      s"state rows per batch: ${stateRows.mkString(",")}")
+    assert(stateRows.takeRight(3).forall(_ == stateRows.last),
+      s"state still growing: ${stateRows.mkString(",")}")
+  }
+}
