@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** P4/P5 — TTL retention.
@@ -33,5 +34,43 @@ object Retention {
                             survivors: DataFrame, survivorKey: Column): DataFrame = {
     val minKey = survivors.agg(min(survivorKey).as("mn"))
     other.join(broadcast(minKey)).where(otherKey < col("mn")).drop("mn")
+  }
+
+  /** The PHYSICAL delete the reference performs on every flush
+    * (`DELETE FROM st_data WHERE timestamp < now - st_length`,
+    * database_peak_streaming.py:65-69), as its scale-correct storage
+    * form: the sink is partitioned by a time-derived long column (epoch
+    * hour/day, or the streaming sink's batch_id), and TTL enforcement
+    * DELETES WHOLE EXPIRED PARTITION DIRECTORIES. Metadata-only — no
+    * surviving file is opened, rewritten, or moved; at 100 TB this is a
+    * handful of namenode calls where a row-level delete would rewrite
+    * the table.
+    *
+    * Granularity contract: a partition is dropped iff its value is
+    * strictly below `minSurvivingValue`, so retention rounds DOWN to
+    * the partition boundary (the boundary partition survives whole —
+    * rows inside it age out when the partition ages past the cutoff).
+    * With `ttlSec` a multiple of the partition width this is exactly
+    * [[surviving]]'s row-filter semantics.
+    *
+    * @return the dropped partition values (ascending)
+    */
+  def dropExpired(spark: SparkSession, path: String, partitionCol: String,
+                  minSurvivingValue: Long): Seq[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val prefix = partitionCol + "="
+    val dropped = fs.listStatus(p)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
+      .flatMap { d =>
+        val v = d.getPath.getName.stripPrefix(prefix)
+        try Some((d.getPath, v.toLong))
+        catch { case _: NumberFormatException => None }
+      }
+      .filter(_._2 < minSurvivingValue)
+      .sortBy(_._2)
+    dropped.foreach { case (dir, _) => fs.delete(dir, true) }
+    dropped.map(_._2).toSeq
   }
 }

@@ -81,6 +81,55 @@ class OpsSpec extends SparkSpec {
       Seq(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("dropExpired: partition-drop TTL equals the filter form and " +
+      "never rewrites a surviving file") {
+    // 51 rows, one per 6 min across 5+ epoch-hours; the LAST ts sits
+    // exactly on an hour boundary, so with a ttl that is a multiple of
+    // the partition width the row-filter cutoff IS a partition boundary
+    // and the two TTL forms must agree exactly
+    val df = (0 to 50).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(3600L * 1000 + i * 360)))
+    }.toDF("id", "ts")
+      .withColumn("epoch_hour", floor(col("ts").cast("double") / 3600))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ttl_drop").toString + "/st"
+    df.write.partitionBy("epoch_hour").parquet(dir)
+
+    // ttl = 2 h, aligned cutoff -> first surviving hour
+    val maxTs = df.agg(max($"ts".cast("double"))).as[Double].head()
+    val cutoffHour = (maxTs.toLong - 2 * 3600) / 3600
+    val expectSurviving = Retention.surviving(df, $"ts", 2 * 3600L)
+      .select($"id").as[Long].collect().sorted.toSeq
+
+    // file inventory of the surviving partitions, before the drop
+    def inventory(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val survivingBefore = inventory().filter { case (p, _) =>
+      "epoch_hour=(\\d+)".r.findFirstMatchIn(p)
+        .exists(_.group(1).toLong >= cutoffHour)
+    }
+
+    val dropped = Retention.dropExpired(spark, dir, "epoch_hour", cutoffHour)
+    assert(dropped.nonEmpty && dropped.forall(_ < cutoffHour))
+
+    // surviving rows = the row-filter form, bit for bit
+    val got = spark.read.parquet(dir)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got == expectSurviving)
+    // metadata-only: every surviving file untouched (same path, mtime,
+    // size), and nothing else remains
+    assert(inventory() == survivingBefore)
+    // idempotent: a second pass drops nothing
+    assert(Retention.dropExpired(spark, dir, "epoch_hour", cutoffHour)
+      .isEmpty)
+  }
+
   // ---- Calibrate --------------------------------------------------------
 
   test("dBm conversion, wavelength axis, bitmap channels") {
