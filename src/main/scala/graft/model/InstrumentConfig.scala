@@ -1,0 +1,67 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ingest.FrameSource
+
+/** S14-lite — the instrument's config/metadata surface as static
+  * DataFrames, so queries can join against instrument properties the
+  * way the reference's analysis implicitly assumes them.
+  *
+  * The reference exposes these as TCP command round-trips on the
+  * `Hyperion` client (serial/name/versions hyperion.py:699-740,
+  * `channel_count` hyperion.py:765-771, `max_peak_count_per_channel`
+  * hyperion.py:773-780, detection-settings presets and per-channel
+  * assignments via `HPeakDetectionSettings` hyperion.py:552-590). The
+  * command TRANSPORT is control-plane and out of engine scope (SURVEY
+  * §1.1); what belongs in the engine is the queryable shape of the
+  * answers — one config row, a presets table, and the channel→preset
+  * assignment — with deterministic values sized to the synthetic
+  * instrument ([[FrameSource.NumPorts]] channels).
+  */
+object InstrumentConfig {
+  val Serial = "HYP-D-8421"
+  val InstrumentName = "graft-interrogator-1"
+  val FirmwareVersion = "7.2.1"
+  val FpgaVersion = "3.9"
+  val ChannelCount: Int = FrameSource.NumPorts
+  val MaxPeaksPerChannel = 64
+
+  case class Config(serial_number: String, instrument_name: String,
+                    firmware_version: String, fpga_version: String,
+                    is_ready: Boolean, channel_count: Int,
+                    max_peak_count_per_channel: Int)
+
+  /** ref: HPeakDetectionSettings fields, hyperion.py:557-590 (lengths
+    * and periods in pm, normalized threshold, Peak|Valley mode)
+    */
+  case class DetectionPreset(setting_id: Int, name: String,
+                             description: String, boxcar_length: Int,
+                             diff_filter_length: Int, lockout: Int,
+                             ntv_period: Int, threshold: Int, mode: String)
+
+  case class ChannelSetting(channel: Int, setting_id: Int)
+
+  val Presets: Seq[DetectionPreset] = Seq(
+    DetectionPreset(0, "default", "standard peak detection",
+      250, 800, 1000, 9000, 2000, "Peak"),
+    DetectionPreset(1, "sharp", "narrow peaks, short filters",
+      125, 400, 500, 4500, 3000, "Peak"),
+    DetectionPreset(2, "valley", "valley detection for notch sensors",
+      250, 800, 1000, 9000, 1500, "Valley"))
+
+  def config(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Seq(Config(Serial, InstrumentName,
+      FirmwareVersion, FpgaVersion, is_ready = true, ChannelCount,
+      MaxPeaksPerChannel)))
+
+  def detectionSettings(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Presets)
+
+  /** channel c (1-based) runs preset (c-1) mod |Presets| — the
+    * queryable form of `channel_detection_setting_ids`.
+    */
+  def channelSettings(spark: SparkSession): DataFrame =
+    spark.createDataFrame((1 to ChannelCount).map(c =>
+      ChannelSetting(c, (c - 1) % Presets.size)))
+}

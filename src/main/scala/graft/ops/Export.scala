@@ -22,4 +22,13 @@ object Export {
   def fromCsv(spark: SparkSession, path: String, ddl: String,
               header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).schema(ddl).csv(path)
+
+  /** The reference's FULL export loop (analyze_data.py:8-16 iterates
+    * every catalog table): each named table to its own CSV directory
+    * under `dir`. Tables export independently — at scale each is its
+    * own parallel write job.
+    */
+  def tablesToCsv(tables: Seq[(String, DataFrame)], dir: String,
+                  header: Boolean = true): Unit =
+    tables.foreach { case (name, df) => toCsv(df, s"$dir/$name", header) }
 }

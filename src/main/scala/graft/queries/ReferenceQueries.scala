@@ -419,6 +419,70 @@ object ReferenceQueries {
         "/graft_csv_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       Export.toCsv(events(s, d).select(col("event_id"), col("value")), path)
       Export.fromCsv(s, path, "event_id BIGINT, value DOUBLE")
+    }),
+
+    // S13 full form — the reference's export LOOP (analyze_data.py:8-16
+    // iterates EVERY table): all four dual-resolution tables (derived
+    // deterministically from events in the reference's st/lt shapes) go
+    // through the CSV sink and back; the verified output is each
+    // table's read-back cardinality and column checksums, so a wrong
+    // export of ANY table fails the gate.
+    "q_csv_export_all" -> ((s, d) => {
+      val dir = System.getProperty("java.io.tmpdir") +
+        "/graft_csvall_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val fr = FrameSource.frames(s, d)
+      val stData = fr.select(Seq(col("frame_id").as("id"),
+        epochS(col("ts")).as("timestamp")) ++
+        (1 to FrameSource.NumPorts).map(i =>
+          element_at(col("peak_counts"), i).as(s"port$i")): _*)
+      val stPeak = fr.select(col("frame_id").as("id") +:
+        (1 to FrameSource.NumPeaks).map(i =>
+          element_at(col("peaks"), i).as(s"peak$i")): _*)
+      val tables = Seq(
+        "st_data" -> stData,
+        "lt_data" -> stData.filter(col("id") % 10 === 0),
+        "st_peak" -> stPeak,
+        "lt_peak" -> stPeak.filter(col("id") % 10 === 0))
+      Export.tablesToCsv(tables, dir)
+      val dataDdl = "id BIGINT, timestamp DOUBLE, " +
+        (1 to FrameSource.NumPorts).map(i => s"port$i INT").mkString(", ")
+      val peakDdl = "id BIGINT, " +
+        (1 to FrameSource.NumPeaks).map(i => s"peak$i DOUBLE").mkString(", ")
+      tables.map { case (name, _) =>
+        val isData = name.endsWith("_data")
+        val back = Export.fromCsv(s, s"$dir/$name",
+          if (isData) dataDdl else peakDdl)
+        val col1 = if (isData) col("port1").cast("double") else col("peak1")
+        back.agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"),
+            sum(col1).as("col1_sum"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("id_sum"), col("col1_sum"))
+      }.reduce(_.unionAll(_))
+    }),
+
+    // S14-lite — instrument config/metadata as a joinable surface
+    // (serial/versions hyperion.py:699-740, channel_count
+    // hyperion.py:765-771, max_peak_count_per_channel hyperion.py:773-780,
+    // detection presets hyperion.py:552-590): per-channel observed peak
+    // counts validated against the instrument's max and joined to the
+    // channel's detection preset. The config sides are tiny and
+    // broadcast; the frame side is one map + one narrow agg.
+    "q_instrument_config" -> ((s, d) => {
+      import graft.model.InstrumentConfig
+      val perCh = FrameSource.frames(s, d)
+        .select(posexplode(col("peak_counts")).as(Seq("p0", "cnt")))
+        .groupBy((col("p0") + 1).as("channel"))
+        .agg(count(lit(1)).as("n_frames"), max(col("cnt")).as("max_observed"))
+      perCh
+        .join(broadcast(InstrumentConfig.channelSettings(s)), "channel")
+        .join(broadcast(InstrumentConfig.detectionSettings(s)), "setting_id")
+        .crossJoin(broadcast(InstrumentConfig.config(s)))
+        .select(col("channel"), col("n_frames"), col("max_observed"),
+          col("max_peak_count_per_channel"),
+          (col("max_observed") <= col("max_peak_count_per_channel"))
+            .as("within_limit"),
+          col("serial_number"), col("setting_id"),
+          col("name").as("setting_name"), col("threshold"), col("mode"))
     }))
 
   /** Exact-cents peak model (see FrameSource.frames): peak_i of a window
@@ -659,5 +723,41 @@ object ReferenceQueries {
          |   % 65536 AS int) AS m_last
          |FROM events WHERE event_id % 50 = 0""").stripMargin,
 
-    "q_csv_roundtrip" -> "SELECT event_id, value FROM events")
+    "q_csv_roundtrip" -> "SELECT event_id, value FROM events",
+
+    "q_csv_export_all" ->
+      """WITH f AS (SELECT event_id AS id,
+        |  floor(value*100 + 0.5) AS cents FROM events)
+        |SELECT 'st_data' AS table_name, count(*) AS n_rows,
+        |  cast(sum(id) AS bigint) AS id_sum,
+        |  cast(count(*) AS double) AS col1_sum FROM f
+        |UNION ALL SELECT 'lt_data', count(*), cast(sum(id) AS bigint),
+        |  cast(count(*) AS double) FROM f WHERE id % 10 = 0
+        |UNION ALL SELECT 'st_peak', count(*), cast(sum(id) AS bigint),
+        |  cast(sum(cents) AS double) FROM f
+        |UNION ALL SELECT 'lt_peak', count(*), cast(sum(id) AS bigint),
+        |  cast(sum(cents) AS double) FROM f WHERE id % 10 = 0
+        |""".stripMargin,
+
+    "q_instrument_config" ->
+      """WITH cfg AS (SELECT 'HYP-D-8421' AS serial_number,
+        |  cast(64 AS int) AS max_peak_count_per_channel),
+        |st AS (SELECT * FROM (VALUES
+        |  (cast(0 AS int), 'default', cast(2000 AS int), 'Peak'),
+        |  (1, 'sharp', 3000, 'Peak'),
+        |  (2, 'valley', 1500, 'Valley'))
+        |  AS t(setting_id, setting_name, threshold, mode)),
+        |perch AS (
+        |  SELECT cast(i AS int) AS channel, count(*) AS n_frames,
+        |    max(cast(1 AS int)) AS max_observed
+        |  FROM events, generate_series(1, 8) t(i)
+        |  GROUP BY 1)
+        |SELECT p.channel, p.n_frames, p.max_observed,
+        |  cfg.max_peak_count_per_channel,
+        |  p.max_observed <= cfg.max_peak_count_per_channel AS within_limit,
+        |  cfg.serial_number, s.setting_id, s.setting_name, s.threshold,
+        |  s.mode
+        |FROM perch p
+        |JOIN st s ON s.setting_id = (p.channel - 1) % 3
+        |CROSS JOIN cfg""".stripMargin)
 }
