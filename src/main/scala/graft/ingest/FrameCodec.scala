@@ -256,8 +256,14 @@ object FrameCodec {
     var c = 0
     while (c < nCh) {
       val row = matrix.getArray(c)
+      // jagged input: bound by the ROW's own length, zero-padding short
+      // rows — the wire format is rectangular, and an out-of-bounds read
+      // in an executor must not be the failure mode (mirrors the decode
+      // side's null-on-malformed contract)
+      val rowLen = math.min(nPts, row.numElements())
       var p = 0
-      while (p < nPts) { buf.putShort(row.getInt(p).toShort); p += 1 }
+      while (p < rowLen) { buf.putShort(row.getInt(p).toShort); p += 1 }
+      while (p < nPts) { buf.putShort(0.toShort); p += 1 }
       c += 1
     }
     buf.array()

@@ -38,10 +38,15 @@ object Shuffle {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
-    val salted = left.withColumn("__salt",
+    // collision-free internal column: silently overwriting a caller's
+    // '__salt' via withColumn would corrupt the join result
+    var saltCol = "__salt"
+    while (left.columns.contains(saltCol) || right.columns.contains(saltCol))
+      saltCol += "_"
+    val salted = left.withColumn(saltCol,
       pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
-    val replicated = right.withColumn("__salt",
+    val replicated = right.withColumn(saltCol,
       explode(array((0 until saltFactor).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 }
