@@ -130,6 +130,60 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
 
+    // Within-document repetition signals (the Gopher-rule family:
+    // fraction of the doc covered by its most frequent bigram, distinct
+    // -token ratio) — the per-doc quality gate that catches boilerplate
+    // and degenerate repetition before training. Pure explode→two-level
+    // agg: map-side partials, shuffles only (doc_id[, bigram]) keys.
+    "q_doc_repetition" -> ((s, d) => {
+      val toks = parallelize(documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val bAgg = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("doc_id"), concat_ws(" ",
+          element_at(col("toks"), col("i")),
+          element_at(col("toks"), col("i") + 1)).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bigram"), sum(col("c")).as("n_bigrams"))
+      val tAgg = toks.select(col("doc_id"), explode(col("toks")).as("tk"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tk")).as("n_distinct"),
+          count(lit(1)).as("n_tokens"))
+      bAgg.join(tAgg, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+          col("top_bigram"),
+          r(col("top_bigram").cast("double") / col("n_bigrams"), 6)
+            .as("rep_ratio"),
+          r(col("n_distinct").cast("double") / col("n_tokens"), 6)
+            .as("distinct_ratio"))
+    }),
+
+    // Per-source curation stats — the corpus-mix report a pretraining
+    // pipeline balances against: volume, language spread, and the
+    // exact-duplicate rate per source (dups identified globally by
+    // min-id-per-text, the exactDuplicates construction). One window
+    // over the text key + one agg by source.
+    "q_domain_stats" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("text"))
+      documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"), col("doc_id"),
+          col("text"))
+        .withColumn("kept", min(col("doc_id")).over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("doc_id") =!= col("kept"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("chars_total"), col("n_dups"),
+          r(col("n_dups").cast("double") / col("n_docs"), 6)
+            .as("dup_ratio"))
+    }),
+
     // ---- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(documents(s, d), col("doc_id"), col("text"))),
@@ -364,6 +418,31 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // K-means over the embedding corpus (2 Lloyd iterations,
+    // deterministic first-k seeding) — the IVF coarse-quantizer
+    // TRAINING step: assignment is the native ArgMaxDot over centroids
+    // augmented with a -||c||²/2 bias term (argmin L2 == argmax of the
+    // augmented dot), so the per-row hot loop is one compiled call;
+    // per-cluster means reuse the VecMean TypedImperativeAggregate
+    // (map-side partials). Centroids collect to the driver between
+    // iterations — k rows, the same driver-scale as any k-means — and
+    // are re-broadcast as expression literals. Element-wise means are
+    // 1e-6-rounded on BOTH engines so cross-engine summation order
+    // cannot flip an assignment.
+    "q_kmeans_embed" -> ((s, d) => {
+      val (assign, cents) = Similarity.kmeans(embeddings(s, d),
+        col("vec_id"), col("embedding"), k = 4, iters = 2)
+      def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val stats = s.createDataFrame(cents.map { case (cid, c) =>
+        (cid, c(0), r6(math.sqrt(c.map(x => x * x).sum)))
+      }).toDF("cluster_id", "c_first", "c_norm")
+      assign.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .join(broadcast(stats), "cluster_id")
+        .select(col("cluster_id"), col("n_vecs"), col("c_first"),
+          col("c_norm"))
+    }),
+
     // Bucket-occupancy skew guard over the SRP blocking (bits scaled by
     // corpus size): the histogram that must be CHECKED before trusting a
     // blocked self-join at a new scale — a hot bucket is quadratic
@@ -518,6 +597,67 @@ object PipelineQueries {
          |  cast(count(*) AS double) / 10 AS recall,
          |  CAST(0.25 AS DOUBLE) AS scan_frac
          |FROM ann JOIN bf USING (vec_id)""".stripMargin,
+    "q_doc_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks) - 1)) AS i
+         |             FROM t WHERE len(toks) >= 2)),
+         |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, max(c) AS top_bigram,
+         |         cast(sum(c) AS bigint) AS n_bigrams FROM bc GROUP BY 1),
+         |ta AS (SELECT doc_id, count(DISTINCT tk) AS n_distinct,
+         |         count(*) AS n_tokens
+         |       FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY 1)
+         |SELECT ba.doc_id, ta.n_tokens, ba.n_bigrams, ba.top_bigram,
+         |  ${rs("cast(ba.top_bigram AS double)/ba.n_bigrams", 6)}
+         |    AS rep_ratio,
+         |  ${rs("cast(ta.n_distinct AS double)/ta.n_tokens", 6)}
+         |    AS distinct_ratio
+         |FROM ba JOIN ta USING (doc_id)""".stripMargin,
+
+    "q_domain_stats" ->
+      s"""WITH k AS (SELECT source, lang, n_chars, doc_id,
+         |    min(doc_id) OVER (PARTITION BY text) AS kept FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT lang) AS n_langs,
+         |  cast(sum(n_chars) AS bigint) AS chars_total,
+         |  cast(sum(CASE WHEN doc_id <> kept THEN 1 ELSE 0 END) AS bigint)
+         |    AS n_dups,
+         |  ${rs("cast(sum(CASE WHEN doc_id <> kept THEN 1 ELSE 0 END) " +
+              "AS double)/count(*)", 6)} AS dup_ratio
+         |FROM k GROUP BY source""".stripMargin,
+
+    "q_kmeans_embed" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |c0 AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int)
+         |         AS j, v
+         |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+         |a1 AS (SELECT e.vec_id, e.v,
+         |        (SELECT c0.j FROM c0
+         |         ORDER BY list_dot_product(e.v, c0.v)
+         |           - list_dot_product(c0.v, c0.v)/2 DESC, c0.j
+         |         LIMIT 1) AS cell
+         |       FROM e),
+         |cm AS (SELECT cell, i,
+         |         floor(avg(v[i])*1000000 + 0.5)/1000000 AS ci
+         |       FROM a1, generate_series(1, 64) t(i)
+         |       GROUP BY cell, i),
+         |c1 AS (SELECT cell, list(ci ORDER BY i) AS v FROM cm GROUP BY cell),
+         |a2 AS (SELECT e.vec_id,
+         |        (SELECT c1.cell FROM c1
+         |         ORDER BY list_dot_product(e.v, c1.v)
+         |           - list_dot_product(c1.v, c1.v)/2 DESC, c1.cell
+         |         LIMIT 1) AS cluster_id
+         |       FROM e)
+         |SELECT g.cluster_id, g.n_vecs, c1.v[1] AS c_first,
+         |  floor(sqrt(list_dot_product(c1.v, c1.v))*1000000 + 0.5)/1000000
+         |    AS c_norm
+         |FROM (SELECT cluster_id, count(*) AS n_vecs FROM a2 GROUP BY 1) g
+         |JOIN c1 ON c1.cell = g.cluster_id""".stripMargin,
+
     "q_text_stats" -> {
       val nTok = "len(string_split(text,' '))"
       val stop = "len(list_filter(string_split(text,' '), " +

@@ -221,4 +221,57 @@ object Similarity {
     }
     least(scored: _*).getField("cell")
   }
+
+  /** K-means (Lloyd) over an embedding column — the IVF coarse-quantizer
+    * TRAINING step ([[ivfCentroids]] notes "production would k-means
+    * these"; this is that operator). Deterministic throughout:
+    * first-k-ids seeding, L2 assignment via the native [[ivfAssign]]
+    * argmax-dot kernel over centroids augmented with a -‖c‖²/2 bias
+    * (argmin ‖x−c‖² ≡ argmax [x,1]·[c, −‖c‖²/2], so the per-row hot
+    * loop stays one compiled call), per-cluster means through the
+    * VecMean TypedImperativeAggregate (map-side partials, one shuffle
+    * of k·dim doubles per iteration), centroid components rounded to
+    * `roundTo` decimals so re-summation order can never flip an
+    * assignment across engines/retries.
+    *
+    * Driver holds only the k×dim centroid matrix between iterations —
+    * the same driver-scale as every k-means implementation; the corpus
+    * itself never leaves the executors.
+    *
+    * @param iters number of ASSIGNMENT passes (iters-1 centroid updates)
+    * @return (assignments (id, cluster_id), final (clusterId, centroid));
+    *         cluster ids are indexes into the seed order — clusters that
+    *         lose all members disappear (standard Lloyd behavior)
+    */
+  def kmeans(emb: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
+             roundTo: Int = 6): (DataFrame, Seq[(Int, Array[Double])]) = {
+    require(k >= 1 && iters >= 1)
+    val m = math.pow(10, roundTo)
+    def rnd(x: Double): Double = math.floor(x * m + 0.5) / m
+    def aug(c: Array[Double]): Array[Double] =
+      c :+ (-c.map(x => x * x).sum / 2)
+    val e = emb.select(id.as("__id"), vec.cast("array<double>").as("__v"))
+    val vAug = concat(col("__v"), array(lit(1.0)))
+    var cents: Seq[(Int, Array[Double])] = e.orderBy(col("__id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+      .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+    var it = 1
+    while (it < iters) {
+      val ids = cents.map(_._1)
+      cents = e.withColumn("__cell",
+          graft.functions.VectorExprs.argmaxDot(vAug, cents.map(c => aug(c._2))))
+        .groupBy(col("__cell"))
+        .agg(graft.ops.WindowMean.vecMean(col("__v")).as("c"))
+        .collect()
+        .map(row => (ids(row.getInt(0)), row.getSeq[Double](1).map(rnd).toArray))
+        .sortBy(_._1).toSeq
+      it += 1
+    }
+    val ids = cents.map(_._1)
+    val assign = e.withColumn("__ci",
+        graft.functions.VectorExprs.argmaxDot(vAug, cents.map(c => aug(c._2))))
+      .select(col("__id").as("id"),
+        element_at(array(ids.map(lit): _*), col("__ci") + 1).as("cluster_id"))
+    (assign, cents)
+  }
 }

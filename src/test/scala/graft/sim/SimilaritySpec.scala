@@ -191,6 +191,36 @@ class SimilaritySpec extends SparkSpec {
     assert(cells == Map(0L -> 0, 1L -> 1, 2L -> 2))
   }
 
+  test("kmeans: well-separated clusters recovered, centroids = means") {
+    // three tight blobs; the first three ids are one seed per blob, so
+    // Lloyd converges to the true partition in one update
+    def blob(cx: Double, cy: Double, ids: Range): Seq[(Long, Seq[Double])] =
+      ids.map(i => (i.toLong, Seq(cx + (i % 3) * 0.1, cy - (i % 2) * 0.1)))
+    val data = blob(10, 0, 0 to 0) ++ blob(0, 10, 1 to 1) ++
+      blob(-10, -10, 2 to 2) ++ blob(10, 0, 10 to 19) ++
+      blob(0, 10, 20 to 29) ++ blob(-10, -10, 30 to 39)
+    val df = data.toDF("id", "v")
+    val (assign, cents) = Similarity.kmeans(df, $"id", $"v", k = 3,
+      iters = 3)
+    val got = assign.as[(Long, Int)].collect().toMap
+    // every blob lands in one cluster, each cluster a different one
+    def clusterOf(ids: Seq[Long]): Set[Int] = ids.map(got).toSet
+    val c1 = clusterOf(Seq(0L) ++ (10L to 19L))
+    val c2 = clusterOf(Seq(1L) ++ (20L to 29L))
+    val c3 = clusterOf(Seq(2L) ++ (30L to 39L))
+    assert(c1.size == 1 && c2.size == 1 && c3.size == 1)
+    assert(Set(c1.head, c2.head, c3.head).size == 3)
+    // centroids are the (rounded) blob means
+    val cm = cents.toMap
+    val blob1 = Seq(0L) ++ (10L to 19L)
+    val mean1 = data.filter(p => blob1.contains(p._1)).map(_._2)
+    val exp1 = (0 until 2).map(j =>
+      math.floor(mean1.map(_(j)).sum / mean1.size * 1e6 + 0.5) / 1e6)
+    assert(cm(c1.head).toSeq == exp1)
+    // an id equidistant to nothing: all points assigned, none dropped
+    assert(got.size == data.size)
+  }
+
   test("native ivfAssign ≡ least(struct) column form, incl. ties") {
     val rnd = new scala.util.Random(3)
     val cents = Seq.fill(17)(Array.fill(16)(rnd.nextGaussian()))
