@@ -98,6 +98,57 @@ class FrameStreamSpec extends SparkSpec {
     assert(got == (0L until 30L))
   }
 
+  test("sensor and spectrum kinds stream through the same source") {
+    import graft.ingest.FrameCodec
+    val t0 = 1700000000L
+    // sensor dump
+    val sensorDir = Files.createTempDirectory("graft_stream_sensor").toString
+    val sensorBin = (0 until 25).map { i =>
+      Seq(i).toDF("s").select(FrameCodec.encodeSensor(lit(0), lit(0),
+        col("s").cast("long"), lit(t0 + i), col("s").cast("long"),
+        array(col("s").cast("double") * 2, lit(5.0))))
+        .as[Array[Byte]].head()
+    }
+    FrameDump.writeFile(s"$sensorDir/part-000.bin", sensorBin.iterator)
+    val sOut = Files.createTempDirectory("graft_stream_sensor_o").toString
+    val sq = spark.readStream.format("graft-frames")
+      .option("kind", "sensor").option("maxFramesPerTrigger", "10")
+      .load(sensorDir)
+      .select($"serial_number", element_at($"values", 1).as("v1"))
+      .writeStream.option("checkpointLocation", s"$sOut/ck")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$sOut/rows").start()
+    sq.awaitTermination()
+    val sGot = spark.read.parquet(s"$sOut/rows")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(sGot == (0 until 25).map(i => (i.toLong, i * 2.0)))
+    assert(sq.recentProgress.count(_.numInputRows > 0) == 3) // 25/10
+
+    // spectrum dump
+    val specDir = Files.createTempDirectory("graft_stream_spec").toString
+    val specBin = (0 until 6).map { i =>
+      Seq(i).toDF("s").select(FrameCodec.encodeSpectrum(
+        col("s").cast("long"), lit(t0 + i), lit(0L), lit(1500.0), lit(0.5),
+        lit(3), array(array(lit(i * 10), lit(20)), array(lit(30), lit(40)))))
+        .as[Array[Byte]].head()
+    }
+    FrameDump.writeFile(s"$specDir/part-000.bin", specBin.iterator)
+    val pOut = Files.createTempDirectory("graft_stream_spec_o").toString
+    val pq = spark.readStream.format("graft-frames")
+      .option("kind", "spectrum").option("maxFramesPerTrigger", "2")
+      .load(specDir)
+      .select($"serial_number", $"num_channels",
+        element_at(element_at($"spectrum", 1), 1).as("m00"))
+      .writeStream.option("checkpointLocation", s"$pOut/ck")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$pOut/rows").start()
+    pq.awaitTermination()
+    val pGot = spark.read.parquet(s"$pOut/rows")
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(pGot == (0 until 6).map(i => (i.toLong, 2, i * 10)))
+    assert(pq.recentProgress.count(_.numInputRows > 0) == 3) // 6/2
+  }
+
   test("crash replay is idempotent: a re-run batch overwrites its own " +
       "batch_id partition, never duplicates") {
     val dir = Files.createTempDirectory("graft_replay_src").toString
