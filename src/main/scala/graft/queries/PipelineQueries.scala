@@ -184,6 +184,37 @@ object PipelineQueries {
             .as("dup_ratio"))
     }),
 
+    // Per-document top-5 TF-IDF terms — the keyword/topic signal a
+    // curation pipeline uses for domain tagging and near-topic
+    // clustering. Ranked by the integer keys (tf desc, df asc, term)
+    // so the ordering is exact on both engines; tfidf itself is
+    // emitted 1e-6-rounded.
+    "q_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.tfidf(parallelize(documents(s, d)),
+        col("doc_id"), col("text"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          r(col("tfidf"), 6).as("tfidf"))
+    }),
+
+    // Inverted index over the mid-frequency vocabulary (3 ≤ df ≤ 50):
+    // token → sorted posting list. The df cap is the 100 TB guard —
+    // head-of-vocabulary (stopword) postings grow with the corpus and
+    // belong in segmented storage, not a single array cell.
+    // (postings emitted comma-joined: the verify hash-compare keys on
+    // every output column and array cells don't hash stably across
+    // engines — InvertedIndexSpec covers the typed array form.)
+    "q_inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(parallelize(documents(s, d)),
+        col("doc_id"), col("text"))
+        .filter(col("df").between(3, 50))
+        .select(col("token"), col("df"),
+          concat_ws(",", col("postings")).as("postings"))),
+
     // ---- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(documents(s, d), col("doc_id"), col("text"))),
@@ -209,6 +240,37 @@ object PipelineQueries {
     "q_corpus_sample" -> ((s, d) =>
       Dedup.hashSample(documents(s, d), col("doc_id"), rate256 = 26)
         .select(col("doc_id"))),
+
+    // Stratified sampling: per-source keep rates (50 % / 25 % / 5 % /
+    // 10 % default) as one deterministic hash scan-filter — the mix
+    // knob a curation pipeline turns per corpus slice.
+    "q_stratified_sample" -> ((s, d) =>
+      graft.pipeline.Curation.stratifiedSample(documents(s, d),
+          col("doc_id"), col("source"),
+          Seq("src0" -> 128, "src1" -> 64, "src2" -> 13),
+          defaultRate256 = 26)
+        .select(col("doc_id"), col("source"), col("lang"))),
+
+    // Weighted upsampling (epoch mixing): src0 ×3, src1 ×2, src2
+    // dropped, everything else ×1 — narrow generate, no shuffle.
+    "q_data_mix" -> ((s, d) =>
+      graft.pipeline.Curation.upsampleMix(documents(s, d), col("source"),
+          Seq("src0" -> 3, "src1" -> 2, "src2" -> 0), defaultWeight = 1)
+        .select(col("doc_id"), col("source"), col("copy"))),
+
+    // Sequence packing: concatenate each source's docs in doc_id order,
+    // cut into 2048-token context bins, report per-bin fill — packing
+    // runs per shard (source), never as a global sort.
+    "q_seq_packing" -> ((s, d) => {
+      val base = parallelize(documents(s, d))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      graft.pipeline.Curation.packBins(base, col("source"), col("doc_id"),
+          col("n_toks"), capacity = 2048L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    }),
 
     // MinHash Jaccard estimate vs exact Jaccard on consecutive-id pairs:
     // the estimator whose expectation equals the true Jaccard — both the
@@ -629,6 +691,29 @@ object PipelineQueries {
               "AS double)/count(*)", 6)} AS dup_ratio
          |FROM k GROUP BY source""".stripMargin,
 
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df,
+         |  ${rs("tf * ln(CAST(n_docs AS DOUBLE)/df)", 6)} AS tfidf
+         |FROM (SELECT t.doc_id, t.term, t.tf, d.df, n.n_docs,
+         |        row_number() OVER (PARTITION BY t.doc_id
+         |          ORDER BY t.tf DESC, d.df ASC, t.term) AS rk
+         |      FROM tf t JOIN df d USING (term) CROSS JOIN n)
+         |WHERE rk <= 5""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, token
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents))
+        |SELECT token, count(*) AS df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM tok GROUP BY token
+        |HAVING count(*) BETWEEN 3 AND 50""".stripMargin,
+
     "q_kmeans_embed" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),
@@ -768,6 +853,33 @@ object PipelineQueries {
       ("SELECT doc_id FROM documents WHERE " +
         "cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 2)) " +
         "AS int) < 26"),
+
+    "q_stratified_sample" ->
+      ("SELECT doc_id, source, lang FROM documents WHERE " +
+        "cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 2)) " +
+        "AS int) < CASE WHEN source = 'src0' THEN 128 " +
+        "WHEN source = 'src1' THEN 64 WHEN source = 'src2' THEN 13 " +
+        "ELSE 26 END"),
+
+    "q_data_mix" ->
+      ("SELECT doc_id, source, unnest(generate_series(1, " +
+        "CASE WHEN source = 'src0' THEN 3 WHEN source = 'src1' THEN 2 " +
+        "WHEN source = 'src2' THEN 0 ELSE 1 END)) AS copy FROM documents"),
+
+    "q_seq_packing" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    cast(len(string_split(text, ' ')) AS bigint) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_toks,
+        |    cast(coalesce(sum(n_toks) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bigint) AS cum_before
+        |  FROM t)
+        |SELECT source, cum_before // 2048 AS bin, count(*) AS n_docs,
+        |  cast(sum(n_toks) AS bigint) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q_minhash_estimate" -> {
       val sigs = (0 until 8).map(i => mhSql(i))

@@ -102,6 +102,41 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Corpus-level TF-IDF: one row per (doc, term) with term frequency,
+    * document frequency and tf·idf (idf = ln(N/df)). Unlike the other
+    * ops in this object this is a corpus aggregation and shuffles —
+    * but only pre-aggregated keys: tf shuffles (doc_id, term) with
+    * map-side partials, df shuffles the vocabulary (term), and the
+    * corpus size N joins in as a broadcast scalar, so nothing here
+    * grows super-linearly at 100 TB.
+    */
+  def tfidf(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+  }
+
+  /** Inverted index: token → sorted posting list of the documents that
+    * contain it, plus the document frequency. The (doc, token) distinct
+    * is itself a partial-aggregated shuffle; posting lists are built
+    * per token. At 100 TB the head of the vocabulary (stopwords) would
+    * produce unbounded lists — callers bound df (as `q_inverted_index`
+    * does) or segment postings; df itself is always cheap to keep.
+    */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .distinct()
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+
   /** Rolling (Rabin-Karp polynomial) fingerprint over the character
     * stream: h = fold(h*31 + code) mod 1e9+7 — the incremental-hash
     * family used for shingle windows; exact BIGINT arithmetic, so any

@@ -45,4 +45,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("tfidf: hand-computed tf/df/idf on a 3-doc corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana date")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, $"doc_id", $"text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // apple: df=2 → idf=ln(1.5); banana: df=2; cherry/date: df=1 → ln(3)
+    assert(out((1L, "apple")) == (2L, 2L, 2.0 * StrictMath.log(3.0 / 2)))
+    assert(out((2L, "apple")) == (1L, 2L, StrictMath.log(3.0 / 2)))
+    assert(out((2L, "cherry")) == (1L, 1L, StrictMath.log(3.0)))
+    assert(out((3L, "banana")) == (2L, 2L, 2.0 * StrictMath.log(3.0 / 2)))
+    assert(out((3L, "date")) == (1L, 1L, StrictMath.log(3.0)))
+    assert(out.size == 6) // (1,apple)(1,banana)(2,apple)(2,cherry)(3,banana)(3,date)
+  }
+
+  test("inverted index: sorted postings, df matches list length") {
+    val docs = Seq(
+      (10L, "x y"),
+      (7L, "y z"),
+      (3L, "y x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, $"doc_id", $"text")
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("x") == (2L, Seq(3L, 10L)))
+    assert(out("y") == (3L, Seq(3L, 7L, 10L)))
+    assert(out("z") == (1L, Seq(7L)))
+    assert(out.forall { case (_, (df, p)) => df == p.size && p == p.sorted })
+  }
 }
