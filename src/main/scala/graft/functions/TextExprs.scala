@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass text expressions for the corpus-analysis hot path.
@@ -35,6 +37,12 @@ object TextExprs {
 
   def bpeTokenCount(text: Column): Column =
     ColumnBridge.column(BpeCountExpr(ColumnBridge.expression(text)))
+
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text)))
+
+  def termCounts(text: Column): Column =
+    ColumnBridge.column(TermCountsExpr(ColumnBridge.expression(text)))
 }
 
 /** Count of space-delimited tokens contained in `tokens` (duplicates
@@ -234,4 +242,119 @@ case class RollingFpExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): RollingFpExpr =
     copy(child = newChild)
   override def prettyName: String = "rolling_fp"
+}
+
+/** Per-document repetition statistics in ONE string pass:
+  * `struct(n_tokens, n_distinct, n_bigrams, top_bigram)` where tokens
+  * are the single-space split fields (empties from multi-space runs
+  * kept, exactly like `split(text, " ")` / DuckDB `string_split`),
+  * bigrams are the n_tokens-1 adjacent pairs, and top_bigram is the
+  * highest adjacent-pair frequency. ≡ the explode → two groupBys →
+  * join formulation, but with zero shuffles: every statistic is a
+  * function of a single row, which is the shape that survives 100 TB —
+  * per-document metrics should never leave the scan task.
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"requires string input, got ${child.dataType.simpleString}")
+
+  def compute(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val distinct = new java.util.HashSet[String]()
+    val bigrams = new java.util.HashMap[String, Int]()
+    var nTokens = 0
+    var topBigram = 0
+    var prev: String = null
+    var start = 0
+    while (start <= str.length) {
+      var end = str.indexOf(' ', start)
+      if (end < 0) end = str.length
+      val tok = str.substring(start, end)
+      nTokens += 1
+      distinct.add(tok)
+      if (prev != null) {
+        val bg = prev + " " + tok
+        val c = bigrams.getOrDefault(bg, 0) + 1
+        bigrams.put(bg, c)
+        if (c > topBigram) topBigram = c
+      }
+      prev = tok
+      start = end + 1
+    }
+    InternalRow(nTokens, distinct.size(), nTokens - 1, topBigram)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repetitionStats", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
+/** Per-document term frequencies in ONE string pass:
+  * `array<struct<term, tf>>` over the single-space split fields
+  * (empties kept), terms in first-occurrence order. ≡ `explode(split)`
+  * → `groupBy(doc, term).count()` — but tf is a row-local fact, so
+  * computing it inside the scan removes the full-corpus (doc, term)
+  * shuffle that formulation pays; only genuinely corpus-wide
+  * aggregates (document frequency) shuffle downstream.
+  */
+case class TermCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"requires string input, got ${child.dataType.simpleString}")
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val str = s.toString
+    val counts = new java.util.LinkedHashMap[String, Int]()
+    var start = 0
+    while (start <= str.length) {
+      var end = str.indexOf(' ', start)
+      if (end < 0) end = str.length
+      val tok = str.substring(start, end)
+      counts.put(tok, counts.getOrDefault(tok, 0) + 1)
+      start = end + 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termCounts", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCountsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "term_counts"
 }

@@ -135,30 +135,24 @@ object PipelineQueries {
     // -token ratio) — the per-doc quality gate that catches boilerplate
     // and degenerate repetition before training. Pure explode→two-level
     // agg: map-side partials, shuffles only (doc_id[, bigram]) keys.
-    "q_doc_repetition" -> ((s, d) => {
-      val toks = parallelize(documents(s, d))
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      val bAgg = toks.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
-        .select(col("doc_id"), concat_ws(" ",
-          element_at(col("toks"), col("i")),
-          element_at(col("toks"), col("i") + 1)).as("bigram"))
-        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("top_bigram"), sum(col("c")).as("n_bigrams"))
-      val tAgg = toks.select(col("doc_id"), explode(col("toks")).as("tk"))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("tk")).as("n_distinct"),
-          count(lit(1)).as("n_tokens"))
-      bAgg.join(tAgg, "doc_id")
-        .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
-          col("top_bigram"),
-          r(col("top_bigram").cast("double") / col("n_bigrams"), 6)
-            .as("rep_ratio"),
-          r(col("n_distinct").cast("double") / col("n_tokens"), 6)
-            .as("distinct_ratio"))
-    }),
+    "q_doc_repetition" -> ((s, d) =>
+      // every statistic here is per-document, and a document is one
+      // row — the native one-pass repetition_stats kernel makes the
+      // whole query a scan + project with ZERO shuffles (the previous
+      // explode → two groupBys → join paid three). The explode form
+      // survives as the equivalence cross-check in TextExprsSpec.
+      parallelize(documents(s, d))
+        .select(col("doc_id"),
+          graft.functions.TextExprs.repetitionStats(col("text")).as("rs"))
+        .filter(col("rs.n_tokens") >= 2)
+        .select(col("doc_id"),
+          col("rs.n_tokens").cast("long").as("n_tokens"),
+          col("rs.n_bigrams").cast("long").as("n_bigrams"),
+          col("rs.top_bigram").cast("long").as("top_bigram"),
+          r(col("rs.top_bigram").cast("double") /
+            col("rs.n_bigrams"), 6).as("rep_ratio"),
+          r(col("rs.n_distinct").cast("double") /
+            col("rs.n_tokens"), 6).as("distinct_ratio"))),
 
     // Per-source curation stats — the corpus-mix report a pretraining
     // pipeline balances against: volume, language spread, and the
@@ -190,13 +184,15 @@ object PipelineQueries {
     // so the ordering is exact on both engines; tfidf itself is
     // emitted 1e-6-rounded.
     "q_tfidf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val scored = TextAnalysis.tfidf(parallelize(documents(s, d)),
         col("doc_id"), col("text"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tf").desc, col("df").asc, col("term"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      // top-5 terms per doc through the custom TopKPerKey physical
+      // operator (bounded per-key heaps, one hash exchange) instead of
+      // WindowExec's full partition sort; the (tf desc, df asc, term)
+      // order is total within a doc, so the selected set is identical
+      // to row_number() <= 5
+      graft.plans.TopKPerKey(scored, Seq("doc_id"),
+          Seq(("tf", true), ("df", false), ("term", false)), k = 5)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           r(col("tfidf"), 6).as("tfidf"))
     }),

@@ -111,9 +111,18 @@ object TextAnalysis {
     * grows super-linearly at 100 TB.
     */
   def tfidf(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // tf is a row-local fact (all of a document's tokens live in its
+    // row): the native one-pass term_counts kernel computes it inside
+    // the scan, so the only shuffles left are the genuinely corpus-wide
+    // ones — document frequency by term, and whatever the caller does
+    // per doc downstream. The explode → groupBy(doc, term) form this
+    // replaces shuffled every (doc, term) pair first, the largest
+    // intermediate in the whole query.
+    val tf = docs
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextExprs.termCounts(text)).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "term")
@@ -131,8 +140,11 @@ object TextAnalysis {
     * does) or segment postings; df itself is always cheap to keep.
     */
   def invertedIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
-      .distinct()
+    // per-row array_distinct replaces the corpus-wide distinct(): a
+    // document contributes each token once by construction, so the
+    // (doc, token) dedup never needs its own shuffle
+    docs.select(id.as("doc_id"),
+        explode(array_distinct(tokens(text))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("doc_id"))).as("postings"))

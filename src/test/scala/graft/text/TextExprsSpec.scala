@@ -96,6 +96,64 @@ class TextExprsSpec extends SparkSpec {
     assert(out(3) == "nothing to scrub here")
   }
 
+  test("repetitionStats ≡ explode → groupBy → join form on fixture + real") {
+    def explodeForm(df: org.apache.spark.sql.DataFrame) = {
+      val toks = df.select($"doc_id", split($"text", " ").as("toks"))
+      val bAgg = toks.filter(size($"toks") >= 2)
+        .select($"doc_id", $"toks",
+          explode(sequence(lit(1), size($"toks") - 1)).as("i"))
+        .select($"doc_id", concat_ws(" ",
+          element_at($"toks", $"i"),
+          element_at($"toks", $"i" + 1)).as("bigram"))
+        .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("top_bigram"), sum($"c").as("n_bigrams"))
+      val tAgg = toks.select($"doc_id", explode($"toks").as("tk"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"tk").as("n_distinct"),
+          count(lit(1)).as("n_tokens"))
+      bAgg.join(tAgg, "doc_id")
+        .select($"doc_id", $"n_tokens", $"n_distinct", $"n_bigrams",
+          $"top_bigram")
+    }
+    def nativeForm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id",
+          TextExprs.repetitionStats($"text").as("rs"))
+        .filter($"rs.n_tokens" >= 2)
+        .select($"doc_id", $"rs.n_tokens".cast("long").as("n_tokens"),
+          $"rs.n_distinct".cast("long").as("n_distinct"),
+          $"rs.n_bigrams".cast("long").as("n_bigrams"),
+          $"rs.top_bigram".cast("long").as("top_bigram"))
+    val fx = fixture.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (df <- Seq(fx, real)) {
+      val n = nativeForm(df)
+      val e = explodeForm(df)
+      assert(n.count() == e.count())
+      assert(n.except(e).isEmpty && e.except(n).isEmpty)
+    }
+  }
+
+  test("termCounts ≡ explode → groupBy(doc, term).count on fixture + real") {
+    def explodeForm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    def nativeForm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", explode(TextExprs.termCounts($"text")).as("tc"))
+        .select($"doc_id", $"tc.term".as("term"),
+          $"tc.tf".cast("long").as("tf"))
+    val fx = fixture.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (df <- Seq(fx, real)) {
+      val n = nativeForm(df)
+      val e = explodeForm(df)
+      assert(n.count() == e.count())
+      assert(n.except(e).isEmpty && e.except(n).isEmpty)
+    }
+  }
+
   test("native text exprs stay inside whole-stage codegen") {
     val plan = spark.range(5).select(
         TextExprs.langId(concat(lit("the x "), col("id")),
