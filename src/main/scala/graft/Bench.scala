@@ -70,24 +70,33 @@ object Bench {
     val results = names.map(n =>
       n -> (Seq(p1(n), p2(n)) ++ p3.get(n)).min)
 
+    // Locale.ROOT explicitly: the f-interpolator formats with the JVM
+    // default locale, and a comma-decimal locale (de_DE) would emit
+    // "0,1237" — unparseable JSON (ADVICE r4)
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     // 0.1 ms per-query resolution: full-precision doubles made the r3
     // stdout line long enough that the driver's capture truncated it
     // mid-key ("parsed": null); the compact form parses end to end
-    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v, 4)}""" }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"")}\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val streaming = streamingFigure(spark, sfDir)
-    // headline fields FIRST, per-query map last: a tail truncation can
-    // then only cost detail, never the summary
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"streaming":$streaming,"errors":$errs,"queries":$qs}"""
+    val summary =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"streaming":$streaming,"errors":$errs"""
+    val json = summary + s""","queries":$qs}"""
     println(json)
-    // also persist as a file: the driver's stdout capture truncates long
-    // lines, which left BENCH_r02 without machine-readable per-query
-    // numbers (ADVICE r2) — bench_out.json survives verbatim
+    // The driver's stdout capture keeps only a bounded TAIL: with ~90
+    // queries the full line's FRONT (metric/value/streaming) gets cut,
+    // leaving BENCH_r{3,4}.json "parsed": null. Re-print the summary
+    // WITHOUT the per-query map as the last line — it fits in any
+    // plausible tail window, so the headline numbers always survive;
+    // per-query detail lives in the full line and bench_out.json.
+    println(summary + "}")
+    // also persist as a file: bench_out.json survives verbatim
     try Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), json + "\n")
     catch { case _: Throwable => () }

@@ -213,7 +213,9 @@ class FrameDumpReader(file: String, kind: String,
 
   override def next(): Boolean = {
     while (true) {
-      if (consumed >= skip + take) return false
+      // overflow-safe form of `consumed >= skip + take`: skip > 0 with
+      // the default take = Long.MaxValue would wrap skip + take negative
+      if (consumed - skip >= take) return false
       val hdr = readFully(8)
       if (hdr == null) return false
       // BBHI little-endian: status, response_type, message_length u16,

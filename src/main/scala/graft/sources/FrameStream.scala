@@ -58,6 +58,11 @@ class FrameMicroBatchStream(dir: String, kind: String,
   private val serConf = new SerializableConfiguration(conf)
   // (path, frames, cumulativeStart) in landing order; append-only
   private val index = ArrayBuffer.empty[(String, Long, Long)]
+  // byte length of each indexed file at index time, keyed by path:
+  // landing files are immutable once visible, so a length change on a
+  // seen file means the contract was violated and planned ranges would
+  // read short (truncation) or miss frames (in-place growth)
+  private val indexedLen = scala.collection.mutable.Map.empty[String, Long]
   private var total = 0L
   private var availableNowEnd: Option[Long] = None
 
@@ -67,21 +72,29 @@ class FrameMicroBatchStream(dir: String, kind: String,
     if (!fs.exists(p)) return
     val visible =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath)
-          .filterNot(f => f.getName.startsWith(".") ||
-            f.getName.startsWith("_"))
-          .map(_.toString).sorted
-      else Array(dir)
+        fs.listStatus(p).filter(_.isFile)
+          .filterNot(s => s.getPath.getName.startsWith(".") ||
+            s.getPath.getName.startsWith("_"))
+          .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+      else Array((dir, fs.getFileStatus(p).getLen))
     val seen = index.map(_._1)
-    if (!seen.sameElements(visible.take(seen.length)))
+    if (!seen.sameElements(visible.take(seen.length).map(_._1)))
       throw new IllegalStateException(
         s"graft-frames stream over $dir: a file appeared out of order " +
           "(landing files must be immutable and lexicographically " +
           "increasing); offsets would be corrupted — refusing to " +
-          s"continue. seen=${seen.mkString(",")} now=${visible.mkString(",")}")
-    for (f <- visible.drop(seen.length)) {
+          s"continue. seen=${seen.mkString(",")} now=${visible.map(_._1).mkString(",")}")
+    for ((f, len) <- visible.take(seen.length))
+      if (indexedLen.getOrElse(f, len) != len)
+        throw new IllegalStateException(
+          s"graft-frames stream over $dir: seen file $f changed length " +
+            s"(${indexedLen(f)} -> $len bytes); landing files must be " +
+            "immutable once visible — planned offset ranges would read " +
+            "short or skip frames, refusing to continue")
+    for ((f, len) <- visible.drop(seen.length)) {
       val n = FrameMicroBatchStream.countRecords(f, conf)
       index += ((f, n, total))
+      indexedLen(f) = len
       total += n
     }
   }
@@ -122,6 +135,19 @@ class FrameMicroBatchStream(dir: String, kind: String,
     val s = start.asInstanceOf[FrameOffset].frame
     val e = end.asInstanceOf[FrameOffset].frame
     synchronized {
+      // Restart replay: on recovery Spark replans any uncommitted batch
+      // straight from the offset log WITHOUT calling latestOffset first
+      // (the ProcessingTime path), so a fresh stream instance arrives
+      // here with an empty index. Rebuild it whenever it cannot cover
+      // the requested range — otherwise the replayed batch would plan
+      // zero partitions and silently emit no rows.
+      if (e > total) refresh()
+      if (e > total)
+        throw new IllegalStateException(
+          s"graft-frames stream over $dir: checkpoint requests frames " +
+            s"[$s,$e) but only $total are present in the landing dir — " +
+            "files recorded in the offset log have disappeared; " +
+            "refusing to silently drop them")
       index.iterator
         .map { case (f, n, cum) =>
           val lo = math.max(s, cum)

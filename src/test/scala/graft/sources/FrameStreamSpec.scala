@@ -199,6 +199,99 @@ class FrameStreamSpec extends SparkSpec {
     assert(perBatch.keySet.size == perBatch.size)
   }
 
+  test("restart replay: a FRESH stream instance replans a checkpointed " +
+      "offset range (planInputPartitions rebuilds the file index)") {
+    // On recovery Spark replays an uncommitted batch straight from the
+    // offset log WITHOUT calling latestOffset first — the fresh
+    // instance must rebuild its index inside planInputPartitions or the
+    // replayed batch silently plans zero partitions (ADVICE r4, high).
+    val dir = Files.createTempDirectory("graft_replan_src").toString
+    writeDump(dir, n = 30, files = 2)
+    val s = new FrameMicroBatchStream(dir, "peaks", Some(10L),
+      spark.sessionState.newHadoopConf())
+    val parts = s.planInputPartitions(FrameOffset(0), FrameOffset(25))
+    assert(parts.map(_.asInstanceOf[FrameRangePartition].take).sum == 25L,
+      s"fresh instance planned ${parts.length} partitions")
+    // and a range the landing dir cannot cover is a loud failure,
+    // never a silent short read
+    intercept[IllegalStateException] {
+      s.planInputPartitions(FrameOffset(0), FrameOffset(31))
+    }
+  }
+
+  test("ProcessingTime restart: the uncommitted batch replays with its " +
+      "rows, not as a silent empty batch") {
+    val dir = Files.createTempDirectory("graft_pt_src").toString
+    writeDump(dir, n = 90, files = 3)
+    val out = Files.createTempDirectory("graft_pt_out").toString
+
+    def run(): Unit = {
+      val q = streamDf(dir, maxPerTrigger = 40)
+        .select($"serial_number")
+        .writeStream
+        .option("checkpointLocation", s"$out/ck")
+        .trigger(Trigger.ProcessingTime("25 milliseconds"))
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            df.write.mode("overwrite").parquet(s"$out/batches/b$id")
+            ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+    }
+    run()
+    // crash between the sink write and the commit record of the last
+    // batch: on restart the ProcessingTime path replays that batch from
+    // the offset log without refreshing the (empty) index first
+    val commits = new java.io.File(s"$out/ck/commits")
+    val newest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    assert(newest.delete())
+    new java.io.File(commits, s".${newest.getName}.crc").delete()
+    run()
+    val batchDirs = new java.io.File(s"$out/batches").listFiles()
+      .map(_.toString).toSeq
+    val got = spark.read.parquet(batchDirs: _*)
+      .select($"serial_number").distinct().as[Long].collect().sorted.toSeq
+    assert(got == (0L until 90L),
+      s"replayed batch lost frames: got ${got.size}/90")
+  }
+
+  test("in-place growth of a seen landing file is a loud failure") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("graft_grow_src").toString
+    writeDump(dir, n = 10, files = 1)
+    val s = new FrameMicroBatchStream(dir, "peaks", None,
+      spark.sessionState.newHadoopConf())
+    assert(s.latestOffset(FrameOffset(0), ReadLimit.allAvailable())
+      .asInstanceOf[FrameOffset].frame == 10L)
+    // violate the immutability contract: append bytes to the seen file
+    val f = new java.io.File(dir).listFiles().filter(_.isFile)
+      .filterNot(_.getName.startsWith(".")).head
+    Files.write(f.toPath, encodedPeaks(99L, 1700000100L),
+      java.nio.file.StandardOpenOption.APPEND)
+    new java.io.File(dir, s".${f.getName}.crc").delete() // local-FS checksum
+    intercept[IllegalStateException] {
+      s.latestOffset(FrameOffset(10), ReadLimit.allAvailable())
+    }
+  }
+
+  test("FrameDumpReader skip with default take does not overflow") {
+    val dir = Files.createTempDirectory("graft_skip_src").toString
+    writeDump(dir, n = 12, files = 1)
+    val f = new java.io.File(dir).listFiles().filter(_.isFile)
+      .filterNot(_.getName.startsWith(".")).head.toString
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val r = new FrameDumpReader(f, "peaks", conf, skip = 5L)
+    var n = 0
+    while (r.next()) n += 1
+    r.close()
+    assert(n == 7, s"skip=5 over 12 records read $n rows") // 12 - 5
+  }
+
   test("backpressure: bounded intake and bounded windowed state under " +
       "a time-ordered drain") {
     val dir = Files.createTempDirectory("graft_bp_src").toString
