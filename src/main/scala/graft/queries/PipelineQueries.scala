@@ -211,6 +211,80 @@ object PipelineQueries {
         .select(col("token"), col("df"),
           concat_ws(",", col("postings")).as("postings"))),
 
+    // C4-style span-level dedup report: 8-word spans (distinct within a
+    // doc), a span is "duplicated" when ≥2 docs contain it; per doc the
+    // span count, duplicated-span count, and ratio. Only fixed-size
+    // span keys shuffle (the groupBy + join below); at 100 TB the keys
+    // would be pre-hashed to 128-bit digests, never raw text — the
+    // shape (explode → count-by-span → join back → per-doc agg) is the
+    // production one.
+    "q_span_dedup" -> ((s, d) => {
+      val spans = parallelize(documents(s, d))
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 8)).as("span"))
+      val counts = spans.groupBy(col("span"))
+        .agg(count(lit(1)).as("nd")) // spans distinct per doc -> #docs
+      spans.join(counts, "span")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          r(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+            .as("dup_ratio"))
+    }),
+
+    // Bigram language-model quality score: per-doc average negative
+    // log-likelihood under the corpus's own bigram LM (the classic
+    // perplexity-style quality signal; high avg_nll = unusual token
+    // sequences). Per-doc bigram counts aggregate FIRST, so only
+    // distinct (doc, w1, w2) rows shuffle — never the raw token stream
+    // — and the unigram prefix counts derive from the bigram counts
+    // (one aggregation tree, exchange-reused). The per-bigram surprise
+    // is integerized to micro-nats BEFORE summation: long sums are
+    // associative, so aggregation order can't drift the hash.
+    "q_ngram_lm" -> ((s, d) => {
+      val toks = parallelize(documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val bi = toks
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
+        .select(col("doc_id"),
+          element_at(col("t"), col("i") + 1).as("w1"),
+          element_at(col("t"), col("i") + 2).as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+      val biC = bi.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c")).as("c2"))
+      val uniC = biC.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      bi.join(biC, Seq("w1", "w2")).join(uniC, Seq("w1"))
+        .select(col("doc_id"), col("c"),
+          floor(-log(col("c2").cast("double") / col("c1")) * 1e6 + lit(0.5))
+            .cast("long").as("nll_micro"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("nll_micro")).as("nll_sum_micro"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r(col("nll_sum_micro").cast("double") / col("n_bigrams") / 1e6, 6)
+            .as("avg_nll"))
+    }),
+
+    // BPE merge step 1: adjacent character-pair frequencies within
+    // whitespace tokens, top 30 by (count desc, pair) — the candidate
+    // table a byte-pair-encoding tokenizer trainer merges from. Pure
+    // explode → codegen'd partial agg → TakeOrderedAndProject; the only
+    // shuffle carries 2-char keys.
+    "q_bpe_pairs" -> ((s, d) =>
+      parallelize(documents(s, d))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(col("tok"),
+          explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+        .select(col("tok").substr(col("i"), lit(2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(30)),
+
     // ---- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(documents(s, d), col("doc_id"), col("text"))),
