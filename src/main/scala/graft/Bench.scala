@@ -85,17 +85,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val streaming = streamingFigure(spark, sfDir)
-    val summary =
+    val core =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"streaming":$streaming,"errors":$errs"""
-    val json = summary + s""","queries":$qs}"""
-    println(json)
-    // The driver's stdout capture keeps only a bounded TAIL: with ~90
-    // queries the full line's FRONT (metric/value/streaming) gets cut,
-    // leaving BENCH_r{3,4}.json "parsed": null. Re-print the summary
-    // WITHOUT the per-query map as the last line — it fits in any
-    // plausible tail window, so the headline numbers always survive;
+    // Two stdout line shapes, disambiguated by a trailing "line" tag
+    // (ADVICE r5): "summary" = headline totals only, "full" = totals +
+    // the per-query map. A consumer keying on "line" (or on the
+    // presence of "queries") can't double-count.
+    val summaryLine = core + ""","line":"summary"}"""
+    val json = core + s""","queries":$qs,"line":"full"}"""
+    // The driver's stdout capture keeps only a bounded window: with ~97
+    // queries the full line overflows it, leaving BENCH_r{3,4}.json
+    // "parsed": null. Emit the compact summary BEFORE the full line
+    // (survives a head-capture) AND after it (survives a tail-capture),
+    // so the headline numbers parse whichever end gets truncated;
     // per-query detail lives in the full line and bench_out.json.
-    println(summary + "}")
+    println(summaryLine)
+    println(json)
+    println(summaryLine)
     // also persist as a file: bench_out.json survives verbatim
     try Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), json + "\n")

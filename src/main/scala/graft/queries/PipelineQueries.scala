@@ -206,25 +206,33 @@ object PipelineQueries {
     // engines — InvertedIndexSpec covers the typed array form.)
     "q_inverted_index" -> ((s, d) =>
       TextAnalysis.invertedIndex(parallelize(documents(s, d)),
-        col("doc_id"), col("text"))
+        col("doc_id"), col("text"), maxDf = Some(50))
         .filter(col("df").between(3, 50))
         .select(col("token"), col("df"),
           concat_ws(",", col("postings")).as("postings"))),
 
     // C4-style span-level dedup report: 8-word spans (distinct within a
     // doc), a span is "duplicated" when ≥2 docs contain it; per doc the
-    // span count, duplicated-span count, and ratio. Only fixed-size
-    // span keys shuffle (the groupBy + join below); at 100 TB the keys
-    // would be pre-hashed to 128-bit digests, never raw text — the
-    // shape (explode → count-by-span → join back → per-doc agg) is the
-    // production one.
+    // span count, duplicated-span count, and ratio. The raw span text is
+    // digested to a 128-bit md5 key BEFORE anything shuffles — the
+    // groupBy and the join-back both carry fixed-width digests, never
+    // 8-word strings (at 100 TB raw-text span keys would push ~8× the
+    // corpus volume through the exchange). PlanAuditSpec pins the
+    // fixed-width-key property.
     "q_span_dedup" -> ((s, d) => {
+      // spans materialized once (localCheckpoint, the lshCandidatePairs
+      // pattern): without it the scan→explode→md5 pipeline runs on BOTH
+      // the count side and the join-back side
       val spans = parallelize(documents(s, d))
         .select(col("doc_id"),
           explode(Dedup.shingles(col("text"), 8)).as("span"))
-      val counts = spans.groupBy(col("span"))
+        .select(col("doc_id"), md5(col("span")).as("k"))
+      val counts = spans.groupBy(col("k"))
         .agg(count(lit(1)).as("nd")) // spans distinct per doc -> #docs
-      spans.join(counts, "span")
+      // counts is corpus-sized (≈ one row per distinct span): force the
+      // shuffle-hash join — broadcasting it melts down at any real
+      // scale, and both sides co-partition on the 128-bit digest
+      spans.join(counts.hint("shuffle_hash"), "k")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
@@ -246,6 +254,11 @@ object PipelineQueries {
       val toks = parallelize(documents(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 2)
+      // bi and biC materialized once (localCheckpoint): bi feeds both
+      // the LM-count derivation and the per-doc join-back, biC feeds
+      // both the bigram join and the unigram rollup — without the
+      // checkpoints the scan→explode→agg pipeline is recomputed on
+      // every reference (3× in the round-5 plan)
       val bi = toks
         .select(col("doc_id"), col("t"),
           explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
@@ -254,9 +267,15 @@ object PipelineQueries {
           element_at(col("t"), col("i") + 2).as("w2"))
         .groupBy(col("doc_id"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       val biC = bi.groupBy(col("w1"), col("w2"))
         .agg(sum(col("c")).as("c2"))
-      val uniC = biC.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        .localCheckpoint(false)
+      // unigram rollup is vocabulary-sized (tens of millions of rows ×
+      // 2 columns at 100 TB — hundreds of MB): broadcast it so the
+      // bi⋈biC result never reshuffles from (w1,w2) onto w1
+      val uniC = broadcast(
+        biC.groupBy(col("w1")).agg(sum(col("c2")).as("c1")))
       bi.join(biC, Seq("w1", "w2")).join(uniC, Seq("w1"))
         .select(col("doc_id"), col("c"),
           floor(-log(col("c2").cast("double") / col("c1")) * 1e6 + lit(0.5))
@@ -729,6 +748,63 @@ object PipelineQueries {
          |  cast(count(*) AS double) / 10 AS recall,
          |  CAST(0.25 AS DOUBLE) AS scan_frac
          |FROM ann JOIN bf USING (vec_id)""".stripMargin,
+    // span-level dedup: 8-word spans re-derived in SQL with the same
+    // distinct-within-doc + md5-digest-key construction as the Spark plan
+    "q_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |sp AS (SELECT DISTINCT doc_id,
+         |         md5(array_to_string(list_slice(toks, i+1, i+8), ' ')) AS k
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(0, greatest(len(toks)-8, 0)))
+         |                 AS i
+         |             FROM t)),
+         |c AS (SELECT k, count(*) AS nd FROM sp GROUP BY 1)
+         |SELECT sp.doc_id, count(*) AS n_spans,
+         |  cast(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS bigint)
+         |    AS n_dup_spans,
+         |  ${rs("cast(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) " +
+              "AS double)/count(*)", 6)} AS dup_ratio
+         |FROM sp JOIN c USING (k)
+         |GROUP BY sp.doc_id""".stripMargin,
+
+    // bigram-LM NLL: same per-doc-first aggregation tree; the per-bigram
+    // surprise is integerized to micro-nats (exact BIGINT) before any
+    // sum, so aggregation order can't drift the hash on either engine
+    "q_ngram_lm" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 2),
+         |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+         |         count(*) AS c
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks) - 1)) AS i
+         |             FROM t)
+         |       GROUP BY 1, 2, 3),
+         |b2 AS (SELECT w1, w2, cast(sum(c) AS bigint) AS c2
+         |       FROM bi GROUP BY 1, 2),
+         |u1 AS (SELECT w1, cast(sum(c2) AS bigint) AS c1
+         |       FROM b2 GROUP BY 1),
+         |s AS (SELECT bi.doc_id, bi.c,
+         |        cast(floor(-ln(cast(b2.c2 AS double)/c1)*1000000 + 0.5)
+         |          AS bigint) AS nll_micro
+         |      FROM bi JOIN b2 USING (w1, w2) JOIN u1 USING (w1))
+         |SELECT doc_id, cast(sum(c) AS bigint) AS n_bigrams,
+         |  ${rs("cast(sum(c*nll_micro) AS double)/sum(c)/1000000", 6)}
+         |    AS avg_nll
+         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // BPE merge candidates: adjacent char pairs within whitespace tokens
+    "q_bpe_pairs" ->
+      """SELECT pair, count(*) AS cnt FROM (
+        |  SELECT substr(tok, cast(i AS int), 2) AS pair
+        |  FROM (SELECT tok,
+        |          unnest(generate_series(1, length(tok) - 1)) AS i
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |              FROM documents)
+        |        WHERE length(tok) >= 2))
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
     "q_doc_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
          |           FROM documents),

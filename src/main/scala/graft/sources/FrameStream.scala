@@ -108,10 +108,16 @@ class FrameMicroBatchStream(dir: String, kind: String,
     availableNowEnd = Some(total)
   }
 
+  /** Index snapshot recorded into every emitted offset (see
+    * [[FrameOffset]]): the restart-validation contract.
+    */
+  private def snapshot(): Seq[(String, Long, Long)] = synchronized(
+    index.map { case (f, n, _) => (f, n, indexedLen(f)) }.toSeq)
+
   override def initialOffset(): Offset = FrameOffset(0L)
 
   override def deserializeOffset(json: String): Offset =
-    FrameOffset(json.trim.toLong)
+    FrameOffset.fromJson(json)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -125,10 +131,11 @@ class FrameMicroBatchStream(dir: String, kind: String,
       case _: ReadAllAvailable => available
       case _ => available
     }
-    FrameOffset(math.max(from, end))
+    FrameOffset(math.max(from, end), snapshot())
   }
 
-  override def reportLatestOffset(): Offset = synchronized(FrameOffset(total))
+  override def reportLatestOffset(): Offset =
+    synchronized(FrameOffset(total, snapshot()))
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
@@ -148,6 +155,24 @@ class FrameMicroBatchStream(dir: String, kind: String,
             s"[$s,$e) but only $total are present in the landing dir — " +
             "files recorded in the offset log have disappeared; " +
             "refusing to silently drop them")
+      // Restart validation (the in-memory immutability checks cover one
+      // instance's lifetime only): the per-file snapshot persisted in
+      // the offset log must prefix-match the index REBUILT by this
+      // instance — a file rewritten/grown while the stream was down
+      // re-counts cleanly but shifts every later cumulative range.
+      for (o <- Seq(start, end); metas = o.asInstanceOf[FrameOffset].files;
+           i <- metas.indices if i < index.length) {
+        val (mp, mn, mlen) = metas(i)
+        val (f, n, _) = index(i)
+        if (f != mp || n != mn || indexedLen(f) != mlen)
+          throw new IllegalStateException(
+            s"graft-frames stream over $dir: landing file #$i changed " +
+              s"across restart — offset log recorded ($mp, $mn frames, " +
+              s"$mlen bytes) but the directory now yields ($f, $n " +
+              s"frames, ${indexedLen(f)} bytes); landing files must be " +
+              "immutable once visible — replayed offset ranges would " +
+              "map to different frames, refusing to continue")
+      }
       index.iterator
         .map { case (f, n, cum) =>
           val lo = math.max(s, cum)
@@ -217,10 +242,50 @@ object FrameMicroBatchStream {
 
 /** Offset = number of frames consumed across the name-ordered landing
   * files (a dense global ordinal, like Kafka's per-partition offsets
-  * collapsed to one log).
+  * collapsed to one log), plus the per-file (path, frameCount, byteLen)
+  * index snapshot backing that ordinal. The snapshot makes the offset
+  * self-validating across process restarts: a landing file rewritten or
+  * grown WHILE THE STREAM WAS DOWN re-counts cleanly into a fresh index
+  * (the in-memory immutability checks never saw it change), silently
+  * shifting every later file's cumulative range — on restart the
+  * rebuilt index is checked against the snapshot recorded in the offset
+  * log and any drift fails the stream instead of replaying wrong frames.
+  *
+  * Cost: one (path, count, len) triple per landing file per offset-log
+  * entry — the same order of driver state the source already keeps, and
+  * the same shape Spark's own FileStreamSource persists per batch.
   */
-case class FrameOffset(frame: Long) extends Offset {
-  override def json(): String = frame.toString
+case class FrameOffset(frame: Long,
+                       files: Seq[(String, Long, Long)] = Nil)
+    extends Offset {
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("frame", frame)
+    val arr = root.putArray("files")
+    files.foreach { case (p, n, len) =>
+      val a = arr.addArray(); a.add(p); a.add(n); a.add(len); ()
+    }
+    m.writeValueAsString(root)
+  }
+}
+
+object FrameOffset {
+  /** Accepts both the self-validating JSON form and the legacy bare
+    * ordinal (pre-round-6 checkpoints keep replaying, minus the
+    * rewrite-while-down validation they never had).
+    */
+  def fromJson(json: String): FrameOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      val files = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(root.get("files").elements()).asScala
+        .map(a => (a.get(0).asText, a.get(1).asLong, a.get(2).asLong))
+        .toSeq
+      FrameOffset(root.get("frame").asLong, files)
+    } else FrameOffset(t.toLong)
+  }
 }
 
 case class FrameRangePartition(file: String, skip: Long, take: Long)

@@ -133,21 +133,42 @@ object TextAnalysis {
   }
 
   /** Inverted index: token → sorted posting list of the documents that
-    * contain it, plus the document frequency. The (doc, token) distinct
-    * is itself a partial-aggregated shuffle; posting lists are built
-    * per token. At 100 TB the head of the vocabulary (stopwords) would
-    * produce unbounded lists — callers bound df (as `q_inverted_index`
-    * does) or segment postings; df itself is always cheap to keep.
+    * contain it, plus the document frequency.
+    *
+    * `maxDf` is the 100 TB guard: a head-of-vocabulary (stopword) term's
+    * posting list grows with the corpus and would materialize an
+    * unboundedly wide aggregation row. With `maxDf` set, document
+    * frequencies are aggregated FIRST (counts only — always bounded),
+    * terms over the cap are dropped, and posting lists are collected
+    * only for surviving terms via a token-co-partitioned shuffle-hash
+    * join — the degenerate term's postings are never built at all
+    * (InvertedIndexGuard spec). Without it (fixture/spec use) the
+    * single-agg form applies.
     */
-  def invertedIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
+  def invertedIndex(docs: DataFrame, id: Column, text: Column,
+                    maxDf: Option[Int] = None): DataFrame = {
     // per-row array_distinct replaces the corpus-wide distinct(): a
     // document contributes each token once by construction, so the
     // (doc, token) dedup never needs its own shuffle
-    docs.select(id.as("doc_id"),
-        explode(array_distinct(tokens(text))).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(col("doc_id"))).as("postings"))
+    val tok = docs.select(id.as("doc_id"),
+      explode(array_distinct(tokens(text))).as("token"))
+    maxDf match {
+      case None =>
+        tok.groupBy(col("token"))
+          .agg(count(lit(1)).as("df"),
+            sort_array(collect_list(col("doc_id"))).as("postings"))
+      case Some(cap) =>
+        val keep = tok.groupBy(col("token"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+        // keep is vocabulary-sized: shuffle-hash join on token, which
+        // co-partitions with the collect aggregation's own exchange
+        tok.join(keep.hint("shuffle_hash"), "token")
+          .groupBy(col("token"))
+          .agg(max(col("df")).as("df"),
+            sort_array(collect_list(col("doc_id"))).as("postings"))
+    }
+  }
 
   /** Rolling (Rabin-Karp polynomial) fingerprint over the character
     * stream: h = fold(h*31 + code) mod 1e9+7 — the incremental-hash

@@ -96,6 +96,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_span_dedup: exchanges carry md5 digests, never raw span text") {
+    val p = plan("q_span_dedup")
+    // every hash exchange keys on the fixed-width digest k or doc_id —
+    // a raw 8-word span as a shuffle key is the 100 TB scale-killer
+    assert(!p.contains("hashpartitioning(span"), s"raw-text shuffle key:\n$p")
+    assert(p.contains("hashpartitioning(k#"), p)
+    // counts (≈ one row per distinct span) is corpus-sized: it must
+    // arrive via the co-partitioned shuffle-hash join, never broadcast
+    assert(p.contains("ShuffledHashJoin"), s"counts side not shuffled:\n$p")
+  }
+
+  test("q_ngram_lm: bigram pipeline materialized once, unigram side broadcast") {
+    val p = plan("q_ngram_lm")
+    // bi and biC are localCheckpointed: the scan→explode→agg tree must
+    // appear in NO join branch (it ran 3x in the round-5 plan)
+    assert(!p.contains("documents.parquet"),
+      s"bigram pipeline recomputed per reference:\n$p")
+    // the unigram rollup is explicitly broadcast so the (w1,w2)-keyed
+    // join result never reshuffles onto w1
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_stride / q_min_key: scalar probes broadcast, no global sort") {
     for (q <- Seq("q_stride", "q_ttl_surviving")) {
       val p = plan(q)

@@ -62,14 +62,18 @@ class FrameStreamSpec extends SparkSpec {
     assert(progress.length == 6) // ceil(100/17) admission-controlled batches
     assert(progress.forall(_.numInputRows <= 17),
       progress.map(_.numInputRows).mkString(","))
-    // committed offsets are the frame ordinals: the checkpoint's last
-    // offset file must read back as 100
+    // committed offsets are the frame ordinals plus the per-file index
+    // snapshot (restart validation): the checkpoint's last offset must
+    // read back as ordinal 100 over the 4 landing files
     val offsetsDir = new java.io.File(s"$out/ck/offsets")
     val last = offsetsDir.listFiles().filter(_.getName.forall(_.isDigit))
       .maxBy(_.getName.toInt)
     val lastOffset = Files.readAllLines(last.toPath).toArray.mkString("\n")
       .linesIterator.toSeq.last.trim
-    assert(lastOffset == "100", s"checkpoint offset: $lastOffset")
+    val parsed = FrameOffset.fromJson(lastOffset)
+    assert(parsed.frame == 100L, s"checkpoint offset: $lastOffset")
+    assert(parsed.files.length == 4 && parsed.files.map(_._2).sum == 100L,
+      s"offset file snapshot: $lastOffset")
   }
 
   test("growing landing dir: new files picked up by the next trigger") {
@@ -96,6 +100,39 @@ class FrameStreamSpec extends SparkSpec {
     val got = spark.read.parquet(s"$out/rows")
       .select($"serial_number").as[Long].collect().sorted.toSeq
     assert(got == (0L until 30L))
+  }
+
+  test("a landing file rewritten while the stream is DOWN is detected " +
+      "on restart (offset-log snapshot validation)") {
+    val dir = Files.createTempDirectory("graft_stream_rewrite").toString
+    writeDump(dir, n = 20, files = 1)
+    val out = Files.createTempDirectory("graft_stream_rewrite_o").toString
+    def drain(): Unit = {
+      val q = streamDf(dir, maxPerTrigger = 50)
+        .select($"serial_number")
+        .writeStream
+        .option("checkpointLocation", s"$out/ck")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$out/rows")
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // rewrite the SEEN file with more frames while no stream instance is
+    // alive: a fresh instance re-counts it cleanly (the in-memory
+    // immutability checks never saw the change), so only the offset-log
+    // snapshot can catch the shifted cumulative ranges
+    FrameDump.writeFile(s"$dir/part-000.bin",
+      (0 until 25).iterator.map(i => encodedPeaks(100 + i.toLong,
+        1700000100L + i)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("changed across restart")),
+      s"unexpected failure: $e")
   }
 
   test("sensor and spectrum kinds stream through the same source") {

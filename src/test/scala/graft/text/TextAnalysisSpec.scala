@@ -76,4 +76,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("z") == (1L, Seq(7L)))
     assert(out.forall { case (_, (df, p)) => df == p.size && p == p.sorted })
   }
+
+  test("inverted index maxDf guard: degenerate stop-word term dropped " +
+      "before its postings materialize; surviving terms identical") {
+    // "the" appears in EVERY doc — the 100 TB stop-word degeneracy the
+    // guard exists for; the rest are mid-frequency
+    val docs = (0L until 200L).map(i =>
+      (i, s"the tok${i % 7} rare$i")).toDF("doc_id", "text")
+    val guarded = TextAnalysis
+      .invertedIndex(docs, $"doc_id", $"text", maxDf = Some(50))
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!guarded.contains("the"), "degenerate term must be dropped")
+    // guarded output ≡ the unguarded form filtered to the cap
+    val reference = TextAnalysis.invertedIndex(docs, $"doc_id", $"text")
+      .filter($"df" <= 50)
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(guarded == reference)
+    assert(guarded("tok0") == (29L, (0L until 200L by 7).toSeq))
+  }
 }
