@@ -523,6 +523,63 @@ object PipelineQueries {
           lit(probes.toDouble / (1 << bits)).as("scan_frac"))
     }),
 
+    // BATCHED ANN — the production retrieval shape: a TABLE of query
+    // vectors (ids 0-4) against the bucketed corpus in ONE pass. The
+    // corpus is bucketed once; the query rows broadcast with their base
+    // buckets; a bucket-equality join prunes candidates; exact cosine
+    // re-ranks; per-query top-k runs through the custom TopKPerKey
+    // operator (bounded per-key heaps, one exchange) — never a
+    // per-query corpus scan, never a global sort. Single probe per
+    // query (the oracle-expressible config; the query-directed
+    // multi-probe order is driver-side, see q_ann_lsh).
+    "q_ann_batch" -> ((s, d) => {
+      val bits = annBits(embCount(s, d))
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", Similarity.srpBucket(col("v"), 64, bits))
+      val qs = broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("bucket").as("qb")))
+      val cands = emb.filter(col("vec_id") >= 5)
+        .join(qs, col("bucket") === col("qb"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosine(col("v"), col("qv")).as("sim"))
+      graft.plans.TopKPerKey(cands, Seq("qid"),
+          Seq(("sim", true), ("vec_id", false)), k = 10)
+        .select(col("qid"), col("vec_id"), r(col("sim"), 4).as("sim"))
+    }),
+
+    // SemDeDup-style semantic dedup: k-means cells as the blocking
+    // structure (the same corpus-scaled occupancy rule as the SRP/IVF
+    // blocking — k grows with n so within-cell pair counts stay
+    // bounded), exact cosine within a cell, keep-min-id per near-dup
+    // neighborhood. The sf0.01 instantiation (k=4, 2 Lloyd iterations)
+    // is what the static oracle re-derives from the same seeded-k-means
+    // construction as q_kmeans_embed.
+    "q_semdedup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val k = math.max(4, (embCount(s, d) / 125).toInt)
+      val (assign, _) = Similarity.kmeans(emb, col("vec_id"), col("v"),
+        k, iters = 2)
+      // assignment materialized once (localCheckpoint, the
+      // q_embed_neardup pattern) before the within-cell self-join
+      val mat = emb.join(
+          assign.select(col("id").as("vec_id"), col("cluster_id")),
+          "vec_id")
+        .localCheckpoint(false)
+      val a = mat.select(col("cluster_id"), col("vec_id").as("id_a"),
+        col("v").as("va"))
+      val b = mat.select(col("cluster_id").as("cb"),
+        col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("cluster_id") === col("cb") &&
+          col("id_a") < col("id_b"))
+        .filter(r(Similarity.cosine(col("va"), col("vb")), 4) >= 0.3)
+        .groupBy(col("id_b"))
+        .agg(min(col("id_a")).as("kept_id"), count(lit(1)).as("n_near"))
+        .select(col("id_b").as("dup_id"), col("kept_id"), col("n_near"))
+    }),
+
     // IVF-bucketed ANN, single-probe (the oracle-expressible config;
     // multi-probe via Similarity.ivfProbes is the production path):
     // assign every vector to its max-dot centroid cell, scan only the
@@ -681,6 +738,48 @@ object PipelineQueries {
     * is a no-op). Every arithmetic step is exact int/xor or an
     * identically-ordered double op, so probe lists agree bit-for-bit.
     */
+  /** SRP bucket id as a DuckDB expression over a DOUBLE[] column named
+    * `colName` — the same seeded hyperplane literals as
+    * Similarity.srpBucket, so bucket assignment agrees bit-for-bit.
+    */
+  private def srpBucketSql(colName: String): String =
+    graft.sim.Similarity.srpPlanes(64, AnnBits).zipWithIndex
+      .map { case (plane, b) =>
+        s"(CASE WHEN list_dot_product($colName, " +
+          s"${plane.mkString("[", ", ", "]")}) > 0 THEN ${1 << b} " +
+          "ELSE 0 END)"
+      }.mkString(" + ")
+
+  /** Seeded-k-means CTE chain (k=4, 2 Lloyd iterations — the sf0.01
+    * instantiation), shared by the q_kmeans_embed and q_semdedup
+    * oracles: e (typed vectors), c0 (first-4-ids seed), a1 (augmented
+    * -dot assignment), cm/c1 (1e-6-rounded element-wise means), a2
+    * (final assignment).
+    */
+  private def kmeansCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |c0 AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int)
+       |         AS j, v
+       |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+       |a1 AS (SELECT e.vec_id, e.v,
+       |        (SELECT c0.j FROM c0
+       |         ORDER BY list_dot_product(e.v, c0.v)
+       |           - list_dot_product(c0.v, c0.v)/2 DESC, c0.j
+       |         LIMIT 1) AS cell
+       |       FROM e),
+       |cm AS (SELECT cell, i,
+       |         floor(avg(v[i])*1000000 + 0.5)/1000000 AS ci
+       |       FROM a1, generate_series(1, 64) t(i)
+       |       GROUP BY cell, i),
+       |c1 AS (SELECT cell, list(ci ORDER BY i) AS v FROM cm GROUP BY cell),
+       |a2 AS (SELECT e.vec_id,
+       |        (SELECT c1.cell FROM c1
+       |         ORDER BY list_dot_product(e.v, c1.v)
+       |           - list_dot_product(c1.v, c1.v)/2 DESC, c1.cell
+       |         LIMIT 1) AS cluster_id
+       |       FROM e)""".stripMargin
+
   private def annProbeCtes: String = {
     val planes = graft.sim.Similarity.srpPlanes(64, AnnBits)
     val projs = planes
@@ -748,6 +847,37 @@ object PipelineQueries {
          |  cast(count(*) AS double) / 10 AS recall,
          |  CAST(0.25 AS DOUBLE) AS scan_frac
          |FROM ann JOIN bf USING (vec_id)""".stripMargin,
+    // batched single-probe ANN: per-query bucket + exact re-rank + rank
+    // cutoff, ordered by the UNROUNDED sim exactly as the Spark plan
+    "q_ann_batch" ->
+      s"""WITH bkt AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings)),
+         |qs AS (SELECT vec_id AS qid, v AS qv, bucket AS qb
+         |       FROM bkt WHERE vec_id < 5),
+         |c AS (SELECT * FROM bkt WHERE vec_id >= 5)
+         |SELECT qid, vec_id, ${rs("sim0", 4)} AS sim FROM (
+         |  SELECT qs.qid, c.vec_id,
+         |    list_cosine_similarity(c.v, qs.qv) AS sim0,
+         |    row_number() OVER (PARTITION BY qs.qid
+         |      ORDER BY list_cosine_similarity(c.v, qs.qv) DESC,
+         |        c.vec_id) AS rk
+         |  FROM c JOIN qs ON c.bucket = qs.qb)
+         |WHERE rk <= 10""".stripMargin,
+
+    // SemDeDup: the same seeded-k-means cells as q_kmeans_embed, exact
+    // cosine within a cell at the 1e-4-rounded threshold, keep-min-id
+    "q_semdedup" ->
+      s"""WITH $kmeansCtes
+         |SELECT b.vec_id AS dup_id, min(a.vec_id) AS kept_id,
+         |  count(*) AS n_near
+         |FROM a2 a JOIN a2 b ON a.cluster_id = b.cluster_id
+         |  AND a.vec_id < b.vec_id
+         |JOIN e ea ON ea.vec_id = a.vec_id
+         |JOIN e eb ON eb.vec_id = b.vec_id
+         |WHERE ${rs("list_cosine_similarity(ea.v, eb.v)", 4)} >= 0.3
+         |GROUP BY b.vec_id""".stripMargin,
+
     // span-level dedup: 8-word spans re-derived in SQL with the same
     // distinct-within-doc + md5-digest-key construction as the Spark plan
     "q_span_dedup" ->
@@ -861,28 +991,7 @@ object PipelineQueries {
         |HAVING count(*) BETWEEN 3 AND 50""".stripMargin,
 
     "q_kmeans_embed" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |           FROM embeddings),
-         |c0 AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int)
-         |         AS j, v
-         |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
-         |a1 AS (SELECT e.vec_id, e.v,
-         |        (SELECT c0.j FROM c0
-         |         ORDER BY list_dot_product(e.v, c0.v)
-         |           - list_dot_product(c0.v, c0.v)/2 DESC, c0.j
-         |         LIMIT 1) AS cell
-         |       FROM e),
-         |cm AS (SELECT cell, i,
-         |         floor(avg(v[i])*1000000 + 0.5)/1000000 AS ci
-         |       FROM a1, generate_series(1, 64) t(i)
-         |       GROUP BY cell, i),
-         |c1 AS (SELECT cell, list(ci ORDER BY i) AS v FROM cm GROUP BY cell),
-         |a2 AS (SELECT e.vec_id,
-         |        (SELECT c1.cell FROM c1
-         |         ORDER BY list_dot_product(e.v, c1.v)
-         |           - list_dot_product(c1.v, c1.v)/2 DESC, c1.cell
-         |         LIMIT 1) AS cluster_id
-         |       FROM e)
+      s"""WITH $kmeansCtes
          |SELECT g.cluster_id, g.n_vecs, c1.v[1] AS c_first,
          |  floor(sqrt(list_dot_product(c1.v, c1.v))*1000000 + 0.5)/1000000
          |    AS c_norm
