@@ -82,6 +82,48 @@ object PipelineQueries {
        |  FROM sig, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS b))""".stripMargin
   }
 
+  /** Per-doc bigram-LM negative log-likelihood under the corpus's own
+    * bigram model → (doc_id, n_bigrams, nll_sum_micro); shared by
+    * q_ngram_lm (the per-doc quality score) and q_ppl_buckets (the
+    * decile composition). bi and biC are materialized once
+    * (localCheckpoint): bi feeds both the LM-count derivation and the
+    * per-doc join-back, biC feeds both the bigram join and the unigram
+    * rollup — without the checkpoints the scan→explode→agg pipeline is
+    * recomputed on every reference (3× in the round-5 plan). The
+    * per-bigram surprise is integerized to micro-nats BEFORE summation:
+    * long sums are associative, so aggregation order can't drift the
+    * hash.
+    */
+  private def ngramDocNll(s: SparkSession, d: String): DataFrame = {
+    val toks = parallelize(documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i") + 1).as("w1"),
+        element_at(col("t"), col("i") + 2).as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val biC = bi.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c2"))
+      .localCheckpoint(false)
+    // unigram rollup is vocabulary-sized (tens of millions of rows ×
+    // 2 columns at 100 TB — hundreds of MB): broadcast it so the
+    // bi⋈biC result never reshuffles from (w1,w2) onto w1
+    val uniC = broadcast(
+      biC.groupBy(col("w1")).agg(sum(col("c2")).as("c1")))
+    bi.join(biC, Seq("w1", "w2")).join(uniC, Seq("w1"))
+      .select(col("doc_id"), col("c"),
+        floor(-log(col("c2").cast("double") / col("c1")) * 1e6 + lit(0.5))
+          .cast("long").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("nll_micro")).as("nll_sum_micro"))
+  }
+
   val defs: Map[String, Q] = Map(
     // ---- text analysis --------------------------------------------------
     "q_text_stats" -> ((s, d) =>
@@ -106,6 +148,47 @@ object PipelineQueries {
     "q_fingerprint" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Model-based quality score: a fixed-weight logistic scorer over the
+    // withQuality features — the shape of a fastText/linear quality
+    // classifier's inference pass (training is out of scope; the weights
+    // stand in for a trained model). Pure scan+project, no shuffle; the
+    // features are pre-rounded so both engines score identical inputs.
+    "q_quality_score" -> ((s, d) =>
+      TextAnalysis.withQuality(documents(s, d), col("text"))
+        .select(col("doc_id"),
+          r(lit(1.0) / (lit(1.0) + exp(-(lit(-1.5)
+            + col("n_tokens").cast("double") * lit(0.002)
+            + col("stopword_ratio") * lit(2.0)
+            - col("punct_count").cast("double") * lit(0.01)
+            + col("avg_token_len") * lit(0.1)))), 6).as("q_score"))),
+
+    // Feature-hashing document embedder (the hashing trick): every
+    // token hashes into one of 64 dims via md5 with a ±1 sign from the
+    // next hex nibble — the classic sparse-featurization bridge from
+    // text to the embedding pipeline. Integer components throughout
+    // (exact on any engine); the output row is the verifiable summary
+    // (component 0, nonzero dims, L2 norm) rather than the array —
+    // array cells don't hash stably across engines. One explode + two
+    // aggs; only (doc_id, dim) pairs shuffle, never tokens.
+    "q_hash_embed" -> ((s, d) => {
+      val comp = parallelize(documents(s, d))
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int") % 64)
+            .as("dim"),
+          when(conv(substring(md5(col("tok")), 5, 1), 16, 10)
+            .cast("int") % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("sgn")).as("comp"))
+      comp.groupBy(col("doc_id"))
+        .agg(sum(when(col("dim") === 0, col("comp")).otherwise(0L)).as("d0"),
+          sum(when(col("comp") =!= 0, 1L).otherwise(0L)).as("nnz"),
+          sum(col("comp") * col("comp")).as("ss"))
+        .select(col("doc_id"), col("d0"), col("nnz"),
+          r(sqrt(col("ss").cast("double")), 6).as("l2"))
+    }),
 
     "q_rolling_fp" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
@@ -250,42 +333,29 @@ object PipelineQueries {
     // (one aggregation tree, exchange-reused). The per-bigram surprise
     // is integerized to micro-nats BEFORE summation: long sums are
     // associative, so aggregation order can't drift the hash.
-    "q_ngram_lm" -> ((s, d) => {
-      val toks = parallelize(documents(s, d))
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 2)
-      // bi and biC materialized once (localCheckpoint): bi feeds both
-      // the LM-count derivation and the per-doc join-back, biC feeds
-      // both the bigram join and the unigram rollup — without the
-      // checkpoints the scan→explode→agg pipeline is recomputed on
-      // every reference (3× in the round-5 plan)
-      val bi = toks
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
-        .select(col("doc_id"),
-          element_at(col("t"), col("i") + 1).as("w1"),
-          element_at(col("t"), col("i") + 2).as("w2"))
-        .groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
-      val biC = bi.groupBy(col("w1"), col("w2"))
-        .agg(sum(col("c")).as("c2"))
-        .localCheckpoint(false)
-      // unigram rollup is vocabulary-sized (tens of millions of rows ×
-      // 2 columns at 100 TB — hundreds of MB): broadcast it so the
-      // bi⋈biC result never reshuffles from (w1,w2) onto w1
-      val uniC = broadcast(
-        biC.groupBy(col("w1")).agg(sum(col("c2")).as("c1")))
-      bi.join(biC, Seq("w1", "w2")).join(uniC, Seq("w1"))
-        .select(col("doc_id"), col("c"),
-          floor(-log(col("c2").cast("double") / col("c1")) * 1e6 + lit(0.5))
-            .cast("long").as("nll_micro"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_bigrams"),
-          sum(col("c") * col("nll_micro")).as("nll_sum_micro"))
+    "q_ngram_lm" -> ((s, d) =>
+      ngramDocNll(s, d)
         .select(col("doc_id"), col("n_bigrams"),
           r(col("nll_sum_micro").cast("double") / col("n_bigrams") / 1e6, 6)
-            .as("avg_nll"))
+            .as("avg_nll"))),
+
+    // Corpus composition by LM-quality decile — the curation view a
+    // mixing pipeline balances against: docs ranked by avg bigram NLL
+    // (exact integer micro-nat ratio, doc_id tie-break → total order,
+    // so ntile agrees across engines), then per-decile volume and the
+    // exact pooled NLL. The global ntile sorts DOC-LEVEL aggregates
+    // (corpus rows / ~10^3), not the corpus — fine at 100 TB.
+    "q_ppl_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(
+        col("nll_sum_micro") / col("n_bigrams"), col("doc_id"))
+      ngramDocNll(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("bigrams_total"),
+          r(sum(col("nll_sum_micro")).cast("double") /
+            sum(col("n_bigrams")) / 1e6, 6).as("avg_nll"))
     }),
 
     // BPE merge step 1: adjacent character-pair frequencies within
@@ -738,6 +808,33 @@ object PipelineQueries {
     * is a no-op). Every arithmetic step is exact int/xor or an
     * identically-ordered double op, so probe lists agree bit-for-bit.
     */
+  /** Shared bigram-NLL CTE chain ending at
+    * `perdoc(doc_id, n_bigrams, nll_sum_micro)` — the SQL mirror of
+    * [[ngramDocNll]], shared by the q_ngram_lm and q_ppl_buckets
+    * oracles.
+    */
+  private def ngramNllCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+      |         count(*) AS c
+      |       FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 1)) AS i
+      |             FROM t)
+      |       GROUP BY 1, 2, 3),
+      |b2 AS (SELECT w1, w2, cast(sum(c) AS bigint) AS c2
+      |       FROM bi GROUP BY 1, 2),
+      |u1 AS (SELECT w1, cast(sum(c2) AS bigint) AS c1
+      |       FROM b2 GROUP BY 1),
+      |s AS (SELECT bi.doc_id, bi.c,
+      |        cast(floor(-ln(cast(b2.c2 AS double)/c1)*1000000 + 0.5)
+      |          AS bigint) AS nll_micro
+      |      FROM bi JOIN b2 USING (w1, w2) JOIN u1 USING (w1)),
+      |perdoc AS (SELECT doc_id, cast(sum(c) AS bigint) AS n_bigrams,
+      |             cast(sum(c*nll_micro) AS bigint) AS nll_sum_micro
+      |           FROM s GROUP BY doc_id)""".stripMargin
+
   /** SRP bucket id as a DuckDB expression over a DOUBLE[] column named
     * `colName` — the same seeded hyperplane literals as
     * Similarity.srpBucket, so bucket assignment agrees bit-for-bit.
@@ -902,27 +999,62 @@ object PipelineQueries {
     // surprise is integerized to micro-nats (exact BIGINT) before any
     // sum, so aggregation order can't drift the hash on either engine
     "q_ngram_lm" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |           FROM documents
-         |           WHERE len(string_split(text, ' ')) >= 2),
-         |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
-         |         count(*) AS c
-         |       FROM (SELECT doc_id, toks,
-         |               unnest(generate_series(1, len(toks) - 1)) AS i
-         |             FROM t)
-         |       GROUP BY 1, 2, 3),
-         |b2 AS (SELECT w1, w2, cast(sum(c) AS bigint) AS c2
-         |       FROM bi GROUP BY 1, 2),
-         |u1 AS (SELECT w1, cast(sum(c2) AS bigint) AS c1
-         |       FROM b2 GROUP BY 1),
-         |s AS (SELECT bi.doc_id, bi.c,
-         |        cast(floor(-ln(cast(b2.c2 AS double)/c1)*1000000 + 0.5)
-         |          AS bigint) AS nll_micro
-         |      FROM bi JOIN b2 USING (w1, w2) JOIN u1 USING (w1))
-         |SELECT doc_id, cast(sum(c) AS bigint) AS n_bigrams,
-         |  ${rs("cast(sum(c*nll_micro) AS double)/sum(c)/1000000", 6)}
+      s"""WITH $ngramNllCtes
+         |SELECT doc_id, n_bigrams,
+         |  ${rs("cast(nll_sum_micro AS double)/n_bigrams/1000000", 6)}
          |    AS avg_nll
-         |FROM s GROUP BY doc_id""".stripMargin,
+         |FROM perdoc""".stripMargin,
+
+    // LM-quality decile composition: identical per-doc NLL chain, then
+    // ntile over the exact integer ratio with doc_id tie-break
+    "q_ppl_buckets" ->
+      s"""WITH $ngramNllCtes,
+         |dec AS (SELECT doc_id, n_bigrams, nll_sum_micro,
+         |          cast(ntile(10) OVER (ORDER BY
+         |            nll_sum_micro / n_bigrams, doc_id) AS int) AS decile
+         |        FROM perdoc)
+         |SELECT decile, count(*) AS n_docs,
+         |  cast(sum(n_bigrams) AS bigint) AS bigrams_total,
+         |  ${rs("cast(sum(nll_sum_micro) AS double)/sum(n_bigrams)/1000000",
+              6)} AS avg_nll
+         |FROM dec GROUP BY decile""".stripMargin,
+
+    // fixed-weight logistic quality scorer over the q_text_stats
+    // features (pre-rounded, so both engines score identical inputs)
+    "q_quality_score" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      val atl = rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)
+      val swr = rs(s"cast($stop AS double) / $nTok", 6)
+      val punct = "(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+      val z = s"CAST(-1.5 AS DOUBLE) + cast($nTok AS int) * " +
+        s"CAST(0.002 AS DOUBLE) + ($swr) * CAST(2.0 AS DOUBLE) - " +
+        s"$punct * CAST(0.01 AS DOUBLE) + ($atl) * CAST(0.1 AS DOUBLE)"
+      s"SELECT doc_id, ${rs(s"1.0 / (1.0 + exp(-($z)))", 6)} AS q_score " +
+        "FROM documents"
+    },
+
+    // feature-hashing embedder: md5-derived dim + sign, integer
+    // components, summary facts (component 0, nnz, L2)
+    "q_hash_embed" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |h AS (SELECT doc_id,
+         |        cast(('0x' || substr(md5(tok), 1, 4)) AS int) % 64 AS dim,
+         |        CASE WHEN cast(('0x' || substr(md5(tok), 5, 1)) AS int)
+         |          % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |      FROM tok),
+         |c AS (SELECT doc_id, dim, cast(sum(sgn) AS bigint) AS comp
+         |      FROM h GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  cast(sum(CASE WHEN dim = 0 THEN comp ELSE 0 END) AS bigint)
+         |    AS d0,
+         |  cast(sum(CASE WHEN comp <> 0 THEN 1 ELSE 0 END) AS bigint)
+         |    AS nnz,
+         |  ${rs("sqrt(cast(sum(comp*comp) AS double))", 6)} AS l2
+         |FROM c GROUP BY doc_id""".stripMargin,
 
     // BPE merge candidates: adjacent char pairs within whitespace tokens
     "q_bpe_pairs" ->
