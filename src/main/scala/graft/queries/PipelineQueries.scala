@@ -31,6 +31,12 @@ object PipelineQueries {
       "generate_series(0, greatest(len(string_split(text,' '))-2, 0)), " +
       "i -> array_to_string(list_slice(string_split(text,' '), i+1, i+2), ' ')))"
 
+  /** DuckDB n=8 word-shingle list, mirroring Dedup.shingles(text, 8). */
+  private val spanShinglesSql =
+    "list_distinct(list_transform(" +
+      "generate_series(0, greatest(len(string_split(text,' '))-8, 0)), " +
+      "i -> array_to_string(list_slice(string_split(text,' '), i+1, i+8), ' ')))"
+
   /** DuckDB minhash h_s = min over shingles of md5(s || '|' || shingle). */
   private def mhSql(seed: Int): String =
     s"list_min(list_transform(sh, x -> md5('$seed' || '|' || x)))"
@@ -356,6 +362,50 @@ object PipelineQueries {
           sum(col("n_bigrams")).as("bigrams_total"),
           r(sum(col("nll_sum_micro")).cast("double") /
             sum(col("n_bigrams")) / 1e6, 6).as("avg_nll"))
+    }),
+
+    // BPE tokenizer TRAINING (3 merge rounds): corpus read once into the
+    // word-frequency table, then every round iterates on vocab-sized
+    // data only — see BpeTrainer. Output is the merge table a tokenizer
+    // ships: hash-checked against a 3-stage unrolled SQL derivation
+    // whose merge application folds symbols with the same greedy
+    // left-to-right semantics.
+    "q_bpe_train" -> ((s, d) =>
+      graft.text.BpeTrainer.train(parallelize(documents(s, d)),
+        col("text"), merges = 3)),
+
+    // Deterministic per-group reservoir: the m docs with the smallest
+    // md5(doc_id) per source — reproducible across runs/engines (no
+    // rand()), uniform within each group, and executed by the custom
+    // TopKPerKey operator (bounded per-key heaps, one exchange) rather
+    // than a WindowExec sort of every group.
+    "q_reservoir" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+        documents(s, d).select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("hk")),
+        Seq("source"), Seq(("hk", false), ("doc_id", false)), k = 5)
+        .select(col("source"), col("doc_id"))),
+
+    // KMV distinct-count sketch over 8-gram spans (the near-dup-rate
+    // denominator a curation pipeline estimates without a full
+    // count-distinct shuffle): one pass, k longs per partial, and —
+    // unlike HLL — fully DETERMINISTIC, so even the "approximate"
+    // estimate hash-matches the oracle. kth = the retained theta.
+    "q_kmv_distinct" -> ((s, d) => {
+      val k = 256
+      val spans = parallelize(documents(s, d))
+        .select(explode(Dedup.shingles(col("text"), 8)).as("sp"))
+        .select(conv(substring(md5(col("sp")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      spans.agg(
+          graft.functions.KmvSketchExpr.kmv(col("h"), k).as("mins"),
+          countDistinct(col("h")).as("exact_distinct"))
+        .select(lit(k).as("k"),
+          element_at(col("mins"), k).as("kth"),
+          r(lit((k - 1).toDouble) * lit(281474976710656.0) /
+            element_at(col("mins"), k).cast("double"), 4)
+            .as("est_distinct"),
+          col("exact_distinct"))
     }),
 
     // BPE merge step 1: adjacent character-pair frequencies within
@@ -835,6 +885,50 @@ object PipelineQueries {
       |             cast(sum(c*nll_micro) AS bigint) AS nll_sum_micro
       |           FROM s GROUP BY doc_id)""".stripMargin
 
+  /** Unrolled SQL derivation of [[graft.text.BpeTrainer]] (one CTE
+    * trio per merge round): pair counts from the current symbol lists,
+    * top-1 by (weight desc, p1, p2), then merge application as a
+    * `list_reduce` fold over a space-joined accumulator with the same
+    * greedy left-to-right semantics as the Spark-side array fold
+    * (symbols never contain spaces, so the ' '-suffix test identifies
+    * the accumulator's last symbol exactly).
+    */
+  private def bpeTrainSql(merges: Int): String = {
+    val init =
+      """w0 AS (SELECT w, cast(count(*) AS bigint) AS cnt
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |             FROM documents) GROUP BY w),
+        |v0 AS (SELECT w, cnt,
+        |         list_transform(generate_series(1, length(w)),
+        |           i -> substr(w, cast(i AS int), 1)) AS syms
+        |       FROM w0)""".stripMargin
+    val stages = (1 to merges).map { n =>
+      s"""p$n AS (SELECT syms[i] AS p1, syms[i+1] AS p2,
+         |         cast(sum(cnt) AS bigint) AS wt
+         |       FROM (SELECT cnt, syms,
+         |               unnest(generate_series(1, len(syms) - 1)) AS i
+         |             FROM v${n - 1} WHERE len(syms) >= 2)
+         |       GROUP BY 1, 2),
+         |m$n AS (SELECT p1, p2, wt FROM p$n
+         |        ORDER BY wt DESC, p1, p2 LIMIT 1),
+         |v$n AS (SELECT w, cnt,
+         |          CASE WHEN len(syms) = 0 THEN syms ELSE string_split(
+         |            list_reduce(syms, (acc, x) -> CASE
+         |              WHEN acc = m$n.p1 AND x = m$n.p2
+         |                THEN m$n.p1 || m$n.p2
+         |              WHEN right(acc, length(m$n.p1) + 1) = ' ' || m$n.p1
+         |                  AND x = m$n.p2
+         |                THEN left(acc, length(acc) - length(m$n.p1) - 1)
+         |                  || ' ' || m$n.p1 || m$n.p2
+         |              ELSE acc || ' ' || x END), ' ') END AS syms
+         |        FROM v${n - 1} CROSS JOIN m$n)""".stripMargin
+    }
+    val selects = (1 to merges)
+      .map(n => s"SELECT cast($n AS int) AS step, p1, p2, wt AS weight FROM m$n")
+      .mkString("\nUNION ALL\n")
+    s"$init,\n${stages.mkString(",\n")}\n$selects"
+  }
+
   /** SRP bucket id as a DuckDB expression over a DOUBLE[] column named
     * `colName` — the same seeded hyperplane literals as
     * Similarity.srpBucket, so bucket assignment agrees bit-for-bit.
@@ -1055,6 +1149,31 @@ object PipelineQueries {
          |    AS nnz,
          |  ${rs("sqrt(cast(sum(comp*comp) AS double))", 6)} AS l2
          |FROM c GROUP BY doc_id""".stripMargin,
+
+    // BPE trainer: 3 unrolled merge rounds (see bpeTrainSql)
+    "q_bpe_train" -> s"WITH ${bpeTrainSql(3)}",
+
+    // deterministic per-group reservoir: smallest-md5 rows per source
+    "q_reservoir" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin,
+
+    // KMV sketch: the k smallest distinct 48-bit span hashes and the
+    // (k-1)/U(k) estimator, reproduced exactly (ORDER BY h LIMIT k)
+    "q_kmv_distinct" ->
+      s"""WITH sp AS (SELECT DISTINCT doc_id, sp FROM (
+         |  SELECT doc_id, unnest($spanShinglesSql) AS sp FROM documents)),
+         |hh AS (SELECT DISTINCT
+         |         cast(('0x' || substr(md5(sp), 1, 12)) AS bigint) AS h
+         |       FROM sp),
+         |mins AS (SELECT h FROM hh ORDER BY h LIMIT 256)
+         |SELECT cast(256 AS int) AS k,
+         |  (SELECT max(h) FROM mins) AS kth,
+         |  ${rs("CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / " +
+              "(SELECT max(h) FROM mins)", 4)} AS est_distinct,
+         |  (SELECT cast(count(*) AS bigint) FROM hh) AS exact_distinct""".stripMargin,
 
     // BPE merge candidates: adjacent char pairs within whitespace tokens
     "q_bpe_pairs" ->
