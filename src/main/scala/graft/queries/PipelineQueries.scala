@@ -374,6 +374,29 @@ object PipelineQueries {
       graft.text.BpeTrainer.train(parallelize(documents(s, d)),
         col("text"), merges = 3)),
 
+    // BPE APPLY — tokenize the corpus with the trained merges: the
+    // post-merge vocabulary (word → symbol count) broadcasts onto the
+    // word stream, so applying a tokenizer at 100 TB is one narrow
+    // join, never a per-document merge replay. Per-doc output: word
+    // count, char count, BPE token count, chars-per-token compression.
+    "q_bpe_apply" -> ((s, d) => {
+      val docs = parallelize(documents(s, d))
+      val (_, vocab) = graft.text.BpeTrainer.trainWithVocab(docs,
+        col("text"), merges = 3)
+      val wlen = vocab.select(col("w"), size(col("syms")).as("n_syms"))
+      docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .join(broadcast(wlen), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")).cast("long")).as("n_chars"),
+          sum(col("n_syms").cast("long")).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("n_bpe_tokens"),
+          r(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+            .as("chars_per_token"))
+    }),
+
     // Deterministic per-group reservoir: the m docs with the smallest
     // md5(doc_id) per source — reproducible across runs/engines (no
     // rand()), uniform within each group, and executed by the custom
@@ -923,11 +946,13 @@ object PipelineQueries {
          |              ELSE acc || ' ' || x END), ' ') END AS syms
          |        FROM v${n - 1} CROSS JOIN m$n)""".stripMargin
     }
-    val selects = (1 to merges)
+    s"$init,\n${stages.mkString(",\n")}"
+  }
+
+  private def bpeMergeSelect(merges: Int): String =
+    (1 to merges)
       .map(n => s"SELECT cast($n AS int) AS step, p1, p2, wt AS weight FROM m$n")
       .mkString("\nUNION ALL\n")
-    s"$init,\n${stages.mkString(",\n")}\n$selects"
-  }
 
   /** SRP bucket id as a DuckDB expression over a DOUBLE[] column named
     * `colName` — the same seeded hyperplane literals as
@@ -1151,7 +1176,25 @@ object PipelineQueries {
          |FROM c GROUP BY doc_id""".stripMargin,
 
     // BPE trainer: 3 unrolled merge rounds (see bpeTrainSql)
-    "q_bpe_train" -> s"WITH ${bpeTrainSql(3)}",
+    "q_bpe_train" -> s"WITH ${bpeTrainSql(3)}\n${bpeMergeSelect(3)}",
+
+    // BPE apply: final vocab (v3) symbol counts joined onto the word
+    // stream — per-doc tokenization stats
+    // NOTE: the shared CTE text is concatenated, never interpolated
+    // inside a stripMargin literal — stripMargin would eat one pipe of
+    // every `||` in the interpolated SQL
+    "q_bpe_apply" ->
+      (s"WITH ${bpeTrainSql(3)},\n" +
+        s"""wl AS (SELECT w, cast(len(syms) AS int) AS n_syms FROM v3)
+           |SELECT doc_id, count(*) AS n_words,
+           |  cast(sum(length(w)) AS bigint) AS n_chars,
+           |  cast(sum(n_syms) AS bigint) AS n_bpe_tokens,
+           |  ${rs("cast(sum(length(w)) AS double)/sum(n_syms)", 6)}
+           |    AS chars_per_token
+           |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |      FROM documents) t
+           |JOIN wl USING (w)
+           |GROUP BY doc_id""".stripMargin),
 
     // deterministic per-group reservoir: smallest-md5 rows per source
     "q_reservoir" ->

@@ -29,7 +29,16 @@ import org.apache.spark.sql.functions._
   *         corpus frequency `weight`
   */
 object BpeTrainer {
-  def train(docs: DataFrame, text: Column, merges: Int): DataFrame = {
+  def train(docs: DataFrame, text: Column, merges: Int): DataFrame =
+    trainWithVocab(docs, text, merges)._1
+
+  /** [[train]] plus the post-merge vocabulary (word, cnt, syms) — the
+    * artifact the APPLY side joins against: tokenizing a corpus with a
+    * trained BPE never re-runs merges per document, it broadcasts the
+    * vocab→symbols map (vocabulary-sized) onto the word stream.
+    */
+  def trainWithVocab(docs: DataFrame, text: Column,
+                     merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1)
     val spark = docs.sparkSession
     val words = docs.select(explode(TextAnalysis.tokens(text)).as("w"))
@@ -66,6 +75,7 @@ object BpeTrainer {
         step += 1
       }
     }
-    spark.createDataFrame(out.toSeq).toDF("step", "p1", "p2", "weight")
+    (spark.createDataFrame(out.toSeq).toDF("step", "p1", "p2", "weight"),
+      vocab)
   }
 }

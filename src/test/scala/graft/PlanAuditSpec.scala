@@ -118,6 +118,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_ann_batch: query table broadcast, custom top-k, no window sort") {
+    val p = plan("q_ann_batch")
+    // 5-row query side broadcasts onto the bucketed corpus; per-query
+    // top-k runs through TopKPerKey, never a WindowExec partition sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q_bpe_apply: trained vocab broadcasts onto the word stream") {
+    val p = plan("q_bpe_apply")
+    // the apply side is a broadcast hash join of the vocab→symbols map;
+    // a sort-merge join here would shuffle the full word stream by word
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_kmv_distinct: sketch partials aggregate map-side") {
+    val p = plan("q_kmv_distinct")
+    // the token/span stream must collapse to k-long sketches BEFORE any
+    // exchange — partial kmv_sketch below the shuffle
+    assert(p.contains("partial_kmv_sketch"), s"no map-side partials:\n$p")
+  }
+
   test("q_stride / q_min_key: scalar probes broadcast, no global sort") {
     for (q <- Seq("q_stride", "q_ttl_surviving")) {
       val p = plan(q)
