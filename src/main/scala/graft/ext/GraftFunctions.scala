@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BpeCountExpr, CosineSim, DotProduct, LangIdExpr, NormL2, RollingFpExpr, TokenSetCount, VecMeanExpr}
+import graft.functions.{BpeCountExpr, CosineSim, DotProduct, KmvSketchExpr, LangIdExpr, NormL2, RollingFpExpr, TokenSetCount, VecMeanExpr}
 import graft.text.TextAnalysis
 
 /** SQL surface for the native expressions: `graft_dot`, `graft_cosine`,
@@ -57,6 +57,16 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Cast(c.head,
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = true)))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketchExpr].getCanonicalName,
+        "graft_kmv"),
+      // k must be a literal (folded at registration — the sketch size
+      // is a plan-time constant, like percentile_approx's accuracy)
+      (c: Seq[Expression]) => KmvSketchExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(c(0),
+          org.apache.spark.sql.types.LongType),
+        c(1).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =

@@ -364,6 +364,31 @@ object PipelineQueries {
             sum(col("n_bigrams")) / 1e6, 6).as("avg_nll"))
     }),
 
+    // F10 — instrument command-string formatting: the BBHI request
+    // packets the reference's command client writes
+    // (hyperion.py:153-163), re-derived as pure column arithmetic so
+    // the DuckDB oracle byte-checks every header field; the spec ties
+    // the same hex to the REAL CommandCodec.encodeRequest bytes and
+    // drives them through the live InstrumentResponder (S14).
+    "q_command_format" -> ((s, _) => {
+      val df = s.createDataFrame(CommandTable)
+        .toDF("command", "argument", "request_options")
+      def hx(c: org.apache.spark.sql.Column) = upper(hex(c))
+      def b(c: org.apache.spark.sql.Column) = lpad(hx(c), 2, "0")
+      val cLen = length(col("command"))
+      val aLen = length(col("argument"))
+      val header = concat(
+        b(col("request_options")), lit("00"),
+        b(cLen % 256), b((cLen / 256).cast("int")),
+        b(aLen % 256), b(((aLen / 256).cast("int")) % 256),
+        b(((aLen / 65536).cast("int")) % 256),
+        b((aLen / 16777216).cast("int")))
+      df.select(col("command"), col("argument"), col("request_options"),
+        header.as("header_hex"),
+        md5(concat(header, hx(col("command")), hx(col("argument"))))
+          .as("packet_md5"))
+    }),
+
     // BPE tokenizer TRAINING (3 merge rounds): corpus read once into the
     // word-frequency table, then every round iterates on vocab-sized
     // data only — see BpeTrainer. Output is the merge table a tokenizer
@@ -908,6 +933,21 @@ object PipelineQueries {
       |             cast(sum(c*nll_micro) AS bigint) AS nll_sum_micro
       |           FROM s GROUP BY doc_id)""".stripMargin
 
+  /** The command surface the responder serves + two Set commands with
+    * arguments (ref property list hyperion.py:699-846); shared by
+    * q_command_format and the responder spec.
+    */
+  val CommandTable: Seq[(String, String, Int)] = Seq(
+    ("#GetSerialNumber", "", 0),
+    ("#GetInstrumentName", "", 0),
+    ("#GetFirmwareVersion", "", 0),
+    ("#GetFPGAVersion", "", 0),
+    ("#isready", "", 0),
+    ("#GetDutChannelCount", "", 0),
+    ("#GetMaximumPeakCountPerDutChannel", "", 0),
+    ("#SetInstrumentName", "graft-interrogator-1", 0),
+    ("#SetLaserScanSpeed", "10", 2))
+
   /** Unrolled SQL derivation of [[graft.text.BpeTrainer]] (one CTE
     * trio per merge round): pair counts from the current symbol lists,
     * top-1 by (weight desc, p1, p2), then merge application as a
@@ -1174,6 +1214,25 @@ object PipelineQueries {
          |    AS nnz,
          |  ${rs("sqrt(cast(sum(comp*comp) AS double))", 6)} AS l2
          |FROM c GROUP BY doc_id""".stripMargin,
+
+    // command packet formatting re-derived byte-by-byte in SQL
+    "q_command_format" -> {
+      val rows = CommandTable
+        .map { case (c, a, o) => s"('$c', '$a', $o)" }.mkString(",\n  ")
+      def b(e: String) = s"lpad(upper(hex($e)), 2, '0')"
+      val header = Seq(
+        b("request_options"), "'00'",
+        b("length(command) % 256"), b("length(command) // 256"),
+        b("length(argument) % 256"), b("(length(argument) // 256) % 256"),
+        b("(length(argument) // 65536) % 256"),
+        b("length(argument) // 16777216")).mkString(" || ")
+      s"""WITH cmds(command, argument, request_options) AS (VALUES
+         |  $rows)
+         |SELECT command, argument, request_options, header_hex,
+         |  md5(header_hex || upper(hex(command)) || upper(hex(argument)))
+         |    AS packet_md5
+         |FROM (SELECT *, $header AS header_hex FROM cmds)""".stripMargin
+    },
 
     // BPE trainer: 3 unrolled merge rounds (see bpeTrainSql)
     "q_bpe_train" -> s"WITH ${bpeTrainSql(3)}\n${bpeMergeSelect(3)}",

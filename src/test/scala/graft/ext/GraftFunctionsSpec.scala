@@ -39,6 +39,14 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(out(1L) == Seq(2.0, 3.0) && out(2L) == Seq(5.0, 6.0))
   }
 
+  test("graft_kmv SQL aggregate: deterministic bottom-k distinct") {
+    GraftFunctions.register(spark)
+    Seq(10L, 10L, 7L, 42L, 3L, 7L).toDF("h").createOrReplaceTempView("kmv_in")
+    val mins = spark.sql("SELECT graft_kmv(h, 3) AS m FROM kmv_in")
+      .as[Seq[Long]].head()
+    assert(mins == Seq(3L, 7L, 10L))
+  }
+
   test("extensions class injects the same function descriptions") {
     // the extensions path is exercised structurally (a fresh session per
     // suite would need its own SparkContext); descriptions must be
@@ -46,7 +54,7 @@ class GraftFunctionsSpec extends SparkSpec {
     val names = GraftFunctions.descriptions.map(_._1.funcName)
     assert(names == Seq("graft_dot", "graft_cosine", "graft_norm",
       "graft_lang_id", "graft_rolling_fp", "graft_bpe_count",
-      "graft_stopword_count", "graft_vec_mean"))
+      "graft_stopword_count", "graft_vec_mean", "graft_kmv"))
     assert(names.distinct.size == names.size)
     val ext = new GraftExtensions
     val se = new org.apache.spark.sql.SparkSessionExtensions
