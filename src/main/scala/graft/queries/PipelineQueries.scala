@@ -364,6 +364,16 @@ object PipelineQueries {
             sum(col("n_bigrams")) / 1e6, 6).as("avg_nll"))
     }),
 
+    // Time-series grid resample with linear interpolation (ops.Resample)
+    // — hourly grid per user over the events series; deterministic
+    // bracketing (ties by event_id), no extrapolation
+    "q_resample" -> ((s, d) =>
+      graft.ops.Resample.gridInterpolate(events(s, d), col("user_id"),
+          epochS(col("ts")), col("event_id"), col("value"),
+          stepSec = 3600L)
+        .select(col("k").as("user_id"), col("grid_ts"),
+          r(col("v_interp"), 6).as("v_interp"))),
+
     // F10 — instrument command-string formatting: the BBHI request
     // packets the reference's command client writes
     // (hyperion.py:153-163), re-derived as pure column arithmetic so
@@ -445,9 +455,16 @@ object PipelineQueries {
         .select(explode(Dedup.shingles(col("text"), 8)).as("sp"))
         .select(conv(substring(md5(col("sp")), 1, 12), 16, 10)
           .cast("long").as("h"))
-      spans.agg(
+      // the sketch alone never needs this distinct (its partials are
+      // duplicate-insensitive) — it exists for the exact-count
+      // comparison column, and pre-aggregating once beats the Expand
+      // plan a countDistinct-next-to-an-aggregate would pay (2× the
+      // explode/md5 work). At 100 TB you'd drop `exact_distinct` and
+      // with it the only corpus-sized shuffle here.
+      val hh = spans.distinct()
+      hh.agg(
           graft.functions.KmvSketchExpr.kmv(col("h"), k).as("mins"),
-          countDistinct(col("h")).as("exact_distinct"))
+          count(lit(1)).as("exact_distinct"))
         .select(lit(k).as("k"),
           element_at(col("mins"), k).as("kth"),
           r(lit((k - 1).toDouble) * lit(281474976710656.0) /
@@ -1214,6 +1231,44 @@ object PipelineQueries {
          |    AS nnz,
          |  ${rs("sqrt(cast(sum(comp*comp) AS double))", 6)} AS l2
          |FROM c GROUP BY doc_id""".stripMargin,
+
+    // grid resample: same union + two-directional IGNORE NULLS window
+    // walk, same bracketing ties, same interpolation operand order
+    "q_resample" -> {
+      val ordAsc = "ORDER BY tss, isg, coalesce(id, 9223372036854775807) " +
+        "ROWS UNBOUNDED PRECEDING"
+      val ordDesc = "ORDER BY tss DESC, isg DESC, " +
+        "coalesce(id, 9223372036854775807) DESC ROWS UNBOUNDED PRECEDING"
+      s"""WITH obs AS (SELECT user_id AS k, epoch(ts) AS tss,
+         |               event_id AS id, value AS v FROM events),
+         |b AS (SELECT k, cast(ceil(min(tss)/3600) AS bigint) AS gmin,
+         |        cast(floor(max(tss)/3600) AS bigint) AS gmax
+         |      FROM obs GROUP BY k),
+         |grid AS (SELECT k, cast(g*3600 AS double) AS tss
+         |         FROM (SELECT k, unnest(generate_series(gmin, gmax)) AS g
+         |               FROM b WHERE gmin <= gmax)),
+         |u AS (SELECT k, tss, id, v, 0 AS isg FROM obs
+         |      UNION ALL
+         |      SELECT k, tss, NULL, NULL, 1 FROM grid),
+         |w1 AS (SELECT *,
+         |  last_value(v IGNORE NULLS)
+         |    OVER (PARTITION BY k $ordAsc) AS prev_v,
+         |  last_value(CASE WHEN isg = 0 THEN tss END IGNORE NULLS)
+         |    OVER (PARTITION BY k $ordAsc) AS prev_ts
+         |  FROM u),
+         |w2 AS (SELECT *,
+         |  last_value(v IGNORE NULLS)
+         |    OVER (PARTITION BY k $ordDesc) AS next_v,
+         |  last_value(CASE WHEN isg = 0 THEN tss END IGNORE NULLS)
+         |    OVER (PARTITION BY k $ordDesc) AS next_ts
+         |  FROM w1)
+         |SELECT k AS user_id, cast(tss AS bigint) AS grid_ts,
+         |  ${rs("prev_v + (next_v - prev_v) * (tss - prev_ts) / " +
+              "(next_ts - prev_ts)", 6)} AS v_interp
+         |FROM w2
+         |WHERE isg = 1 AND prev_ts IS NOT NULL AND next_ts IS NOT NULL"""
+        .stripMargin
+    },
 
     // command packet formatting re-derived byte-by-byte in SQL
     "q_command_format" -> {
