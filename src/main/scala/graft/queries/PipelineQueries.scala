@@ -330,6 +330,55 @@ object PipelineQueries {
             .as("dup_ratio"))
     }),
 
+    // C4-style line-level boilerplate REMOVAL (the rewrite, where
+    // q_span_dedup is the report): docs split into "lines"
+    // (non-overlapping 4-word chunks — the synthetic corpus has no
+    // newlines, so the chunk grid stands in for the line structure a
+    // web corpus has), a line is boilerplate when it appears in ≥3
+    // distinct docs, and each doc is reassembled in original line
+    // order without its boilerplate. Only 128-bit md5 digests key the
+    // frequency groupBy and the join-back; the reassembly groups by
+    // doc_id, so the one text-bearing shuffle carries each line
+    // exactly once — the same volume the corpus itself occupies.
+    "q_line_dedup" -> ((s, d) => {
+      val lineW = 4
+      val maxDf = 2 // keep lines in ≤2 docs; ≥3 docs ⇒ boilerplate
+      // lines materialized once: they feed the df-count aggregation,
+      // the join-back, and the per-doc totals
+      val lines = parallelize(documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0L),
+            expr(s"(size(t) - 1) div $lineW"))).as("i"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("t"),
+            (col("i") * lineW + 1).cast("int"), lit(lineW)), " ")
+            .as("line"))
+        .withColumn("k", md5(col("line")))
+        .localCheckpoint(false)
+      val df = lines.groupBy(col("k"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      // df is corpus-sized (one row per distinct line): shuffle-hash
+      // co-partitioned on the digest, never broadcast (q_span_dedup
+      // lesson — localCheckpoint loses stats and the planner would
+      // otherwise broadcast a corpus-sized side)
+      val kept = lines.join(df.hint("shuffle_hash"), "k")
+        .filter(col("df") <= maxDf)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("i"), col("line")))),
+              x => x.getField("line")), " ").as("clean_text"))
+      val totals = lines.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"))
+      // left join: a doc whose every line is boilerplate keeps a row
+      // with an empty rewrite
+      totals.join(kept, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }),
+
     // Bigram language-model quality score: per-doc average negative
     // log-likelihood under the corpus's own bigram LM (the classic
     // perplexity-style quality signal; high avg_nll = unusual token
@@ -1170,6 +1219,29 @@ object PipelineQueries {
               "AS double)/count(*)", 6)} AS dup_ratio
          |FROM sp JOIN c USING (k)
          |GROUP BY sp.doc_id""".stripMargin,
+
+    // line-level boilerplate removal: same 4-word chunk grid, df by
+    // distinct docs over md5 digests, ordered string_agg reassembly
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |l AS (SELECT doc_id, i,
+        |        array_to_string(list_slice(toks, i*4+1, i*4+4), ' ') AS line
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(0, (len(toks)-1)//4)) AS i
+        |            FROM t)),
+        |f AS (SELECT md5(line) AS k, count(DISTINCT doc_id) AS df
+        |      FROM l GROUP BY 1),
+        |kept AS (SELECT l.doc_id, cast(count(*) AS bigint) AS n_kept,
+        |           string_agg(l.line, ' ' ORDER BY l.i) AS clean_text
+        |         FROM l JOIN f ON md5(l.line) = f.k
+        |         WHERE f.df <= 2 GROUP BY 1),
+        |tot AS (SELECT doc_id, cast(count(*) AS bigint) AS n_lines
+        |        FROM l GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_lines,
+        |  coalesce(kept.n_kept, 0) AS n_kept,
+        |  coalesce(kept.clean_text, '') AS clean_text
+        |FROM tot LEFT JOIN kept USING (doc_id)""".stripMargin,
 
     // bigram-LM NLL: same per-doc-first aggregation tree; the per-bigram
     // surprise is integerized to micro-nats (exact BIGINT) before any

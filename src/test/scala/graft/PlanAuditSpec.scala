@@ -107,6 +107,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), s"counts side not shuffled:\n$p")
   }
 
+  test("q_line_dedup: exchanges carry md5 digests, df side shuffle-hash") {
+    val p = plan("q_line_dedup")
+    // frequency groupBy and join-back key on the fixed-width digest —
+    // a raw 4-word line as a shuffle key is the same 100 TB
+    // scale-killer as raw spans in q_span_dedup
+    assert(!p.contains("hashpartitioning(line"),
+      s"raw-text shuffle key:\n$p")
+    assert(p.contains("hashpartitioning(k#"), p)
+    // the line-frequency side (≈ one row per distinct line) is
+    // corpus-sized: co-partitioned shuffle-hash join, never broadcast
+    assert(p.contains("ShuffledHashJoin"), s"df side not shuffled:\n$p")
+  }
+
   test("q_ngram_lm: bigram pipeline materialized once, unigram side broadcast") {
     val p = plan("q_ngram_lm")
     // bi and biC are localCheckpointed: the scan→explode→agg tree must

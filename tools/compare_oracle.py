@@ -6,6 +6,9 @@ for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+only = set(sys.argv[1:])
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 ok, bad = [], []
 for name, sql in sorted(oracle.items()):
     try:
