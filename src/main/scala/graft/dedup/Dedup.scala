@@ -335,6 +335,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-doc n-gram contamination RATIO against a benchmark set — the
+    * graded decontamination signal (spanOverlap is the binary flag):
+    * for each corpus doc, the fraction of its distinct n-gram shingles
+    * that appear anywhere in the benchmark. The benchmark's distinct
+    * shingle digests broadcast (eval suites are MBs; corpora are TBs),
+    * so the corpus side is probed by a broadcast outer join and the
+    * only exchange carries map-side-combined per-doc count partials —
+    * the token stream itself never shuffles.
+    */
+  def contaminationRatio(docs: DataFrame, id: Column, text: Column,
+                         bench: DataFrame, benchId: Column,
+                         benchText: Column, n: Int): DataFrame = {
+    val ex = explodedShingles(docs, id, text, n)
+      .select(col("doc_id"), md5(col("sh")).as("g"))
+      .distinct() // ratio denominators count DISTINCT shingles per doc
+    val bset = explodedShingles(bench, benchId, benchText, n)
+      .select(md5(col("sh")).as("g")).distinct()
+      .withColumn("hit", lit(1))
+    ex.join(broadcast(bset), Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        graft.util.Tables.r(
+          col("n_overlap").cast("double") / col("n_shingles"), 6)
+          .as("overlap_ratio"),
+        // integer-exact threshold compare (ratio ≥ 10%): no float
+        // boundary can drift the flag between engines
+        (col("n_overlap") * 10 >= col("n_shingles")).as("contaminated"))
+  }
+
   /** SimHash as a DataFrame op — same explode+agg scale shape as
     * [[minhashDf]]: one md5 per distinct token (16 votes read nibbles of
     * that digest), codegen'd partial sums map-side, one shuffle by doc.

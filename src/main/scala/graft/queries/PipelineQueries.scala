@@ -644,6 +644,19 @@ object PipelineQueries {
           n = 5)
     }),
 
+    // Graded decontamination: per training doc, the fraction of its
+    // distinct 5-gram shingles that appear anywhere in the benchmark
+    // set, plus the ≥10% contamination flag (integer-exact compare).
+    // The benchmark digest set broadcasts — the standard shape when
+    // the eval suite is MBs and the corpus is TBs.
+    "q_contaminate_ratio" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.contaminationRatio(
+        docs.filter(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 20 === 0), col("doc_id"), col("text"),
+        n = 5)
+    }),
+
     // PII scrub: emails and long digit runs redacted with typed
     // placeholders; output is the scrubbed text's md5 so the oracle
     // compares the full rewrite without hauling text through the gate.
@@ -1667,6 +1680,30 @@ object PipelineQueries {
          |FROM g a JOIN g b ON a.g = b.g
          |WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
          |GROUP BY 1, 2""").stripMargin,
+
+    // graded decontamination: distinct 5-gram digests per training doc
+    // probed against the benchmark digest set; ≥10% flag integer-exact
+    "q_contaminate_ratio" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(
+         |      generate_series(0, greatest(len(toks) - 5, 0)),
+         |      i -> md5(array_to_string(list_slice(toks, i+1, i+5), ' '))))
+         |      AS g
+         |  FROM t),
+         |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0)
+         |SELECT c.doc_id, count(*) AS n_shingles,
+         |  cast(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+         |    AS n_overlap,
+         |  ${rs("cast(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) " +
+              "AS double)/count(*)", 6)} AS overlap_ratio,
+         |  (sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)*10 >= count(*))
+         |    AS contaminated
+         |FROM g c LEFT JOIN b ON c.g = b.g
+         |WHERE c.doc_id % 20 <> 0
+         |GROUP BY c.doc_id""".stripMargin,
 
     "q_pii_scrub" -> {
       // DuckDB '...' literals pass backslashes through verbatim, so the

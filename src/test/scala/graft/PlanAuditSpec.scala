@@ -120,6 +120,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), s"df side not shuffled:\n$p")
   }
 
+  test("q_contaminate_ratio: benchmark digest set broadcasts") {
+    val p = plan("q_contaminate_ratio")
+    // the eval-suite side must arrive as a broadcast probe — shuffling
+    // the corpus-side token stream against it is the 100 TB mistake
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("hashpartitioning(sh"), s"raw shingle shuffle:\n$p")
+  }
+
   test("q_ngram_lm: bigram pipeline materialized once, unigram side broadcast") {
     val p = plan("q_ngram_lm")
     // bi and biC are localCheckpointed: the scan→explode→agg tree must
