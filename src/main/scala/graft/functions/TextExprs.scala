@@ -43,6 +43,44 @@ object TextExprs {
 
   def termCounts(text: Column): Column =
     ColumnBridge.column(TermCountsExpr(ColumnBridge.expression(text)))
+
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+}
+
+/** Unicode NFC canonical composition (é from e + U+0301, etc.) as a
+  * codegen'd expression — Spark has no builtin for it and a Scala UDF
+  * would drop the whole normalize pipeline out of whole-stage codegen.
+  * Fast path: `Normalizer.isNormalized` returns without allocating for
+  * text that is already NFC — the overwhelming case in a real corpus,
+  * so per-row cost is a scan, not a rewrite.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"requires string input, got ${child.dataType.simpleString}")
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNormalize", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
 }
 
 /** Count of space-delimited tokens contained in `tokens` (duplicates

@@ -666,6 +666,33 @@ object PipelineQueries {
         (TextAnalysis.scrubPii(col("text")) =!= col("text"))
           .as("was_scrubbed"))),
 
+    // Corpus-ingest normalization, self-validating: each doc's text is
+    // deterministically dirtied (doubled spaces / tab runs / injected
+    // control + combining-mark + zero-width chars, by doc_id mod 3),
+    // then normalizeText (zero-width strip → native NFC → whitespace
+    // collapse → trim) must reconstruct the original (case 2 gains the
+    // NFC-composed 'é' — proof the composition actually ran). Pure
+    // per-row codegen'd rewrite: nothing shuffles at any scale.
+    "q_text_normalize" -> ((s, d) => {
+      val m = col("doc_id") % 3
+      val dirty = when(m === 0,
+          concat(lit("  "), regexp_replace(col("text"), " ", "  ")))
+        .when(m === 1,
+          concat(regexp_replace(col("text"), " ", "\t "), lit("\t")))
+        .otherwise(concat(lit("\u0001"), col("text"),
+          lit(" e\u0301\u200B"))) // decomposed e+acute, then zero-width
+      val expected = when(m === 2,
+        concat(col("text"), lit(" \u00e9"))).otherwise(col("text"))
+      parallelize(documents(s, d))
+        .select(col("doc_id"), col("text"), dirty.as("dirty"),
+          expected.as("exp"))
+        .select(col("doc_id"),
+          length(col("dirty")).as("n_dirty_chars"),
+          TextAnalysis.normalizeText(col("dirty")).as("norm_text"),
+          (TextAnalysis.normalizeText(col("dirty")) === col("exp"))
+            .as("restored"))
+    }),
+
     // n-gram Jaccard over deterministic pairs (consecutive doc ids) — the
     // LSH-verification kernel with an easily-oracled pair set. Shingle
     // arrays are materialized once per doc BEFORE the self-join (not once
@@ -1704,6 +1731,28 @@ object PipelineQueries {
          |FROM g c LEFT JOIN b ON c.g = b.g
          |WHERE c.doc_id % 20 <> 0
          |GROUP BY c.doc_id""".stripMargin,
+
+    // normalization round-trip: same deterministic dirtying (doc_id mod
+    // 3), nfc_normalize + RE2 rewrites mirror the Spark pipeline. RE2
+    // hex classes are written \x{...} here vs Java's \xNN — same sets.
+    "q_text_normalize" ->
+      """WITH dirty AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 3 = 0 THEN '  ' || replace(text, ' ', '  ')
+        |       WHEN doc_id % 3 = 1
+        |         THEN replace(text, ' ', chr(9) || ' ') || chr(9)
+        |       ELSE chr(1) || text || ' e' || chr(769) || chr(8203) END
+        |    AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, text, dirty,
+        |  trim(regexp_replace(
+        |    nfc_normalize(regexp_replace(dirty,
+        |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g')),
+        |    '[\x{00}-\x{20}\x{7F}]+', ' ', 'g')) AS norm_text
+        |  FROM dirty)
+        |SELECT doc_id, length(dirty) AS n_dirty_chars, norm_text,
+        |  (norm_text = CASE WHEN doc_id % 3 = 2
+        |     THEN text || ' ' || chr(233) ELSE text END) AS restored
+        |FROM n""".stripMargin,
 
     "q_pii_scrub" -> {
       // DuckDB '...' literals pass backslashes through verbatim, so the

@@ -96,6 +96,22 @@ object TextAnalysis {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       DigitRunPattern, "<NUMBER>")
 
+  /** Corpus-ingest text normalization: zero-width characters removed
+    * (U+200B/200C/200D and the BOM — copy-paste artifacts that break
+    * exact dedup), Unicode NFC canonical composition (native codegen'd
+    * expression, [[graft.functions.NfcNormalizeExpr]]), then every run
+    * of C0 controls / spaces / DEL collapsed to a single space and the
+    * result trimmed. Order matters: zero-width strip precedes NFC so a
+    * zero-width char can't sit between a base char and its combining
+    * mark; NFC precedes the collapse so composition sees original
+    * codepoints.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      graft.functions.TextExprs.nfcNormalize(
+        regexp_replace(text, "[\u200B\u200C\u200D\uFEFF]", "")),
+      "[\\x00-\\x20\\x7F]+", " "))
+
   /** Document fingerprint: hash of the whitespace-normalized, lowercased
     * text. md5 so the DuckDB oracle reproduces it bit-for-bit.
     */

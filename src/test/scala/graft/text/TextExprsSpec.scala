@@ -47,6 +47,35 @@ class TextExprsSpec extends SparkSpec {
     assert(cmp == 0)
   }
 
+  test("nfcNormalize: composes marks, idempotent, already-NFC fast path") {
+    // decomposed e + U+0301 composes; already-composed and plain ASCII
+    // pass through the no-allocation fast path
+    val in = Seq("e\u0301clair", "\u00e9clair", "plain ascii",
+      "a\u030a", "")
+    val rows = in.toDF("t")
+      .select($"t", TextExprs.nfcNormalize($"t").as("n")).collect()
+    rows.foreach { r =>
+      val e = java.text.Normalizer.normalize(r.getString(0),
+        java.text.Normalizer.Form.NFC)
+      assert(r.getString(1) == e, r.toString)
+    }
+    assert(rows(0).getString(1) == "\u00e9clair")
+    assert(rows(3).getString(1) == "\u00e5")
+    // idempotence: normalize(normalize(x)) == normalize(x)
+    val twice = Seq("e\u0301 a\u030a mixed \u00e9").toDF("t")
+      .select(TextExprs.nfcNormalize(
+        TextExprs.nfcNormalize($"t")).as("n2"),
+        TextExprs.nfcNormalize($"t").as("n1")).head()
+    assert(twice.getString(0) == twice.getString(1))
+    // the normalizeText pipeline strips zero-width + controls and
+    // collapses whitespace runs around the composition
+    val full = Seq(" a\u200B  b\u0301\tc\u0001  ").toDF("t")
+      .select(TextAnalysis.normalizeText($"t").as("n")).head().getString(0)
+    // b+U+0301 has no precomposed form, so NFC keeps the combining
+    // mark attached while the tab and control collapse to spaces
+    assert(full == "a b\u0301 c", s"got: ${full.map(_.toInt.toHexString)}")
+  }
+
   test("native rollingFp ≡ HOF fold on fixture + real documents") {
     val fx = docs.select(TextAnalysis.rollingFingerprint($"text").as("a"),
       TextAnalysis.rollingFingerprintHof($"text").as("b")).collect()
