@@ -366,6 +366,38 @@ object Dedup {
         (col("n_overlap") * 10 >= col("n_shingles")).as("contaminated"))
   }
 
+  /** Bloom-gated span decontamination: the clean subset of `docs` — every
+    * doc sharing NO verbatim n-gram with `bench` — computed with a Bloom
+    * pre-filter so the exact-verify join never sees the full corpus span
+    * stream. Build: benchmark span digests → distributed Bloom build
+    * (only the filter's bits reach the driver). Probe: corpus span
+    * digests filter through [[graft.functions.BloomMightContain]] inside
+    * the scan — survivors are the true hits plus the fp-rate fraction —
+    * then exact-verify against the benchmark digests (co-partitioned
+    * shuffle-hash: the 100 TB premise is a benchmark too big to
+    * broadcast as a hash table but cheap as bits). No false negatives ⇒
+    * result ≡ the exact anti-join (BloomDecontamSpec).
+    */
+  def bloomDecontaminate(docs: DataFrame, id: Column, text: Column,
+                         bench: DataFrame, benchId: Column,
+                         benchText: Column, n: Int,
+                         expectedSpans: Long = 1L << 12,
+                         fpp: Double = 0.05): DataFrame = {
+    val benchSpans = explodedShingles(bench, benchId, benchText, n)
+      .select(md5(col("sh")).as("g")).distinct()
+      .localCheckpoint(false) // feeds both the Bloom build and the verify
+    val bf = graft.functions.BloomExprs.build(
+      benchSpans, "g", expectedSpans, fpp)
+    val corpusSpans = explodedShingles(docs, id, text, n)
+      .select(col("doc_id"), md5(col("sh")).as("g"))
+    val contaminated = corpusSpans
+      .filter(graft.functions.BloomExprs.mightContain(col("g"), bf))
+      .join(benchSpans.hint("shuffle_hash"), "g")
+      .select(col("doc_id")).distinct()
+    docs.select(id.as("doc_id")).distinct()
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash as a DataFrame op — same explode+agg scale shape as
     * [[minhashDf]]: one md5 per distinct token (16 votes read nibbles of
     * that digest), codegen'd partial sums map-side, one shuffle by doc.

@@ -666,6 +666,18 @@ object PipelineQueries {
         (TextAnalysis.scrubPii(col("text")) =!= col("text"))
           .as("was_scrubbed"))),
 
+    // Bloom-gated decontamination: the docs sharing NO verbatim 5-gram
+    // with the benchmark set, via Bloom pre-filter + exact verify (no
+    // false negatives ⇒ bit-identical to the plain anti-join the
+    // oracle computes, at fp-fraction of the join volume).
+    "q_bloom_decontam" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.bloomDecontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 20 === 0), col("doc_id"), col("text"),
+          n = 5)
+    }),
+
     // Corpus-ingest normalization, self-validating: each doc's text is
     // deterministically dirtied (doubled spaces / tab runs / injected
     // control + combining-mark + zero-width chars, by doc_id mod 3),
@@ -1731,6 +1743,25 @@ object PipelineQueries {
          |FROM g c LEFT JOIN b ON c.g = b.g
          |WHERE c.doc_id % 20 <> 0
          |GROUP BY c.doc_id""".stripMargin,
+
+    // Bloom decontamination: the Bloom filter is an exact-preserving
+    // optimization, so the oracle is the plain span anti-join
+    "q_bloom_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(0, greatest(len(toks) - 5, 0)),
+        |      i -> md5(array_to_string(list_slice(toks, i+1, i+5), ' '))))
+        |      AS g
+        |  FROM t),
+        |bad AS (SELECT DISTINCT a.doc_id
+        |        FROM g a JOIN g b ON a.g = b.g
+        |        WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 20 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     // normalization round-trip: same deterministic dirtying (doc_id mod
     // 3), nfc_normalize + RE2 rewrites mirror the Spark pipeline. RE2

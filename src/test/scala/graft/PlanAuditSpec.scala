@@ -128,6 +128,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(sh"), s"raw shingle shuffle:\n$p")
   }
 
+  test("q_bloom_decontam: bloom probe filters the scan, verify join shuffles") {
+    val p = plan("q_bloom_decontam")
+    // the membership probe must sit in a Filter BELOW the verify join —
+    // that's the whole point: only the fp fraction reaches the exchange
+    assert(p.contains("bloom_might_contain"), s"probe not in plan:\n$p")
+    // benchmark digests arrive via the co-partitioned shuffle-hash join
+    // (the 100 TB premise: too big to broadcast as a hash table)
+    assert(p.contains("ShuffledHashJoin"), s"verify join not shuffled:\n$p")
+  }
+
   test("q_ngram_lm: bigram pipeline materialized once, unigram side broadcast") {
     val p = plan("q_ngram_lm")
     // bi and biC are localCheckpointed: the scan→explode→agg tree must
