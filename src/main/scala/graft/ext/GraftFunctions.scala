@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BpeCountExpr, CosineSim, DotProduct, KmvSketchExpr, LangIdExpr, NormL2, RollingFpExpr, TokenSetCount, VecMeanExpr}
+import graft.functions.{BpeCountExpr, CmsSketchExpr, CosineSim, DotProduct, KmvSketchExpr, LangIdExpr, NormL2, RollingFpExpr, TokenSetCount, VecMeanExpr}
 import graft.text.TextAnalysis
 
 /** SQL surface for the native expressions: `graft_dot`, `graft_cosine`,
@@ -67,6 +67,16 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Cast(c(0),
           org.apache.spark.sql.types.LongType),
         c(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsSketchExpr].getCanonicalName,
+        "graft_cms"),
+      // depth/width are plan-time literals, like graft_kmv's k
+      (c: Seq[Expression]) => CmsSketchExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(c(0),
+          org.apache.spark.sql.types.StringType),
+        c(1).eval().asInstanceOf[Number].intValue(),
+        c(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =

@@ -522,6 +522,31 @@ object PipelineQueries {
           col("exact_distinct"))
     }),
 
+    // Count-Min-Sketch heavy hitters: the exact top-20 tokens probed
+    // against a 4×256 CMS built in ONE pass over the token stream
+    // (native TypedImperativeAggregate — only fixed-size counter
+    // arrays shuffle; the vocabulary groupBy here exists solely for
+    // the exact-vs-estimate comparison, like q_kmv_distinct's). The
+    // md5-chunk hash rows make the estimate engine-reproducible, so
+    // even the "approximate" column is hash-checked.
+    "q_cms_topk" -> ((s, d) => {
+      val depth = 4; val width = 256
+      val toks = parallelize(documents(s, d))
+        .select(explode(split(col("text"), " ")).as("token"))
+      val sk = toks.agg(
+        graft.functions.CmsSketchExpr.cms(col("token"), depth, width)
+          .as("sk"))
+      toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+        .limit(20)
+        .crossJoin(broadcast(sk)) // 1-row sketch scalar
+        .select(col("token"), col("exact_cnt"),
+          graft.functions.CmsSketchExpr
+            .estimate(col("token"), col("sk"), depth, width)
+            .as("cms_est"))
+    }),
+
     // BPE merge step 1: adjacent character-pair frequencies within
     // whitespace tokens, top 30 by (count desc, pair) — the candidate
     // table a byte-pair-encoding tokenizer trainer merges from. Pure
@@ -1455,6 +1480,27 @@ object PipelineQueries {
          |  ${rs("CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / " +
               "(SELECT max(h) FROM mins)", 4)} AS est_distinct,
          |  (SELECT cast(count(*) AS bigint) FROM hh) AS exact_distinct""".stripMargin,
+
+    // CMS heavy hitters: cells rebuilt from per-token exact counts via
+    // the same md5-chunk hash rows; estimate = min over matching cells
+    "q_cms_topk" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |cnt AS (SELECT token, cast(count(*) AS bigint) AS exact_cnt
+        |        FROM tok GROUP BY 1),
+        |cells AS (SELECT j,
+        |    cast(('0x' || substr(md5(token), j*8+1, 8)) AS bigint) % 256
+        |      AS cell,
+        |    cast(sum(exact_cnt) AS bigint) AS v
+        |  FROM cnt, (SELECT unnest(generate_series(0, 3)) AS j)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT token, exact_cnt FROM cnt
+        |        ORDER BY exact_cnt DESC, token LIMIT 20)
+        |SELECT t.token, t.exact_cnt, min(c.v) AS cms_est
+        |FROM top t JOIN cells c
+        |  ON c.cell =
+        |    cast(('0x' || substr(md5(t.token), c.j*8+1, 8)) AS bigint) % 256
+        |GROUP BY 1, 2""".stripMargin,
 
     // BPE merge candidates: adjacent char pairs within whitespace tokens
     "q_bpe_pairs" ->

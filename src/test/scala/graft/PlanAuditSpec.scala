@@ -175,6 +175,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_kmv_sketch"), s"no map-side partials:\n$p")
   }
 
+  test("q_cms_topk: grid partials map-side, sketch row broadcast") {
+    val p = plan("q_cms_topk")
+    // the token stream collapses to depth×width grids BEFORE any
+    // exchange; the 1-row sketch reaches the probe side as a broadcast
+    assert(p.contains("partial_cms_sketch"), s"no map-side partials:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$p")
+  }
+
   test("q_stride / q_min_key: scalar probes broadcast, no global sort") {
     for (q <- Seq("q_stride", "q_ttl_surviving")) {
       val p = plan(q)

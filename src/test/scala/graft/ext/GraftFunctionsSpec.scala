@@ -47,6 +47,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(mins == Seq(3L, 7L, 10L))
   }
 
+  test("graft_cms SQL aggregate: counter grid over a token stream") {
+    GraftFunctions.register(spark)
+    Seq("a", "a", "b").toDF("t").createOrReplaceTempView("cms_in")
+    val grid = spark.sql("SELECT graft_cms(t, 2, 8) AS g FROM cms_in")
+      .as[Seq[Long]].head()
+    assert(grid.size == 16)
+    assert(grid.slice(0, 8).sum == 3 && grid.slice(8, 16).sum == 3)
+  }
+
   test("extensions class injects the same function descriptions") {
     // the extensions path is exercised structurally (a fresh session per
     // suite would need its own SparkContext); descriptions must be
@@ -54,7 +63,8 @@ class GraftFunctionsSpec extends SparkSpec {
     val names = GraftFunctions.descriptions.map(_._1.funcName)
     assert(names == Seq("graft_dot", "graft_cosine", "graft_norm",
       "graft_lang_id", "graft_rolling_fp", "graft_bpe_count",
-      "graft_stopword_count", "graft_vec_mean", "graft_kmv"))
+      "graft_stopword_count", "graft_vec_mean", "graft_kmv",
+      "graft_cms"))
     assert(names.distinct.size == names.size)
     val ext = new GraftExtensions
     val se = new org.apache.spark.sql.SparkSessionExtensions
