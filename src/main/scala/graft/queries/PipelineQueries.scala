@@ -362,21 +362,19 @@ object PipelineQueries {
       // co-partitioned on the digest, never broadcast (q_span_dedup
       // lesson — localCheckpoint loses stats and the planner would
       // otherwise broadcast a corpus-sized side)
-      val kept = lines.join(df.hint("shuffle_hash"), "k")
-        .filter(col("df") <= maxDf)
+      // ONE aggregation computes totals, kept-count, and the filtered
+      // reassembly: collect_list skips the nulls `when` leaves for
+      // boilerplate lines, so no separate totals pass or outer join is
+      // needed — a doc whose every line is boilerplate collects an
+      // empty array and joins to "" naturally
+      lines.join(df.hint("shuffle_hash"), "k")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
           array_join(
-            transform(array_sort(collect_list(struct(col("i"), col("line")))),
+            transform(array_sort(collect_list(
+              when(col("df") <= maxDf, struct(col("i"), col("line"))))),
               x => x.getField("line")), " ").as("clean_text"))
-      val totals = lines.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_lines"))
-      // left join: a doc whose every line is boilerplate keeps a row
-      // with an empty rewrite
-      totals.join(kept, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("n_lines"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
     }),
 
     // Bigram language-model quality score: per-doc average negative
