@@ -151,6 +151,33 @@ object PipelineQueries {
           col("punct_count") <= 50)
         .select(col("doc_id"))),
 
+    // Gopher-style composite quality gate (Rae et al. 2021 §A1.1-style
+    // rule battery): token-count bounds, mean-word-length bounds,
+    // minimum stopword evidence, and a distinct-token repetition floor,
+    // each reported as a bit in fail_bits so curation can attribute
+    // drops per rule. Every compare is integer-exact (lengths cross-
+    // multiplied, never divided) — no float boundary can flip a bit
+    // between engines. Pure per-row scan work; nothing shuffles.
+    "q_gopher_filter" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("long")
+      // chars in words = total chars minus the n-1 separating spaces
+      val wordChars = (length(col("text")) - (nTok - 1)).cast("long")
+      val stopHits = graft.functions.TextExprs
+        .tokenSetCount(col("text"), TextAnalysis.Stopwords).cast("long")
+      val nDistinct = size(array_distinct(toks)).cast("long")
+      val bTok = when(nTok < 20 || nTok > 1000, 1L).otherwise(0L)
+      val bLen = when(wordChars < nTok * 3 || wordChars > nTok * 10, 1L)
+        .otherwise(0L)
+      val bStop = when(stopHits < 2, 1L).otherwise(0L)
+      val bRep = when(nDistinct * 10 < nTok * 3, 1L).otherwise(0L)
+      parallelize(documents(s, d))
+        .select(col("doc_id"), nTok.as("n_tokens"), stopHits.as("stop_hits"),
+          nDistinct.as("n_distinct"),
+          (bTok + bLen * 2 + bStop * 4 + bRep * 8).as("fail_bits"))
+        .withColumn("keep", col("fail_bits") === 0L)
+    }),
+
     "q_fingerprint" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -1633,6 +1660,34 @@ object PipelineQueries {
          |WHERE n_tokens >= 5 AND stopword_ratio <= 0.5
          | AND punct_count <= 50""".stripMargin
     },
+
+    // Gopher gate: the same integer-exact rule battery; stopword hits
+    // count duplicates exactly like the token-set kernel
+    "q_gopher_filter" ->
+      """WITH m AS (SELECT doc_id,
+        |  cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+        |  cast(length(text) - (len(string_split(text, ' ')) - 1) AS bigint)
+        |    AS word_chars,
+        |  cast(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','an','of','to','in','and','is','it',
+        |               'that'))) AS bigint) AS stop_hits,
+        |  cast(len(list_distinct(string_split(text, ' '))) AS bigint)
+        |    AS n_distinct
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, stop_hits, n_distinct,
+        |  cast(CASE WHEN n_tokens < 20 OR n_tokens > 1000 THEN 1 ELSE 0 END
+        |   + CASE WHEN word_chars < n_tokens*3 OR word_chars > n_tokens*10
+        |          THEN 2 ELSE 0 END
+        |   + CASE WHEN stop_hits < 2 THEN 4 ELSE 0 END
+        |   + CASE WHEN n_distinct*10 < n_tokens*3 THEN 8 ELSE 0 END
+        |    AS bigint) AS fail_bits,
+        |  (CASE WHEN n_tokens < 20 OR n_tokens > 1000 THEN 1 ELSE 0 END
+        |   + CASE WHEN word_chars < n_tokens*3 OR word_chars > n_tokens*10
+        |          THEN 2 ELSE 0 END
+        |   + CASE WHEN stop_hits < 2 THEN 4 ELSE 0 END
+        |   + CASE WHEN n_distinct*10 < n_tokens*3 THEN 8 ELSE 0 END) = 0
+        |    AS keep
+        |FROM m""".stripMargin,
 
     "q_token_count" ->
       ("SELECT doc_id, cast(len(string_split(text, ' ')) AS int) AS n_ws, " +
