@@ -518,6 +518,85 @@ object PipelineQueries {
             .as("chars_per_token"))
     }),
 
+    // END-TO-END curation pipeline — the ops composed the way a real
+    // corpus build runs them, reported as a per-stage funnel (docs +
+    // tokens surviving each stage): normalize → Gopher quality gate →
+    // exact dedup (min-id per digest) → line-level boilerplate removal
+    // (all-boilerplate docs drop) → 5-gram decontamination vs the
+    // benchmark split → deterministic 80% hash sample. Every stage is
+    // the same construction as its standalone query, so the funnel is
+    // fully SQL-mirrorable; the normalized text is checkpointed once
+    // and each rewrite stage feeds the next lazily.
+    "q_curation_pipeline" -> ((s, d) => {
+      val lineW = 4; val maxDf = 2
+      val all = documents(s, d)
+      val bench = all.filter(col("doc_id") % 20 === 0)
+      val t0 = parallelize(all.filter(col("doc_id") % 20 =!= 0))
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("t"))
+        .localCheckpoint(false)
+      // stage 1: Gopher gate (q_gopher_filter's integer-exact rules)
+      val toks = split(col("t"), " ")
+      val nTok = size(toks).cast("long")
+      val wordChars = (length(col("t")) - (nTok - 1)).cast("long")
+      val stopHits = graft.functions.TextExprs
+        .tokenSetCount(col("t"), TextAnalysis.Stopwords).cast("long")
+      val nDistinct = size(array_distinct(toks)).cast("long")
+      val t1 = t0.filter(!(nTok < 20 || nTok > 1000) &&
+        !(wordChars < nTok * 3 || wordChars > nTok * 10) &&
+        stopHits >= 2 && nDistinct * 10 >= nTok * 3)
+      // stage 2: exact dedup, min doc_id survives per digest
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("t")))
+      val t2 = t1.withColumn("kid", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("kid")).drop("kid")
+      // stage 3: line-level boilerplate removal (q_line_dedup shape)
+      val lines = t2.select(col("doc_id"), split(col("t"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L),
+            expr(s"(size(tk) - 1) div $lineW"))).as("i"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("tk"),
+            (col("i") * lineW + 1).cast("int"), lit(lineW)), " ")
+            .as("line"))
+        .withColumn("k", md5(col("line")))
+        .localCheckpoint(false)
+      val lineDf = lines.groupBy(col("k"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val t3 = lines.join(lineDf.hint("shuffle_hash"), "k")
+        .groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(
+            when(col("df") <= maxDf, struct(col("i"), col("line"))))),
+            x => x.getField("line")), " ").as("t"))
+        .filter(col("t") =!= "")
+        .localCheckpoint(false)
+      // stage 4: decontaminate the REWRITTEN text against the benchmark
+      val corpusSpans = t3
+        .select(col("doc_id"), explode(Dedup.shingles(col("t"), 5)).as("sp"))
+        .select(col("doc_id"), md5(col("sp")).as("g"))
+      val benchSpans = bench
+        .select(explode(Dedup.shingles(col("text"), 5)).as("sp"))
+        .select(md5(col("sp")).as("g")).distinct()
+      val bad = corpusSpans.join(broadcast(benchSpans), "g")
+        .select(col("doc_id")).distinct()
+      val t4 = t3.join(bad, Seq("doc_id"), "left_anti")
+      // stage 5: deterministic 80% hash-bucket sample (no rand())
+      val t5 = t4.filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") < 204)
+      def funnel(stage: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(size(split(col("t"), " ")).cast("long")), lit(0L))
+              .as("n_tokens"))
+          .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      Seq(funnel(0, "input", t0), funnel(1, "quality", t1),
+        funnel(2, "exact_dedup", t2), funnel(3, "line_dedup", t3),
+        funnel(4, "decontam", t4), funnel(5, "sample", t5))
+        .reduce(_.unionAll(_))
+    }),
+
     // Deterministic per-group reservoir: the m docs with the smallest
     // md5(doc_id) per source — reproducible across runs/engines (no
     // rand()), uniform within each group, and executed by the custom
@@ -1671,6 +1750,73 @@ object PipelineQueries {
          | FROM documents)
          |WHERE n_tokens >= 5 AND stopword_ratio <= 0.5
          | AND punct_count <= 50""".stripMargin
+    },
+
+    // curation funnel: every stage mirrored as a CTE; per-stage doc +
+    // token counts UNION'd in stage order
+    "q_curation_pipeline" -> {
+      def row(stage: Int, name: String, cte: String) =
+        s"SELECT cast($stage AS int) AS stage, '$name' AS stage_name, " +
+          "cast(count(*) AS bigint) AS n_docs, " +
+          "cast(coalesce(sum(len(string_split(t, ' '))), 0) AS bigint) " +
+          s"AS n_tokens FROM $cte"
+      """WITH t0 AS (SELECT doc_id,
+        |    trim(regexp_replace(
+        |      nfc_normalize(regexp_replace(text,
+        |        '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g')),
+        |      '[\x{00}-\x{20}\x{7F}]+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |q1 AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, t,
+        |      cast(len(string_split(t, ' ')) AS bigint) AS n,
+        |      cast(length(t) - (len(string_split(t, ' ')) - 1) AS bigint)
+        |        AS wc,
+        |      cast(len(list_filter(string_split(t, ' '),
+        |        x -> x IN ('the','a','an','of','to','in','and','is','it',
+        |                   'that'))) AS bigint) AS sh,
+        |      cast(len(list_distinct(string_split(t, ' '))) AS bigint)
+        |        AS nd
+        |    FROM t0)
+        |  WHERE NOT (n < 20 OR n > 1000)
+        |    AND NOT (wc < n*3 OR wc > n*10) AND sh >= 2 AND nd*10 >= n*3),
+        |e2 AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, t, min(doc_id) OVER (PARTITION BY md5(t)) AS kid
+        |    FROM q1)
+        |  WHERE doc_id = kid),
+        |l AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(tk, i*4+1, i*4+4), ' ') AS line
+        |  FROM (SELECT doc_id, string_split(t, ' ') AS tk,
+        |          unnest(generate_series(0,
+        |            (len(string_split(t, ' '))-1)//4)) AS i
+        |        FROM e2)),
+        |f AS (SELECT md5(line) AS k, count(DISTINCT doc_id) AS df
+        |      FROM l GROUP BY 1),
+        |t3 AS (SELECT l.doc_id, string_agg(l.line, ' ' ORDER BY l.i) AS t
+        |       FROM l JOIN f ON md5(l.line) = f.k
+        |       WHERE f.df <= 2 GROUP BY l.doc_id),
+        |sp AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, greatest(len(string_split(t, ' '))-5, 0)),
+        |    i -> md5(array_to_string(
+        |      list_slice(string_split(t, ' '), i+1, i+5), ' ')))) AS g
+        |  FROM t3),
+        |bg AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_transform(
+        |    generate_series(0, greatest(len(string_split(text, ' '))-5, 0)),
+        |    i -> md5(array_to_string(
+        |      list_slice(string_split(text, ' '), i+1, i+5), ' ')))) AS g
+        |  FROM documents WHERE doc_id % 20 = 0)),
+        |bad AS (SELECT DISTINCT sp.doc_id FROM sp JOIN bg USING (g)),
+        |t4 AS (SELECT doc_id, t FROM t3
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |t5 AS (SELECT doc_id, t FROM t4
+        |  WHERE cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 2))
+        |    AS int) < 204)
+        |""".stripMargin +
+        Seq((0, "input", "t0"), (1, "quality", "q1"),
+          (2, "exact_dedup", "e2"), (3, "line_dedup", "t3"),
+          (4, "decontam", "t4"), (5, "sample", "t5"))
+          .map { case (i, n, c) => row(i, n, c) }
+          .mkString("", "\nUNION ALL ", "")
     },
 
     // Gopher gate: the same integer-exact rule battery; stopword hits
