@@ -166,6 +166,21 @@ object PipelineQueries {
           col("punct_count") <= 50)
         .select(col("doc_id"))),
 
+    // Per-source length-distribution quantiles — the curation report
+    // shape. EXACT percentiles (linear interpolation at rank p·(n−1),
+    // the definition DuckDB's quantile_cont shares), not approximate:
+    // Spark's percentile aggregate buffers a value→count map, so its
+    // state is bounded by the number of DISTINCT lengths per source —
+    // a few thousand — not by rows; that bound is what makes exact
+    // quantiles affordable at 100 TB for integer-domain columns.
+    "q_length_quantiles" -> ((s, d) =>
+      documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          r(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"),
+          r(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
+          max(col("n_chars")).as("max_chars"))),
+
     // Gopher-style composite quality gate (Rae et al. 2021 §A1.1-style
     // rule battery): token-count bounds, mean-word-length bounds,
     // minimum stopword evidence, and a distinct-token repetition floor,
@@ -1751,6 +1766,16 @@ object PipelineQueries {
          |WHERE n_tokens >= 5 AND stopword_ratio <= 0.5
          | AND punct_count <= 50""".stripMargin
     },
+
+    // per-source quantiles: quantile_cont interpolates at rank p·(n−1),
+    // the same definition as Spark's exact percentile
+    "q_length_quantiles" ->
+      s"""SELECT source, cast(count(*) AS bigint) AS n_docs,
+         |  min(n_chars) AS min_chars,
+         |  ${rs("quantile_cont(n_chars, 0.5)", 6)} AS median_chars,
+         |  ${rs("quantile_cont(n_chars, 0.9)", 6)} AS p90_chars,
+         |  max(n_chars) AS max_chars
+         |FROM documents GROUP BY source""".stripMargin,
 
     // curation funnel: every stage mirrored as a CTE; per-stage doc +
     // token counts UNION'd in stage order

@@ -175,6 +175,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_kmv_sketch"), s"no map-side partials:\n$p")
   }
 
+  test("q_curation_pipeline: digest-keyed shuffles, benchmark broadcast") {
+    val p = plan("q_curation_pipeline")
+    assert(!p.contains("BroadcastNestedLoop") &&
+      !p.contains("CartesianProduct"), s"pathological join:\n$p")
+    // line-frequency and dedup-window exchanges key on digests or ids;
+    // raw line/span text must never be a partitioning key
+    assert(!p.contains("hashpartitioning(line"), s"raw-line shuffle:\n$p")
+    assert(!p.contains("hashpartitioning(sp"), s"raw-span shuffle:\n$p")
+    // the benchmark span digest set arrives broadcast at the decontam
+    // join, never shuffling the corpus span stream against it
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_cms_topk: grid partials map-side, sketch row broadcast") {
     val p = plan("q_cms_topk")
     // the token stream collapses to depth×width grids BEFORE any
