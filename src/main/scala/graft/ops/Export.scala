@@ -31,4 +31,16 @@ object Export {
   def tablesToCsv(tables: Seq[(String, DataFrame)], dir: String,
                   header: Boolean = true): Unit =
     tables.foreach { case (name, df) => toCsv(df, s"$dir/$name", header) }
+
+  /** JSON-lines sink — the interchange format training-data pipelines
+    * actually ship (one JSON object per line, splittable, append-able).
+    */
+  def toJsonl(df: DataFrame, path: String, coalesce: Int = 0): Unit = {
+    val out = if (coalesce > 0) df.coalesce(coalesce) else df
+    out.write.mode("overwrite").json(path)
+  }
+
+  /** Schema-explicit JSONL read-back (no inference job at scale). */
+  def fromJsonl(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read.schema(ddl).json(path)
 }

@@ -421,6 +421,21 @@ object ReferenceQueries {
       Export.fromCsv(s, path, "event_id BIGINT, value DOUBLE")
     }),
 
+    // JSONL sink + schema-explicit read-back — the interchange format
+    // training corpora ship in; verified via md5 of the round-tripped
+    // text so the full string survives JSON escaping both ways
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_jsonl_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      Export.toJsonl(documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")),
+        path)
+      Export.fromJsonl(s, path,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"))
+    }),
+
     // S13 full form — the reference's export LOOP (analyze_data.py:8-16
     // iterates EVERY table): all four dual-resolution tables (derived
     // deterministically from events in the reference's st/lt shapes) go
@@ -724,6 +739,10 @@ object ReferenceQueries {
          |FROM events WHERE event_id % 50 = 0""").stripMargin,
 
     "q_csv_roundtrip" -> "SELECT event_id, value FROM events",
+
+    "q_jsonl_roundtrip" ->
+      ("SELECT doc_id, md5(text) AS text_md5, lang, source " +
+        "FROM documents"),
 
     "q_csv_export_all" ->
       """WITH f AS (SELECT event_id AS id,
