@@ -166,6 +166,25 @@ object PipelineQueries {
           col("punct_count") <= 50)
         .select(col("doc_id"))),
 
+    // Hive-style partitioned corpus layout: curated docs written
+    // partitionBy(lang, source), read back with a partition-key filter
+    // that must prune at PLANNING time (PartitionFilters in the scan,
+    // pinned by PlanAuditSpec) — the layout decision that turns a
+    // 100 TB full scan into a directory listing. Values verified
+    // against the unpartitioned source of truth.
+    "q_partitioned_prune" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_part_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+        .write.mode("overwrite").partitionBy("lang", "source").parquet(path)
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"))
+    }),
+
     // Per-source length-distribution quantiles — the curation report
     // shape. EXACT percentiles (linear interpolation at rank p·(n−1),
     // the definition DuckDB's quantile_cont shares), not approximate:
@@ -1766,6 +1785,13 @@ object PipelineQueries {
          |WHERE n_tokens >= 5 AND stopword_ratio <= 0.5
          | AND punct_count <= 50""".stripMargin
     },
+
+    // partitioned layout: values checked against the unpartitioned
+    // source of truth (pruning itself is a plan property, audited)
+    "q_partitioned_prune" ->
+      """SELECT source, cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(n_chars) AS bigint) AS chars_total
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
 
     // per-source quantiles: quantile_cont interpolates at rank p·(n−1),
     // the same definition as Spark's exact percentile

@@ -175,6 +175,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_kmv_sketch"), s"no map-side partials:\n$p")
   }
 
+  test("q_partitioned_prune: partition filter prunes at planning time") {
+    val p = plan("q_partitioned_prune")
+    // the lang predicate must be a PartitionFilter on the scan (pruned
+    // to the lang=en directories), never a post-scan row filter
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"), s"lang not a partition filter:\n$p")
+  }
+
   test("q_curation_pipeline: digest-keyed shuffles, benchmark broadcast") {
     val p = plan("q_curation_pipeline")
     assert(!p.contains("BroadcastNestedLoop") &&
