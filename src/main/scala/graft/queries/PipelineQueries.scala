@@ -166,6 +166,27 @@ object PipelineQueries {
           col("punct_count") <= 50)
         .select(col("doc_id"))),
 
+    // Training-window chunking: each doc split into max-16-token
+    // chunks on a stride of 12 (4-token overlap — the sliding-context
+    // prep for long documents; seq-packing is the complementary op for
+    // SHORT ones). Narrow generate over the token array, no shuffle;
+    // chunk text verified by digest so the whole rewrite is checked.
+    "q_doc_chunks" -> ((s, d) => {
+      val maxTok = 16; val stride = 12
+      parallelize(documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L), expr(
+            s"greatest((size(tk) - $maxTok + $stride - 1) div $stride, 0)")))
+            .as("c"))
+        .select(col("doc_id"), col("c").cast("int").as("chunk_idx"),
+          size(slice(col("tk"), (col("c") * stride + 1).cast("int"),
+            lit(maxTok))).as("n_tokens"),
+          md5(array_join(slice(col("tk"),
+            (col("c") * stride + 1).cast("int"), lit(maxTok)), " "))
+            .as("chunk_md5"))
+    }),
+
     // Hive-style partitioned corpus layout: curated docs written
     // partitionBy(lang, source), read back with a partition-key filter
     // that must prune at PLANNING time (PartitionFilters in the scan,
@@ -1785,6 +1806,20 @@ object PipelineQueries {
          |WHERE n_tokens >= 5 AND stopword_ratio <= 0.5
          | AND punct_count <= 50""".stripMargin
     },
+
+    // chunking: DuckDB floor-division and Spark's div agree here since
+    // greatest(...,0) clamps the only negative case (short docs)
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents)
+        |SELECT doc_id, cast(c AS int) AS chunk_idx,
+        |  cast(len(list_slice(tk, c*12+1, c*12+16)) AS int) AS n_tokens,
+        |  md5(array_to_string(list_slice(tk, c*12+1, c*12+16), ' '))
+        |    AS chunk_md5
+        |FROM (SELECT doc_id, tk,
+        |        unnest(generate_series(0,
+        |          greatest((len(tk) - 16 + 12 - 1)//12, 0))) AS c
+        |      FROM t)""".stripMargin,
 
     // partitioned layout: values checked against the unpartitioned
     // source of truth (pruning itself is a plan property, audited)
