@@ -198,6 +198,11 @@ object PipelineQueries {
         "/graft_part_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       documents(s, d)
         .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+        // repartition on the partition columns BEFORE partitionBy: one
+        // task owns each (lang, source) directory, so the layout is one
+        // file per partition instead of tasks × partitions small files
+        // — the 100 TB small-files guard
+        .repartition(col("lang"), col("source"))
         .write.mode("overwrite").partitionBy("lang", "source").parquet(path)
       s.read.parquet(path)
         .filter(col("lang") === "en")
