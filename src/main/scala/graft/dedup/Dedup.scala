@@ -58,6 +58,19 @@ object Dedup {
         array_join(slice(col("toks"), col("i") + lit(1), lit(n)), " ")
           .as("sh"))
 
+  /** Exploded (doc_id, g = md5(n-gram span)) digest rows — the span
+    * INDEX the decontamination family probes. Callers that run several
+    * span ops over the same corpus should materialize this once
+    * (localCheckpoint) and feed the `*FromSpans` variants: real
+    * pipelines persist exactly this index rather than re-shingling the
+    * corpus per check. Duplicates within a doc are kept (consumers
+    * distinct() or aggregate duplicate-insensitively).
+    */
+  def spanDigests(docs: DataFrame, id: Column, text: Column,
+                  n: Int): DataFrame =
+    explodedShingles(docs, id, text, n)
+      .select(col("doc_id"), md5(col("sh")).as("g"))
+
   /** Exact dedup: keep the lowest doc id per content digest.
     * Returns (dup_id, kept_id) for every row that would be removed.
     */
@@ -325,15 +338,17 @@ object Dedup {
     */
   def spanOverlap(docs: DataFrame, id: Column, text: Column,
                   bench: DataFrame, benchId: Column, benchText: Column,
-                  n: Int): DataFrame = {
-    val d = explodedShingles(docs, id, text, n)
-      .select(col("doc_id"), md5(col("sh")).as("g"))
-    val b = explodedShingles(bench, benchId, benchText, n)
-      .select(col("doc_id").as("bench_id"), md5(col("sh")).as("g"))
-    d.join(b, "g")
+                  n: Int): DataFrame =
+    spanOverlapFromSpans(spanDigests(docs, id, text, n),
+      spanDigests(bench, benchId, benchText, n))
+
+  /** [[spanOverlap]] over pre-built span indexes (both (doc_id, g)). */
+  def spanOverlapFromSpans(spans: DataFrame,
+                           benchSpans: DataFrame): DataFrame =
+    spans.join(
+        benchSpans.select(col("doc_id").as("bench_id"), col("g")), "g")
       .select(col("doc_id"), col("bench_id"))
       .distinct()
-  }
 
   /** Per-doc n-gram contamination RATIO against a benchmark set — the
     * graded decontamination signal (spanOverlap is the binary flag):
@@ -346,12 +361,17 @@ object Dedup {
     */
   def contaminationRatio(docs: DataFrame, id: Column, text: Column,
                          bench: DataFrame, benchId: Column,
-                         benchText: Column, n: Int): DataFrame = {
-    val ex = explodedShingles(docs, id, text, n)
-      .select(col("doc_id"), md5(col("sh")).as("g"))
+                         benchText: Column, n: Int): DataFrame =
+    contaminationRatioFromSpans(spanDigests(docs, id, text, n),
+      spanDigests(bench, benchId, benchText, n))
+
+  /** [[contaminationRatio]] over pre-built span indexes. */
+  def contaminationRatioFromSpans(spans: DataFrame,
+                                  benchSpans: DataFrame): DataFrame = {
+    val ex = spans
       .distinct() // ratio denominators count DISTINCT shingles per doc
-    val bset = explodedShingles(bench, benchId, benchText, n)
-      .select(md5(col("sh")).as("g")).distinct()
+    val bset = benchSpans
+      .select(col("g")).distinct()
       .withColumn("hit", lit(1))
     ex.join(broadcast(bset), Seq("g"), "left_outer")
       .groupBy(col("doc_id"))
@@ -382,19 +402,26 @@ object Dedup {
                          bench: DataFrame, benchId: Column,
                          benchText: Column, n: Int,
                          expectedSpans: Long = 1L << 12,
-                         fpp: Double = 0.05): DataFrame = {
-    val benchSpans = explodedShingles(bench, benchId, benchText, n)
-      .select(md5(col("sh")).as("g")).distinct()
+                         fpp: Double = 0.05): DataFrame =
+    bloomDecontaminateFromSpans(spanDigests(docs, id, text, n),
+      spanDigests(bench, benchId, benchText, n), expectedSpans, fpp)
+
+  /** [[bloomDecontaminate]] over pre-built span indexes. Every doc has
+    * at least one span (shingling clamps short docs to one), so the
+    * clean-id universe derives from the corpus span index itself.
+    */
+  def bloomDecontaminateFromSpans(spans: DataFrame, benchSpans: DataFrame,
+                                  expectedSpans: Long = 1L << 12,
+                                  fpp: Double = 0.05): DataFrame = {
+    val bset = benchSpans
+      .select(col("g")).distinct()
       .localCheckpoint(false) // feeds both the Bloom build and the verify
-    val bf = graft.functions.BloomExprs.build(
-      benchSpans, "g", expectedSpans, fpp)
-    val corpusSpans = explodedShingles(docs, id, text, n)
-      .select(col("doc_id"), md5(col("sh")).as("g"))
-    val contaminated = corpusSpans
+    val bf = graft.functions.BloomExprs.build(bset, "g", expectedSpans, fpp)
+    val contaminated = spans
       .filter(graft.functions.BloomExprs.mightContain(col("g"), bf))
-      .join(benchSpans.hint("shuffle_hash"), "g")
+      .join(bset.hint("shuffle_hash"), "g")
       .select(col("doc_id")).distinct()
-    docs.select(id.as("doc_id")).distinct()
+    spans.select(col("doc_id")).distinct()
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
