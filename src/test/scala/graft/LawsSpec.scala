@@ -89,6 +89,48 @@ class LawsSpec extends SparkSpec {
     assert(eq.forall { case (e, b) => e && b >= 0 && b < 64 })
   }
 
+  test("laws: nfc normalize is idempotent and length-nonincreasing") {
+    // random mixes of ASCII, precomposed accents, combining marks and
+    // zero-width chars — composition can only shrink codepoint counts
+    val pool = "abc \u00e9\u00fc" + "e\u0301a\u030an\u0303" + "\u200B"
+    val rows = (1 to 200).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))(
+        pool(rnd.nextInt(pool.length))).mkString)
+    }
+    val df = rows.toDF("i", "t")
+    val n1 = graft.functions.TextExprs.nfcNormalize($"t")
+    val n2 = graft.functions.TextExprs.nfcNormalize(n1)
+    val bad = df.select((n2 === n1 && length(n1) <= length($"t")).as("ok"))
+      .as[Boolean].collect()
+    assert(bad.forall(identity))
+  }
+
+  test("laws: cms estimate is one-sided on random skewed streams") {
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "hot", "xyz", "qq")
+    val toks = (1 to 800).map(i =>
+      if (i % 3 == 0) "hot" else vocab(rnd.nextInt(vocab.size)))
+    val df = toks.map(Tuple1(_)).toDF("t")
+    val sk = df.agg(
+      graft.functions.CmsSketchExpr.cms($"t", 4, 8).as("sk")) // forced collisions
+    val bad = df.groupBy($"t").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sk))
+      .filter(graft.functions.CmsSketchExpr
+        .estimate($"t", $"sk", 4, 8) < $"exact")
+      .count()
+    assert(bad == 0, "cms under-estimated some token")
+  }
+
+  test("laws: bloom filter has no false negatives on random strings") {
+    val items = (1 to 500).map(i =>
+      (i, rnd.alphanumeric.take(1 + rnd.nextInt(24)).mkString))
+    val df = items.toDF("i", "s")
+    val bf = graft.functions.BloomExprs.build(
+      df.select($"s"), "s", 64, 0.5) // undersized + high fpp on purpose
+    val misses = df.filter(
+      !graft.functions.BloomExprs.mightContain($"s", bf)).count()
+    assert(misses == 0)
+  }
+
   test("laws: frame codec decode∘encode = id on random frames (all kinds)") {
     import graft.ingest.FrameCodec
     // 200 random peaks frames: varying count/peak lengths, extreme
