@@ -734,6 +734,31 @@ object PipelineQueries {
             .as("cms_est"))
     }),
 
+    // CMS candidate pruning — the pattern where the sketch REDUCES
+    // work instead of being compared to it: pass 1 builds the grid,
+    // pass 2 exact-counts ONLY tokens whose estimate clears N/64.
+    // One-sided error makes the candidate set a guaranteed superset of
+    // the truly-frequent tokens, and the threshold filter sits BELOW
+    // the aggregation exchange — at 100 TB the vocabulary groupBy sees
+    // the heavy-hitter occurrences, never the long tail.
+    "q_cms_prune" -> ((s, d) => {
+      val depth = 4; val width = 256
+      val toks = parallelize(documents(s, d))
+        .select(explode(split(col("text"), " ")).as("token"))
+      val grid = toks.agg(
+          graft.functions.CmsSketchExpr.cms(col("token"), depth, width)
+            .as("sk"))
+        // any grid row sums to the stream length — N without a second pass
+        .withColumn("n_total",
+          aggregate(slice(col("sk"), 1, width), lit(0L), (a, x) => a + x))
+      toks.crossJoin(broadcast(grid))
+        .withColumn("est", graft.functions.CmsSketchExpr
+          .estimate(col("token"), col("sk"), depth, width))
+        .filter(col("est") >= expr("n_total div 64"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_cnt"), min(col("est")).as("cms_est"))
+    }),
+
     // BPE merge step 1: adjacent character-pair frequencies within
     // whitespace tokens, top 30 by (count desc, pair) — the candidate
     // table a byte-pair-encoding tokenizer trainer merges from. Pure
@@ -1685,6 +1710,29 @@ object PipelineQueries {
         |  ON c.cell =
         |    cast(('0x' || substr(md5(t.token), c.j*8+1, 8)) AS bigint) % 256
         |GROUP BY 1, 2""".stripMargin,
+
+    // CMS pruning: estimates from cells rebuilt over exact counts;
+    // candidates are tokens clearing the integer N/64 threshold
+    "q_cms_prune" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |n AS (SELECT cast(count(*) AS bigint) AS n_total FROM tok),
+        |cnt AS (SELECT token, cast(count(*) AS bigint) AS exact_cnt
+        |        FROM tok GROUP BY 1),
+        |cells AS (SELECT j,
+        |    cast(('0x' || substr(md5(token), j*8+1, 8)) AS bigint) % 256
+        |      AS cell,
+        |    cast(sum(exact_cnt) AS bigint) AS v
+        |  FROM cnt, (SELECT unnest(generate_series(0, 3)) AS j)
+        |  GROUP BY 1, 2),
+        |est AS (SELECT t.token, t.exact_cnt, min(c.v) AS cms_est
+        |  FROM cnt t JOIN cells c
+        |    ON c.cell =
+        |      cast(('0x' || substr(md5(t.token), c.j*8+1, 8)) AS bigint)
+        |        % 256
+        |  GROUP BY 1, 2)
+        |SELECT token, exact_cnt, cms_est FROM est, n
+        |WHERE cms_est >= n_total // 64""".stripMargin,
 
     // BPE merge candidates: adjacent char pairs within whitespace tokens
     "q_bpe_pairs" ->
