@@ -76,6 +76,28 @@ object PipelineQueries {
       graft.text.BpeTrainer.trainWithVocab(
         parallelize(documents(s, d)), col("text"), merges = 3))
 
+  /** Shared SQL mirror of the marker-argmax language ID: per-language
+    * marker-hit scores, and the CASE whose tie-break is LangMarkers
+    * order — a language wins if it beats every earlier language
+    * strictly and every later one weakly. Used by the q_lang_id and
+    * q_lang_eval oracles.
+    */
+  private lazy val langScoreSql: String =
+    TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      val in = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text,' '), t -> t IN ($in))) AS s_$lang"
+    }.mkString(", ")
+  private lazy val langPredCaseSql: String = {
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val conds = Seq(s"s_$l > 0") ++
+        langs.take(i).map(e => s"s_$l > s_$e") ++
+        langs.drop(i + 1).map(e => s"s_$l >= s_$e")
+      s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
   // the 5-gram span-digest INDEX over all documents — q_contamination,
   // q_contaminate_ratio and q_bloom_decontam all probe it; real
   // pipelines persist exactly this index instead of re-shingling the
@@ -168,6 +190,31 @@ object PipelineQueries {
     "q_lang_id" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // Language-ID quality evaluation: confusion matrix of the dataset's
+    // lang label vs the marker-argmax prediction — the accuracy view a
+    // pipeline checks before trusting the classifier for filtering.
+    // Pure per-row scoring + a tiny (labels × labels) aggregation.
+    "q_lang_eval" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Deterministic train/val/test assignment (90/5/5 by md5 bucket —
+    // stable across runs, engines, and corpus growth: a doc's split
+    // never depends on what else is in the corpus) with per-split
+    // per-source composition.
+    "q_dataset_split" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int"))
+        .withColumn("split",
+          when(col("bucket") < 230, "train")
+            .when(col("bucket") < 243, "val").otherwise("test"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))),
 
     // corpus quality filter — the end-cap of the text-analysis pipeline:
     // keep docs passing the length / stopword / punctuation gates
@@ -1823,27 +1870,31 @@ object PipelineQueries {
          |FROM documents""".stripMargin
     },
 
-    "q_lang_id" -> {
-      val score = TextAnalysis.LangMarkers.map { case (lang, markers) =>
-        val in = markers.map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(string_split(text,' '), t -> t IN ($in))) AS s_$lang"
-      }.mkString(", ")
-      // tie-break = LangMarkers order: a language wins if it beats every
-      // earlier language strictly and every later one weakly.
-      val langs = TextAnalysis.LangMarkers.map(_._1)
-      val cases = langs.zipWithIndex.map { case (l, i) =>
-        val conds = Seq(s"s_$l > 0") ++
-          langs.take(i).map(e => s"s_$l > s_$e") ++
-          langs.drop(i + 1).map(e => s"s_$l >= s_$e")
-        s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
-      }.mkString(" ")
-      s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred " +
-        s"FROM (SELECT doc_id, $score FROM documents)"
-    },
+    "q_lang_id" ->
+      (s"SELECT doc_id, $langPredCaseSql AS lang_pred " +
+        s"FROM (SELECT doc_id, $langScoreSql FROM documents)"),
+
+    // confusion matrix: dataset label vs marker-argmax prediction
+    "q_lang_eval" ->
+      (s"SELECT lang, $langPredCaseSql AS lang_pred, " +
+        "cast(count(*) AS bigint) AS n " +
+        s"FROM (SELECT lang, $langScoreSql FROM documents) " +
+        "GROUP BY 1, 2"),
 
     "q_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
         "AS fp FROM documents"),
+
+    // deterministic split: same md5 first-byte bucketing
+    "q_dataset_split" ->
+      """SELECT CASE WHEN b < 230 THEN 'train'
+        |            WHEN b < 243 THEN 'val' ELSE 'test' END AS split,
+        |  source, cast(count(*) AS bigint) AS n_docs
+        |FROM (SELECT source,
+        |        cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 2))
+        |          AS int) AS b
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
 
     // list_reduce has no init accumulator — prepend the BIGINT zero
     "q_rolling_fp" ->
