@@ -1037,6 +1037,50 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // Keyword-in-context (concordance) extraction — the corpus
+    // inspection tool behind "show me how this term is used": every
+    // occurrence of the probe term with ±3 words of context, in
+    // position order. Narrow generate + row-local slices, no shuffle;
+    // the probe would be a pushed-down contains() pre-filter at scale.
+    "q_concordance" -> ((s, d) => {
+      val term = "join"; val ctx = 3
+      parallelize(documents(s, d))
+        .filter(col("text").contains(term)) // cheap pre-filter before split
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          posexplode(col("tk")).as(Seq("pos", "tok")))
+        .filter(col("tok") === term)
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          array_join(slice(col("tk"),
+            greatest(col("pos") + 1 - ctx, lit(1)).cast("int"),
+            (col("pos") + 1 + ctx -
+              greatest(col("pos") + 1 - ctx, lit(1)) + 1).cast("int")), " ")
+            .as("context"))
+    }),
+
+    // Per-dimension embedding statistics — the drift/health check an
+    // embedding pipeline monitors (a dimension whose mean or variance
+    // moves is a model or preprocessing change). Elements are
+    // integerized to micro-units FIRST so the sums are exact longs
+    // (associative — no float-order hash drift); mean/std derive from
+    // the exact sums with an identical double expression on both
+    // engines. One narrow posexplode, one dim-keyed aggregation.
+    "q_embed_stats" -> ((s, d) => {
+      val e = parallelize(embeddings(s, d))
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+        .select(col("dim"),
+          floor(col("x") * 1e6 + 0.5).cast("long").as("xi"))
+      e.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xi")).as("s"), sum(col("xi") * col("xi")).as("ssq"))
+        .select(col("dim"), col("n"),
+          r(col("s").cast("double") / col("n") / 1e6, 6).as("mean"),
+          r(sqrt((col("ssq").cast("double") -
+              col("s").cast("double") * col("s").cast("double") / col("n"))
+            / col("n")) / 1e6, 6).as("std"))
+    }),
+
     "q_vec_norm" -> ((s, d) =>
       embeddings(s, d).select(col("vec_id"),
         r(Similarity.norm(col("embedding").cast("array<double>")), 6)
@@ -2362,6 +2406,38 @@ object PipelineQueries {
       (s"SELECT vec_id, ${rs("sqrt(list_sum(list_transform(" +
         "CAST(embedding AS DOUBLE[]), x -> x*x)))", 6)} AS nrm " +
         "FROM embeddings"),
+
+    // concordance: same ±3 window; generate_subscripts is 1-based vs
+    // posexplode's 0-based pos — aligned with o-1
+    "q_concordance" ->
+      """SELECT doc_id, cast(o - 1 AS int) AS pos,
+        |  array_to_string(
+        |    list_slice(tk, greatest(o - 3, 1), o + 3), ' ') AS context
+        |FROM (SELECT doc_id, tk, unnest(tk) AS tok,
+        |        generate_subscripts(tk, 1) AS o
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |            FROM documents))
+        |WHERE tok = 'join'""".stripMargin,
+
+    // per-dimension stats: micro-unit integerized sums (exact longs),
+    // identical double mean/std derivation. unnest ordinality is
+    // 1-based; Spark posexplode is 0-based — align with o-1
+    "q_embed_stats" ->
+      s"""WITH e AS (SELECT cast(o - 1 AS int) AS dim,
+         |    cast(floor(x*1000000 + 0.5) AS bigint) AS xi
+         |  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |          generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS o
+         |        FROM embeddings)),
+         |a AS (SELECT dim, cast(count(*) AS bigint) AS n,
+         |        cast(sum(xi) AS bigint) AS s,
+         |        cast(sum(xi*xi) AS bigint) AS ssq
+         |      FROM e GROUP BY 1)
+         |SELECT dim, n,
+         |  ${rs("cast(s AS double)/n/1000000", 6)} AS mean,
+         |  ${rs("sqrt((cast(ssq AS double) - " +
+              "cast(s AS double)*cast(s AS double)/n)/n)/1000000", 6)}
+         |    AS std
+         |FROM a""".stripMargin,
 
     "q_media_meta" ->
       ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
