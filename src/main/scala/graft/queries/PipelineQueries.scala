@@ -1037,6 +1037,66 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // Top-PMI bigram association table — the collocation view (which
+    // word pairs co-occur beyond chance) used for phrase mining and
+    // tokenizer diagnostics. All counts are exact longs; the PMI is
+    // one identical double expression over them, micro-nat integerized
+    // — the q_ngram_lm recipe for hash-stable "floats".
+    "q_pmi_bigrams" -> ((s, d) => {
+      val toks = parallelize(documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val bi = toks
+        .select(explode(sequence(lit(0), size(col("t")) - 2)).as("i"),
+          col("t"))
+        .select(element_at(col("t"), col("i") + 1).as("w1"),
+          element_at(col("t"), col("i") + 2).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .localCheckpoint(false)
+      val uni = parallelize(documents(s, d))
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val nBi = bi.agg(sum(col("c2")).as("n_bi"))
+      val nTok = uni.agg(sum(col("cw")).as("n_tok"))
+      bi.join(broadcast(uni.withColumnRenamed("w", "w1")
+          .withColumnRenamed("cw", "cw1")), "w1")
+        .join(broadcast(uni.withColumnRenamed("w", "w2")
+          .withColumnRenamed("cw", "cw2")), "w2")
+        .crossJoin(broadcast(nBi)).crossJoin(broadcast(nTok))
+        .select(col("w1"), col("w2"), col("c2"),
+          floor(log(col("c2").cast("double") *
+              col("n_tok").cast("double") * col("n_tok").cast("double") /
+              (col("n_bi").cast("double") * col("cw1").cast("double") *
+                col("cw2").cast("double"))) * 1e6 + 0.5)
+            .cast("long").as("pmi_micro"))
+        .orderBy(col("c2").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
+    // Per-source vocabulary overlap (consecutive source pairs) — the
+    // distribution-shift check between corpus slices. Vocabularies are
+    // bounded (collect_set per source); at 100 TB the same query runs
+    // on KMV sketches per source instead of exact sets.
+    "q_vocab_overlap" -> ((s, d) => {
+      val v = parallelize(documents(s, d))
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+        .groupBy(col("source"))
+        .agg(collect_set(col("w")).as("vocab"))
+        .withColumn("sidx",
+          substring(col("source"), 4, 10).cast("int"))
+      val a = v.select(col("source").as("src_a"), col("sidx"),
+        col("vocab").as("va"))
+      val b = v.select(col("sidx").as("sb"), col("source").as("src_b"),
+        col("vocab").as("vb"))
+      val inter = size(array_intersect(col("va"), col("vb"))).cast("double")
+      a.join(b, col("sb") === col("sidx") + 1)
+        .select(col("src_a"), col("src_b"),
+          size(col("va")).as("n_a"), size(col("vb")).as("n_b"),
+          r(inter / (size(col("va")) + size(col("vb")) - inter), 6)
+            .as("jaccard"))
+    }),
+
     // Keyword-in-context (concordance) extraction — the corpus
     // inspection tool behind "show me how this term is used": every
     // occurrence of the probe term with ±3 words of context, in
@@ -2406,6 +2466,47 @@ object PipelineQueries {
       (s"SELECT vec_id, ${rs("sqrt(list_sum(list_transform(" +
         "CAST(embedding AS DOUBLE[]), x -> x*x)))", 6)} AS nrm " +
         "FROM embeddings"),
+
+    // PMI: identical double expression over exact counts, micro-nat
+    // integerized before output
+    "q_pmi_bigrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2,
+        |         cast(count(*) AS bigint) AS c2
+        |       FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+        |             FROM t)
+        |       GROUP BY 1, 2),
+        |uni AS (SELECT w, cast(count(*) AS bigint) AS cw FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS w
+        |          FROM documents) GROUP BY 1),
+        |nb AS (SELECT cast(sum(c2) AS bigint) AS n_bi FROM bi),
+        |nt AS (SELECT cast(sum(cw) AS bigint) AS n_tok FROM uni)
+        |SELECT w1, w2, c2,
+        |  cast(floor(ln(cast(c2 AS double) *
+        |      cast(n_tok AS double) * cast(n_tok AS double) /
+        |      (cast(n_bi AS double) * cast(u1.cw AS double) *
+        |        cast(u2.cw AS double))) * 1000000 + 0.5) AS bigint)
+        |    AS pmi_micro
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w
+        |        JOIN uni u2 ON bi.w2 = u2.w, nb, nt
+        |ORDER BY c2 DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    // vocab overlap: exact per-source vocab sets, consecutive pairs
+    "q_vocab_overlap" ->
+      s"""WITH v AS (SELECT source,
+         |    cast(substr(source, 4) AS int) AS sidx,
+         |    list(DISTINCT w) AS vocab
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  cast(len(a.vocab) AS int) AS n_a,
+         |  cast(len(b.vocab) AS int) AS n_b,
+         |  ${rs("cast(len(list_intersect(a.vocab, b.vocab)) AS double) / " +
+              "(len(a.vocab) + len(b.vocab) - " +
+              "len(list_intersect(a.vocab, b.vocab)))", 6)} AS jaccard
+         |FROM v a JOIN v b ON b.sidx = a.sidx + 1""".stripMargin,
 
     // concordance: same ±3 window; generate_subscripts is 1-based vs
     // posexplode's 0-based pos — aligned with o-1
