@@ -466,4 +466,78 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming16(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** 64-bit SimHash as a DataFrame op — the production-width fingerprint
+    * for hamming-distance banding ([[simhashDf]] is the 16-bit sibling;
+    * same explode+vote scale shape: narrow map, codegen'd partial sums
+    * map-side, one shuffle by doc). Bit b's vote for a token reads the
+    * high bit of nibble b%32 of md5(token) (b < 32) or md5('1' || token)
+    * (b >= 32) — two digests per distinct token give 64 engine-portable
+    * votes, so a DuckDB oracle rebuilds the identical fingerprint.
+    * Returns (doc_id, fp: long).
+    */
+  def simhash64Df(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val ex = graft.util.Tables.parallelize(
+        docs.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("__t")))).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("d0"),
+        md5(concat(lit("1"), col("t"))).as("d1"))
+    val votes = (0 until 64).map { b =>
+      val dig = if (b < 32) col("d0") else col("d1")
+      sum(when(instr(lit("89abcdef"), substring(dig, b % 32 + 1, 1)) > 0, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    // bitwise-OR fold of distinct powers of two: bit 63 is Long.MinValue
+    // (1L << 63 has no positive form; OR keeps every engine overflow-free)
+    val fp = (0 until 64).map { b =>
+      val bit = if (b == 63) lit(Long.MinValue) else lit(1L << b)
+      when(col(s"v$b") > 0, bit).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD '03 §4 — the MOSS algorithm): per-position k-gram digests,
+    * and in every window of w consecutive grams the minimum digest is
+    * selected (rightmost position on ties, the paper's robust-winnowing
+    * rule); the distinct selected (position, digest) rows are the
+    * document's fingerprints. Guarantee: any verbatim match of at least
+    * w+k-1 tokens shares a fingerprint; expected density 2/(w+1).
+    *
+    * The tie-break is encoded INTO the window key — digest ||
+    * zero-padded (10^8 − pos) — so a single windowed `min` performs
+    * argmin-with-rightmost-tie in one pass. Scale: the window partitions
+    * by doc and orders by position, so state is one doc's gram sequence;
+    * docs never compare against each other until fingerprints join.
+    * Returns (doc_id, fp_pos, fp).
+    */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+                         k: Int, w: Int): DataFrame = {
+    val grams = graft.util.Tables.parallelize(
+        docs.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"), TextAnalysis.tokens(col("__t")).as("tk"))
+      .select(col("doc_id"),
+        greatest(size(col("tk")) - k + 1, lit(1)).as("ng"),
+        col("tk"))
+      .select(col("doc_id"), col("ng"),
+        explode(sequence(lit(1), col("ng"))).as("pos"), col("tk"))
+      .select(col("doc_id"), col("ng"), col("pos"),
+        concat(md5(array_join(slice(col("tk"), col("pos"), lit(k)), " ")),
+          lpad((lit(100000000) - col("pos")).cast("string"), 9, "0"))
+          .as("key"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("sel", min(col("key")).over(win))
+      // only full windows select (frames past ng-w+1 are truncated); a
+      // doc shorter than one window keeps its single all-grams frame
+      .filter(col("pos") <= greatest(col("ng") - w + 1, lit(1)))
+      .select(col("doc_id"),
+        (lit(100000000) - substring(col("sel"), 33, 9).cast("int"))
+          .as("fp_pos"),
+        substring(col("sel"), 1, 32).as("fp"))
+      .distinct()
+  }
 }

@@ -916,6 +916,113 @@ object PipelineQueries {
       Dedup.duplicateClusters(edges)
     }),
 
+    // Survivorship policy over dedup clusters: per connected component
+    // keep the longest doc (doc_id tie-break), report what the rewrite
+    // drops. One aggregate over the cluster assignment — the argmax is a
+    // lexicographic `max(struct(n_chars, -doc_id))`, so there is no
+    // window sort, just map-side-combinable partials per cluster.
+    "q_dup_survivors" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val edges = docs.as("a")
+        .join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            col("a.doc_id") % 50 < 5)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.duplicateClusters(edges)
+        .join(documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("cluster_id"),
+          (-col("m.nid")).as("survivor_id"),
+          col("m.n_chars").as("survivor_chars"),
+          col("n_docs"),
+          (col("n_docs") - 1).as("n_removed"),
+          (col("chars_total") - col("m.n_chars")).as("chars_removed"))
+    }),
+
+    // Winnowing fingerprints (the MOSS document-fingerprint selection):
+    // k=4-gram digests, window w=5 → guaranteed detection of any >= 8
+    // verbatim shared tokens at ~1/3 the index size of full shingling —
+    // the storage/recall dial between exact spans (everything) and
+    // MinHash (probabilistic).
+    "q_winnowing" -> ((s, d) =>
+      Dedup.winnowFingerprints(documents(s, d), col("doc_id"), col("text"),
+        k = 4, w = 5)),
+
+    // SimHash near-dup candidate pairs at production width: 64-bit
+    // fingerprints, 4 x 16-bit bands — by pigeonhole every pair within
+    // hamming distance 3 shares a band, so the band self-join (fixed
+    // 16-bit keys, never text) yields ALL near pairs plus a thin
+    // random-collision tail, each verified with an exact popcount.
+    "q_simhash_pairs" -> ((s, d) => {
+      val fp = Dedup.simhash64Df(documents(s, d), col("doc_id"),
+        col("text"))
+      val bands = fp.select(col("doc_id"), col("fp"),
+          explode(array((0 until 4).map(bi =>
+            struct(lit(bi).as("band_idx"),
+              shiftrightunsigned(col("fp"), 16 * bi)
+                .bitwiseAND(lit(65535L)).as("bv"))): _*)).as("b"))
+        .select(col("doc_id"), col("fp"),
+          col("b.band_idx").as("band_idx"), col("b.bv").as("bv"))
+      val a = bands.select(col("doc_id").as("id_a"), col("fp").as("fa"),
+        col("band_idx"), col("bv"))
+      val b = bands.select(col("doc_id").as("id_b"), col("fp").as("fb"),
+        col("band_idx"), col("bv"))
+      a.join(b, Seq("band_idx", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("fa"), col("fb"))
+        .distinct()
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int")
+            .as("hamming"),
+          (bit_count(col("fa").bitwiseXOR(col("fb"))) <= 3).as("is_near"))
+    }),
+
+    // END-TO-END fuzzy dedup funnel (the MinHash analog of
+    // q_curation_pipeline): LSH banding → candidate pairs → exact
+    // Jaccard >= 0.5 verification (integer cross-multiplied — no float
+    // threshold) → connected components → keep the min-id doc per
+    // component. Per-stage counts are the curation report; only LSH
+    // candidates ever pay the exact-Jaccard compare.
+    "q_fuzzy_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cand = Dedup.lshCandidatePairs(
+          Dedup.lshBands(docs, col("doc_id"), col("text"), 2,
+            LshBands, LshRows))
+        .localCheckpoint(false)
+      val sh = docs.select(col("doc_id"),
+        Dedup.shingles(col("text"), 2).as("sh"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val edges = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")),
+          "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")),
+          "id_b")
+        .filter(inter * 2 >= size(col("sa")) + size(col("sb")) - inter)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(false)
+      val clusters = Dedup.duplicateClusters(edges)
+      // duplicateClusters labels each member with the component's min id,
+      // so the survivor IS the label; removed = members with other ids
+      val removed = clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      val kept = docs.select(col("doc_id"))
+        .join(removed, Seq("doc_id"), "left_anti")
+      def row(stage: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+            col("n"))
+      Seq(row(0, "input", docs),
+        row(1, "candidates", cand),
+        row(2, "verified_edges", edges),
+        row(3, "clusters", clusters.select(col("cluster_id")).distinct()),
+        row(4, "kept_docs", kept))
+        .reduce(_.unionAll(_))
+    }),
+
     // Contamination detection: training docs sharing any verbatim
     // 5-token span with the "benchmark set" (every 20th doc, the driver
     // data's stand-in for an eval suite). Exact-span semantics — the
@@ -2261,6 +2368,134 @@ object PipelineQueries {
          |  SELECT * FROM r)
          |SELECT src AS doc_id, min(dst) AS cluster_id
          |FROM reach GROUP BY 1""").stripMargin,
+
+    // same reachability clusters, then the survivorship aggregate: the
+    // rn=1 row under (n_chars DESC, doc_id ASC) is Spark's
+    // max(struct(n_chars, -doc_id))
+    "q_dup_survivors" ->
+      ("""WITH pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM documents a JOIN documents b
+         |    ON b.doc_id = a.doc_id + 1 AND a.doc_id % 50 < 5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+         |  SELECT * FROM r),
+         |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |j AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+         |      FROM cl JOIN documents d USING (doc_id)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |         ORDER BY n_chars DESC, doc_id ASC) AS rn FROM j)
+         |SELECT cluster_id,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+         |  max(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars,
+         |  count(*) AS n_docs, count(*) - 1 AS n_removed,
+         |  cast(sum(n_chars) AS bigint)
+         |    - max(CASE WHEN rn = 1 THEN n_chars END) AS chars_removed
+         |FROM rk GROUP BY 1""").stripMargin,
+
+    // winnowing: identical key encoding (digest || zero-padded 10^8-pos)
+    // and the same truncated-frame filter
+    "q_winnowing" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |        greatest(len(toks) - 4 + 1, 1) AS ng FROM t),
+         |g AS (SELECT doc_id, ng, toks,
+         |        unnest(generate_series(1, ng)) AS pos FROM n),
+         |k AS (SELECT doc_id, ng, pos,
+         |        md5(array_to_string(list_slice(toks, pos, pos + 3), ' '))
+         |          || lpad(cast(100000000 - pos AS varchar), 9, '0') AS key
+         |      FROM g),
+         |s AS (SELECT doc_id, ng, pos,
+         |        min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+         |      FROM k)
+         |SELECT DISTINCT doc_id,
+         |  cast(100000000 - cast(substr(sel, 33, 9) AS bigint) AS int)
+         |    AS fp_pos,
+         |  substr(sel, 1, 32) AS fp
+         |FROM s WHERE pos <= greatest(ng - 5 + 1, 1)""").stripMargin,
+
+    "q_simhash_pairs" -> {
+      val votes = (0 until 64).map { b =>
+        val dig = if (b < 32) "md5(t)" else "md5('1' || t)"
+        "list_sum(list_transform(list_distinct(string_split(text,' ')), " +
+          s"t -> CASE WHEN strpos('89abcdef', substr($dig, ${b % 32 + 1}, " +
+          s"1)) > 0 THEN 1 ELSE -1 END)) AS v$b"
+      }.mkString(", ")
+      val fold = (0 until 64).map { b =>
+        val bit = if (b == 63) "(-9223372036854775807 - 1)"
+                  else s"(1::BIGINT << $b)"
+        s"(CASE WHEN v$b > 0 THEN $bit ELSE 0::BIGINT END)"
+      }.mkString(" | ")
+      s"""WITH v AS (SELECT doc_id, $votes FROM documents),
+         |fp AS (SELECT doc_id, ($fold) AS fp FROM v),
+         |bands AS (SELECT doc_id, fp, b AS band_idx,
+         |    (fp >> (16 * b)) & 65535 AS bv
+         |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.fp AS fa, b.fp AS fb
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |    AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  cast(bit_count(xor(fa, fb)) AS int) AS hamming,
+         |  bit_count(xor(fa, fb)) <= 3 AS is_near
+         |FROM p""".stripMargin
+    },
+
+    // the full funnel: LSH candidates (bandsCte) → exact-Jaccard
+    // verification (2·|∩| >= |∪|, integer) → recursive-CTE components →
+    // min-id survivors; one count per stage
+    "q_fuzzy_dedup" ->
+      (bandsCte + s""",
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sh2 AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |ver AS (
+         |  SELECT id_a, id_b
+         |  FROM cand
+         |    JOIN sh2 sa ON sa.doc_id = id_a
+         |    JOIN sh2 sb ON sb.doc_id = id_b
+         |  WHERE 2 * len(list_intersect(sa.sh, sb.sh))
+         |    >= len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+         |fedges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM ver
+         |  UNION ALL SELECT id_b, id_a FROM ver),
+         |fnodes AS (SELECT DISTINCT src AS id FROM fedges),
+         |freach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT id, id FROM fnodes
+         |    UNION
+         |    SELECT r.src, e.dst FROM r JOIN fedges e ON r.dst = e.src)
+         |  SELECT * FROM r),
+         |fcl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |        FROM freach GROUP BY 1),
+         |removed AS (SELECT doc_id FROM fcl WHERE doc_id <> cluster_id),
+         |kept AS (
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN removed r ON d.doc_id = r.doc_id
+         |  WHERE r.doc_id IS NULL)
+         |SELECT cast(stage AS int) AS stage, stage_name, n FROM (
+         |  SELECT 0 AS stage, 'input' AS stage_name,
+         |    (SELECT count(*) FROM documents) AS n
+         |  UNION ALL SELECT 1, 'candidates', (SELECT count(*) FROM cand)
+         |  UNION ALL SELECT 2, 'verified_edges', (SELECT count(*) FROM ver)
+         |  UNION ALL SELECT 3, 'clusters',
+         |    (SELECT count(DISTINCT cluster_id) FROM fcl)
+         |  UNION ALL SELECT 4, 'kept_docs', (SELECT count(*) FROM kept))
+         |""".stripMargin),
 
     // 5-token spans, partial tail shingle included exactly like
     // explodedShingles (i up to max(len-5, 0), slice end-capped)

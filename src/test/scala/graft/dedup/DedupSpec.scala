@@ -214,4 +214,87 @@ class DedupSpec extends SparkSpec {
     val hamNear = Integer.bitCount(fps(0L) ^ fps(2L))
     assert(hamNear <= hamFar)
   }
+
+  test("simhash64: identical docs collide, near-dups beat unrelated") {
+    val fps = Dedup.simhash64Df(docs, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(1L) && fps(0L) == fps(4L))
+    val hamNear = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    val hamFar = java.lang.Long.bitCount(fps(0L) ^ fps(3L))
+    assert(hamNear < hamFar)
+    // 16-bit bands of the fingerprint reconstruct it (the pairing path
+    // reads bands via unsigned shift + mask — incl. the sign-bit band)
+    val f = fps(3L)
+    val rebuilt = (0 until 4).map(b => ((f >>> (16 * b)) & 0xFFFFL) << (16 * b))
+      .reduce(_ | _)
+    assert(rebuilt == f)
+  }
+
+  test("winnowing: window guarantee, density, and rightmost tie-break") {
+    val k = 4; val w = 5
+    // two docs sharing a verbatim run of w+k-1 = 8 tokens MUST share a
+    // fingerprint digest (the winnowing guarantee)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val pair = Seq(
+      (10L, s"unrelated prefix words here $shared"),
+      (11L, s"$shared and a different suffix tail")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(pair, $"doc_id", $"text", k, w)
+      .as[(Long, Int, String)].collect()
+    val a = fp.filter(_._1 == 10L).map(_._3).toSet
+    val b = fp.filter(_._1 == 11L).map(_._3).toSet
+    assert(a.intersect(b).nonEmpty)
+
+    // every selected position is a valid gram start; every full window
+    // [p, p+w-1] contains at least one selected position (coverage)
+    val one = Seq((20L, ("tok" + (1 to 40).mkString(" tok")))
+      ).toDF("doc_id", "text")
+    val sel = Dedup.winnowFingerprints(one, $"doc_id", $"text", k, w)
+      .as[(Long, Int, String)].collect().map(_._2).toSet
+    val ng = 40 - k + 1
+    assert(sel.forall(p => p >= 1 && p <= ng))
+    (1 to (ng - w + 1)).foreach { p =>
+      assert((p until p + w).exists(sel.contains),
+        s"window starting at $p selected nothing")
+    }
+    // expected density ~2/(w+1): selected count well under gram count
+    assert(sel.size < ng)
+
+    // a doc shorter than one window still yields exactly one fingerprint
+    val tiny = Seq((30L, "just three words")).toDF("doc_id", "text")
+    val t = Dedup.winnowFingerprints(tiny, $"doc_id", $"text", k, w)
+      .as[(Long, Int, String)].collect()
+    assert(t.length == 1 && t.head._2 == 1)
+
+    // rightmost-on-tie: all-identical tokens -> every gram digest equal;
+    // each full window must select its RIGHTMOST position
+    val flat = Seq((40L, Seq.fill(12)("same").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fsel = Dedup.winnowFingerprints(flat, $"doc_id", $"text", k, w)
+      .as[(Long, Int, String)].collect().map(_._2).toSet
+    val fng = 12 - k + 1 // 9 grams, full windows start at 1..5
+    assert(fsel == Set(5, 6, 7, 8, 9).intersect((1 to fng).toSet) ||
+      fsel == (5 to fng).toSet) // windows 1..5 all pick their last row
+  }
+
+  test("fuzzy-dedup funnel: verified edges drop non-dups, survivors are " +
+    "min-id") {
+    // candidates from LSH include (0,1),(0,4),(1,4) and likely (0,2);
+    // Jaccard >= 0.5 keeps the exact trio and the near pair, drops
+    // accidental band collisions with doc 3
+    val cand = Dedup.lshCandidatePairs(
+      Dedup.lshBands(docs, $"doc_id", $"text", 2, 4, 2))
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
+    val inter = size(array_intersect($"sa", $"sb"))
+    val edges = cand
+      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sa")), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sb")), "id_b")
+      .filter(inter * 2 >= size($"sa") + size($"sb") - inter)
+      .select($"id_a", $"id_b")
+    val cl = Dedup.duplicateClusters(edges)
+      .as[(Long, Long)].collect().toMap
+    // 0,1,2,4 form one component headed by 0; doc 3 untouched
+    assert(cl(1L) == 0L && cl(4L) == 0L && cl(0L) == 0L)
+    assert(!cl.contains(3L))
+    assert(cl.getOrElse(2L, 0L) == 0L) // near-dup joins via jaccard > 0.5
+  }
 }
