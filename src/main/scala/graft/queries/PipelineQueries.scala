@@ -41,6 +41,12 @@ object PipelineQueries {
   private def mhSql(seed: Int): String =
     s"list_min(list_transform(sh, x -> md5('$seed' || '|' || x)))"
 
+  /** Blocklist for q_blocklist_filter — corpus words standing in for a
+    * badwords list (the C4-style keyword gate); includes terms absent
+    * from the corpus so the zero-hit path is exercised too.
+    */
+  private val BlockWords = Seq("slow", "crash", "leak")
+
   private val MinhashN = 4       // hashes exposed by q_minhash
   private val LshBands = 4
   private val LshRows = 2        // 8 hashes total for LSH
@@ -1021,6 +1027,160 @@ object PipelineQueries {
         row(3, "clusters", clusters.select(col("cluster_id")).distinct()),
         row(4, "kept_docs", kept))
         .reduce(_.unionAll(_))
+    }),
+
+    // n-gram novelty across the deterministic splits — the memorization
+    // / leakage check run before trusting an eval number: what fraction
+    // of val/test 5-gram spans never occur in train. One shuffle on the
+    // 32-byte span digest (per-digest split flags), then a scalar
+    // rollup; the train set never materializes as a separate side.
+    "q_ngram_novelty" -> ((s, d) => {
+      val spl = documents(s, d).select(col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int").as("b"))
+        .select(col("doc_id"),
+          when(col("b") < 230, "train").when(col("b") < 243, "val")
+            .otherwise("test").as("split"))
+      val flags = docSpans5(s, d).join(spl, "doc_id")
+        .groupBy(col("g"))
+        .agg(max(when(col("split") === "train", 1).otherwise(0)).as("tr"),
+          max(when(col("split") === "val", 1).otherwise(0)).as("va"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("te"))
+      flags.agg(
+          sum(col("va")).as("sp_val"),
+          sum(col("va") * col("tr")).as("seen_val"),
+          sum(col("te")).as("sp_test"),
+          sum(col("te") * col("tr")).as("seen_test"))
+        .select(explode(array(
+          struct(lit("val").as("split"), col("sp_val").as("n_spans"),
+            col("seen_val").as("n_seen")),
+          struct(lit("test").as("split"), col("sp_test").as("n_spans"),
+            col("seen_test").as("n_seen")))).as("x"))
+        .select(col("x.split").as("split"), col("x.n_spans").as("n_spans"),
+          col("x.n_seen").as("n_seen"),
+          r((col("x.n_spans") - col("x.n_seen")).cast("double") /
+            col("x.n_spans"), 6).as("novelty"))
+    }),
+
+    // Badwords/blocklist gate (the C4-style keyword filter): exact
+    // word-boundary occurrence counts from the native one-pass
+    // token-set kernel — never a regex over the text. Pure scan work.
+    "q_blocklist_filter" -> ((s, d) => {
+      val hits = graft.functions.TextExprs
+        .tokenSetCount(col("text"), BlockWords).cast("long")
+      documents(s, d).select(col("doc_id"), hits.as("n_hits"),
+        (hits > 0).as("flagged"))
+    }),
+
+    // Token-budget apportionment (largest-remainder / Hamilton): split a
+    // global training-token budget across sources proportionally to
+    // their token counts, integer-exact — base = floor share, the
+    // leftover goes to the largest scaled remainders (source asc ties).
+    // All window work runs on the #sources-sized aggregate, never rows.
+    "q_token_budget" -> ((s, d) => {
+      val B = 100000L
+      val tot = documents(s, d).groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+        .orderBy(col("rem").desc, col("source").asc)
+      tot
+        .withColumn("t_all", sum(col("n_tokens")).over(all))
+        .withColumn("base", expr(s"($B * n_tokens) div t_all"))
+        .withColumn("rem", lit(B) * col("n_tokens") - col("base") * col("t_all"))
+        .withColumn("leftover", lit(B) - sum(col("base")).over(all))
+        .withColumn("rk", row_number().over(ord))
+        .select(col("source"), col("n_tokens"), col("base"),
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"),
+          (col("base") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+    }),
+
+    // Zipf's-law fit over the term-frequency table: exact OLS of
+    // ln(freq) on ln(rank) for the top 1000 ranks, micro-nat integerized
+    // coordinates so the sums are exact longs (the slope divides two
+    // exact integers in double — bit-stable). The global sort is
+    // vocabulary-sized, never corpus-sized; the healthy-corpus signal is
+    // slope ≈ -1.
+    "q_zipf_slope" -> ((s, d) => {
+      val tf = parallelize(documents(s, d))
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("c").desc, col("t").asc)
+      val pts = tf.withColumn("rank", row_number().over(ord))
+        .filter(col("rank") <= 1000)
+        .select(
+          floor(log(col("rank").cast("double")) * 1e6 + lit(0.5))
+            .cast("long").as("x"),
+          floor(log(col("c").cast("double")) * 1e6 + lit(0.5))
+            .cast("long").as("y"))
+      pts.agg(count(lit(1)).as("n_terms"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n_terms"),
+          r((col("n_terms").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n_terms").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("slope"))
+    }),
+
+    // Moving-average type-token ratio (MATTR, Covington & McFall): the
+    // length-independent lexical-diversity score — 20-token windows on a
+    // 10-token stride, per-window distinct/size integerized BEFORE the
+    // per-doc mean so aggregation order can't drift the hash. Narrow
+    // generate per doc, no shuffle beyond the final doc rollup.
+    "q_mattr" -> ((s, d) => {
+      val W = 20; val S = 10
+      parallelize(documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          when(size(col("tk")) >= W,
+            expr(s"(size(tk) - $W) div $S") + 1).otherwise(1L).as("nw"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L), col("nw") - 1)).as("i"))
+        .select(col("doc_id"),
+          slice(col("tk"), (col("i") * S + 1).cast("int"), lit(W))
+            .as("win"))
+        .select(col("doc_id"),
+          expr("(size(array_distinct(win)) * 1000000L) div size(win)")
+            .as("ttr_micro"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("ttr_micro")).as("sum_micro"))
+        .select(col("doc_id"), col("n_windows"),
+          r(col("sum_micro").cast("double") / col("n_windows") / 1e6, 6)
+            .as("mattr"))
+    }),
+
+    // MAD-based robust outlier detection on the events stream: per
+    // event_type median and median-absolute-deviation over DOUBLED
+    // micro-units (so every percentile midpoint is exactly
+    // representable), outliers = |x − med| > 3·MAD. Exact percentiles:
+    // Spark's percentile buffers value→count, bounded by distinct
+    // values. The per-type medians broadcast back onto the stream.
+    "q_mad_outliers" -> ((s, d) => {
+      val base = events(s, d).select(col("event_type"),
+        (floor(col("value") * 1e6 + lit(0.5)) * 2).cast("long").as("v2"))
+      val med = base.groupBy(col("event_type"))
+        .agg(expr("percentile(v2, 0.5)").as("med2"),
+          count(lit(1)).as("n_events"))
+      val dev = base.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("v2").cast("double") - col("med2")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(dev2, 0.5)").as("mad2"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n_events")).as("n_events"),
+          r(max(col("med2")) / lit(2e6), 6).as("median_value"),
+          r(max(col("mad2")) / lit(2e6), 6).as("mad_value"),
+          sum(when(col("dev2") > lit(3.0) * col("mad2"), 1L).otherwise(0L))
+            .as("n_outliers"))
     }),
 
     // Contamination detection: training docs sharing any verbatim
@@ -2496,6 +2656,137 @@ object PipelineQueries {
          |    (SELECT count(DISTINCT cluster_id) FROM fcl)
          |  UNION ALL SELECT 4, 'kept_docs', (SELECT count(*) FROM kept))
          |""".stripMargin),
+
+    // same md5-bucket split thresholds as q_dataset_split; span digests
+    // exactly like q_contamination's shingle construction
+    "q_ngram_novelty" ->
+      ("""WITH spl AS (
+         |  SELECT doc_id, CASE WHEN b < 230 THEN 'train'
+         |    WHEN b < 243 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 2))
+         |      AS int) AS b FROM documents)),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |      FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      generate_series(0, greatest(len(toks) - 5, 0)),
+         |      i -> md5(array_to_string(list_slice(toks, i+1, i+5), ' '))))
+         |      AS g
+         |  FROM t),
+         |flags AS (
+         |  SELECT g.g,
+         |    max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+         |    max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS va,
+         |    max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+         |  FROM g JOIN spl USING (doc_id) GROUP BY 1),
+         |a AS (SELECT cast(sum(va) AS bigint) AS sp_val,
+         |    cast(sum(va * tr) AS bigint) AS seen_val,
+         |    cast(sum(te) AS bigint) AS sp_test,
+         |    cast(sum(te * tr) AS bigint) AS seen_test FROM flags)
+         |SELECT 'val' AS split, sp_val AS n_spans, seen_val AS n_seen,
+         |  floor(cast(sp_val - seen_val AS double) / sp_val * 1000000
+         |    + 0.5) / 1000000 AS novelty FROM a
+         |UNION ALL
+         |SELECT 'test', sp_test, seen_test,
+         |  floor(cast(sp_test - seen_test AS double) / sp_test * 1000000
+         |    + 0.5) / 1000000 FROM a""").stripMargin,
+
+    "q_blocklist_filter" -> {
+      val in = BlockWords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  cast(len(list_filter(string_split(text, ' '),
+         |    t -> t IN ($in))) AS bigint) AS n_hits,
+         |  len(list_filter(string_split(text, ' '),
+         |    t -> t IN ($in))) > 0 AS flagged
+         |FROM documents""".stripMargin
+    },
+
+    "q_token_budget" ->
+      ("""WITH tot AS (
+         |  SELECT source,
+         |    cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, n_tokens,
+         |    cast(sum(n_tokens) OVER () AS bigint) AS t_all FROM tot),
+         |b AS (SELECT source, n_tokens,
+         |    (100000 * n_tokens) // t_all AS base,
+         |    100000 * n_tokens - ((100000 * n_tokens) // t_all) * t_all
+         |      AS rem FROM w),
+         |l AS (SELECT *, 100000 - cast(sum(base) OVER () AS bigint)
+         |    AS leftover,
+         |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+         |  FROM b)
+         |SELECT source, n_tokens, cast(base AS bigint) AS base,
+         |  CASE WHEN rk <= leftover THEN 1 ELSE 0 END::bigint AS extra,
+         |  cast(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         |    AS bigint) AS alloc
+         |FROM l""").stripMargin,
+
+    "q_zipf_slope" ->
+      ("""WITH tf AS (
+         |  SELECT t, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  GROUP BY 1),
+         |rk AS (SELECT c,
+         |    row_number() OVER (ORDER BY c DESC, t ASC) AS rank FROM tf),
+         |pts AS (SELECT
+         |    cast(floor(ln(cast(rank AS double)) * 1000000 + 0.5)
+         |      AS bigint) AS x,
+         |    cast(floor(ln(cast(c AS double)) * 1000000 + 0.5)
+         |      AS bigint) AS y
+         |  FROM rk WHERE rank <= 1000),
+         |a AS (SELECT count(*) AS n, cast(sum(x) AS bigint) AS sx,
+         |    cast(sum(y) AS bigint) AS sy,
+         |    cast(sum(x * x) AS bigint) AS sxx,
+         |    cast(sum(x * y) AS bigint) AS sxy FROM pts)
+         |SELECT n AS n_terms,
+         |  floor((cast(n AS double) * cast(sxy AS double)
+         |      - cast(sx AS double) * cast(sy AS double))
+         |    / (cast(n AS double) * cast(sxx AS double)
+         |      - cast(sx AS double) * cast(sx AS double))
+         |    * 1000000 + 0.5) / 1000000 AS slope
+         |FROM a""").stripMargin,
+
+    "q_mattr" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |           FROM documents),
+         |n AS (SELECT doc_id, tk,
+         |    CASE WHEN len(tk) >= 20 THEN (len(tk) - 20) // 10 + 1
+         |         ELSE 1 END AS nw FROM t),
+         |w AS (SELECT doc_id,
+         |    list_slice(tk, i * 10 + 1, i * 10 + 20) AS win
+         |  FROM n, lateral unnest(generate_series(0, nw - 1)) AS u(i)),
+         |m AS (SELECT doc_id,
+         |    (len(list_distinct(win)) * 1000000) // len(win) AS ttr_micro
+         |  FROM w)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  floor(cast(sum(ttr_micro) AS double) / count(*) / 1000000
+         |    * 1000000 + 0.5) / 1000000 AS mattr
+         |FROM m GROUP BY 1""").stripMargin,
+
+    "q_mad_outliers" ->
+      ("""WITH base AS (
+         |  SELECT event_type,
+         |    cast(floor(value * 1000000 + 0.5) * 2 AS bigint) AS v2
+         |  FROM events),
+         |med AS (SELECT event_type, quantile_cont(v2, 0.5) AS med2,
+         |    count(*) AS n_events FROM base GROUP BY 1),
+         |dev AS (SELECT base.event_type, n_events, med2,
+         |    abs(cast(v2 AS double) - med2) AS dev2
+         |  FROM base JOIN med USING (event_type)),
+         |mad AS (SELECT event_type, quantile_cont(dev2, 0.5) AS mad2
+         |  FROM dev GROUP BY 1)
+         |SELECT dev.event_type,
+         |  max(n_events) AS n_events,
+         |  floor(max(med2) / 2000000 * 1000000 + 0.5) / 1000000
+         |    AS median_value,
+         |  floor(max(mad2) / 2000000 * 1000000 + 0.5) / 1000000
+         |    AS mad_value,
+         |  cast(sum(CASE WHEN dev2 > 3.0 * mad2 THEN 1 ELSE 0 END)
+         |    AS bigint) AS n_outliers
+         |FROM dev JOIN mad USING (event_type) GROUP BY 1""").stripMargin,
 
     // 5-token spans, partial tail shingle included exactly like
     // explodedShingles (i up to max(len-5, 0), slice end-capped)

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Executable invariants for the round-7 analysis/curation queries —
+  * structural properties of the operators' MATH (apportionment adds up,
+  * ratios live in their domain, flags agree with their counts) checked
+  * against real sf0.001 runs, complementing the sf0.01 DuckDB hash gate
+  * (which proves engine agreement but not that the spec itself is sane).
+  */
+class QueryInvariantsSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def rows(q: String): Seq[Row] =
+    SparkEntry.queries(q)(spark, d).collect().toSeq
+
+  test("q_token_budget: Hamilton apportionment is exact and bounded") {
+    val r = rows("q_token_budget")
+    // the full budget is allocated, no more, no less
+    assert(r.map(_.getAs[Long]("alloc")).sum == 100000L)
+    // extras are binary and consistent with alloc = base + extra
+    assert(r.forall { x =>
+      val e = x.getAs[Long]("extra")
+      (e == 0L || e == 1L) &&
+        x.getAs[Long]("alloc") == x.getAs[Long]("base") + e
+    })
+    // quota rule: every allocation is within 1 of the exact share
+    val tAll = r.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    assert(r.forall { x =>
+      val exact = 100000L * x.getAs[Long]("n_tokens") / tAll
+      math.abs(x.getAs[Long]("alloc") - exact) < 1.0
+    })
+  }
+
+  test("q_mattr: ratios in (0,1], at least one window per doc") {
+    val r = rows("q_mattr")
+    assert(r.nonEmpty)
+    assert(r.forall { x =>
+      val m = x.getAs[Double]("mattr")
+      m > 0.0 && m <= 1.0 && x.getAs[Long]("n_windows") >= 1L
+    })
+  }
+
+  test("q_ngram_novelty: seen <= spans, novelty = 1 - seen/spans") {
+    val r = rows("q_ngram_novelty")
+    assert(r.map(_.getAs[String]("split")).toSet == Set("val", "test"))
+    assert(r.forall { x =>
+      val sp = x.getAs[Long]("n_spans"); val se = x.getAs[Long]("n_seen")
+      val nv = x.getAs[Double]("novelty")
+      se >= 0 && se <= sp && nv >= 0.0 && nv <= 1.0 &&
+        math.abs(nv - (sp - se).toDouble / sp) < 1e-6
+    })
+  }
+
+  test("q_mad_outliers: MAD flags a bounded minority per event type") {
+    val r = rows("q_mad_outliers")
+    assert(r.nonEmpty)
+    assert(r.forall { x =>
+      val n = x.getAs[Long]("n_events")
+      // > half the mass is within one MAD of the median by definition,
+      // so strictly-beyond-3-MAD outliers are always a minority
+      x.getAs[Long]("n_outliers") * 2 < n &&
+        x.getAs[Double]("mad_value") >= 0.0
+    })
+  }
+
+  test("q_zipf_slope: negative slope over the frequency-ranked vocab") {
+    val r = rows("q_zipf_slope")
+    assert(r.size == 1)
+    assert(r.head.getAs[Double]("slope") < 0.0)
+    assert(r.head.getAs[Long]("n_terms") >= 2L)
+  }
+
+  test("q_blocklist_filter: flag agrees with the hit count") {
+    val r = rows("q_blocklist_filter")
+    assert(r.nonEmpty)
+    assert(r.forall(x =>
+      x.getAs[Boolean]("flagged") == (x.getAs[Long]("n_hits") > 0)))
+    // the blocklist includes corpus words — some doc must hit
+    assert(r.exists(_.getAs[Long]("n_hits") > 0))
+  }
+
+  test("q_fuzzy_dedup: funnel counts are monotone where the math says") {
+    val r = rows("q_fuzzy_dedup")
+      .map(x => x.getAs[String]("stage_name") -> x.getAs[Long]("n")).toMap
+    // verified edges are a subset of candidates
+    assert(r("verified_edges") <= r("candidates"))
+    // each cluster removes at least one doc: kept = input - (members -
+    // clusters), and members >= 2 per cluster
+    assert(r("kept_docs") <= r("input"))
+    assert(r("input") - r("kept_docs") >= r("clusters") ||
+      r("clusters") == 0L)
+  }
+}
