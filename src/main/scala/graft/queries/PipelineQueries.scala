@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 import graft.dedup.Dedup
@@ -1181,6 +1181,138 @@ object PipelineQueries {
           r(max(col("mad2")) / lit(2e6), 6).as("mad_value"),
           sum(when(col("dev2") > lit(3.0) * col("mad2"), 1L).otherwise(0L))
             .as("n_outliers"))
+    }),
+
+    // Product-quantization ANN (Jégou et al., TPAMI 2011): 64-dim
+    // vectors → m=4 subspaces × 8-code books; candidates are ranked by
+    // the ADC score Σ_j (2·q_j·c − ‖c‖²) looked up from an m×8 table —
+    // at scale the corpus stores only m bytes per vector and the query
+    // never touches raw embeddings. Codebooks are seeded literals
+    // (production k-means's them) shared with the oracle; code
+    // assignment is argmax(dot − ‖c‖²/2) with first-index ties, exactly
+    // the IVF rule.
+    "q_pq_ann" -> ((s, d) => {
+      val m = 4; val sub = 16; val ks = 8
+      val books = (0 until m).map(j =>
+        Similarity.ivfCentroids(sub, ks, seed = 100 + j))
+      val emb = embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Double](1).toArray
+      // ADC lookup table, driver-side (m×ks doubles — the thing a real
+      // engine computes once per query and broadcasts)
+      val tbl: Seq[Seq[Double]] = (0 until m).map { j =>
+        val qj = qv.slice(j * sub, (j + 1) * sub)
+        books(j).map(c => 2.0 * c.zip(qj).map { case (a, b) => a * b }.sum
+          - c.map(x => x * x).sum)
+      }
+      def assign(vecSlice: Column, book: Seq[Array[Double]]): Column = {
+        val scored = book.zipWithIndex.map { case (c, i) =>
+          val score = Similarity.dot(vecSlice, array(c.map(lit): _*)) -
+            lit(c.map(x => x * x).sum / 2)
+          struct((score * -1).as("negscore"), lit(i).as("code"))
+        }
+        least(scored: _*).getField("code")
+      }
+      val coded = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id") +: (0 until m).map(j =>
+          assign(slice(col("v"), j * sub + 1, sub), books(j))
+            .as(s"c$j")): _*)
+      val adc = (0 until m).map(j =>
+        element_at(array(tbl(j).map(lit): _*), col(s"c$j") + 1))
+        .reduce(_ + _)
+      coded.select(col("vec_id"), col("c0"), col("c1"), col("c2"),
+          col("c3"), r(adc, 4).as("adc_score"))
+        .orderBy(col("adc_score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Int8 embedding quantization (the storage/serving compression for
+    // a 100 TB vector corpus): per-vector symmetric scale, everything
+    // integer — micro-unit components, 127·x − q·scale error numerators
+    // — so sums are exact longs regardless of aggregation order; only
+    // the final reported RMSE divides. Pure scan work.
+    "q_embed_quantize" -> ((s, d) =>
+      parallelize(embeddings(s, d))
+        .select(col("vec_id"),
+          expr("transform(cast(embedding AS array<double>), " +
+            "x -> cast(floor(x * 1000000 + 0.5) AS bigint))").as("xm"))
+        .select(col("vec_id"), col("xm"),
+          expr("array_max(transform(xm, x -> abs(x)))").as("vmax"))
+        .filter(col("vmax") > 0)
+        .select(col("vec_id"), col("vmax"),
+          expr("transform(xm, x -> cast(floor(cast(x AS double) * 127.0" +
+            " / vmax + 0.5) AS bigint))").as("q"), col("xm"))
+        .select(col("vec_id"), col("vmax"),
+          expr("transform(arrays_zip(xm, q), " +
+            "p -> 127 * p.xm - p.q * vmax)").as("errn"))
+        .select(col("vec_id"), col("vmax"),
+          expr("aggregate(errn, 0L, (a, e) -> a + e * e)").as("ssen"),
+          expr("array_max(transform(errn, e -> abs(e)))").as("maxe"),
+          size(col("errn")).as("n"))
+        .select(col("vec_id"), col("vmax").as("vmax_micro"),
+          r(sqrt(col("ssen").cast("double") / col("n")) / 127.0 / 1e6, 6)
+            .as("rmse"),
+          r(col("maxe").cast("double") / 127.0 / 1e6, 6)
+            .as("max_abs_err"))),
+
+    // Morton/Z-order layout clustering: interleave two 16-bit
+    // coordinates (user, value bucket) into one key, cut the keyspace
+    // into files on the top 10 bits, and report per-file coordinate
+    // spans — the measurable property that makes Z-ordered layouts
+    // prune on BOTH dimensions (each file's x and y spans are ~2^11 of
+    // a 2^16 domain, vs. one full-range dimension in any single-sort
+    // layout). The interleave is 64 codegen'd bit ops per row, no
+    // shuffle until the per-file rollup.
+    "q_zorder" -> ((s, d) => {
+      val base = events(s, d).select(
+        (col("user_id") % 65536).cast("long").as("x"),
+        (abs(floor(col("value") * 1000)) % 65536).cast("long").as("y"))
+      val z = (0 until 16).map(i =>
+        shiftleft(shiftrightunsigned(col("x"), i).bitwiseAND(lit(1L)),
+          2 * i).bitwiseOR(
+          shiftleft(shiftrightunsigned(col("y"), i).bitwiseAND(lit(1L)),
+            2 * i + 1)))
+        .reduce(_ bitwiseOR _)
+      base.withColumn("zfile", shiftrightunsigned(z, 22))
+        .groupBy(col("zfile"))
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("x")) - min(col("x"))).as("x_span"),
+          (max(col("y")) - min(col("y"))).as("y_span"))
+    }),
+
+    // Zone-map pruning estimator: per-file min/max on the predicate
+    // column under two layouts — natural arrival order (orderkey
+    // ranges) vs. shipdate-sorted — and how many 4096-row files a Q1-
+    // style date window could skip in each. The layout-quality number a
+    // table-format optimizer (clustering/compaction) is judged by; the
+    // sorted variant deliberately pays the one global sort that
+    // building such a layout costs.
+    "q_zonemap_prune" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"))
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-03-31").cast("timestamp")
+      val a = li.withColumn("file", expr("l_orderkey div 4096"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val b = li.withColumn("rn", row_number().over(w))
+        .withColumn("file", expr("cast(rn - 1 AS bigint) div 4096"))
+      def zones(df: DataFrame, name: String): DataFrame =
+        df.groupBy(col("file"))
+          .agg(count(lit(1)).as("f_rows"),
+            min(col("l_shipdate")).as("d_min"),
+            max(col("l_shipdate")).as("d_max"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("d_max") < lo || col("d_min") > hi, 1L)
+              .otherwise(0L)).as("n_pruned"),
+            sum(when(!(col("d_max") < lo || col("d_min") > hi),
+              col("f_rows")).otherwise(0L)).as("rows_scanned"))
+          .select(lit(name).as("layout"), col("n_files"),
+            col("n_pruned"), col("rows_scanned"))
+      zones(a, "by_orderkey").unionAll(zones(b, "shipdate_sorted"))
     }),
 
     // Contamination detection: training docs sharing any verbatim
@@ -2765,6 +2897,102 @@ object PipelineQueries {
          |  floor(cast(sum(ttr_micro) AS double) / count(*) / 1000000
          |    * 1000000 + 0.5) / 1000000 AS mattr
          |FROM m GROUP BY 1""").stripMargin,
+
+    "q_pq_ann" -> {
+      val m = 4; val sub = 16; val ks = 8
+      val books = (0 until m).map(j =>
+        graft.sim.Similarity.ivfCentroids(sub, ks, seed = 100 + j))
+      def sl(vec: String, j: Int) =
+        s"list_slice($vec, ${j * sub + 1}, ${(j + 1) * sub})"
+      // per-subspace score lists (dot − ‖c‖²/2) for code assignment
+      val dsDefs = (0 until m).map { j =>
+        books(j).map(c =>
+          s"list_dot_product(${sl("v", j)}, " +
+            s"${c.mkString("[", ", ", "]")}) - ${c.map(x => x * x).sum / 2}")
+          .mkString("[", ", ", "]") + s" AS ds$j"
+      }.mkString(", ")
+      val codes = (0 until m)
+        .map(j => s"list_position(ds$j, list_max(ds$j)) - 1 AS c$j")
+        .mkString(", ")
+      // ADC tables 2·q_j·c − ‖c‖² rebuilt from the in-data query vector
+      val adc = (0 until m).map { j =>
+        val t = books(j).map(c =>
+          s"2 * list_dot_product(${sl("qv", j)}, " +
+            s"${c.mkString("[", ", ", "]")}) - ${c.map(x => x * x).sum}")
+          .mkString("[", ", ", "]")
+        s"$t[c$j + 1]"
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 0),
+         |x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |ds AS (SELECT vec_id, $dsDefs FROM x),
+         |coded AS (SELECT vec_id, $codes FROM ds)
+         |SELECT vec_id, c0, c1, c2, c3, ${rs(adc, 4)} AS adc_score
+         |FROM coded, q
+         |ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "q_embed_quantize" ->
+      ("""WITH x AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> cast(floor(x * 1000000 + 0.5) AS bigint)) AS xm
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, xm,
+         |    list_max(list_transform(xm, x -> abs(x))) AS vmax FROM x),
+         |qq AS (SELECT vec_id, xm, vmax,
+         |    list_transform(xm, x -> cast(floor(cast(x AS double) * 127.0
+         |      / vmax + 0.5) AS bigint)) AS q
+         |  FROM v WHERE vmax > 0),
+         |e AS (SELECT vec_id, vmax,
+         |    list_transform(generate_series(1, len(xm)),
+         |      i -> 127 * xm[i] - q[i] * vmax) AS errn FROM qq)
+         |SELECT vec_id, vmax AS vmax_micro,
+         |  """ + rs("sqrt(cast(list_sum(list_transform(errn, x -> x * x))" +
+          " AS double) / len(errn)) / 127.0 / 1000000", 6) +
+        """ AS rmse,
+         |  """ + rs("cast(list_max(list_transform(errn, x -> abs(x)))" +
+          " AS double) / 127.0 / 1000000", 6) +
+        """ AS max_abs_err
+         |FROM e""").stripMargin,
+
+    "q_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH b AS (SELECT user_id % 65536 AS x,
+         |    cast(abs(floor(value * 1000)) AS bigint) % 65536 AS y
+         |  FROM events),
+         |z AS (SELECT x, y, ($terms) AS zk FROM b)
+         |SELECT zk >> 22 AS zfile, count(*) AS n_rows,
+         |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
+    "q_zonemap_prune" -> {
+      def zone(src: String, name: String) =
+        s"""SELECT '$name' AS layout, count(*) AS n_files,
+           |  cast(sum(CASE WHEN d_max < TIMESTAMP '1996-01-01'
+           |      OR d_min > TIMESTAMP '1996-03-31' THEN 1 ELSE 0 END)
+           |    AS bigint) AS n_pruned,
+           |  cast(sum(CASE WHEN NOT (d_max < TIMESTAMP '1996-01-01'
+           |      OR d_min > TIMESTAMP '1996-03-31') THEN f_rows
+           |      ELSE 0 END) AS bigint) AS rows_scanned
+           |FROM $src""".stripMargin
+      s"""WITH a AS (SELECT l_orderkey // 4096 AS file, l_shipdate
+         |           FROM lineitem),
+         |az AS (SELECT file, count(*) AS f_rows, min(l_shipdate) AS d_min,
+         |       max(l_shipdate) AS d_max FROM a GROUP BY 1),
+         |br AS (SELECT l_shipdate, row_number() OVER (ORDER BY l_shipdate,
+         |         l_orderkey, l_linenumber) AS rn FROM lineitem),
+         |b AS (SELECT cast(rn - 1 AS bigint) // 4096 AS file, l_shipdate
+         |      FROM br),
+         |bz AS (SELECT file, count(*) AS f_rows, min(l_shipdate) AS d_min,
+         |       max(l_shipdate) AS d_max FROM b GROUP BY 1)
+         |${zone("az", "by_orderkey")}
+         |UNION ALL
+         |${zone("bz", "shipdate_sorted")}""".stripMargin
+    },
 
     "q_mad_outliers" ->
       ("""WITH base AS (

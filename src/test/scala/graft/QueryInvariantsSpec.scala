@@ -80,6 +80,44 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(r.exists(_.getAs[Long]("n_hits") > 0))
   }
 
+  test("q_zorder: per-file spans bounded on BOTH dimensions") {
+    // file = top 10 bits of the 32-bit Morton key, so 11 bits of each
+    // coordinate vary within a file: span <= 2^11 - 1 on x AND y — the
+    // two-dimensional locality a single-sort layout cannot give
+    val r = rows("q_zorder")
+    assert(r.nonEmpty)
+    assert(r.forall { x =>
+      x.getAs[Long]("x_span") <= 2047L && x.getAs[Long]("y_span") <= 2047L
+    })
+  }
+
+  test("q_zonemap_prune: the sorted layout prunes at least as well") {
+    val r = rows("q_zonemap_prune")
+      .map(x => x.getAs[String]("layout") ->
+        (x.getAs[Long]("n_pruned"), x.getAs[Long]("rows_scanned"))).toMap
+    assert(r("shipdate_sorted")._1 >= r("by_orderkey")._1)
+    assert(r("shipdate_sorted")._2 <= r("by_orderkey")._2)
+  }
+
+  test("q_embed_quantize: int8 error bounded by half a quantization step") {
+    val r = rows("q_embed_quantize")
+    assert(r.nonEmpty)
+    assert(r.forall { x =>
+      val vmax = x.getAs[Long]("vmax_micro").toDouble
+      val bound = vmax / 254.0 / 1e6 + 1e-6 // half step + 6-dec rounding
+      x.getAs[Double]("max_abs_err") <= bound &&
+        x.getAs[Double]("rmse") <= x.getAs[Double]("max_abs_err") + 1e-6
+    })
+  }
+
+  test("q_pq_ann: top-10 with valid codes per subspace") {
+    val r = rows("q_pq_ann")
+    assert(r.size == 10)
+    assert(r.forall(x => Seq("c0", "c1", "c2", "c3").forall { c =>
+      val v = x.getAs[Int](c); v >= 0 && v < 8
+    }))
+  }
+
   test("q_fuzzy_dedup: funnel counts are monotone where the math says") {
     val r = rows("q_fuzzy_dedup")
       .map(x => x.getAs[String]("stage_name") -> x.getAs[Long]("n")).toMap
