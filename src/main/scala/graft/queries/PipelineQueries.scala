@@ -107,13 +107,17 @@ object PipelineQueries {
   // the 5-gram span-digest INDEX over all documents — q_contamination,
   // q_contaminate_ratio and q_bloom_decontam all probe it; real
   // pipelines persist exactly this index instead of re-shingling the
-  // corpus per check, so it materializes once per (session, dir)
+  // corpus per check, so it materializes once per (session, dir).
+  // persist (NOT localCheckpoint): these artifacts outlive any single
+  // query, so a lost cached block — an evicted executor, dynamic
+  // deallocation, or DedupSpec's deliberate block wipe — must mean
+  // "recompute through the retained lineage", never a dead job.
   private val span5Cache = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String), DataFrame]
   private def docSpans5(s: SparkSession, d: String): DataFrame =
     span5Cache.getOrElseUpdate((s, d),
       Dedup.spanDigests(documents(s, d), col("doc_id"), col("text"), 5)
-        .localCheckpoint(false))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   private def embCount(s: SparkSession, d: String): Long =
     embCountCache.getOrElseUpdate((s, d), embeddings(s, d).count())
   private def annBits(n: Long): Int =
@@ -145,11 +149,15 @@ object PipelineQueries {
   /** Per-doc bigram-LM negative log-likelihood under the corpus's own
     * bigram model → (doc_id, n_bigrams, nll_sum_micro); shared by
     * q_ngram_lm (the per-doc quality score) and q_ppl_buckets (the
-    * decile composition). bi and biC are materialized once
-    * (localCheckpoint): bi feeds both the LM-count derivation and the
-    * per-doc join-back, biC feeds both the bigram join and the unigram
-    * rollup — without the checkpoints the scan→explode→agg pipeline is
-    * recomputed on every reference (3× in the round-5 plan). The
+    * decile composition). bi and biC are materialized once (persist
+    * MEMORY_AND_DISK — cached blocks with lineage retained, so a lost
+    * block recomputes instead of killing every downstream query; this
+    * cache outlives single queries, the block-loss exposure window of a
+    * session-long artifact): bi feeds both the LM-count derivation and
+    * the per-doc join-back, biC feeds both the bigram join and the
+    * unigram rollup — without the materialization the scan→explode→agg
+    * pipeline is recomputed on every reference (3× in the round-5 plan).
+    * The
     * per-bigram surprise is integerized to micro-nats BEFORE summation:
     * long sums are associative, so aggregation order can't drift the
     * hash.
@@ -166,10 +174,10 @@ object PipelineQueries {
         element_at(col("t"), col("i") + 2).as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val biC = bi.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c")).as("c2"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unigram rollup is vocabulary-sized (tens of millions of rows ×
     // 2 columns at 100 TB — hundreds of MB): broadcast it so the
     // bi⋈biC result never reshuffles from (w1,w2) onto w1

@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
   * weighted by word frequency (a vocab-sized explode + agg), top-1
   * merge to the driver (one row — the k-means-centroid pattern), and a
   * per-word symbol-array rewrite (a narrow map). The evolving vocab
-  * table is localCheckpoint'd per round so the lazy plan never chains
-  * across rounds (the duplicateClusters pattern).
+  * table is persisted (MEMORY_AND_DISK) per round: each round's plan
+  * references the previous round's cached table, so no round recomputes
+  * earlier rounds, while lineage is retained — a lost cached block
+  * (evicted executor, dynamic deallocation) recomputes through the
+  * chain instead of killing the trained-vocab artifact, which callers
+  * memoize for a whole session. For merge counts in the tens of
+  * thousands the lineage chain itself gets deep — at that scale write
+  * the vocab to reliable storage every few hundred rounds (the
+  * duplicateClusters materializePath pattern) to re-root it.
   *
   * Merge application is the classic greedy left-to-right fold: scanning
   * symbols in order, a (p1,p2) adjacency merges when the accumulator's
@@ -47,7 +54,7 @@ object BpeTrainer {
     // empty words — filter to the empty array instead)
     var vocab = words.select(col("w"), col("cnt"),
         filter(split(col("w"), ""), s => s =!= "").as("syms"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -71,7 +78,8 @@ object BpeTrainer {
           (acc, x) => when(element_at(acc, -1) === lit(p1) && x === lit(p2),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
             .otherwise(concat(acc, array(x))))
-        vocab = vocab.withColumn("syms", fold).localCheckpoint(false)
+        vocab = vocab.withColumn("syms", fold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         step += 1
       }
     }

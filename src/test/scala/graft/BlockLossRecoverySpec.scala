@@ -1,0 +1,31 @@
+package graft
+
+/** Regression pin for the session-long memoized artifacts (5-gram span
+  * index, bigram-NLL tree, trained BPE vocab): losing every cached block
+  * mid-session — an evicted executor, dynamic deallocation, or another
+  * suite's deliberate wipe (DedupSpec's reliable-storage test) — must
+  * mean "recompute through retained lineage", never a dead query. The
+  * localCheckpoint formulation these caches originally used failed
+  * exactly here: truncated lineage turned any block loss into
+  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND for every downstream query of the
+  * session (observed as a cross-suite flake in round 6).
+  */
+class BlockLossRecoverySpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def run(q: String): Seq[String] =
+    SparkEntry.queries(q)(spark, d).collect()
+      .map(_.toString).sorted.toSeq
+
+  test("memoized artifacts survive losing every cached block") {
+    // one query per memoized artifact: span-digest index, bigram-NLL
+    // tree, trained BPE vocab
+    val qs = Seq("q_bloom_decontam", "q_ngram_lm", "q_bpe_apply")
+    val before = qs.map(q => q -> run(q)).toMap // materializes the caches
+    // simulate total executor-storage loss
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    for (q <- qs)
+      assert(run(q) == before(q), s"$q changed after block loss")
+  }
+}

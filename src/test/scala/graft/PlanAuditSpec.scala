@@ -140,10 +140,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_ngram_lm: bigram pipeline materialized once, unigram side broadcast") {
     val p = plan("q_ngram_lm")
-    // bi and biC are localCheckpointed: the scan→explode→agg tree must
-    // appear in NO join branch (it ran 3x in the round-5 plan)
-    assert(!p.contains("documents.parquet"),
-      s"bigram pipeline recomputed per reference:\n$p")
+    // bi and biC are persisted: all three references (bi join-back, biC
+    // bigram join, uniC unigram rollup over biC) must read the cache as
+    // InMemoryTableScan — the round-5 plan recomputed the
+    // scan→explode→agg tree once per reference instead. (The parquet
+    // path string still appears in the print, inside the
+    // InMemoryRelation recipe subtrees, so don't assert on it.)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"bigram pipeline not served from cache on every reference:\n$p")
     // the unigram rollup is explicitly broadcast so the (w1,w2)-keyed
     // join result never reshuffles onto w1
     assert(p.contains("BroadcastHashJoin"), p)
