@@ -295,6 +295,78 @@ object RelationalQueries {
         .select(col("p_id"), col("iv_id"), col("x"), col("lo"))
     }),
 
+    // Conversion funnel over the event stream: users who viewed, then
+    // clicked AFTER their first view, then purchased AFTER that first
+    // qualifying click — the ordered-sequence semantics (strictly
+    // later-than the previous stage's first occurrence) that a naive
+    // per-type count gets wrong. Shape: each stage is a per-user min-ts
+    // aggregation co-partitioned on user_id with the previous stage's
+    // (|users|-sized) table — events shuffle once per stage on user_id,
+    // never on anything wider, and the stage tables shrink
+    // monotonically. The three 1-row stage counts meet in broadcast
+    // cross-joins (the 1-row-scalar pattern).
+    "q_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
+    // Cohort retention: users grouped by the epoch-week of their first
+    // signup; for each (cohort week, week offset) the count of users
+    // with ANY activity in that week. Weeks are epoch buckets
+    // (winBucket), not calendar truncation — engine-independent by
+    // construction. Shape: events collapse to distinct (user, week)
+    // pairs FIRST (the only corpus-scale shuffle), then a co-partitioned
+    // user_id join against the |users|-sized cohort table; the final
+    // aggregation is (cohorts × offsets)-sized. A user appears once per
+    // active week, so count(*) IS the distinct-user count — no
+    // count-distinct expansion needed.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = events(s, d)
+      val wk = winBucket(col("ts"), 604800)
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(wk).as("cohort_wk"))
+      ev.select(col("user_id"), wk.as("act_wk")).distinct()
+        .join(cohorts, "user_id")
+        .filter(col("act_wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"),
+          ((col("act_wk") - col("cohort_wk")) / 604800).cast("int")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
+    // Event-type transition matrix (the Markov-chain view of user
+    // behavior): consecutive event pairs per user via lead() over
+    // (ts, event_id) — the deterministic total order — then pair
+    // counts and per-source-type transition probability in exact
+    // integer micro units (floor-division of longs, so no float can
+    // drift the hash). Shape: one shuffle on user_id for the sequence
+    // window, then a (types × types)-sized aggregation; the
+    // probability window runs on that tiny table.
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wt = Window.partitionBy(col("event_type"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(wt))
+        .select(col("event_type"), col("next_type"), col("n"),
+          expr("(n * 1000000) div tot").as("p_micro"))
+    }),
+
     // Q14 shape: conditional aggregation ratio over a join
     "q_promo_share" -> ((s, d) => {
       val li = lineitem(s, d).filter(
@@ -491,6 +563,45 @@ object RelationalQueries {
          | (SELECT user_id, ts, event_id, value FROM events
          |  WHERE event_id % 10 = 0) r
          | ON l.user_id = r.user_id AND l.ts >= r.ts""").stripMargin,
+
+    "q_funnel" ->
+      ("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+         |  JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+         |  WHERE e.event_type = 'click' GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+         |  JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+         |  WHERE e.event_type = 'purchase' GROUP BY 1)
+         |SELECT (SELECT count(*) FROM v) AS n_view,
+         |  (SELECT count(*) FROM c) AS n_click_after,
+         |  (SELECT count(*) FROM p) AS n_purchase_after""").stripMargin,
+
+    "q_cohort_retention" ->
+      ("""WITH co AS (SELECT user_id,
+         |    min(cast(floor(epoch(ts)/604800)*604800 AS bigint))
+         |      AS cohort_wk
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id,
+         |    cast(floor(epoch(ts)/604800)*604800 AS bigint) AS act_wk
+         |  FROM events)
+         |SELECT cohort_wk,
+         |  cast((act_wk - cohort_wk)/604800 AS int) AS week_offset,
+         |  count(*) AS n_active
+         |FROM a JOIN co USING (user_id)
+         |WHERE act_wk >= cohort_wk GROUP BY 1, 2""").stripMargin,
+
+    "q_event_transitions" ->
+      ("""WITH seq AS (SELECT user_id, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS next_type
+         |  FROM events),
+         |t AS (SELECT event_type, next_type, count(*) AS n FROM seq
+         |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT event_type, next_type, n,
+         |  (n*1000000) // cast(sum(n) OVER (PARTITION BY event_type)
+         |    AS bigint) AS p_micro
+         |FROM t""").stripMargin,
 
     "q_promo_share" ->
       (s"""SELECT ${rs("cast(promo_cents AS double)*100/total_cents")}
