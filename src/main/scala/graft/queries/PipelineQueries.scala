@@ -129,6 +129,53 @@ object PipelineQueries {
   private val AnnBits = 6
   private val IvfCells = 8
 
+  /** Fixed query-term set for the BM25 / RRF retrieval queries. */
+  private val Bm25Terms = Seq("hash", "join", "vector")
+
+  /** Per-(doc, term) BM25 contribution in exact micro units, over
+    * columns (tf, df, dl, n_docs, tot): idf · tf(k1+1) / (tf + k1(1−b +
+    * b·dl/avgdl)) with k1=1.2, b=0.75 — floor-integerized so the
+    * per-doc sum is a long add (associative, hash-stable). The oracle
+    * SQL mirrors this expression operator for operator.
+    */
+  private def bm25TermMicro: Column = {
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl)
+    floor(idf * (col("tf").cast("double") * lit(2.2)) / denom * lit(1e6)
+      + lit(0.5)).cast("long")
+  }
+
+  /** DuckDB mirror of [[bm25TermMicro]] + the tf/df/dl/stats CTE chain
+    * (shared by the q_bm25 and q_rrf_fusion oracles); `scFilter`
+    * narrows the SCORED candidate set (e.g. excluding the query doc) —
+    * after tf/df/stats are computed over the full corpus, exactly as
+    * the Spark side filters.
+    */
+  private def bm25CteSql(scFilter: String = ""): String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |dl AS (SELECT doc_id, cast(len(tk) AS bigint) AS dl FROM tk),
+       |st AS (SELECT cast(count(*) AS bigint) AS n_docs,
+       |         cast(sum(dl) AS bigint) AS tot FROM dl),
+       |tf AS (SELECT doc_id, t, cast(count(*) AS bigint) AS tf
+       |       FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+       |       WHERE t IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT t, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, cast(sum(cast(floor(
+       |    ln((cast(n_docs - df AS double) + 0.5)
+       |      / (cast(df AS double) + 0.5) + 1.0)
+       |    * (cast(tf AS double) * 2.2)
+       |    / (cast(tf AS double) + 1.2 * (0.25
+       |        + 0.75 * cast(dl AS double)
+       |          / (cast(tot AS double) / n_docs)))
+       |    * 1000000.0 + 0.5) AS bigint)) AS bigint) AS score_micro
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (t) CROSS JOIN st
+       |  $scFilter GROUP BY 1)""".stripMargin
+  }
+
   /** CTE producing (doc_id, band_idx, band_key) — mirror of Dedup.lshBands
     * with n=2, bands=4, rowsPerBand=2: ONE md5 per shingle, k 16-bit
     * chunk-min hashes (Dedup.chunkMinhash).
@@ -473,6 +520,102 @@ object PipelineQueries {
         .filter(col("df").between(3, 50))
         .select(col("token"), col("df"),
           concat_ws(",", col("postings")).as("postings"))),
+
+    // BM25 lexical ranking (Robertson/Lucene form, k1=1.2, b=0.75) for
+    // a fixed term set — the retrieval scorer a data pipeline runs for
+    // search-quality evals and hard-negative mining. Scale shape: the
+    // token stream filters to QUERY TERMS at the scan (the per-doc-term
+    // tf table is |hits|-sized, not corpus-sized), df and the corpus
+    // stats are tiny broadcasts, and the final ranking is
+    // TakeOrderedAndProject. Per-term scores are micro-integerized
+    // BEFORE the per-doc sum (long adds are associative), so the hash
+    // can't drift with aggregation order; the double expression inside
+    // floor() is written operator-for-operator identically in the
+    // oracle SQL.
+    "q_bm25" -> ((s, d) => {
+      val toks = parallelize(documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      val dl = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      val tf = toks.select(col("doc_id"), explode(col("tk")).as("t"))
+        .filter(col("t").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      tf.join(dl, "doc_id").join(broadcast(df), "t").crossJoin(broadcast(st))
+        .select(col("doc_id"), bm25TermMicro.as("sm"))
+        .groupBy(col("doc_id")).agg(sum(col("sm")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Out-of-vocabulary rate per source against the corpus's own top-25
+    // token vocabulary — the coverage check run before committing to a
+    // tokenizer/vocab size. Two corpus passes over the token stream
+    // (one to build the vocab — a token-keyed agg then
+    // TakeOrderedAndProject — one to score against it), which beats
+    // materializing a corpus-sized token table; the vocab joins back as
+    // a broadcast, and the per-source rate is exact long floor-division.
+    "q_oov_rate" -> ((s, d) => {
+      def toks = parallelize(documents(s, d))
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+      val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(25)
+        .select(col("t"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000000) div n_tokens").as("oov_micro"))
+    }),
+
+    // Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    // 2009): the BM25 lexical ranking and the embedding-cosine
+    // semantic ranking for the same query (doc/vec 0) fuse as
+    // Σ 1/(60+rank) in exact integer micro units. Each ranker takes
+    // its top-100 through TakeOrderedAndProject FIRST, so the global
+    // row_number windows run on 100-row tables — never a corpus-wide
+    // single-partition sort; the fusion join is a full outer over two
+    // tiny rank tables.
+    "q_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = parallelize(documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      val dl = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      val tf = toks.select(col("doc_id"), explode(col("tk")).as("t"))
+        .filter(col("t").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val lexTop = tf.join(dl, "doc_id").join(broadcast(df), "t")
+        .crossJoin(broadcast(st))
+        .filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), bm25TermMicro.as("sm"))
+        .groupBy(col("doc_id")).agg(sum(col("sm")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(100)
+      val lex = lexTop.withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_lex"))
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val semTop = emb.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          r(Similarity.cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(100)
+      val sem = semTop.withColumn("r_sem", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_sem)"), lit(0L)))
+            .cast("long").as("rrf_micro"),
+          coalesce(col("r_lex"), lit(0)).cast("long").as("r_lex"),
+          coalesce(col("r_sem"), lit(0)).cast("long").as("r_sem"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+    }),
 
     // C4-style span-level dedup report: 8-word spans (distinct within a
     // doc), a span is "duplicated" when ≥2 docs contain it; per doc the
@@ -1984,6 +2127,52 @@ object PipelineQueries {
   private val AnnProbes = 16
 
   val oracle: Map[String, String] = Map(
+    // BM25: identical double expression inside floor() (bm25CteSql),
+    // per-term micro ints summed as longs
+    "q_bm25" ->
+      s"""WITH ${bm25CteSql()}
+         |SELECT doc_id, score_micro FROM sc
+         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |v AS (SELECT t FROM (SELECT t, count(*) AS cnt FROM tok
+        |  GROUP BY 1 ORDER BY cnt DESC, t LIMIT 25))
+        |SELECT source, cast(count(*) AS bigint) AS n_tokens,
+        |  cast(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_oov,
+        |  (cast(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS bigint)
+        |    * 1000000) // cast(count(*) AS bigint) AS oov_micro
+        |FROM tok LEFT JOIN v ON tok.t = v.t GROUP BY 1""".stripMargin,
+
+    // RRF fusion: both rankers' top-100 and ranks re-derived in SQL;
+    // the fused score is exact integer floor-division
+    "q_rrf_fusion" ->
+      s"""WITH ${bm25CteSql(scFilter = "WHERE doc_id <> 0")},
+         |lex AS (SELECT doc_id,
+         |    cast(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+         |      AS bigint) AS r_lex
+         |  FROM (SELECT doc_id, score_micro FROM sc
+         |        ORDER BY score_micro DESC, doc_id LIMIT 100)),
+         |qe AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id = 0),
+         |sem AS (SELECT vec_id AS doc_id,
+         |    cast(row_number() OVER (ORDER BY sim DESC, vec_id)
+         |      AS bigint) AS r_sem
+         |  FROM (SELECT vec_id,
+         |      ${rs("list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)", 4)}
+         |        AS sim
+         |    FROM embeddings, qe WHERE vec_id <> 0
+         |    ORDER BY sim DESC, vec_id LIMIT 100))
+         |SELECT doc_id,
+         |  cast(coalesce(1000000 // (60 + r_lex), 0)
+         |    + coalesce(1000000 // (60 + r_sem), 0) AS bigint) AS rrf_micro,
+         |  cast(coalesce(r_lex, 0) AS bigint) AS r_lex,
+         |  cast(coalesce(r_sem, 0) AS bigint) AS r_sem
+         |FROM lex FULL OUTER JOIN sem USING (doc_id)
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+
     // multi-probe SRP-LSH ANN: probe buckets re-derived in SQL (see
     // annProbeCtes), exact-cosine re-rank on the probed subset; ordered
     // by the UNROUNDED sim exactly as the Spark plan
