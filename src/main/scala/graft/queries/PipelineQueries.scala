@@ -570,6 +570,53 @@ object PipelineQueries {
           expr("(n_oov * 1000000) div n_tokens").as("oov_micro"))
     }),
 
+    // PageRank over the word co-occurrence graph (damping 0.85, 5
+    // synchronous iterations) — the iterative graph-analytics shape
+    // (the dedup connected-components' sibling): each iteration is one
+    // contribution shuffle keyed on dst plus a co-partitioned node
+    // join, and per-iteration ranks are persisted so iteration k+1
+    // reads a materialized k (lineage retained — the BlockLossRecovery
+    // rule), never an exponentially re-expanded plan. ALL arithmetic is
+    // integer pico-units (rank mass = 1e12; floor-division for the
+    // damping split), so five chained iterations stay bit-identical
+    // across engines — the oracle unrolls the same five steps as CTEs.
+    // Graph size is vocabulary², not corpus-sized: only the bigram
+    // extraction touches the corpus.
+    "q_pagerank" -> ((s, d) => {
+      val Scale = 1000000000000L
+      val pairs = parallelize(documents(s, d))
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(element_at(col("t"), col("i")).as("a"),
+          element_at(col("t"), col("i") + 1).as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val st = deg.agg(count(lit(1)).as("n"))
+      var ranks = deg.crossJoin(broadcast(st))
+        .select(col("src").as("node"), col("outdeg"), col("n"),
+          expr(s"$Scale div n").as("r"))
+      for (_ <- 1 to 5) {
+        val sums = edges.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s_in"))
+        ranks = ranks.select(col("node"), col("outdeg"), col("n"))
+          .join(sums, col("node") === col("dst"), "left")
+          .select(col("node"), col("outdeg"), col("n"),
+            (expr(s"(($Scale * 15) div 100) div n") +
+              expr("(85 * coalesce(s_in, 0)) div 100")).as("r"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      ranks.select(col("node"), col("r").as("rank_pico"))
+        .orderBy(col("rank_pico").desc, col("node"))
+        .limit(10)
+    }),
+
     // Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
     // 2009): the BM25 lexical ranking and the embedding-cosine
     // semantic ranking for the same query (doc/vec 0) fuse as
@@ -2127,6 +2174,39 @@ object PipelineQueries {
   private val AnnProbes = 16
 
   val oracle: Map[String, String] = Map(
+    // PageRank: the five synchronous iterations unrolled as CTE pairs
+    // (contribution sums, then the damped update), all integer
+    // pico-unit floor-division exactly as the Spark loop
+    "q_pagerank" -> {
+      val iterCtes = (1 to 5).map { k =>
+        s"""s$k AS (SELECT e.dst AS node,
+           |    cast(sum(p.r // p.outdeg) AS bigint) AS s_in
+           |  FROM edges e JOIN r${k - 1} p ON e.src = p.node GROUP BY 1),
+           |r$k AS (SELECT p.node, p.outdeg,
+           |    ((1000000000000 * 15) // 100) // st.n
+           |      + (85 * coalesce(s.s_in, 0)) // 100 AS r
+           |  FROM r${k - 1} p CROSS JOIN st
+           |  LEFT JOIN s$k s ON p.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 2),
+         |pr AS (SELECT tk[i] AS a, tk[i+1] AS b
+         |       FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+         |             FROM t)
+         |       WHERE tk[i] <> tk[i+1]),
+         |edges AS (SELECT DISTINCT src, dst FROM (
+         |          SELECT a AS src, b AS dst FROM pr
+         |          UNION ALL SELECT b AS src, a AS dst FROM pr)),
+         |deg AS (SELECT src, cast(count(*) AS bigint) AS outdeg
+         |        FROM edges GROUP BY 1),
+         |st AS (SELECT cast(count(*) AS bigint) AS n FROM deg),
+         |r0 AS (SELECT src AS node, outdeg, 1000000000000 // n AS r
+         |       FROM deg, st),
+         |$iterCtes
+         |SELECT node, r AS rank_pico FROM r5
+         |ORDER BY rank_pico DESC, node LIMIT 10""".stripMargin
+    },
+
     // BM25: identical double expression inside floor() (bm25CteSql),
     // per-term micro ints summed as longs
     "q_bm25" ->
