@@ -436,6 +436,23 @@ object ReferenceQueries {
           col("lang"), col("source"))
     }),
 
+    // ORC roundtrip — the third interchange format after CSV and JSONL
+    // (S13 family): columnar like parquet (predicate pushdown, column
+    // pruning, stripe-level zone maps at scale) but a different on-disk
+    // format, exercising Spark's native `orc` source/sink. Same
+    // verified read-back contract as the JSONL loop; the timestamp
+    // column rides along to cover ORC's type fidelity beyond strings.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_orc_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select(col("event_id"), epochS(col("ts")).as("ts_epoch"),
+          col("event_type"), col("value"))
+    }),
+
     // S13 full form — the reference's export LOOP (analyze_data.py:8-16
     // iterates EVERY table): all four dual-resolution tables (derived
     // deterministically from events in the reference's st/lt shapes) go
@@ -743,6 +760,10 @@ object ReferenceQueries {
     "q_jsonl_roundtrip" ->
       ("SELECT doc_id, md5(text) AS text_md5, lang, source " +
         "FROM documents"),
+
+    "q_orc_roundtrip" ->
+      ("SELECT event_id, epoch(ts) AS ts_epoch, event_type, value " +
+        "FROM events"),
 
     "q_csv_export_all" ->
       """WITH f AS (SELECT event_id AS id,

@@ -367,6 +367,37 @@ object RelationalQueries {
           expr("(n * 1000000) div tot").as("p_micro"))
     }),
 
+    // RFM scoring (recency / frequency / monetary quintiles) — the
+    // classic user-value segmentation. Events collapse to the per-user
+    // aggregate FIRST (one user_id shuffle; integer micros and exact
+    // cents, so nothing floats); the three ntile(5) windows then rank
+    // the |users|-sized aggregate with user_id tie-breaks. At extreme
+    // user cardinality the global ntile sort would swap for
+    // percentile-boundary scoring; on the aggregated dimension table
+    // it is the standard reporting shape (the q_ppl_buckets pattern).
+    "q_rfm" -> ((s, d) => {
+      val ev = events(s, d)
+      val per = ev.groupBy(col("user_id")).agg(
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(cents(col("value"))).as("monetary_cents"))
+      val ref = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
+      val base = per.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          (col("ref_us") - col("last_us")).as("recency_us"),
+          col("frequency"), col("monetary_cents"))
+      base.select(col("user_id"), col("recency_us"), col("frequency"),
+          col("monetary_cents"),
+          ntile(5).over(Window.orderBy(col("recency_us"), col("user_id")))
+            .as("r_score"),
+          ntile(5).over(Window.orderBy(col("frequency").desc,
+            col("user_id"))).as("f_score"),
+          ntile(5).over(Window.orderBy(col("monetary_cents").desc,
+            col("user_id"))).as("m_score"))
+        .withColumn("rfm",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    }),
+
     // Q14 shape: conditional aggregation ratio over a join
     "q_promo_share" -> ((s, d) => {
       val li = lineitem(s, d).filter(
@@ -602,6 +633,28 @@ object RelationalQueries {
          |  (n*1000000) // cast(sum(n) OVER (PARTITION BY event_type)
          |    AS bigint) AS p_micro
          |FROM t""").stripMargin,
+
+    "q_rfm" ->
+      ("""WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+         |    cast(count(*) AS bigint) AS frequency,
+         |    cast(sum(cast(floor(value*100 + 0.5) AS bigint)) AS bigint)
+         |      AS monetary_cents
+         |  FROM events GROUP BY 1),
+         |ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+         |base AS (SELECT user_id, ref_us - last_us AS recency_us,
+         |    frequency, monetary_cents FROM per, ref),
+         |scored AS (SELECT user_id, recency_us, frequency, monetary_cents,
+         |    cast(ntile(5) OVER (ORDER BY recency_us, user_id) AS int)
+         |      AS r_score,
+         |    cast(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS int)
+         |      AS f_score,
+         |    cast(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id)
+         |      AS int) AS m_score
+         |  FROM base)
+         |SELECT user_id, recency_us, frequency, monetary_cents,
+         |  r_score, f_score, m_score,
+         |  r_score*100 + f_score*10 + m_score AS rfm FROM scored""")
+        .stripMargin,
 
     "q_promo_share" ->
       (s"""SELECT ${rs("cast(promo_cents AS double)*100/total_cents")}

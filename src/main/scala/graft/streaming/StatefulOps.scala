@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom-state streaming operators (SURVEY.md §2.7 extension):
   * per-key state the built-in windowed aggregates can't express —
@@ -63,6 +64,50 @@ object StatefulOps {
                 next.sumFirstPeak / next.nFrames, next.lastTsMs))
           }
       }
+  }
+
+  /** [[serialMonitor]] re-expressed on the transformWithState API
+    * (Spark 4's arbitrary-state operator, SPARK-46815): typed
+    * `ValueState` from the processor handle, optional per-state TTL via
+    * `TTLConfig` (the store evicts expired state itself — no manual
+    * timeout bookkeeping like GroupStateTimeout), and a processor
+    * object the runtime can evolve independently of the query. Same
+    * semantics as [[serialMonitor]] (one update per active key per
+    * micro-batch), cross-checked in StatefulOpsSpec. Requires the
+    * RocksDB state-store provider — at scale that is also the right
+    * provider (incremental checkpoints, state larger than heap);
+    * callers set `spark.sql.streaming.stateStore.providerClass`.
+    */
+  def serialMonitorTws(events: Dataset[FrameEvent],
+                       ttl: java.time.Duration = null): Dataset[SerialUpdate] = {
+    import events.sparkSession.implicits._
+    val conf = Option(ttl).map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    // TTL requires processing-time semantics; without TTL the state
+    // lives for the query (bounded-key workloads, tests)
+    val mode = if (conf == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    events.groupByKey(_.serial)
+      .transformWithState(new SerialMonitorProcessor(conf), mode,
+        OutputMode.Append())
+  }
+
+  /** The transformWithState processor behind [[serialMonitorTws]]. */
+  final class SerialMonitorProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, FrameEvent, SerialUpdate] {
+    @transient private var st: ValueState[SerialState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SerialState]("monitor",
+        org.apache.spark.sql.Encoders.product[SerialState], ttl)
+    override def handleInputRows(serial: Long, rows: Iterator[FrameEvent],
+        timerValues: TimerValues): Iterator[SerialUpdate] = {
+      val prev = if (st.exists()) st.get() else SerialState(0L, 0.0, 0L)
+      val next = rows.foldLeft(prev) { (s, e) =>
+        SerialState(s.nFrames + 1, s.sumFirstPeak + e.firstPeak,
+          math.max(s.lastTsMs, e.ts.getTime))
+      }
+      st.update(next)
+      Iterator.single(SerialUpdate(serial, next.nFrames,
+        next.sumFirstPeak / next.nFrames, next.lastTsMs))
+    }
   }
 
   /** Streaming exact dedup on a content digest within the watermark

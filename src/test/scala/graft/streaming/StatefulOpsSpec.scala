@@ -37,6 +37,42 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("serialMonitorTws: transformWithState matches the fMGWS monitor") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store — also the
+    // at-scale provider (incremental checkpoints, state > heap)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val in = MemoryStream[FrameEvent]
+    val q = StatefulOps.serialMonitorTws(in.toDS())
+      .writeStream.format("memory").queryName("monitor_tws")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        FrameEvent(1L, ts(10), 100.0), FrameEvent(1L, ts(11), 200.0),
+        FrameEvent(2L, ts(10), 50.0))
+      q.processAllAvailable()
+      in.addData(FrameEvent(1L, ts(12), 300.0))
+      q.processAllAvailable()
+      val rows = spark.table("monitor_tws").as[SerialUpdate].collect()
+      // identical update stream to the flatMapGroupsWithState monitor
+      assert(rows.exists(u => u.serial == 1 && u.n_frames == 2 &&
+        u.mean_first_peak == 150.0 && u.last_ts_ms == 11000))
+      assert(rows.exists(u => u.serial == 2 && u.n_frames == 1 &&
+        u.mean_first_peak == 50.0))
+      assert(rows.exists(u => u.serial == 1 && u.n_frames == 3 &&
+        u.mean_first_peak == 200.0 && u.last_ts_ms == 12000))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dedupByDigest: duplicate digests within watermark emit once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, String)]
