@@ -570,6 +570,24 @@ object PipelineQueries {
           expr("(n_oov * 1000000) div n_tokens").as("oov_micro"))
     }),
 
+    // Weighted sampling without rand() (Efraimidis–Spirakis A-ES):
+    // each doc draws its uniform u from its own md5 (the repo's
+    // deterministic-sampling rule — a doc's draw never depends on the
+    // rest of the corpus), and the selection key ln(u)/w with
+    // w = n_chars makes inclusion probability proportional to weight.
+    // Pure scan + TakeOrderedAndProject: no shuffle, no rng state, and
+    // re-running on a grown corpus preserves every surviving doc's key.
+    "q_weighted_sample" -> ((s, d) => {
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)
+      val key = log(u) / col("n_chars").cast("double")
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          floor(key * lit(1e9) + lit(0.5)).cast("long").as("key_nano"))
+        .orderBy(col("key_nano").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // PageRank over the word co-occurrence graph (damping 0.85, 5
     // synchronous iterations) — the iterative graph-analytics shape
     // (the dedup connected-components' sibling): each iteration is one
@@ -2174,6 +2192,16 @@ object PipelineQueries {
   private val AnnProbes = 16
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_sample" ->
+      ("""SELECT doc_id, n_chars,
+         |  cast(floor(ln((cast(cast(('0x' ||
+         |      substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
+         |      AS double) + 1.0) / 4294967296.0)
+         |    / cast(n_chars AS double) * 1000000000.0 + 0.5) AS bigint)
+         |    AS key_nano
+         |FROM documents ORDER BY key_nano DESC, doc_id
+         |LIMIT 10""").stripMargin,
+
     // PageRank: the five synchronous iterations unrolled as CTE pairs
     // (contribution sums, then the damped update), all integer
     // pico-unit floor-division exactly as the Spark loop

@@ -453,6 +453,33 @@ object ReferenceQueries {
           col("event_type"), col("value"))
     }),
 
+    // Schema evolution under mergeSchema — the long-lived-dataset
+    // reality: generation 1 wrote (event_id, event_type), generation 2
+    // added value_cents; one mergeSchema read reconciles both into a
+    // union schema with nulls for the missing column, and the query
+    // reports per-type row counts, missing-column counts, and the
+    // exact-cents sum — so a silently dropped column or a misaligned
+    // merge fails the hash. At scale this is the metadata-only path
+    // (parquet footer union), not a rewrite of old generations.
+    "q_schema_evolution" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_schevo_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val ev = events(s, d)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"))
+        .write.mode("overwrite").parquet(path + "/gen=1")
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+        .write.mode("overwrite").parquet(path + "/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value_cents").isNull, 1L).otherwise(0L))
+            .as("n_missing"),
+          sum(coalesce(col("value_cents"), lit(0L))).as("cents_sum"))
+    }),
+
     // S13 full form — the reference's export LOOP (analyze_data.py:8-16
     // iterates EVERY table): all four dual-resolution tables (derived
     // deterministically from events in the reference's st/lt shapes) go
@@ -764,6 +791,15 @@ object ReferenceQueries {
     "q_orc_roundtrip" ->
       ("SELECT event_id, epoch(ts) AS ts_epoch, event_type, value " +
         "FROM events"),
+
+    "q_schema_evolution" ->
+      ("""SELECT event_type, cast(count(*) AS bigint) AS n,
+         |  cast(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+         |    AS bigint) AS n_missing,
+         |  cast(sum(CASE WHEN event_id % 2 = 1
+         |    THEN cast(floor(value*100 + 0.5) AS bigint) ELSE 0 END)
+         |    AS bigint) AS cents_sum
+         |FROM events GROUP BY 1""").stripMargin,
 
     "q_csv_export_all" ->
       """WITH f AS (SELECT event_id AS id,

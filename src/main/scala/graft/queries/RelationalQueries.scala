@@ -367,6 +367,162 @@ object RelationalQueries {
           expr("(n * 1000000) div tot").as("p_micro"))
     }),
 
+    // Deequ-style data-quality constraint battery — the validation
+    // gate a production pipeline runs before promoting a batch:
+    // uniqueness, completeness, referential integrity, domain ranges.
+    // Each check is one scan-shaped aggregation (the FK check is a
+    // broadcast left join against the distinct key side); the report
+    // is the per-check (checked, violations, pass) rows, so a failing
+    // constraint is attributable, not a boolean for the whole batch.
+    "q_dq_checks" -> ((s, d) => {
+      def one(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+      val ord = orders(s, d)
+      val uniq = ord.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("n_violations"))
+      val nn = ord.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("n_violations"))
+      val fk = ord.join(
+          broadcast(customer(s, d).select(col("c_custkey")).distinct()),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("n_violations"))
+      val rng = lineitem(s, d).agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("n_violations"))
+      val pos = events(s, d).agg(count(lit(1)).as("n_checked"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_violations"))
+      one("orders.o_orderkey.unique", uniq)
+        .unionByName(one("orders.o_custkey.not_null", nn))
+        .unionByName(one("orders.o_custkey.fk_customer", fk))
+        .unionByName(one("lineitem.l_quantity.range_1_50", rng))
+        .unionByName(one("events.value.non_negative", pos))
+        .withColumn("pass", col("n_violations") === 0L)
+    }),
+
+    // SCD type-2 dimension build (gaps-and-islands): per user, the
+    // event_type history collapses to validity intervals — consecutive
+    // runs of the same type become one row with [valid_from, valid_to)
+    // micros, NULL valid_to + is_current on the open run. The island id
+    // is the classic difference of two row_numbers over the SAME
+    // deterministic (ts, event_id) order, so both window passes reuse
+    // one user_id-partitioned sort; everything after runs on the
+    // runs-sized table. The user_id shuffle is the only corpus-scale
+    // exchange — exactly how a CDC pipeline folds a changelog into a
+    // dimension at 100 TB (per-key ordered fold, no global sort).
+    "q_scd2" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      val isl = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("island",
+          row_number().over(byUser) - row_number().over(byUserType))
+      val runs = isl.groupBy(col("user_id"), col("event_type"), col("island"))
+        .agg(min(col("us")).as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from_us"))
+      runs.select(col("user_id"), col("event_type"), col("valid_from_us"),
+          lead(col("valid_from_us"), 1).over(seq).as("valid_to_us"),
+          col("n_events"))
+        .withColumn("is_current", col("valid_to_us").isNull)
+    }),
+
+    // Incremental materialized-view maintenance: the running per-type
+    // aggregate (count + exact cents) is kept as a base MV; a new delta
+    // batch aggregates ALONE (delta-sized shuffle, never a base rescan)
+    // and merges via full-outer coalesce — the delta-maintenance
+    // algebra (counts and sums are abelian-group measures, so
+    // merge(base, agg(delta)) ≡ agg(base ∪ delta)). The query emits the
+    // merged MV next to a from-scratch recompute plus a `consistent`
+    // witness column, so the oracle hash certifies the maintenance
+    // algebra itself, not just one side. At 100 TB the recompute branch
+    // is the (rare) audit pass; the delta branch is the every-batch
+    // cost: |delta| rows shuffled on event_type.
+    "q_incremental_agg" -> ((s, d) => {
+      val ev = events(s, d)
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
+      val base = agg(ev.filter(col("event_id") % 10 =!= 0))
+      val delta = agg(ev.filter(col("event_id") % 10 === 0))
+      val merged = base.select(col("event_type"), col("n").as("bn"),
+          col("cents").as("bc"))
+        .join(delta.select(col("event_type"), col("n").as("dn"),
+          col("cents").as("dc")), Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_merged"),
+          (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+            .as("cents_merged"))
+      merged.join(agg(ev).select(col("event_type"), col("n").as("n_full"),
+          col("cents").as("cents_full")), Seq("event_type"), "full_outer")
+        .select(col("event_type"), col("n_merged"), col("cents_merged"),
+          (col("n_merged") === col("n_full") &&
+            col("cents_merged") === col("cents_full")).as("consistent"))
+    }),
+
+    // Sliding-window z-score anomaly detection — the streaming-monitor
+    // shape in batch form: per event_type, each value is scored against
+    // the trailing 7-event window (6 preceding + current, deterministic
+    // (ts, event_id) order). The z>2 test is evaluated in EXACT integer
+    // cents algebra: z² = (c·n−S)²/(n·Q−S²) > 4  ⇔
+    // (c·n−S)² > 4·(n·Q−S²), with S=Σc, Q=Σc² over the window — no
+    // float mean/stddev, so the flag (and the hash) cannot drift with
+    // summation order. One event_type-partitioned sort carries both
+    // window sums; flagged rows only are emitted (the alert table).
+    "q_anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"), col("event_id")).rowsBetween(-6, 0)
+      events(s, d)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("c"), unix_micros(col("ts")).as("us"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("c")).over(w))
+        .withColumn("q", sum(col("c") * col("c")).over(w))
+        .filter(col("n") === 7)
+        .withColumn("dev", col("c") * col("n") - col("s"))
+        .withColumn("var_n2", col("n") * col("q") - col("s") * col("s"))
+        .filter(col("dev") * col("dev") > lit(4L) * col("var_n2"))
+        .select(col("event_id"), col("event_type"), col("c").as("cents"),
+          col("dev"), col("var_n2"))
+    }),
+
+    // Skew-salted join: the manual remedy when one hot key floods a
+    // shuffle partition (AQE skew-split only kicks in post-shuffle —
+    // salting prevents the hot partition from ever materializing). The
+    // fact side derives a DETERMINISTIC salt in [0,8) from its own row
+    // id (l_linenumber — no rand(), so replays are stable); the dim
+    // side replicates 8× via explode(sequence) BEFORE its shuffle, and
+    // the join keys on (orderkey, salt) — the hot orderkey now spreads
+    // over 8 reducers. Salting is result-transparent: the oracle is the
+    // PLAIN join, so the hash certifies transparency. Dim replication
+    // costs 8×|orders| rows of (key, salt, priority) — at 100 TB you
+    // salt only the keys the skew stats flag, not the whole dim.
+    "q_salted_join" -> ((s, d) => {
+      val S = 8
+      val fact = lineitem(s, d)
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_cents"),
+          pmod(col("l_linenumber"), lit(S)).as("salt"))
+      val dim = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(sequence(lit(0), lit(S - 1))).as("salt"))
+      fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey") &&
+            fact("salt") === dim("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("rev_cents"))
+    }),
+
     // RFM scoring (recency / frequency / monetary quintiles) — the
     // classic user-value segmentation. Events collapse to the per-user
     // aggregate FIRST (one user_id shuffle; integer micros and exact
@@ -633,6 +789,110 @@ object RelationalQueries {
          |  (n*1000000) // cast(sum(n) OVER (PARTITION BY event_type)
          |    AS bigint) AS p_micro
          |FROM t""").stripMargin,
+
+    "q_dq_checks" ->
+      ("""SELECT 'orders.o_orderkey.unique' AS check_name,
+         |  cast(count(*) AS bigint) AS n_checked,
+         |  cast(count(*) - count(DISTINCT o_orderkey) AS bigint)
+         |    AS n_violations,
+         |  count(*) - count(DISTINCT o_orderkey) = 0 AS pass FROM orders
+         |UNION ALL
+         |SELECT 'orders.o_custkey.not_null', cast(count(*) AS bigint),
+         |  cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+         |    AS bigint),
+         |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+         |FROM orders
+         |UNION ALL
+         |SELECT 'orders.o_custkey.fk_customer', cast(count(*) AS bigint),
+         |  cast(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+         |    AS bigint),
+         |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+         |FROM orders o LEFT JOIN
+         |  (SELECT DISTINCT c_custkey FROM customer) c
+         |  ON o.o_custkey = c.c_custkey
+         |UNION ALL
+         |SELECT 'lineitem.l_quantity.range_1_50', cast(count(*) AS bigint),
+         |  cast(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+         |    THEN 1 ELSE 0 END) AS bigint),
+         |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+         |    THEN 1 ELSE 0 END) = 0
+         |FROM lineitem
+         |UNION ALL
+         |SELECT 'events.value.non_negative', cast(count(*) AS bigint),
+         |  cast(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS bigint),
+         |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+         |FROM events""").stripMargin,
+
+    "q_scd2" ->
+      ("""WITH isl AS (SELECT user_id, event_type,
+         |    epoch_us(ts) AS us, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id)
+         |      - row_number() OVER (PARTITION BY user_id, event_type
+         |        ORDER BY ts, event_id) AS island
+         |  FROM events),
+         |runs AS (SELECT user_id, event_type, island,
+         |    min(us) AS valid_from_us,
+         |    cast(count(*) AS bigint) AS n_events
+         |  FROM isl GROUP BY 1, 2, 3)
+         |SELECT user_id, event_type, valid_from_us,
+         |  lead(valid_from_us) OVER (PARTITION BY user_id
+         |    ORDER BY valid_from_us) AS valid_to_us,
+         |  n_events,
+         |  lead(valid_from_us) OVER (PARTITION BY user_id
+         |    ORDER BY valid_from_us) IS NULL AS is_current
+         |FROM runs""").stripMargin,
+
+    "q_incremental_agg" ->
+      ("""WITH base AS (SELECT event_type, cast(count(*) AS bigint) AS n,
+         |    cast(sum(cast(floor(value*100 + 0.5) AS bigint)) AS bigint)
+         |      AS cents
+         |  FROM events WHERE event_id % 10 <> 0 GROUP BY 1),
+         |delta AS (SELECT event_type, cast(count(*) AS bigint) AS n,
+         |    cast(sum(cast(floor(value*100 + 0.5) AS bigint)) AS bigint)
+         |      AS cents
+         |  FROM events WHERE event_id % 10 = 0 GROUP BY 1),
+         |merged AS (SELECT coalesce(b.event_type, d.event_type)
+         |      AS event_type,
+         |    coalesce(b.n, 0) + coalesce(d.n, 0) AS n_merged,
+         |    coalesce(b.cents, 0) + coalesce(d.cents, 0) AS cents_merged
+         |  FROM base b FULL OUTER JOIN delta d
+         |    ON b.event_type = d.event_type),
+         |full_ AS (SELECT event_type, cast(count(*) AS bigint) AS n_full,
+         |    cast(sum(cast(floor(value*100 + 0.5) AS bigint)) AS bigint)
+         |      AS cents_full
+         |  FROM events GROUP BY 1)
+         |SELECT coalesce(m.event_type, f.event_type) AS event_type,
+         |  m.n_merged, m.cents_merged,
+         |  m.n_merged = f.n_full AND m.cents_merged = f.cents_full
+         |    AS consistent
+         |FROM merged m FULL OUTER JOIN full_ f
+         |  ON m.event_type = f.event_type""").stripMargin,
+
+    "q_anomaly_zscore" ->
+      ("""WITH t AS (SELECT event_id, event_type,
+         |    cast(floor(value*100 + 0.5) AS bigint) AS c, ts
+         |  FROM events),
+         |w AS (SELECT event_id, event_type, c,
+         |    cast(count(*) OVER win AS bigint) AS n,
+         |    cast(sum(c) OVER win AS bigint) AS s,
+         |    cast(sum(c*c) OVER win AS bigint) AS q
+         |  FROM t
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, event_type, c AS cents,
+         |  c*n - s AS dev, n*q - s*s AS var_n2
+         |FROM w
+         |WHERE n = 7 AND (c*n - s)*(c*n - s) > 4*(n*q - s*s)""").stripMargin,
+
+    "q_salted_join" ->
+      ("""SELECT o.o_orderpriority,
+         |  cast(count(*) AS bigint) AS n_items,
+         |  cast(sum(cast(floor(
+         |    l.l_extendedprice*(1 - l.l_discount)*100 + 0.5) AS bigint))
+         |    AS bigint) AS rev_cents
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1""").stripMargin,
 
     "q_rfm" ->
       ("""WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
