@@ -635,6 +635,91 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // Triangle counting + global clustering coefficient over the word
+    // co-occurrence graph — the degree-ordered MapReduce algorithm
+    // (Suri & Vassilvitskii, WWW'11): every edge is oriented from its
+    // lower endpoint under the (degree, name) total order, which bounds
+    // each node's out-degree by O(√m), so the wedge self-join is
+    // O(m^1.5) worst-case instead of Σdeg² — THE property that keeps
+    // the join alive on a power-law graph at 100 TB (the hub node's
+    // wedges are generated by its low-degree neighbors, never by the
+    // hub). Wedges from the lowest-ranked corner join back against the
+    // oriented edge set; each triangle materializes exactly once. The
+    // gcc is exact integer micros: 3·Δ·10⁶ div Σ C(deg,2).
+    "q_triangles" -> ((s, d) => {
+      val pairs = parallelize(documents(s, d))
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(element_at(col("t"), col("i")).as("a"),
+          element_at(col("t"), col("i") + 1).as("b"))
+        .filter(col("a") =!= col("b"))
+      val und = pairs
+        .select(least(col("a"), col("b")).as("x"),
+          greatest(col("a"), col("b")).as("y"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = und.select(col("x").as("v"))
+        .union(und.select(col("y").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // edges carrying both endpoint degrees, oriented low → high rank
+      val ed = und
+        .join(deg.select(col("v").as("x"), col("deg").as("dx")), "x")
+        .join(deg.select(col("v").as("y"), col("deg").as("dy")), "y")
+        .select(
+          when(col("dx") < col("dy") ||
+            (col("dx") === col("dy") && col("x") < col("y")),
+            struct(col("x").as("src"), col("y").as("dst"),
+              col("dy").as("dd")))
+            .otherwise(struct(col("y").as("src"), col("x").as("dst"),
+              col("dx").as("dd"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.dd").as("dd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // wedges at the lowest-ranked corner: (src)-(b), (src)-(c) with
+      // b below c in the same total order → closing edge must be b→c
+      val w1 = ed.select(col("src"), col("dst").as("b"), col("dd").as("db"))
+      val w2 = ed.select(col("src"), col("dst").as("c"), col("dd").as("dc"))
+      val tri = w1.join(w2, "src")
+        .filter(col("db") < col("dc") ||
+          (col("db") === col("dc") && col("b") < col("c")))
+        .join(ed.select(col("src").as("b"), col("dst").as("c")),
+          Seq("b", "c"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val ne = und.agg(count(lit(1)).as("n_edges"))
+      tri.crossJoin(broadcast(stats)).crossJoin(broadcast(ne))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          expr("(3 * n_triangles * 1000000) div n_wedges")
+            .as("gcc_micro"))
+    }),
+
+    // Small-file compaction planner (OPTIMIZE's bin-packing step): the
+    // file manifest — here the per-(source, lang) shard sizes — is
+    // sequentially coalesced into target-sized output bins by a
+    // cumulative-sum window: bin = floor(bytes_before / target). The
+    // window sorts the MANIFEST (thousands of rows at 100 TB), never
+    // data; the plan is what a rewrite job then executes per bin. Next-
+    // fit (not first-fit-decreasing) is deliberate: it preserves the
+    // manifest's sort order, so a clustered table stays clustered
+    // through compaction — the property Z-order layouts depend on.
+    "q_compaction_plan" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = 8000L
+      val files = documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("n_docs"))
+      val w = Window.orderBy(col("source"), col("lang"))
+      files
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", expr(s"(cum - bytes) div $target"))
+        .select(col("source"), col("lang"), col("n_docs"), col("bytes"),
+          col("bin"))
+    }),
+
     // Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
     // 2009): the BM25 lexical ranking and the embedding-cosine
     // semantic ranking for the same query (doc/vec 0) fuse as
@@ -2201,6 +2286,51 @@ object PipelineQueries {
          |    AS key_nano
          |FROM documents ORDER BY key_nano DESC, doc_id
          |LIMIT 10""").stripMargin,
+
+    "q_triangles" ->
+      ("""WITH p AS (SELECT string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |pr AS (SELECT t[i] AS a, t[i+1] AS b
+         |  FROM p, unnest(range(1, len(t))) AS u(i)
+         |  WHERE t[i] <> t[i+1]),
+         |und AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+         |  FROM pr),
+         |deg AS (SELECT v, cast(count(*) AS bigint) AS deg FROM
+         |  (SELECT x AS v FROM und UNION ALL SELECT y FROM und)
+         |  GROUP BY 1),
+         |ed AS (SELECT CASE WHEN dx.deg < dy.deg
+         |      OR (dx.deg = dy.deg AND x < y) THEN x ELSE y END AS src,
+         |    CASE WHEN dx.deg < dy.deg
+         |      OR (dx.deg = dy.deg AND x < y) THEN y ELSE x END AS dst,
+         |    CASE WHEN dx.deg < dy.deg
+         |      OR (dx.deg = dy.deg AND x < y) THEN dy.deg
+         |      ELSE dx.deg END AS dd
+         |  FROM und JOIN deg dx ON und.x = dx.v
+         |    JOIN deg dy ON und.y = dy.v),
+         |tri AS (SELECT cast(count(*) AS bigint) AS n_triangles
+         |  FROM (SELECT w1.src, w1.dst AS b, w2.dst AS c
+         |      FROM ed w1 JOIN ed w2 ON w1.src = w2.src
+         |      WHERE w1.dd < w2.dd
+         |        OR (w1.dd = w2.dd AND w1.dst < w2.dst)) w
+         |  WHERE EXISTS (SELECT 1 FROM ed
+         |    WHERE ed.src = w.b AND ed.dst = w.c)),
+         |st AS (SELECT cast(count(*) AS bigint) AS n_nodes,
+         |    cast(sum(deg * (deg - 1) // 2) AS bigint) AS n_wedges
+         |  FROM deg),
+         |ne AS (SELECT cast(count(*) AS bigint) AS n_edges FROM und)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  (3 * n_triangles * 1000000) // n_wedges AS gcc_micro
+         |FROM tri, st, ne""").stripMargin,
+
+    "q_compaction_plan" ->
+      ("""WITH f AS (SELECT source, lang,
+         |    cast(sum(n_chars) AS bigint) AS bytes,
+         |    cast(count(*) AS bigint) AS n_docs
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT source, lang, n_docs, bytes,
+         |  (sum(bytes) OVER (ORDER BY source, lang
+         |     ROWS UNBOUNDED PRECEDING) - bytes) // 8000 AS bin
+         |FROM f""").stripMargin,
 
     // PageRank: the five synchronous iterations unrolled as CTE pairs
     // (contribution sums, then the damped update), all integer

@@ -523,6 +523,93 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("rev_cents"))
     }),
 
+    // CDC MERGE (upsert, latest-wins): the changelog-apply step every
+    // incremental lakehouse table needs. The corpus splits at a
+    // deterministic integer time cutoff (min + 7/10 of the span) into a
+    // snapshot era and a changelog era; each era folds to its per-user
+    // latest record (one user_id shuffle each, (us, event_id) total
+    // order), and the MERGE is a full-outer coalesce emitting the
+    // post-merge state plus the action witness (insert / update /
+    // keep). At 100 TB the snapshot side is the bucketed table (no
+    // per-merge shuffle) and the changelog side is delta-sized — the
+    // shape here is exactly that algebra, certified by the oracle hash.
+    "q_upsert" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        cents(col("value")).as("cents"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      val span = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .select(expr("lo + ((hi - lo) * 7) div 10").as("cut"))
+      val cut = ev.crossJoin(broadcast(span))
+      def latest(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("cents"), col("us"))
+      }
+      val snap = latest(cut.filter(col("us") <= col("cut")))
+      val chg = latest(cut.filter(col("us") > col("cut")))
+      snap.select(col("user_id"), col("event_type").as("s_type"),
+          col("cents").as("s_cents"), col("us").as("s_us"))
+        .join(chg.select(col("user_id"), col("event_type").as("c_type"),
+          col("cents").as("c_cents"), col("us").as("c_us")),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("c_type"), col("s_type")).as("event_type"),
+          coalesce(col("c_cents"), col("s_cents")).as("cents"),
+          coalesce(col("c_us"), col("s_us")).as("us"),
+          when(col("s_us").isNull, "insert")
+            .when(col("c_us").isNull, "keep")
+            .otherwise("update").as("action"))
+    }),
+
+    // Time-RANGE window frame (not ROWS): per user, the trailing
+    // 1-hour rolling sum/count over event-time micros — RANGE BETWEEN
+    // 3600000000 PRECEDING AND CURRENT ROW. Peer rows (equal us) enter
+    // the frame together regardless of tie order, so the frame is
+    // deterministic without an event_id tie-break; physical execution
+    // is the same one user_id-partitioned sort as a ROWS frame, with
+    // the frame boundary advanced by value instead of count.
+    "q_range_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), cents(col("value")).as("c"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          sum(col("c")).over(w).as("roll_cents"),
+          count(lit(1)).over(w).as("roll_n"))
+    }),
+
+    // ANALYZE-style column statistics — the stats layer a cost-based
+    // optimizer (and a data catalog) runs per table: for each column of
+    // events, row count, null count, exact NDV, and lexicographic
+    // min/max rendered to strings. One aggregation pass computes every
+    // column's stats side by side (a single scan, map-side partials);
+    // the per-column rows are then unpivoted from the one aggregate row
+    // — at 100 TB this is the pattern that replaces N separate
+    // count(distinct) scans with one.
+    "q_column_stats" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), cents(col("value")).as("cents"),
+        unix_micros(col("ts")).as("us"))
+      def stats(c: String) = Seq(
+        count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+      val cols = Seq("event_id", "user_id", "event_type", "cents", "us")
+      val one = ev.agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(stats): _*)
+      one.select(col("n_rows"), expr(
+        "stack(5, " + cols.map(c =>
+          s"'$c', ${c}_nn, ${c}_ndv, ${c}_min, ${c}_max")
+          .mkString(", ") + ") AS (column_name, n_notnull, ndv, " +
+          "min_str, max_str)"))
+        .select(col("column_name"), col("n_rows"),
+          (col("n_rows") - col("n_notnull")).as("n_null"),
+          col("ndv"), col("min_str"), col("max_str"))
+    }),
+
     // RFM scoring (recency / frequency / monetary quintiles) — the
     // classic user-value segmentation. Events collapse to the per-user
     // aggregate FIRST (one user_id shuffle; integer micros and exact
@@ -822,6 +909,73 @@ object RelationalQueries {
          |  cast(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS bigint),
          |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
          |FROM events""").stripMargin,
+
+    "q_upsert" ->
+      ("""WITH ev AS (SELECT user_id, event_type,
+         |    cast(floor(value*100 + 0.5) AS bigint) AS cents,
+         |    epoch_us(ts) AS us, event_id FROM events),
+         |span AS (SELECT min(us) + (max(us) - min(us)) * 7 // 10 AS cut
+         |  FROM ev),
+         |snap AS (SELECT user_id, event_type AS s_type, cents AS s_cents,
+         |    us AS s_us
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY us DESC, event_id DESC) AS rn
+         |    FROM ev, span WHERE us <= cut) WHERE rn = 1),
+         |chg AS (SELECT user_id, event_type AS c_type, cents AS c_cents,
+         |    us AS c_us
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY us DESC, event_id DESC) AS rn
+         |    FROM ev, span WHERE us > cut) WHERE rn = 1)
+         |SELECT coalesce(s.user_id, c.user_id) AS user_id,
+         |  coalesce(c_type, s_type) AS event_type,
+         |  coalesce(c_cents, s_cents) AS cents,
+         |  coalesce(c_us, s_us) AS us,
+         |  CASE WHEN s_us IS NULL THEN 'insert'
+         |       WHEN c_us IS NULL THEN 'keep'
+         |       ELSE 'update' END AS action
+         |FROM snap s FULL OUTER JOIN chg c
+         |  ON s.user_id = c.user_id""").stripMargin,
+
+    "q_range_window" ->
+      ("""SELECT event_id, user_id, epoch_us(ts) AS us,
+         |  cast(sum(cast(floor(value*100 + 0.5) AS bigint)) OVER w
+         |    AS bigint) AS roll_cents,
+         |  cast(count(*) OVER w AS bigint) AS roll_n
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")
+        .stripMargin,
+
+    "q_column_stats" ->
+      ("""WITH ev AS (SELECT event_id, user_id, event_type,
+         |    cast(floor(value*100 + 0.5) AS bigint) AS cents,
+         |    epoch_us(ts) AS us FROM events),
+         |n AS (SELECT cast(count(*) AS bigint) AS n_rows FROM ev)
+         |SELECT 'event_id' AS column_name, n_rows,
+         |  n_rows - count(event_id) AS n_null,
+         |  cast(count(DISTINCT event_id) AS bigint) AS ndv,
+         |  cast(min(event_id) AS varchar) AS min_str,
+         |  cast(max(event_id) AS varchar) AS max_str FROM ev, n
+         |GROUP BY n_rows
+         |UNION ALL
+         |SELECT 'user_id', n_rows, n_rows - count(user_id),
+         |  cast(count(DISTINCT user_id) AS bigint),
+         |  cast(min(user_id) AS varchar), cast(max(user_id) AS varchar)
+         |FROM ev, n GROUP BY n_rows
+         |UNION ALL
+         |SELECT 'event_type', n_rows, n_rows - count(event_type),
+         |  cast(count(DISTINCT event_type) AS bigint),
+         |  min(event_type), max(event_type) FROM ev, n GROUP BY n_rows
+         |UNION ALL
+         |SELECT 'cents', n_rows, n_rows - count(cents),
+         |  cast(count(DISTINCT cents) AS bigint),
+         |  cast(min(cents) AS varchar), cast(max(cents) AS varchar)
+         |FROM ev, n GROUP BY n_rows
+         |UNION ALL
+         |SELECT 'us', n_rows, n_rows - count(us),
+         |  cast(count(DISTINCT us) AS bigint),
+         |  cast(min(us) AS varchar), cast(max(us) AS varchar)
+         |FROM ev, n GROUP BY n_rows""").stripMargin,
 
     "q_scd2" ->
       ("""WITH isl AS (SELECT user_id, event_type,

@@ -217,4 +217,59 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("GlobalLimit") || !p.contains("Sort "), s"$q:\n$p")
     }
   }
+
+  test("q_scd2: one user_id exchange feeds all three window passes") {
+    // hashpartitioning(user_id) satisfies the (user_id, event_type)
+    // window's clustering too — a second exchange here would mean the
+    // islands trick lost its single-shuffle property
+    val p = plan("q_scd2")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"want exactly 1 hash exchange, got $n:\n$p")
+    assert(!p.contains("Join"), s"scd2 must be join-free:\n$p")
+  }
+
+  test("q_range_window / q_anomaly_zscore: single exchange, join-free") {
+    for (q <- Seq("q_range_window", "q_anomaly_zscore")) {
+      val p = plan(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n == 1, s"$q: want exactly 1 hash exchange, got $n:\n$p")
+      assert(!p.contains("Join"), s"$q must be join-free:\n$p")
+    }
+  }
+
+  test("q_column_stats: all per-column stats from ONE table scan") {
+    val p = plan("q_column_stats")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"want 1 scan, got $scans:\n$p")
+  }
+
+  test("q_triangles: wedge + closure joins are hash-based equi joins") {
+    // the only nested-loop joins allowed are the final 1-row scalar
+    // stat assembly (crossJoin of three single-row aggregates); the
+    // corpus-scale wedge self-join and semi closure must be equi joins
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), s"no semi closure join:\n$p")
+    val semiLine = p.linesIterator.find(_.contains("LeftSemi")).get
+    assert(semiLine.contains("HashJoin") || semiLine.contains("SortMergeJoin"),
+      s"closure join not hash-based:\n$semiLine")
+  }
+
+  test("q_compaction_plan: no cartesian, window over the manifest only") {
+    val p = plan("q_compaction_plan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // the bin-assignment window must sit ABOVE the (source, lang)
+    // aggregation — sorting the manifest, never the document corpus
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window not above the manifest aggregate:\n$p")
+  }
+
+  test("q_salted_join: dim replicated via explode before its join") {
+    val p = plan("q_salted_join")
+    assert(p.contains("Generate explode"), s"no explode replication:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
