@@ -697,6 +697,40 @@ object PipelineQueries {
             .as("gcc_micro"))
     }),
 
+    // Edit-distance≤1 similarity self-join over the corpus vocabulary
+    // — FastSS deletion neighborhoods (Bocek et al. 2007): two words
+    // are within one edit iff they share a member of their deletion-1
+    // neighborhoods (the word itself + each single-char deletion), so
+    // the candidate join keys on the md5 digest of the variant — a
+    // fixed-width key, |w|+1 variants per word — and only candidates
+    // pay the exact levenshtein verify. The quadratic all-pairs compare
+    // never happens: at 100 TB the vocabulary is corpus-log-sized and
+    // the variant join is the standard spell-correction blocking. The
+    // oracle is the SPEC, not the algorithm: a direct levenshtein
+    // cross-join in DuckDB — so the hash proves neighborhood
+    // completeness (no missed pair) as well as the verify filter.
+    "q_editdist_join" -> ((s, d) => {
+      val vocab = parallelize(documents(s, d))
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+      val vars = vocab
+        .select(col("w"),
+          explode(sequence(lit(0), length(col("w")))).as("i"))
+        .select(col("w"), when(col("i") === 0, col("w"))
+          .otherwise(expr("concat(substr(w, 1, i - 1), substr(w, i + 1))"))
+          .as("v"))
+        .select(col("w"), md5(col("v")).as("k")).distinct()
+        .localCheckpoint(false)
+      vars.select(col("k"), col("w").as("w1"))
+        .join(vars.select(col("k"), col("w").as("w2"))
+          .hint("shuffle_hash"), "k")
+        .filter(col("w1") < col("w2"))
+        .select(col("w1"), col("w2")).distinct()
+        .filter(levenshtein(col("w1"), col("w2")) <= 1)
+        .select(col("w1"), col("w2"),
+          levenshtein(col("w1"), col("w2")).cast("long").as("dist"))
+    }),
+
     // Small-file compaction planner (OPTIMIZE's bin-packing step): the
     // file manifest — here the per-(source, lang) shard sizes — is
     // sequentially coalesced into target-sized output bins by a
@@ -2321,6 +2355,15 @@ object PipelineQueries {
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
          |  (3 * n_triangles * 1000000) // n_wedges AS gcc_micro
          |FROM tri, st, ne""").stripMargin,
+
+    "q_editdist_join" ->
+      ("""WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |vf AS (SELECT w FROM v WHERE len(w) > 0)
+         |SELECT a.w AS w1, b.w AS w2,
+         |  cast(levenshtein(a.w, b.w) AS bigint) AS dist
+         |FROM vf a JOIN vf b ON a.w < b.w
+         |WHERE levenshtein(a.w, b.w) <= 1""").stripMargin,
 
     "q_compaction_plan" ->
       ("""WITH f AS (SELECT source, lang,

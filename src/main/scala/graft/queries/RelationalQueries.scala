@@ -516,11 +516,82 @@ object RelationalQueries {
       val dim = orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           explode(sequence(lit(0), lit(S - 1))).as("salt"))
-      fact.join(dim,
+      // shuffle-hash, NOT broadcast: AQE would happily broadcast the
+      // 8×-replicated dim at test scale, which both defeats the salting
+      // demonstration and pays 8× the broadcast volume — the whole
+      // point of salting is that the join SHUFFLES on (key, salt)
+      fact.join(dim.hint("shuffle_hash"),
           fact("l_orderkey") === dim("o_orderkey") &&
             fact("salt") === dim("salt"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("rev_cents"))
+    }),
+
+    // Per-group linear trend — exact-integer OLS: slope of value-cents
+    // against hours-since-corpus-start, per event_type. Every sum the
+    // normal equations need (n, Σx, Σy, Σxy, Σx²) is an exact BIGINT
+    // accumulated in ONE map-side-partial aggregation, and the slope
+    // ships as the rational (n·Σxy−Σx·Σy) / (n·Σx²−(Σx)²) — numerator
+    // and denominator separately, because a float (or floor-div, whose
+    // negative-operand semantics differ across engines) would make the
+    // hash lie. Bounds: x ≤ 720 h, y ≤ 10⁵ cents, n ≤ 10⁵ ⇒ n·Σxy ≤
+    // 10¹⁸ < 2⁶³ — checked, not hoped.
+    "q_trend_slope" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("y"))
+      val lo = ev.agg(min(col("us")).as("lo"))
+      ev.crossJoin(broadcast(lo))
+        .withColumn("x", expr("(us - lo) div 3600000000"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"))
+        .select(col("event_type"), col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+    }),
+
+    // Max-concurrency sweep line, two-level (the capacity-planning
+    // query): user sessions (30-min gap rule) become ±1 boundary deltas
+    // with an EXCLUSIVE end (last_us+1), and concurrency is the running
+    // sum over the global (us, delta) order. The running sum is NOT one
+    // global window: deltas bucket by hour, per-bucket sums prefix-scan
+    // on the bucket table (hundreds of rows), and each bucket's rows
+    // window-scan locally with the bucket's offset added — the
+    // distributed prefix-sum decomposition, so no stage ever sorts the
+    // corpus globally. Output is (us, delta, concurrent); within an
+    // equal-(us, delta) tie group the prefix values are a fixed
+    // multiset, so the hash is permutation-stable.
+    "q_concurrency" -> ((s, d) => {
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      val sess = ev
+        .withColumn("prev", lag(col("us"), 1).over(wu))
+        .withColumn("is_start", when(col("prev").isNull ||
+          col("us") - col("prev") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("is_start")).over(wu))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("start_us"),
+          (max(col("us")) + 1).as("end_us"))
+      val deltas = sess
+        .select(col("start_us").as("us"), lit(1L).as("delta"))
+        .unionAll(sess.select(col("end_us").as("us"), lit(-1L).as("delta")))
+        .withColumn("bucket", expr("us div 3600000000"))
+      val wb = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = deltas.groupBy(col("bucket"))
+        .agg(sum(col("delta")).as("bsum"))
+        .withColumn("offset", coalesce(sum(col("bsum")).over(wb), lit(0L)))
+        .select(col("bucket"), col("offset"))
+      val win = Window.partitionBy(col("bucket"))
+        .orderBy(col("us"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deltas.join(broadcast(off), "bucket")
+        .withColumn("concurrent", col("offset") + sum(col("delta")).over(win))
+        .select(col("us"), col("delta"), col("concurrent"))
     }),
 
     // CDC MERGE (upsert, latest-wins): the changelog-apply step every
@@ -909,6 +980,47 @@ object RelationalQueries {
          |  cast(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS bigint),
          |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
          |FROM events""").stripMargin,
+
+    "q_trend_slope" ->
+      ("""WITH ev AS (SELECT event_type, epoch_us(ts) AS us,
+         |    cast(floor(value*100 + 0.5) AS bigint) AS y FROM events),
+         |lo AS (SELECT min(us) AS lo FROM ev),
+         |t AS (SELECT event_type, (us - lo) // 3600000000 AS x, y
+         |  FROM ev, lo),
+         |a AS (SELECT event_type, cast(count(*) AS bigint) AS n,
+         |    cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+         |    cast(sum(x*y) AS bigint) AS sxy,
+         |    cast(sum(x*x) AS bigint) AS sxx
+         |  FROM t GROUP BY 1)
+         |SELECT event_type, n, sx, sy, sxy, sxx,
+         |  n*sxy - sx*sy AS slope_num, n*sxx - sx*sx AS slope_den
+         |FROM a""").stripMargin,
+
+    "q_concurrency" ->
+      ("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id
+         |  FROM events),
+         |l AS (SELECT user_id, us, event_id, lag(us) OVER
+         |    (PARTITION BY user_id ORDER BY us, event_id) AS prev
+         |  FROM ev),
+         |g AS (SELECT user_id, us,
+         |    CASE WHEN prev IS NULL OR us - prev > 1800000000
+         |      THEN 1 ELSE 0 END AS is_start,
+         |    event_id FROM l),
+         |sg AS (SELECT user_id, us,
+         |    sum(is_start) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS sid
+         |  FROM g),
+         |sess AS (SELECT user_id, sid, min(us) AS start_us,
+         |    max(us) + 1 AS end_us
+         |  FROM sg GROUP BY 1, 2),
+         |deltas AS (SELECT start_us AS us, cast(1 AS bigint) AS delta
+         |    FROM sess
+         |  UNION ALL
+         |  SELECT end_us, cast(-1 AS bigint) FROM sess)
+         |SELECT us, delta,
+         |  cast(sum(delta) OVER (ORDER BY us, delta
+         |    ROWS UNBOUNDED PRECEDING) AS bigint) AS concurrent
+         |FROM deltas""").stripMargin,
 
     "q_upsert" ->
       ("""WITH ev AS (SELECT user_id, event_type,

@@ -267,6 +267,26 @@ class PlanAuditSpec extends SparkSpec {
       s"window not above the manifest aggregate:\n$p")
   }
 
+  test("q_editdist_join: candidate join keys are md5 digests") {
+    // the variant self-join must shuffle 128-bit digests, not raw
+    // variant strings (the q_span_dedup rule), and the exact
+    // levenshtein verify must sit above the join, not below it
+    val p = plan("q_editdist_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("ShuffledHashJoin"), s"candidate join not hashed:\n$p")
+  }
+
+  test("q_concurrency: corpus-scale windows are bucket-partitioned") {
+    // exactly one single-partition exchange is allowed — the
+    // bucket-offset prefix scan over the hour-bucket table; the delta
+    // running sum must be partitioned by bucket
+    val p = plan("q_concurrency")
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"want ≤1 single-partition exchange, got $singles:\n$p")
+    assert(p.contains("Window [") || p.contains("Window ("), p)
+  }
+
   test("q_salted_join: dim replicated via explode before its join") {
     val p = plan("q_salted_join")
     assert(p.contains("Generate explode"), s"no explode replication:\n$p")
