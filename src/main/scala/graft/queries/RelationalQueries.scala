@@ -684,6 +684,41 @@ object RelationalQueries {
           col("ndv"), col("min_str"), col("max_str"))
     }),
 
+    // Bucketed co-located join — the 100 TB fact-table layout: both
+    // sides are written ONCE as 8-bucket sorted-by-key tables (the
+    // write pays the one shuffle), and every subsequent equi-join on
+    // the bucket key plans with NO exchange — the corpus never crosses
+    // the network again (plan-audited). Spark ≥3 re-sorts each bucket
+    // locally (SPARK-28595 stopped trusting written sort order by
+    // default; the legacy flag would elide even that) — an in-memory
+    // streaming sort over pre-sorted runs, not a shuffle. The
+    // repartition-by-key before the write yields one file per bucket.
+    // Tables are created if absent and reused within the session — the
+    // amortization that makes the layout pay. Oracle is the plain
+    // join: bucketing must be result-transparent.
+    "q_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = System.getProperty("java.io.tmpdir") + "/graft_bj_" + tag
+      def ensure(name: String, df: => DataFrame, key: String): Unit =
+        if (!s.catalog.tableExists(name))
+          df.repartition(8, col(key)).write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$name")
+            .format("parquet").saveAsTable(name)
+      val ot = s"bj_orders_$tag"
+      val lt = s"bj_lineitem_$tag"
+      ensure(ot, orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+      ensure(lt, lineitem(s, d).select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_cents")), "l_orderkey")
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev_cents")).as("rev_cents"))
+    }),
+
     // RFM scoring (recency / frequency / monetary quintiles) — the
     // classic user-value segmentation. Events collapse to the per-user
     // aggregate FIRST (one user_id shuffle; integer micros and exact
@@ -1153,6 +1188,15 @@ object RelationalQueries {
          |  c*n - s AS dev, n*q - s*s AS var_n2
          |FROM w
          |WHERE n = 7 AND (c*n - s)*(c*n - s) > 4*(n*q - s*s)""").stripMargin,
+
+    "q_bucketed_join" ->
+      ("""SELECT o.o_orderpriority,
+         |  cast(count(*) AS bigint) AS n_items,
+         |  cast(sum(cast(floor(
+         |    l.l_extendedprice*(1 - l.l_discount)*100 + 0.5) AS bigint))
+         |    AS bigint) AS rev_cents
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1""").stripMargin,
 
     "q_salted_join" ->
       ("""SELECT o.o_orderpriority,

@@ -291,6 +291,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window [") || p.contains("Window ("), p)
   }
 
+  test("q_bucketed_join: join is exchange-free over bucketed scans") {
+    // the whole point of the bucketed layout: the only hash exchange in
+    // the plan is the post-join priority aggregation; the join itself
+    // reads co-partitioned bucket scans (local per-bucket sorts remain
+    // — Spark ≥3 doesn't trust written sort order, SPARK-28595 — but
+    // no data crosses the network)
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"not a merge join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"want 1 exchange (the agg), got $exchanges:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+  }
+
   test("q_salted_join: dim replicated via explode before its join") {
     val p = plan("q_salted_join")
     assert(p.contains("Generate explode"), s"no explode replication:\n$p")
