@@ -129,4 +129,111 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(r("input") - r("kept_docs") >= r("clusters") ||
       r("clusters") == 0L)
   }
+
+  test("q_scd2: intervals partition each user's history, one open run") {
+    val r = rows("q_scd2")
+    val byUser = r.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.forall { case (_, runs) =>
+      // exactly one open (is_current) run per user
+      runs.count(_.getAs[Boolean]("is_current")) == 1 && {
+        // closed runs chain: valid_to of run k == valid_from of run k+1
+        val sorted = runs.sortBy(_.getAs[Long]("valid_from_us"))
+        sorted.sliding(2).forall {
+          case Seq(a, b) =>
+            a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us")
+          case _ => true
+        }
+      }
+    })
+    // runs cover every event exactly once
+    val total = r.map(_.getAs[Long]("n_events")).sum
+    assert(total == SparkEntry.queries("q_scan_project")(spark, d).count())
+  }
+
+  test("q_concurrency: prefix sums stay non-negative and close at zero") {
+    val r = rows("q_concurrency")
+    assert(r.forall(_.getAs[Long]("concurrent") >= 0L))
+    // every +1 has its -1: the multiset of deltas sums to zero, and the
+    // LAST prefix value (max us, delta=-1 sorts first... the global
+    // minimum at the end) is zero
+    assert(r.map(_.getAs[Long]("delta")).sum == 0L)
+    val last = r.maxBy(x => (x.getAs[Long]("us"), x.getAs[Long]("delta")))
+    assert(last.getAs[Long]("concurrent") == 0L)
+    assert(r.exists(_.getAs[Long]("concurrent") >= 1L))
+  }
+
+  test("q_triangles: wedge and edge bounds hold") {
+    val x = rows("q_triangles").head
+    val (tri, wed, e, n) = (x.getAs[Long]("n_triangles"),
+      x.getAs[Long]("n_wedges"), x.getAs[Long]("n_edges"),
+      x.getAs[Long]("n_nodes"))
+    assert(tri >= 0 && 3 * tri <= wed) // each triangle closes 3 wedges
+    assert(e <= n * (n - 1) / 2)
+    val gcc = x.getAs[Long]("gcc_micro")
+    assert(gcc >= 0 && gcc <= 1000000L)
+  }
+
+  test("q_skyline: result is mutually non-dominated and non-empty") {
+    val r = rows("q_skyline")
+    assert(r.nonEmpty)
+    val pts = r.map(x => (x.getAs[Long]("n_chars"), x.getAs[Long]("n_words")))
+    assert(pts.forall { case (x1, y1) => !pts.exists { case (x2, y2) =>
+      x2 >= x1 && y2 >= y1 && (x2 > x1 || y2 > y1) } })
+  }
+
+  test("q_shuffle_order: train_rank is a permutation of 1..n") {
+    val ranks = rows("q_shuffle_order").map(_.getAs[Long]("train_rank"))
+    assert(ranks.sorted == (1L to ranks.size.toLong).toSeq)
+  }
+
+  test("q_compaction_plan: next-fit bins overflow by at most one file") {
+    val r = rows("q_compaction_plan")
+    val target = 8000L
+    val byBin = r.groupBy(_.getAs[Long]("bin"))
+      .view.mapValues(_.map(_.getAs[Long]("bytes")).sum).toMap
+    // a next-fit bin closes only once cum crosses the target, so its
+    // total is < target + its last file (≤ max single file)
+    val maxFile = r.map(_.getAs[Long]("bytes")).max
+    assert(byBin.values.forall(_ < target + maxFile))
+    // bins are contiguous 0..k
+    val bins = byBin.keySet
+    assert(bins == (0L until bins.size.toLong).toSet)
+  }
+
+  test("q_mutual_info: cells sum to N, MI is non-negative") {
+    val r = rows("q_mutual_info")
+    val n = r.map(_.getAs[Long]("n_xy")).sum
+    assert(n == spark.read.parquet(s"$d/documents.parquet").count())
+    val mi = r.map(_.getAs[Double]("pmi_contrib")).sum
+    assert(mi >= -1e-3) // MI >= 0 in exact math; 6dp rounding slack
+  }
+
+  test("q_trend_slope: denominators satisfy Cauchy-Schwarz") {
+    val r = rows("q_trend_slope")
+    assert(r.nonEmpty)
+    assert(r.forall { x =>
+      val den = x.getAs[Long]("slope_den")
+      den >= 0L &&
+        den == x.getAs[Long]("n") * x.getAs[Long]("sxx") -
+          x.getAs[Long]("sx") * x.getAs[Long]("sx")
+    })
+  }
+
+  test("q_column_stats: ndv <= notnull <= rows, five columns") {
+    val r = rows("q_column_stats")
+    assert(r.map(_.getAs[String]("column_name")).toSet ==
+      Set("event_id", "user_id", "event_type", "cents", "us"))
+    assert(r.forall { x =>
+      val nn = x.getAs[Long]("n_rows") - x.getAs[Long]("n_null")
+      x.getAs[Long]("ndv") <= nn && nn <= x.getAs[Long]("n_rows")
+    })
+  }
+
+  test("q_upsert: latest-wins merge covers every user exactly once") {
+    val r = rows("q_upsert")
+    val users = r.map(_.getAs[Long]("user_id"))
+    assert(users.distinct.size == users.size)
+    assert(r.forall(x =>
+      Set("insert", "update", "keep")(x.getAs[String]("action"))))
+  }
 }
