@@ -594,6 +594,41 @@ object RelationalQueries {
         .select(col("us"), col("delta"), col("concurrent"))
     }),
 
+    // Time-series subsequence similarity search (the EDBT'19/ICDE'21
+    // streaming-similarity shape): every length-8 window of every
+    // user's cents series is scored against a deterministic query
+    // pattern (the lowest user's first full window) by EXACT integer
+    // squared Euclidean distance, and the 10 closest windows return
+    // via TakeOrderedAndProject. The distance profile materializes
+    // with 7 lead() columns over ONE per-user sort — no self-join, no
+    // subsequence explosion; the query pattern is a 1-row broadcast.
+    // At 100 TB this is the distance-profile scan: corpus-sized work,
+    // window-local state, top-k never sorts globally.
+    "q_ts_similarity" -> ((s, d) => {
+      val m = 8
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val series = events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), cents(col("value")).as("c0"))
+        .withColumn("idx", row_number().over(w))
+      val widened = (1 until m).foldLeft(series)((df, j) =>
+        df.withColumn(s"c$j", lead(col("c0"), j).over(w)))
+      val full = widened.filter(col(s"c${m - 1}").isNotNull)
+      val minUser = series.agg(min(col("user_id")).as("qu"))
+      val query = full.join(broadcast(minUser),
+          col("user_id") === col("qu") && col("idx") === 1)
+        .select((0 until m).map(j => col(s"c$j").as(s"q$j")): _*)
+      val dist2 = (0 until m).map(j =>
+        (col(s"c$j") - col(s"q$j")) * (col(s"c$j") - col(s"q$j")))
+        .reduce(_ + _)
+      full.crossJoin(broadcast(query))
+        .select(col("user_id"), col("us").as("start_us"),
+          dist2.as("dist2"))
+        .orderBy(col("dist2"), col("user_id"), col("start_us"))
+        .limit(10)
+    }),
+
     // CDC MERGE (upsert, latest-wins): the changelog-apply step every
     // incremental lakehouse table needs. The corpus splits at a
     // deterministic integer time cutoff (min + 7/10 of the span) into a
@@ -1018,6 +1053,32 @@ object RelationalQueries {
          |  cast(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS bigint),
          |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
          |FROM events""").stripMargin,
+
+    "q_ts_similarity" ->
+      ("""WITH series AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+         |    cast(floor(value*100 + 0.5) AS bigint) AS c0,
+         |    row_number() OVER w AS idx,
+         |    lead(cast(floor(value*100 + 0.5) AS bigint), 1) OVER w AS c1,
+         |    lead(cast(floor(value*100 + 0.5) AS bigint), 2) OVER w AS c2,
+         |    lead(cast(floor(value*100 + 0.5) AS bigint), 3) OVER w AS c3,
+         |    lead(cast(floor(value*100 + 0.5) AS bigint), 4) OVER w AS c4,
+         |    lead(cast(floor(value*100 + 0.5) AS bigint), 5) OVER w AS c5,
+         |    lead(cast(floor(value*100 + 0.5) AS bigint), 6) OVER w AS c6,
+         |    lead(cast(floor(value*100 + 0.5) AS bigint), 7) OVER w AS c7
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |full_ AS (SELECT * FROM series WHERE c7 IS NOT NULL),
+         |q AS (SELECT c0 AS q0, c1 AS q1, c2 AS q2, c3 AS q3, c4 AS q4,
+         |    c5 AS q5, c6 AS q6, c7 AS q7
+         |  FROM full_ WHERE idx = 1
+         |    AND user_id = (SELECT min(user_id) FROM events))
+         |SELECT user_id, us AS start_us,
+         |  (c0-q0)*(c0-q0) + (c1-q1)*(c1-q1) + (c2-q2)*(c2-q2)
+         |  + (c3-q3)*(c3-q3) + (c4-q4)*(c4-q4) + (c5-q5)*(c5-q5)
+         |  + (c6-q6)*(c6-q6) + (c7-q7)*(c7-q7) AS dist2
+         |FROM full_, q
+         |ORDER BY dist2, user_id, start_us
+         |LIMIT 10""").stripMargin,
 
     "q_trend_slope" ->
       ("""WITH ev AS (SELECT event_type, epoch_us(ts) AS us,

@@ -229,6 +229,14 @@ class QueryInvariantsSpec extends SparkSpec {
     })
   }
 
+  test("q_ts_similarity: the query window matches itself at distance 0") {
+    val r = rows("q_ts_similarity")
+    assert(r.size == 10)
+    val d2 = r.map(_.getAs[Long]("dist2"))
+    assert(d2.head == 0L)       // self-match survives the top-k
+    assert(d2 == d2.sorted)     // profile returned in distance order
+  }
+
   test("q_upsert: latest-wins merge covers every user exactly once") {
     val r = rows("q_upsert")
     val users = r.map(_.getAs[Long]("user_id"))
