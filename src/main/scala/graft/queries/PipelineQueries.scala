@@ -706,6 +706,44 @@ object PipelineQueries {
             .as("gcc_micro"))
     }),
 
+    // Frequent 2-itemsets over per-doc word baskets (the A-Priori /
+    // market-basket shape): each doc contributes its DISTINCT words,
+    // pairs generate per-doc via an index-ordered self-explode — the
+    // per-doc cost is bounded by per-basket vocabulary², the bound that
+    // makes pair generation tractable at any corpus size (the corpus
+    // scales in docs, not basket width). Pairs with support ≥ 5 report
+    // exact support counts plus integer-micro lift
+    // (support·N·10⁶ div (n_a·n_b)) — confidence/lift without floats.
+    "q_itemsets" -> ((s, d) => {
+      val minSup = 5L
+      val baskets = parallelize(documents(s, d))
+        .select(col("doc_id"),
+          array_sort(array_distinct(split(col("text"), " "))).as("ws"))
+      val singles = baskets
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val pairs = baskets
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+        .select(col("doc_id"), col("ws"), col("i"),
+          explode(expr("slice(ws, i + 1, size(ws) - i)")).as("b"))
+        .select(col("doc_id"), element_at(col("ws"), col("i")).as("a"),
+          col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSup)
+      val tot = baskets.agg(count(lit(1)).as("n_docs"))
+      pairs
+        .join(broadcast(singles.select(col("w").as("a"),
+          col("n_w").as("n_a"))), "a")
+        .join(broadcast(singles.select(col("w").as("b"),
+          col("n_w").as("n_b"))), "b")
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("support"), col("n_a"),
+          col("n_b"),
+          expr("(support * n_docs * 1000000) div (n_a * n_b)")
+            .as("lift_micro"))
+    }),
+
     // Deterministic global training order — the epoch-shuffle every
     // training run needs, reproducible across reruns and resumable
     // mid-epoch: order = md5(doc_id), rank assigned WITHOUT a global
@@ -2448,6 +2486,24 @@ object PipelineQueries {
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
          |  (3 * n_triangles * 1000000) // n_wedges AS gcc_micro
          |FROM tri, st, ne""").stripMargin,
+
+    "q_itemsets" ->
+      ("""WITH baskets AS (SELECT doc_id,
+         |    list_sort(list_distinct(string_split(text, ' '))) AS ws
+         |  FROM documents),
+         |singles AS (SELECT w, cast(count(*) AS bigint) AS n_w
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM baskets)
+         |  GROUP BY 1),
+         |pairs AS (SELECT a, b, cast(count(*) AS bigint) AS support
+         |  FROM (SELECT doc_id, ws[i] AS a, unnest(ws[i+1:]) AS b
+         |    FROM baskets, unnest(range(1, len(ws))) AS u(i))
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |tot AS (SELECT cast(count(*) AS bigint) AS n_docs FROM baskets)
+         |SELECT a, b, support, sa.n_w AS n_a, sb.n_w AS n_b,
+         |  (support * n_docs * 1000000) // (sa.n_w * sb.n_w)
+         |    AS lift_micro
+         |FROM pairs JOIN singles sa ON pairs.a = sa.w
+         |  JOIN singles sb ON pairs.b = sb.w, tot""").stripMargin,
 
     "q_shuffle_order" ->
       ("""WITH keyed AS (SELECT doc_id,
