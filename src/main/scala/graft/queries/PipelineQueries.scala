@@ -315,12 +315,15 @@ object PipelineQueries {
     "q_partitioned_prune" -> ((s, d) => {
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_part_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      // layout written once per source dir (the _SUCCESS marker gates):
-      // the operator under test is the planning-time PRUNE, and the
-      // one-time layout cost amortizing across queries is exactly the
-      // production economics (the q_bucketed_join pattern)
-      if (!new java.io.File(path + "/_SUCCESS").exists())
-        documents(s, d)
+      // layout written once per (JVM, source dir): the operator under
+      // test is the planning-time PRUNE, and the one-time layout cost
+      // amortizing across queries is the production economics (the
+      // q_bucketed_join pattern). The memo is JVM-scoped — NOT a
+      // filesystem marker — so a regenerated source dataset is
+      // re-laid-out by the next session instead of silently serving
+      // the stale layout
+      if (writtenLayouts.add(path))
+        try documents(s, d)
           .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
           // repartition on the partition columns BEFORE partitionBy: one
           // task owns each (lang, source) directory, so the layout is one
@@ -328,6 +331,10 @@ object PipelineQueries {
           // — the 100 TB small-files guard
           .repartition(col("lang"), col("source"))
           .write.mode("overwrite").partitionBy("lang", "source").parquet(path)
+        catch { case e: Throwable =>
+          writtenLayouts.remove(path) // failed write must not memoize
+          throw e
+        }
       s.read.parquet(path)
         .filter(col("lang") === "en")
         .groupBy(col("source"))
@@ -702,7 +709,11 @@ object PipelineQueries {
       tri.crossJoin(broadcast(stats)).crossJoin(broadcast(ne))
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
-          expr("(3 * n_triangles * 1000000) div n_wedges")
+          // NULL (not an error) on a wedge-free graph: Spark's div
+          // returns NULL at 0 but DuckDB's // raises, so both engines
+          // guard explicitly
+          when(col("n_wedges") > 0,
+            expr("(3 * n_triangles * 1000000) div n_wedges"))
             .as("gcc_micro"))
     }),
 
@@ -722,7 +733,11 @@ object PipelineQueries {
       val singles = baskets
         .select(col("doc_id"), explode(col("ws")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-      val pairs = baskets
+      // single-word baskets generate no pairs; without the guard
+      // sequence(1, 0) yields the DESCENDING [1, 0] and the i=0 row
+      // would hit element_at's 1-based index check (DuckDB's
+      // range(1, 1) is empty, so the oracle needs no guard)
+      val pairs = baskets.filter(size(col("ws")) >= 2)
         .select(col("doc_id"), col("ws"),
           explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
         .select(col("doc_id"), col("ws"), col("i"),
@@ -732,11 +747,12 @@ object PipelineQueries {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSup)
       val tot = baskets.agg(count(lit(1)).as("n_docs"))
+      // singles is VOCABULARY-sized — never force-broadcast it (the
+      // q_span_dedup lesson); the support≥5 pairs side is small, so
+      // AQE broadcasts whichever side actually fits at runtime
       pairs
-        .join(broadcast(singles.select(col("w").as("a"),
-          col("n_w").as("n_a"))), "a")
-        .join(broadcast(singles.select(col("w").as("b"),
-          col("n_w").as("n_b"))), "b")
+        .join(singles.select(col("w").as("a"), col("n_w").as("n_a")), "a")
+        .join(singles.select(col("w").as("b"), col("n_w").as("n_b")), "b")
         .crossJoin(broadcast(tot))
         .select(col("a"), col("b"), col("support"), col("n_a"),
           col("n_b"),
@@ -2441,6 +2457,15 @@ object PipelineQueries {
   /** the sf0.01 probe count (bits=6 → 64 buckets / 4) */
   private val AnnProbes = 16
 
+  /** JVM-scoped memo of partitioned layouts already written this
+    * session (q_partitioned_prune): add() returns true exactly once
+    * per path per JVM, so a fresh session always rewrites the layout
+    * (a regenerated source dataset is never served stale) while
+    * repeated bench passes within one session reuse it.
+    */
+  private val writtenLayouts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val oracle: Map[String, String] = Map(
     "q_weighted_sample" ->
       ("""SELECT doc_id, n_chars,
@@ -2484,7 +2509,9 @@ object PipelineQueries {
          |  FROM deg),
          |ne AS (SELECT cast(count(*) AS bigint) AS n_edges FROM und)
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-         |  (3 * n_triangles * 1000000) // n_wedges AS gcc_micro
+         |  CASE WHEN n_wedges > 0
+         |    THEN (3 * n_triangles * 1000000) // n_wedges END
+         |    AS gcc_micro
          |FROM tri, st, ne""").stripMargin,
 
     "q_itemsets" ->

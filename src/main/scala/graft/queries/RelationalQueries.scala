@@ -427,8 +427,12 @@ object RelationalQueries {
       val runs = isl.groupBy(col("user_id"), col("event_type"), col("island"))
         .agg(min(col("us")).as("valid_from_us"),
           count(lit(1)).as("n_events"))
+      // tie-break: two runs of one user CAN share a start microsecond
+      // (duplicate timestamps across types); (valid_from_us,
+      // event_type, island) is unique per user, so the chain is
+      // deterministic — the repo's window-determinism rule
       val seq = Window.partitionBy(col("user_id"))
-        .orderBy(col("valid_from_us"))
+        .orderBy(col("valid_from_us"), col("event_type"), col("island"))
       runs.select(col("user_id"), col("event_type"), col("valid_from_us"),
           lead(col("valid_from_us"), 1).over(seq).as("valid_to_us"),
           col("n_events"))
@@ -498,21 +502,25 @@ object RelationalQueries {
     // Skew-salted join: the manual remedy when one hot key floods a
     // shuffle partition (AQE skew-split only kicks in post-shuffle —
     // salting prevents the hot partition from ever materializing). The
-    // fact side derives a DETERMINISTIC salt in [0,8) from its own row
-    // id (l_linenumber — no rand(), so replays are stable); the dim
-    // side replicates 8× via explode(sequence) BEFORE its shuffle, and
-    // the join keys on (orderkey, salt) — the hot orderkey now spreads
-    // over 8 reducers. Salting is result-transparent: the oracle is the
-    // PLAIN join, so the hash certifies transparency. Dim replication
-    // costs 8×|orders| rows of (key, salt, priority) — at 100 TB you
-    // salt only the keys the skew stats flag, not the whole dim.
+    // fact side derives a DETERMINISTIC salt in [0,8) by hashing its
+    // own row identity (xxhash64 of (orderkey, linenumber) — no
+    // rand(), so replays/retries are stable, and unlike
+    // l_linenumber%8 — whose 1..7 domain would never hit salt 0 — the
+    // hash reaches all 8 salts uniformly); the dim side replicates 8×
+    // via explode(sequence) BEFORE its shuffle, and the join keys on
+    // (orderkey, salt) — the hot orderkey now spreads over 8 reducers.
+    // Salting is result-transparent: the oracle is the PLAIN join, so
+    // the hash certifies transparency. Dim replication costs
+    // 8×|orders| rows of (key, salt, priority) — at 100 TB you salt
+    // only the keys the skew stats flag, not the whole dim.
     "q_salted_join" -> ((s, d) => {
       val S = 8
       val fact = lineitem(s, d)
         .select(col("l_orderkey"),
           cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("rev_cents"),
-          pmod(col("l_linenumber"), lit(S)).as("salt"))
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S))
+            .as("salt"))
       val dim = orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           explode(sequence(lit(0), lit(S - 1))).as("salt"))
@@ -1202,10 +1210,11 @@ object RelationalQueries {
          |  FROM isl GROUP BY 1, 2, 3)
          |SELECT user_id, event_type, valid_from_us,
          |  lead(valid_from_us) OVER (PARTITION BY user_id
-         |    ORDER BY valid_from_us) AS valid_to_us,
+         |    ORDER BY valid_from_us, event_type, island) AS valid_to_us,
          |  n_events,
          |  lead(valid_from_us) OVER (PARTITION BY user_id
-         |    ORDER BY valid_from_us) IS NULL AS is_current
+         |    ORDER BY valid_from_us, event_type, island) IS NULL
+         |    AS is_current
          |FROM runs""").stripMargin,
 
     "q_incremental_agg" ->

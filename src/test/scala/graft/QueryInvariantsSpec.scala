@@ -157,8 +157,14 @@ class QueryInvariantsSpec extends SparkSpec {
     // LAST prefix value (max us, delta=-1 sorts first... the global
     // minimum at the end) is zero
     assert(r.map(_.getAs[Long]("delta")).sum == 0L)
-    val last = r.maxBy(x => (x.getAs[Long]("us"), x.getAs[Long]("delta")))
-    assert(last.getAs[Long]("concurrent") == 0L)
+    // several sessions may end at the same global max us: rows within
+    // that tie group carry prefix values {k-1, ..., 0}, so the closing
+    // zero is the group MIN, not an arbitrary maxBy pick
+    val lastKey = r.map(x =>
+      (x.getAs[Long]("us"), x.getAs[Long]("delta"))).max
+    val lastGroup = r.filter(x =>
+      (x.getAs[Long]("us"), x.getAs[Long]("delta")) == lastKey)
+    assert(lastGroup.map(_.getAs[Long]("concurrent")).min == 0L)
     assert(r.exists(_.getAs[Long]("concurrent") >= 1L))
   }
 
