@@ -651,6 +651,42 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // 4-hop BFS shortest distances from a deterministic source (the
+    // lexicographically smallest word) over the co-occurrence graph —
+    // the frontier-expansion iteration (PageRank's traversal sibling):
+    // each round relaxes every edge once (dist+1 candidates union the
+    // current table, min per node), so round k is one src-keyed join +
+    // one node-keyed aggregation — Pregel's superstep as two shuffles.
+    // Four rounds bound the work (k-hop neighborhoods, not full
+    // transitive closure); unreached nodes simply don't appear, so the
+    // output is frontier-sized, never graph-sized.
+    "q_bfs_hops" -> ((s, d) => {
+      val pairs = parallelize(documents(s, d))
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(element_at(col("t"), col("i")).as("a"),
+          element_at(col("t"), col("i") + 1).as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val source = edges.agg(min(col("src")).as("node"))
+        .withColumn("dist", lit(0L))
+      var dists = source.select(col("node"), col("dist"))
+      for (_ <- 1 to 4) {
+        dists = dists
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+          .unionByName(dists)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      dists
+    }),
+
     // Triangle counting + global clustering coefficient over the word
     // co-occurrence graph — the degree-ordered MapReduce algorithm
     // (Suri & Vassilvitskii, WWW'11): every edge is oriented from its
@@ -2476,6 +2512,26 @@ object PipelineQueries {
          |    AS key_nano
          |FROM documents ORDER BY key_nano DESC, doc_id
          |LIMIT 10""").stripMargin,
+
+    "q_bfs_hops" -> {
+      val relax = (k: Int) =>
+        s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |      FROM d${k - 1} p JOIN edges e ON p.node = e.src
+           |    UNION ALL SELECT node, dist FROM d${k - 1})
+           |  GROUP BY 1)"""
+      ("""WITH p AS (SELECT string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |pr AS (SELECT t[i] AS a, t[i+1] AS b
+         |  FROM p, unnest(range(1, len(t))) AS u(i)
+         |  WHERE t[i] <> t[i+1]),
+         |edges AS (SELECT DISTINCT a AS src, b AS dst FROM pr
+         |  UNION SELECT DISTINCT b, a FROM pr),
+         |d0 AS (SELECT min(src) AS node, cast(0 AS bigint) AS dist
+         |  FROM edges),
+         |""" + (1 to 4).map(relax).mkString(",\n") +
+        "\nSELECT node, dist FROM d4").stripMargin
+    },
 
     "q_triangles" ->
       ("""WITH p AS (SELECT string_split(text, ' ') AS t FROM documents

@@ -235,6 +235,17 @@ class QueryInvariantsSpec extends SparkSpec {
     })
   }
 
+  test("q_bfs_hops: source at 0, distances within the hop budget") {
+    val r = rows("q_bfs_hops")
+    val dists = r.map(_.getAs[Long]("dist"))
+    assert(dists.count(_ == 0L) == 1) // exactly the source
+    assert(dists.forall(x => x >= 0L && x <= 4L))
+    // BFS level sets: if any node sits at level k>0, some node sits at
+    // k-1 (frontiers never skip a level)
+    val levels = dists.toSet
+    assert((0L to levels.max).forall(levels.contains))
+  }
+
   test("q_ts_similarity: the query window matches itself at distance 0") {
     val r = rows("q_ts_similarity")
     assert(r.size == 10)
