@@ -1280,6 +1280,45 @@ object PipelineQueries {
           col("exact_distinct"))
     }),
 
+    // HyperLogLog distinct-count sketch over the same 8-gram spans —
+    // the industry-standard cardinality estimator, expressed as pure
+    // declarative Spark: register index = top 9 bits of the 48-bit span
+    // hash, rank = leading-zero count of the low 39 bits + 1 (via
+    // length(bin(x)), identical in DuckDB), and the register build is
+    // groupBy(reg).max(rank) — map-side combinable, so the one exchange
+    // carries at most m=512 (reg, max-rank) pairs per partition
+    // REGARDLESS of corpus size. The harmonic-mean denominator is
+    // integerized (sum of 2^(40-M) as BIGINT, exact — no float
+    // associativity), so even the estimate hash-matches the oracle;
+    // the final alpha*m^2 division is one fixed-order IEEE expression,
+    // floor-rounded. `zeros` is emitted so the linear-counting
+    // small-range correction (which needs ln) stays a consumer choice
+    // instead of a float-determinism hazard in the gate.
+    "q_hll_distinct" -> ((s, d) => {
+      val p = 9; val m = 1 << p // 512 registers, 48-bit hash: 9 idx + 39 rank bits
+      val regs = parallelize(documents(s, d))
+        .select(explode(Dedup.shingles(col("text"), 8)).as("sp"))
+        .select(conv(substring(md5(col("sp")), 1, 12), 16, 10)
+          .cast("long").as("h")).distinct()
+        .select(shiftrightunsigned(col("h"), 39).as("reg"),
+          col("h").bitwiseAND(lit((1L << 39) - 1)).as("rem"))
+        .select(col("reg"),
+          when(col("rem") === 0, lit(40))
+            .otherwise(lit(40) - length(bin(col("rem")))).as("rank"))
+        .groupBy(col("reg"))
+        .agg(max(col("rank")).as("mx"), count(lit(1)).as("cnt"))
+      regs.agg(
+          (sum(expr("shiftleft(cast(1 as bigint), cast(40 - mx as int))")) +
+            (lit(m.toLong) - count(lit(1))) * lit(1L << 40)).as("hden"),
+          (lit(m.toLong) - count(lit(1))).as("zeros"),
+          sum(col("cnt")).as("exact_distinct"))
+        .select(lit(m).as("m"), col("zeros"), col("hden"),
+          r(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+            lit(262144.0) * lit(1099511627776.0) /
+            col("hden").cast("double"), 4).as("est_distinct"),
+          col("exact_distinct"))
+    }),
+
     // Count-Min-Sketch heavy hitters: the exact top-20 tokens probed
     // against a 4×256 CMS built in ONE pass over the token stream
     // (native TypedImperativeAggregate — only fixed-size counter
@@ -2983,6 +3022,34 @@ object PipelineQueries {
          |  ${rs("CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / " +
               "(SELECT max(h) FROM mins)", 4)} AS est_distinct,
          |  (SELECT cast(count(*) AS bigint) FROM hh) AS exact_distinct""".stripMargin,
+
+    // HLL: registers rebuilt from the same 48-bit span hashes (9 index
+    // bits, rank = 40 - length(bin(low 39 bits))); harmonic denominator
+    // integerized as sum(2^(40-M)) BIGINT so the estimate is bit-exact
+    "q_hll_distinct" ->
+      s"""WITH sp AS (SELECT DISTINCT doc_id, sp FROM (
+         |  SELECT doc_id, unnest($spanShinglesSql) AS sp FROM documents)),
+         |hh AS (SELECT DISTINCT
+         |         cast(('0x' || substr(md5(sp), 1, 12)) AS bigint) AS h
+         |       FROM sp),
+         |rr AS (SELECT (h >> 39) AS reg,
+         |         CASE WHEN (h & 549755813887) = 0 THEN 40
+         |              ELSE 40 - length(bin(h & 549755813887)) END AS rank
+         |       FROM hh),
+         |regs AS (SELECT reg, max(rank) AS mx,
+         |                cast(count(*) AS bigint) AS cnt
+         |         FROM rr GROUP BY 1)
+         |SELECT cast(512 AS int) AS m,
+         |  cast(512 - count(*) AS bigint) AS zeros,
+         |  cast(sum(1::BIGINT << (40 - mx))
+         |       + (512 - count(*)) * (1::BIGINT << 40) AS bigint) AS hden,
+         |  ${rs("CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE)" +
+              "+CAST(1.079 AS DOUBLE)/CAST(512.0 AS DOUBLE))" +
+              "*CAST(262144.0 AS DOUBLE)*CAST(1099511627776.0 AS DOUBLE)" +
+              "/CAST(sum(1::BIGINT << (40 - mx)) + (512 - count(*)) " +
+              "* (1::BIGINT << 40) AS DOUBLE)", 4)} AS est_distinct,
+         |  cast(sum(cnt) AS bigint) AS exact_distinct
+         |FROM regs""".stripMargin,
 
     // CMS heavy hitters: cells rebuilt from per-token exact counts via
     // the same md5-chunk hash rows; estimate = min over matching cells

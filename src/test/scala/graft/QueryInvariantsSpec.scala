@@ -254,6 +254,25 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(d2 == d2.sorted)     // profile returned in distance order
   }
 
+  test("q_hll_distinct: estimator within the m=512 error envelope") {
+    val r = rows("q_hll_distinct")
+    assert(r.size == 1)
+    val x = r.head
+    val m = x.getAs[Int]("m")
+    val zeros = x.getAs[Long]("zeros")
+    val hden = x.getAs[Long]("hden")
+    val est = x.getAs[Double]("est_distinct")
+    val exact = x.getAs[Long]("exact_distinct")
+    assert(m == 512 && zeros >= 0 && zeros < m)
+    // every register contributes at least 2^0 and at most 2^40 scaled units
+    assert(hden >= m.toLong && hden <= m.toLong * (1L << 40))
+    // HLL standard error is 1.04/sqrt(m) ~ 4.6%; allow 5 sigma plus the
+    // small-range regime (zeros>0 biases high without linear counting)
+    val rse = 1.04 / math.sqrt(m.toDouble)
+    assert(est > 0 && math.abs(est - exact) <= (6 * rse + 0.25) * exact,
+      s"est=$est exact=$exact")
+  }
+
   test("q_upsert: latest-wins merge covers every user exactly once") {
     val r = rows("q_upsert")
     val users = r.map(_.getAs[Long]("user_id"))
