@@ -1319,6 +1319,49 @@ object PipelineQueries {
           col("exact_distinct"))
     }),
 
+    // HLL MERGEABILITY — the property that makes sketches the right
+    // tool at 100 TB: per-source register sets are built ONCE from the
+    // data, then any rollup (here: the all-sources union) is an
+    // element-wise register max over the ≤ sources×512 sketch rows,
+    // never a rescan of the corpus. Because union-of-sketches = sketch-
+    // of-union exactly (max is associative/commutative/idempotent), the
+    // merged "ALL" row is bit-identical to what q_hll_distinct computes
+    // directly over the global span set — asserted cross-query in the
+    // invariants spec, and hash-checked here per source AND merged.
+    "q_hll_merge" -> ((s, d) => {
+      val hh = parallelize(documents(s, d))
+        .select(col("source"),
+          explode(Dedup.shingles(col("text"), 8)).as("sp"))
+        .select(col("source"),
+          conv(substring(md5(col("sp")), 1, 12), 16, 10)
+            .cast("long").as("h")).distinct()
+      val rem = col("h").bitwiseAND(lit((1L << 39) - 1))
+      val perSrc = hh
+        .select(col("source"), shiftrightunsigned(col("h"), 39).as("reg"),
+          when(rem === 0, lit(40))
+            .otherwise(lit(40) - length(bin(rem))).as("rank"))
+        .groupBy(col("source"), col("reg"))
+        .agg(max(col("rank")).as("mx"))
+      val merged = perSrc.groupBy(col("reg")).agg(max(col("mx")).as("mx"))
+        .withColumn("source", lit("ALL"))
+      val ests = perSrc.select(col("source"), col("mx"))
+        .unionByName(merged.select(col("source"), col("mx")))
+        .groupBy(col("source"))
+        .agg((sum(expr(
+            "shiftleft(cast(1 as bigint), cast(40 - mx as int))")) +
+          (lit(512L) - count(lit(1))) * lit(1L << 40)).as("hden"))
+        .select(col("source"),
+          r(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+            lit(262144.0) * lit(1099511627776.0) /
+            col("hden").cast("double"), 4).as("est_distinct"))
+      val exacts = hh.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_distinct"))
+        .unionByName(hh.select(col("h")).distinct()
+          .agg(count(lit(1)).as("exact_distinct"))
+          .withColumn("source", lit("ALL")))
+      ests.join(exacts, "source").orderBy(col("source"))
+    }),
+
     // Count-Min-Sketch heavy hitters: the exact top-20 tokens probed
     // against a 4×256 CMS built in ONE pass over the token stream
     // (native TypedImperativeAggregate — only fixed-size counter
@@ -3050,6 +3093,37 @@ object PipelineQueries {
               "* (1::BIGINT << 40) AS DOUBLE)", 4)} AS est_distinct,
          |  cast(sum(cnt) AS bigint) AS exact_distinct
          |FROM regs""".stripMargin,
+
+    // HLL merge: per-source registers + element-wise-max union, same
+    // integerized estimator as q_hll_distinct
+    "q_hll_merge" ->
+      s"""WITH sp AS (SELECT DISTINCT source, sp FROM (
+         |  SELECT source, unnest($spanShinglesSql) AS sp FROM documents)),
+         |hh AS (SELECT DISTINCT source,
+         |         cast(('0x' || substr(md5(sp), 1, 12)) AS bigint) AS h
+         |       FROM sp),
+         |rr AS (SELECT source, (h >> 39) AS reg,
+         |         CASE WHEN (h & 549755813887) = 0 THEN 40
+         |              ELSE 40 - length(bin(h & 549755813887)) END AS rank
+         |       FROM hh),
+         |ps AS (SELECT source, reg, max(rank) AS mx FROM rr GROUP BY 1, 2),
+         |al AS (SELECT 'ALL' AS source, reg, max(mx) AS mx
+         |       FROM ps GROUP BY reg),
+         |regs AS (SELECT source, mx FROM ps
+         |         UNION ALL SELECT source, mx FROM al),
+         |est AS (SELECT source,
+         |  ${rs("CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE)" +
+              "+CAST(1.079 AS DOUBLE)/CAST(512.0 AS DOUBLE))" +
+              "*CAST(262144.0 AS DOUBLE)*CAST(1099511627776.0 AS DOUBLE)" +
+              "/CAST(sum(1::BIGINT << (40 - mx)) + (512 - count(*)) " +
+              "* (1::BIGINT << 40) AS DOUBLE)", 4)} AS est_distinct
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT source, cast(count(*) AS bigint) AS exact_distinct
+         |       FROM hh GROUP BY 1
+         |       UNION ALL
+         |       SELECT 'ALL', cast(count(DISTINCT h) AS bigint) FROM hh)
+         |SELECT e.source, e.est_distinct, x.exact_distinct
+         |FROM est e JOIN ex x USING (source) ORDER BY source""".stripMargin,
 
     // CMS heavy hitters: cells rebuilt from per-token exact counts via
     // the same md5-chunk hash rows; estimate = min over matching cells

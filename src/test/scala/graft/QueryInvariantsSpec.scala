@@ -273,6 +273,22 @@ class QueryInvariantsSpec extends SparkSpec {
       s"est=$est exact=$exact")
   }
 
+  test("q_hll_merge: union-of-sketches equals sketch-of-union exactly") {
+    val mr = rows("q_hll_merge")
+    val all = mr.filter(_.getAs[String]("source") == "ALL")
+    assert(all.size == 1 && mr.size > 2) // ALL + at least two sources
+    // the merged estimate is BIT-IDENTICAL to the direct global sketch
+    val direct = rows("q_hll_distinct").head
+    assert(all.head.getAs[Double]("est_distinct") ==
+      direct.getAs[Double]("est_distinct"))
+    assert(all.head.getAs[Long]("exact_distinct") ==
+      direct.getAs[Long]("exact_distinct"))
+    // per-source exacts are each <= global (spans shared across sources)
+    val perSrc = mr.filterNot(_.getAs[String]("source") == "ALL")
+    assert(perSrc.forall(x => x.getAs[Long]("exact_distinct") <=
+      all.head.getAs[Long]("exact_distinct")))
+  }
+
   test("q_upsert: latest-wins merge covers every user exactly once") {
     val r = rows("q_upsert")
     val users = r.map(_.getAs[Long]("user_id"))
