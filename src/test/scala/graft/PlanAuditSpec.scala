@@ -179,6 +179,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_kmv_sketch"), s"no map-side partials:\n$p")
   }
 
+  test("q_hll_distinct: register build partial-aggregates map-side") {
+    val p = plan("q_hll_distinct")
+    // groupBy(reg).max(rank) must show partial max BELOW the exchange —
+    // each map task emits at most m=512 (reg, rank) pairs, so the
+    // register shuffle is O(m) per partition at ANY corpus size
+    assert(p.contains("partial_max") || p.contains("partial, [max") ||
+      p.toLowerCase.contains("partial_max(rank"),
+      s"no map-side register partials:\n$p")
+    // raw span text must never be a partitioning key (only the 48-bit
+    // hash and the 9-bit register index shuffle)
+    assert(!p.contains("hashpartitioning(sp"), s"raw-span shuffle:\n$p")
+  }
+
   test("q_partitioned_prune: partition filter prunes at planning time") {
     val p = plan("q_partitioned_prune")
     // the lang predicate must be a PartitionFilter on the scan (pruned
