@@ -24,7 +24,7 @@ final class KmvBuffer(val mins: java.util.TreeSet[java.lang.Long])
   * estimator (k−1)/U(k) (Bar-Yossef et al. 2002) and keeps the kth
   * value as the mergeable theta.
   *
-  * DETERMINISTIC, unlike HLL-style sketches: the k minimum distinct
+  * DETERMINISTIC: the k minimum distinct
   * values of a fixed hash are a pure function of the input SET, so the
   * result is identical across partitionings, retries, and engines — a
   * DuckDB oracle reproduces it with `ORDER BY h LIMIT k` over distinct

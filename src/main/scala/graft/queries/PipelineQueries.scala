@@ -1253,9 +1253,10 @@ object PipelineQueries {
 
     // KMV distinct-count sketch over 8-gram spans (the near-dup-rate
     // denominator a curation pipeline estimates without a full
-    // count-distinct shuffle): one pass, k longs per partial, and —
-    // unlike HLL — fully DETERMINISTIC, so even the "approximate"
-    // estimate hash-matches the oracle. kth = the retained theta.
+    // count-distinct shuffle): one pass, k longs per partial, and fully
+    // DETERMINISTIC, so even the "approximate" estimate hash-matches
+    // the oracle (q_hll_distinct gets the same property from integer
+    // register math). kth = the retained theta.
     "q_kmv_distinct" -> ((s, d) => {
       val k = 256
       val spans = parallelize(documents(s, d))
