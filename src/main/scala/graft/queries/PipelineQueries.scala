@@ -1720,17 +1720,20 @@ object PipelineQueries {
     // Zipf's-law fit over the term-frequency table: exact OLS of
     // ln(freq) on ln(rank) for the top 1000 ranks, micro-nat integerized
     // coordinates so the sums are exact longs (the slope divides two
-    // exact integers in double — bit-stable). The global sort is
-    // vocabulary-sized, never corpus-sized; the healthy-corpus signal is
-    // slope ≈ -1.
+    // exact integers in double — bit-stable). The top-1000 cut is a
+    // TakeOrderedAndProject (per-partition heaps + a 1000-row driver
+    // merge — the q_bm25 shape), NEVER a full-vocabulary sort: at
+    // corpus scale the vocab is 10^8+ terms and a single-partition
+    // rank window over it is a one-task bottleneck. Ranking then runs
+    // on the bounded 1000-row result. Healthy-corpus signal: slope ≈ -1.
     "q_zipf_slope" -> ((s, d) => {
       val tf = parallelize(documents(s, d))
         .select(explode(split(col("text"), " ")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val top = tf.orderBy(col("c").desc, col("t").asc).limit(1000)
       val ord = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1)).orderBy(col("c").desc, col("t").asc)
-      val pts = tf.withColumn("rank", row_number().over(ord))
-        .filter(col("rank") <= 1000)
+        .orderBy(col("c").desc, col("t").asc)
+      val pts = top.withColumn("rank", row_number().over(ord))
         .select(
           floor(log(col("rank").cast("double")) * 1e6 + lit(0.5))
             .cast("long").as("x"),
@@ -1903,19 +1906,31 @@ object PipelineQueries {
     // column under two layouts — natural arrival order (orderkey
     // ranges) vs. shipdate-sorted — and how many 4096-row files a Q1-
     // style date window could skip in each. The layout-quality number a
-    // table-format optimizer (clustering/compaction) is judged by; the
-    // sorted variant deliberately pays the one global sort that
-    // building such a layout costs.
+    // table-format optimizer (clustering/compaction) is judged by. The
+    // sorted layout's global rank is assigned WITHOUT a corpus-scale
+    // single-partition sort: rows bucket by their leading sort key
+    // (the shipdate itself — ~2.5k distinct days, value-domain-sized),
+    // bucket counts prefix-sum on that small table, and each day ranks
+    // locally with its offset added — the q_shuffle_order two-level
+    // prefix decomposition, here on an ordered (not hashed) bucket key
+    // so the composed rank IS the exact global sort order.
     "q_zonemap_prune" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"))
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1996-03-31").cast("timestamp")
       val a = li.withColumn("file", expr("l_orderkey div 4096"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      val b = li.withColumn("rn", row_number().over(w))
+      val wd = Window.orderBy(col("l_shipdate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = li.groupBy(col("l_shipdate"))
+        .agg(count(lit(1)).as("dn"))
+        .withColumn("offset", coalesce(sum(col("dn")).over(wd), lit(0L)))
+        .select(col("l_shipdate"), col("offset"))
+      val wl = Window.partitionBy(col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val b = li.join(broadcast(off), "l_shipdate")
+        .withColumn("rn", col("offset") + row_number().over(wl))
         .withColumn("file", expr("cast(rn - 1 AS bigint) div 4096"))
       def zones(df: DataFrame, name: String): DataFrame =
         df.groupBy(col("file"))
@@ -2736,8 +2751,8 @@ object PipelineQueries {
          |    cast(count(*) AS bigint) AS n_docs
          |  FROM documents GROUP BY 1, 2)
          |SELECT source, lang, n_docs, bytes,
-         |  (sum(bytes) OVER (ORDER BY source, lang
-         |     ROWS UNBOUNDED PRECEDING) - bytes) // 8000 AS bin
+         |  cast((sum(bytes) OVER (ORDER BY source, lang
+         |     ROWS UNBOUNDED PRECEDING) - bytes) // 8000 AS bigint) AS bin
          |FROM f""").stripMargin,
 
     // PageRank: the five synchronous iterations unrolled as CTE pairs

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
@@ -765,11 +765,18 @@ object RelationalQueries {
     // RFM scoring (recency / frequency / monetary quintiles) — the
     // classic user-value segmentation. Events collapse to the per-user
     // aggregate FIRST (one user_id shuffle; integer micros and exact
-    // cents, so nothing floats); the three ntile(5) windows then rank
-    // the |users|-sized aggregate with user_id tie-breaks. At extreme
-    // user cardinality the global ntile sort would swap for
-    // percentile-boundary scoring; on the aggregated dimension table
-    // it is the standard reporting shape (the q_ppl_buckets pattern).
+    // cents, so nothing floats). The quintiles are then EXACT ntile(5)
+    // semantics (first n%5 buckets one row larger) computed WITHOUT a
+    // single-partition sort over the users table: each ordering gets
+    // an exact global rank via the q_shuffle_order two-level prefix
+    // decomposition — rows bucket by a coarse MONOTONE image of the
+    // sort key (hour-quantized recency / negated frequency /
+    // $1000-quantized negated monetary), bucket counts prefix-sum on
+    // the value-domain-sized bucket table, each bucket ranks locally
+    // with its offset added — and rank maps to the quintile
+    // arithmetically from the broadcast user count. Users are a
+    // corpus-scale entity at 100×; no window ever sees more than one
+    // bucket of them.
     "q_rfm" -> ((s, d) => {
       val ev = events(s, d)
       val per = ev.groupBy(col("user_id")).agg(
@@ -777,18 +784,51 @@ object RelationalQueries {
         count(lit(1)).as("frequency"),
         sum(cents(col("value"))).as("monetary_cents"))
       val ref = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
-      val base = per.crossJoin(broadcast(ref))
+      val nU = per.agg(count(lit(1)).as("n_users"))
+      val base = per.crossJoin(broadcast(ref)).crossJoin(broadcast(nU))
         .select(col("user_id"),
           (col("ref_us") - col("last_us")).as("recency_us"),
-          col("frequency"), col("monetary_cents"))
-      base.select(col("user_id"), col("recency_us"), col("frequency"),
+          col("frequency"), col("monetary_cents"), col("n_users"))
+      // Exact global rank of `ord` (a total order: tie-broken by
+      // user_id) where `bucket` is monotone non-decreasing along it.
+      def globalRank(df: DataFrame, bucket: Column, ord: Seq[Column],
+          out: String): DataFrame = {
+        val keyed = df.withColumn("__b", bucket)
+        val wb = Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = keyed.groupBy(col("__b"))
+          .agg(count(lit(1)).as("__bn"))
+          .withColumn("__off", coalesce(sum(col("__bn")).over(wb), lit(0L)))
+          .select(col("__b"), col("__off"))
+        val wl = Window.partitionBy(col("__b")).orderBy(ord: _*)
+        keyed.join(broadcast(off), "__b")
+          .withColumn(out, col("__off") + row_number().over(wl))
+          .drop("__b", "__off", "__bn")
+      }
+      // rank -> ntile(5): q = n div 5, r = n mod 5; buckets 1..r hold
+      // q+1 rows, buckets r+1..5 hold q (the SQL-standard definition
+      // Spark and DuckDB share). Pure integer arithmetic on positives.
+      def ntileOf(rn: String): Column = expr(
+        s"""cast(CASE
+           |  WHEN $rn <= (n_users % 5) * ((n_users div 5) + 1)
+           |  THEN ($rn - 1) div ((n_users div 5) + 1) + 1
+           |  ELSE (n_users % 5) +
+           |    ($rn - (n_users % 5) * ((n_users div 5) + 1) - 1)
+           |      div (n_users div 5) + 1
+           |END AS int)""".stripMargin)
+      val ranked = Seq[(Column, Seq[Column], String)](
+        (expr("recency_us div 3600000000"),
+          Seq(col("recency_us"), col("user_id")), "__r_rn"),
+        (-col("frequency"),
+          Seq(col("frequency").desc, col("user_id")), "__f_rn"),
+        (-expr("monetary_cents div 100000"),
+          Seq(col("monetary_cents").desc, col("user_id")), "__m_rn"))
+        .foldLeft(base) { case (df, (b, o, n)) => globalRank(df, b, o, n) }
+      ranked.select(col("user_id"), col("recency_us"), col("frequency"),
           col("monetary_cents"),
-          ntile(5).over(Window.orderBy(col("recency_us"), col("user_id")))
-            .as("r_score"),
-          ntile(5).over(Window.orderBy(col("frequency").desc,
-            col("user_id"))).as("f_score"),
-          ntile(5).over(Window.orderBy(col("monetary_cents").desc,
-            col("user_id"))).as("m_score"))
+          ntileOf("__r_rn").as("r_score"),
+          ntileOf("__f_rn").as("f_score"),
+          ntileOf("__m_rn").as("m_score"))
         .withColumn("rfm",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
     }),
