@@ -125,9 +125,57 @@ object PipelineQueries {
   private def annProbes(bits: Int): Int = math.max(1, (1 << bits) / 4)
   private def ivfCells(n: Long): Int =
     Similarity.ivfCellsFor(n, IvfTargetCell)
-  /** the sf0.01 values, which the static oracle SQL is generated for */
-  private val AnnBits = 6
-  private val IvfCells = 8
+  /** Oracle literal ENVELOPE: the static SQL embeds this many seeded
+    * hyperplanes / IVF centroids and slices the first `bits` / `cells`
+    * at run time (both generators are prefix-stable in the seed), with
+    * bits / cells / k derived from count(*) INSIDE the SQL by the same
+    * integer-exact formulas as srpBitsFor / ivfCellsFor / the k-means
+    * rule. One SQL text is therefore exact at any corpus size up to
+    * 8·2^MaxOracleBits = 32768 vectors (≈ sf0.65) — far past the
+    * sf0.001/0.01/0.1 gate scales; the envelope bound is an artifact
+    * of literal embedding only, not of the Spark plans (which scale to
+    * maxBits=30 / 2^20 cells).
+    */
+  private val MaxOracleBits = 12
+  private val MaxOracleCells = 128
+
+  /** Corpus-derived blocking parameters as a 1-row CTE — cross-join it
+    * wherever `bits` / `probes` / `cells` / `kk` appear. Integer-exact
+    * mirrors of srpBitsFor (length(bin(⌈n/8⌉−1)) = ⌈log2⌉),
+    * annProbes, ivfCellsFor and the k-means k rule.
+    */
+  private def annParamCte: String =
+    s"""ann_p AS (SELECT n, bits,
+       |    cast(greatest(1, (1 << bits) // 4) AS int) AS probes,
+       |    cells, kk
+       |  FROM (SELECT n,
+       |      cast(least(30, greatest(4,
+       |        CASE WHEN (n + 7) // 8 <= 1 THEN 0
+       |             ELSE length(bin((n + 7) // 8 - 1)) END)) AS int)
+       |        AS bits,
+       |      cast(least(1048576, greatest(4, (n + 63) // 64)) AS int)
+       |        AS cells,
+       |      cast(greatest(4, n // 125) AS int) AS kk
+       |    FROM (SELECT cast(count(*) AS bigint) AS n
+       |          FROM embeddings)))""".stripMargin
+
+  /** The MaxOracleBits seeded hyperplanes as one list-of-lists literal
+    * CTE; bucket expressions slice `pl[1..bits]`.
+    */
+  private def annPlanesCte: String = {
+    val pl = graft.sim.Similarity.srpPlanes(64, MaxOracleBits)
+      .map(_.mkString("[", ", ", "]")).mkString("[\n", ",\n", "]")
+    s"ann_pl AS (SELECT $pl AS pl)"
+  }
+
+  /** The MaxOracleCells seeded IVF centroids as one literal CTE; cell
+    * argmaxes run over `cs[1..cells]`.
+    */
+  private def ivfCentCte: String = {
+    val cs = graft.sim.Similarity.ivfCentroids(64, MaxOracleCells)
+      .map(_.mkString("[", ", ", "]")).mkString("[\n", ",\n", "]")
+    s"ivf_cs AS (SELECT $cs AS cs)"
+  }
 
   /** Fixed query-term set for the BM25 / RRF retrieval queries. */
   private val Bm25Terms = Seq("hash", "join", "vector")
@@ -2255,9 +2303,9 @@ object PipelineQueries {
     // structure (the same corpus-scaled occupancy rule as the SRP/IVF
     // blocking — k grows with n so within-cell pair counts stay
     // bounded), exact cosine within a cell, keep-min-id per near-dup
-    // neighborhood. The sf0.01 instantiation (k=4, 2 Lloyd iterations)
-    // is what the static oracle re-derives from the same seeded-k-means
-    // construction as q_kmeans_embed.
+    // neighborhood. The oracle re-derives k = max(4, n/125) and the
+    // same seeded-k-means construction as q_kmeans_embed from count(*),
+    // so the hash gate holds at every SF.
     "q_semdedup" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -2341,7 +2389,8 @@ object PipelineQueries {
     // cannot flip an assignment.
     "q_kmeans_embed" -> ((s, d) => {
       val (assign, cents) = Similarity.kmeans(embeddings(s, d),
-        col("vec_id"), col("embedding"), k = 4, iters = 2)
+        col("vec_id"), col("embedding"),
+        k = math.max(4, (embCount(s, d) / 125).toInt), iters = 2)
       def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
       val stats = s.createDataFrame(cents.map { case (cid, c) =>
         (cid, c(0), r6(math.sqrt(c.map(x => x * x).sum)))
@@ -2431,14 +2480,16 @@ object PipelineQueries {
           col("width").as("w"), col("height").as("h"))
     }))
 
-  /** Shared ANN oracle CTEs (sf0.01 instantiation: 6 bits, 16 probes):
-    * reproduces Similarity.srpProbes EXACTLY in SQL — base bucket from
-    * the plane-projection signs, bit order by ascending |margin| (ties
-    * by bit index, like Scala's stable sortBy), then base / single-bit
-    * flips / pairwise flips in generation order, first AnnProbes taken
-    * (the 1+6+15 candidates are all distinct, so Scala's `.distinct`
-    * is a no-op). Every arithmetic step is exact int/xor or an
-    * identically-ordered double op, so probe lists agree bit-for-bit.
+  /** Shared ANN oracle CTEs (bits/probes derived from count(*) via
+    * ann_p, planes from the ann_pl envelope): reproduces
+    * Similarity.srpProbes EXACTLY in SQL — base bucket from the
+    * plane-projection signs, bit order by ascending |margin| (ties by
+    * bit index, like Scala's stable sortBy), then base / single-bit
+    * flips / pairwise flips in generation order, first `probes` taken
+    * (the 1+b+b(b−1)/2 candidates are all distinct, so Scala's
+    * `.distinct` is a no-op). Every arithmetic step is exact int/xor
+    * or an identically-ordered double op, so probe lists agree
+    * bit-for-bit at every SF.
     */
   /** Shared bigram-NLL CTE chain ending at
     * `perdoc(doc_id, n_bigrams, nll_sum_micro)` — the SQL mirror of
@@ -2529,29 +2580,30 @@ object PipelineQueries {
       .mkString("\nUNION ALL\n")
 
   /** SRP bucket id as a DuckDB expression over a DOUBLE[] column named
-    * `colName` — the same seeded hyperplane literals as
-    * Similarity.srpBucket, so bucket assignment agrees bit-for-bit.
+    * `colName` — the same seeded hyperplanes as Similarity.srpBucket
+    * (via the ann_pl literal CTE), sliced to the corpus-derived `bits`
+    * (ann_p), so bucket assignment agrees bit-for-bit at every SF.
+    * Requires ann_p and ann_pl in the enclosing FROM.
     */
   private def srpBucketSql(colName: String): String =
-    graft.sim.Similarity.srpPlanes(64, AnnBits).zipWithIndex
-      .map { case (plane, b) =>
-        s"(CASE WHEN list_dot_product($colName, " +
-          s"${plane.mkString("[", ", ", "]")}) > 0 THEN ${1 << b} " +
-          "ELSE 0 END)"
-      }.mkString(" + ")
+    s"""cast(list_sum(list_transform(generate_series(1, bits), b ->
+       |    CASE WHEN list_dot_product($colName, pl[b]) > 0
+       |         THEN 1 << (b - 1) ELSE 0 END)) AS int)""".stripMargin
 
-  /** Seeded-k-means CTE chain (k=4, 2 Lloyd iterations — the sf0.01
-    * instantiation), shared by the q_kmeans_embed and q_semdedup
-    * oracles: e (typed vectors), c0 (first-4-ids seed), a1 (augmented
+  /** Seeded-k-means CTE chain (k = max(4, n/125) derived in-SQL, 2
+    * Lloyd iterations), shared by the q_kmeans_embed and q_semdedup
+    * oracles: e (typed vectors), c0 (first-k-ids seed), a1 (augmented
     * -dot assignment), cm/c1 (1e-6-rounded element-wise means), a2
     * (final assignment).
     */
   private def kmeansCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""$annParamCte,
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
-       |c0 AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int)
-       |         AS j, v
-       |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+       |c0 AS (SELECT cast(rn - 1 AS int) AS j, v
+       |       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+       |             FROM e) t, ann_p
+       |       WHERE t.rn <= ann_p.kk),
        |a1 AS (SELECT e.vec_id, e.v,
        |        (SELECT c0.j FROM c0
        |         ORDER BY list_dot_product(e.v, c0.v)
@@ -2570,42 +2622,36 @@ object PipelineQueries {
        |         LIMIT 1) AS cluster_id
        |       FROM e)""".stripMargin
 
-  private def annProbeCtes: String = {
-    val planes = graft.sim.Similarity.srpPlanes(64, AnnBits)
-    val projs = planes
-      .map(p => s"list_dot_product(qv, ${p.mkString("[", ", ", "]")})")
-      .mkString("[", ", ", "]")
-    val bucket = planes.zipWithIndex.map { case (plane, b) =>
-      s"(CASE WHEN list_dot_product(v, ${plane.mkString("[", ", ", "]")})" +
-        s" > 0 THEN ${1 << b} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+  private def annProbeCtes: String =
+    s"""$annParamCte,
+       |$annPlanesCte,
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
        |      FROM embeddings WHERE vec_id = 0),
-       |pj AS (SELECT qv, $projs AS projs FROM q),
-       |pr AS (SELECT qv,
-       |  cast(list_sum(list_transform(generate_series(1, $AnnBits), b ->
+       |pj AS (SELECT qv, bits, probes,
+       |  list_transform(generate_series(1, bits), b ->
+       |    list_dot_product(qv, pl[b])) AS projs
+       |  FROM q, ann_p, ann_pl),
+       |pr AS (SELECT qv, bits, probes,
+       |  cast(list_sum(list_transform(generate_series(1, bits), b ->
        |    CASE WHEN projs[b] > 0 THEN 1 << (b - 1) ELSE 0 END)) AS int)
        |    AS base,
        |  list_transform(list_sort(
-       |    list_transform(generate_series(1, $AnnBits), b ->
+       |    list_transform(generate_series(1, bits), b ->
        |      {'m': abs(projs[b]), 'b': b - 1})), s -> s.b) AS bm
        |  FROM pj),
        |probes AS (SELECT qv, list_slice(
        |    list_prepend(base, list_concat(
-       |      list_transform(generate_series(1, $AnnBits), i ->
+       |      list_transform(generate_series(1, bits), i ->
        |        xor(base, 1 << bm[i])),
-       |      flatten(list_transform(generate_series(1, $AnnBits), i ->
-       |        list_transform(generate_series(i + 1, $AnnBits), j ->
+       |      flatten(list_transform(generate_series(1, bits), i ->
+       |        list_transform(generate_series(i + 1, bits), j ->
        |          xor(xor(base, 1 << bm[i]), 1 << bm[j])))))),
-       |    1, $AnnProbes) AS ps
+       |    1, probes) AS ps
        |  FROM pr),
-       |bkt AS (SELECT vec_id, v, $bucket AS bucket
+       |bkt AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket
        |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |              FROM embeddings WHERE vec_id <> 0))""".stripMargin
-  }
-
-  /** the sf0.01 probe count (bits=6 → 64 buckets / 4) */
-  private val AnnProbes = 16
+       |              FROM embeddings WHERE vec_id <> 0), ann_p, ann_pl)"""
+      .stripMargin
 
   /** JVM-scoped memo of partitioned layouts already written this
     * session (q_partitioned_prune): add() returns true exactly once
@@ -2866,9 +2912,11 @@ object PipelineQueries {
     // batched single-probe ANN: per-query bucket + exact re-rank + rank
     // cutoff, ordered by the UNROUNDED sim exactly as the Spark plan
     "q_ann_batch" ->
-      s"""WITH bkt AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket
+      s"""WITH $annParamCte,
+         |$annPlanesCte,
+         |bkt AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket
          |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |        FROM embeddings)),
+         |        FROM embeddings), ann_p, ann_pl),
          |qs AS (SELECT vec_id AS qid, v AS qv, bucket AS qb
          |       FROM bkt WHERE vec_id < 5),
          |c AS (SELECT * FROM bkt WHERE vec_id >= 5)
@@ -4035,40 +4083,41 @@ object PipelineQueries {
          |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin
     },
 
-    "q_embed_neardup" -> {
-      // the same seeded hyperplanes srpBucket uses, as SQL array literals
-      val bucket = graft.sim.Similarity.srpPlanes(64, AnnBits)
-        .zipWithIndex.map { case (plane, b) =>
-          val arr = plane.mkString("[", ", ", "]")
-          s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1 << b} ELSE 0 END)"
-        }.mkString(" + ")
-      s"""WITH b AS (
+    "q_embed_neardup" ->
+      // the same seeded hyperplanes srpBucket uses (ann_pl literals),
+      // bits derived from count(*) exactly as the Spark plan derives them
+      s"""WITH $annParamCte,
+         |$annPlanesCte,
+         |b AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |         $bucket AS bucket
-         |  FROM embeddings)
+         |         ${srpBucketSql("CAST(embedding AS DOUBLE[])")} AS bucket
+         |  FROM embeddings, ann_p, ann_pl)
          |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
          |  ${rs("list_cosine_similarity(a.v, c.v)", 4)} AS sim
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-         |WHERE ${rs("list_cosine_similarity(a.v, c.v)", 4)} >= 0.2""".stripMargin
-    },
+         |WHERE ${rs("list_cosine_similarity(a.v, c.v)", 4)} >= 0.2""".stripMargin,
 
     "q_ann_ivf" -> {
-      // same seeded centroids as Similarity.ivfCentroids(64, 8), as SQL
-      // literals; cell = 0-based position of the first max dot (matching
+      // same seeded centroids as Similarity.ivfCentroids (the ivf_cs
+      // literal CTE, sliced to the corpus-derived cell count); cell =
+      // 0-based position of the first max dot (matching
       // least(struct(-dot, cell)) tie-breaking)
-      def dots(vecExpr: String) = graft.sim.Similarity.ivfCentroids(64, 8)
-        .map(c => s"list_dot_product($vecExpr, ${c.mkString("[", ", ", "]")})")
-        .mkString("[", ", ", "]")
-      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      def dots(vecExpr: String) =
+        s"""list_transform(generate_series(1, cells),
+           |          __j -> list_dot_product($vecExpr, cs[__j]))""".stripMargin
+      s"""WITH $annParamCte,
+         |$ivfCentCte,
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id = 0),
          |cells AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |    list_position(ds, list_max(ds)) - 1 AS cell
          |  FROM (SELECT vec_id, embedding,
          |          ${dots("CAST(embedding AS DOUBLE[])")} AS ds
-         |        FROM embeddings)),
+         |        FROM embeddings, ann_p, ivf_cs)),
          |qc AS (SELECT list_position(ds, list_max(ds)) - 1 AS cell
-         |       FROM (SELECT ${dots("qv")} AS ds FROM q))
+         |       FROM (SELECT ${dots("qv")} AS ds
+         |             FROM q, ann_p, ivf_cs))
          |SELECT vec_id, ${rs("list_cosine_similarity(v, qv)", 4)} AS sim
          |FROM cells, q, qc
          |WHERE cells.cell = qc.cell AND vec_id <> 0
@@ -4078,18 +4127,20 @@ object PipelineQueries {
     // top-2 cells via first-max argmax twice (second pass masks the
     // first winner), mirroring ivfProbes' (-dot, idx) ordering
     "q_ann_ivf_probe" -> {
-      def dots(vecExpr: String) = graft.sim.Similarity.ivfCentroids(64, 8)
-        .map(c => s"list_dot_product($vecExpr, ${c.mkString("[", ", ", "]")})")
-        .mkString("[", ", ", "]")
-      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      def dots(vecExpr: String) =
+        s"""list_transform(generate_series(1, cells),
+           |          __j -> list_dot_product($vecExpr, cs[__j]))""".stripMargin
+      s"""WITH $annParamCte,
+         |$ivfCentCte,
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id = 0),
          |cells AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |    list_position(ds, list_max(ds)) - 1 AS cell
          |  FROM (SELECT vec_id, embedding,
          |          ${dots("CAST(embedding AS DOUBLE[])")} AS ds
-         |        FROM embeddings)),
-         |qd AS (SELECT ${dots("qv")} AS ds FROM q),
+         |        FROM embeddings, ann_p, ivf_cs)),
+         |qd AS (SELECT ${dots("qv")} AS ds FROM q, ann_p, ivf_cs),
          |qp AS (
          |  SELECT c1, list_position(ds2, list_max(ds2)) - 1 AS c2
          |  FROM (
@@ -4105,24 +4156,20 @@ object PipelineQueries {
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
     },
 
-    // same seeded 6-bit hyperplane literals as q_embed_neardup; exact
-    // p99 (quantile_cont ≡ Spark's sort-based percentile: both
-    // interpolate at (n-1)*q)
-    "q_bucket_occupancy" -> {
-      val bucket = graft.sim.Similarity.srpPlanes(64, AnnBits)
-        .zipWithIndex.map { case (plane, b) =>
-          val arr = plane.mkString("[", ", ", "]")
-          s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr)" +
-            s" > 0 THEN ${1 << b} ELSE 0 END)"
-        }.mkString(" + ")
-      s"""WITH c AS (
-         |  SELECT $bucket AS bucket, count(*) AS n
-         |  FROM embeddings GROUP BY 1)
+    // same seeded hyperplane literals as q_embed_neardup (corpus-scaled
+    // bits); exact p99 (quantile_cont ≡ Spark's sort-based percentile:
+    // both interpolate at (n-1)*q)
+    "q_bucket_occupancy" ->
+      s"""WITH $annParamCte,
+         |$annPlanesCte,
+         |c AS (
+         |  SELECT ${srpBucketSql("CAST(embedding AS DOUBLE[])")} AS bucket,
+         |    count(*) AS n
+         |  FROM embeddings, ann_p, ann_pl GROUP BY 1)
          |SELECT count(*) AS n_buckets, max(n) AS max_bucket,
          |  ${rs("quantile_cont(n, 0.99)", 4)} AS p99_bucket,
          |  ${rs("avg(n)", 4)} AS avg_bucket
-         |FROM c""".stripMargin
-    },
+         |FROM c""".stripMargin,
 
     "q_cosine_topk" ->
       ("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

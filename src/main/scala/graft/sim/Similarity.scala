@@ -63,20 +63,26 @@ object Similarity {
   def srpBitsFor(n: Long, targetBucketSize: Long = 64L,
                  minBits: Int = 4, maxBits: Int = 30): Int = {
     require(targetBucketSize > 0)
-    val needed = math.ceil(
-      math.log(math.max(n.toDouble / targetBucketSize, 1.0)) / math.log(2.0))
-      .toInt
+    // integer-exact ⌈log2⌉ (bit length of ⌈n/target⌉ − 1): the
+    // double-log form can land one ulp above an integer at exact
+    // powers of two and ceil a bit high — and the DuckDB oracle mirror
+    // (length(bin(m − 1))) must agree with this at EVERY n, not just
+    // the tested ones. ceil(log2(x)) = ceil(log2(ceil(x))) for x ≥ 1.
+    val m = (n + targetBucketSize - 1) / targetBucketSize
+    val needed =
+      if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     math.min(maxBits, math.max(minBits, needed))
   }
 
   /** IVF cell count scaled the same way: cells ≈ n / targetCellSize
     * (k-means practice is √n-ish cells; the target-size form keeps the
-    * per-cell re-rank cost constant instead).
+    * per-cell re-rank cost constant instead). Integer ceiling division
+    * so the SQL mirror ((n + t − 1) // t) agrees at every n.
     */
   def ivfCellsFor(n: Long, targetCellSize: Long = 1024L,
                   minCells: Int = 4, maxCells: Int = 1 << 20): Int =
     math.min(maxCells,
-      math.max(minCells, math.ceil(n.toDouble / targetCellSize).toInt))
+      math.max(minCells, ((n + targetCellSize - 1) / targetCellSize).toInt))
 
   /** Bucket-occupancy skew guard: per-bucket counts → (n_buckets,
     * max/p99/avg occupancy). Run it over any blocking column (SRP bucket,

@@ -1,6 +1,6 @@
 import duckdb, json, glob, os, sys
-sf = "/root/testdata/sf0.01"
-out = "/tmp/verify_out"
+sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+out = os.environ.get("GRAFT_VERIFY_OUT", "/tmp/verify_out")
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p)[:-8]
