@@ -35,6 +35,7 @@ object Bench {
       // ~70 queries × several codegen stages cycle the default 100-entry
       // generated-class cache — recompiles then dominate small queries
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -33,18 +33,29 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). We read it as raw Long nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros with
-    * integral division (`div`, not `/` — double division would lose
-    * precision at 1.7e18 ns). DuckDB truncates ns→µs on read the same way,
-    * so `epoch(ts)` agrees bit-for-bit between engines.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations, so normalize by the type the reader actually produced:
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]) unless read as raw Long nanos
+    *    (`spark.sql.legacy.parquet.nanosAsLong`), then truncated to micros
+    *    with integral division (`div`, not `/` — double division would
+    *    lose precision at 1.7e18 ns). DuckDB truncates ns→µs on read the
+    *    same way, so `epoch(ts)` agrees bit-for-bit between engines.
+    *  - TIMESTAMP(MICROS) without UTC adjustment: Spark reads
+    *    TIMESTAMP_NTZ; cast to session-local TIMESTAMP (session tz is
+    *    pinned UTC, so the cast is identity on the stored micros and
+    *    downstream epoch math is unchanged).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     planCache.getOrElseUpdate((s, s"$d/events.parquet#decoded"), {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = table(s, d, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     })
   }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
