@@ -370,19 +370,29 @@ object PipelineQueries {
       // filesystem marker — so a regenerated source dataset is
       // re-laid-out by the next session instead of silently serving
       // the stale layout
-      if (writtenLayouts.add(path))
-        try documents(s, d)
-          .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
-          // repartition on the partition columns BEFORE partitionBy: one
-          // task owns each (lang, source) directory, so the layout is one
-          // file per partition instead of tasks × partitions small files
-          // — the 100 TB small-files guard
-          .repartition(col("lang"), col("source"))
-          .write.mode("overwrite").partitionBy("lang", "source").parquet(path)
-        catch { case e: Throwable =>
+      // completion barrier, not just a claim: the first caller installs
+      // a latch and writes; a concurrent caller that loses the
+      // putIfAbsent race awaits the latch instead of reading a layout
+      // still being written
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val prior = writtenLayouts.putIfAbsent(path, gate)
+      if (prior == null)
+        try {
+          documents(s, d)
+            .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+            // repartition on the partition columns BEFORE partitionBy: one
+            // task owns each (lang, source) directory, so the layout is one
+            // file per partition instead of tasks × partitions small files
+            // — the 100 TB small-files guard
+            .repartition(col("lang"), col("source"))
+            .write.mode("overwrite").partitionBy("lang", "source").parquet(path)
+          gate.countDown()
+        } catch { case e: Throwable =>
           writtenLayouts.remove(path) // failed write must not memoize
+          gate.countDown() // waiters proceed and surface the read failure
           throw e
         }
+      else prior.await()
       s.read.parquet(path)
         .filter(col("lang") === "en")
         .groupBy(col("source"))
@@ -2654,13 +2664,15 @@ object PipelineQueries {
       .stripMargin
 
   /** JVM-scoped memo of partitioned layouts already written this
-    * session (q_partitioned_prune): add() returns true exactly once
-    * per path per JVM, so a fresh session always rewrites the layout
-    * (a regenerated source dataset is never served stale) while
-    * repeated bench passes within one session reuse it.
+    * session (q_partitioned_prune): the path maps to a latch the
+    * writer counts down only after the write COMPLETES, so concurrent
+    * callers block until the layout is readable rather than racing a
+    * half-written directory. A fresh session always rewrites the
+    * layout (a regenerated source dataset is never served stale)
+    * while repeated bench passes within one session reuse it.
     */
-  private val writtenLayouts =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val writtenLayouts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CountDownLatch]()
 
   val oracle: Map[String, String] = Map(
     "q_weighted_sample" ->
