@@ -58,6 +58,11 @@ object BpeTrainer {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
+    // previous round's cached vocab: unpersisted (non-blocking) once the
+    // current round's cache is materialized by the collect below, so the
+    // session pins at most two vocab copies instead of one per merge round
+    // (lineage retention still allows recompute on block loss)
+    var prev: DataFrame = null
     while (step <= merges && !exhausted) {
       val top = vocab.filter(size(col("syms")) >= 2)
         .select(col("cnt"), col("syms"),
@@ -67,6 +72,7 @@ object BpeTrainer {
         .groupBy(col("p1"), col("p2")).agg(sum(col("cnt")).as("wt"))
         .orderBy(col("wt").desc, col("p1"), col("p2"))
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(false); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val r = top.head
@@ -78,6 +84,7 @@ object BpeTrainer {
           (acc, x) => when(element_at(acc, -1) === lit(p1) && x === lit(p2),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
             .otherwise(concat(acc, array(x))))
+        prev = vocab
         vocab = vocab.withColumn("syms", fold)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         step += 1
