@@ -92,4 +92,110 @@ object CommandCodec {
 
   def readU32le(content: Array[Byte]): Long =
     ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN).getInt() & 0xFFFFFFFFL
+
+  def u16le(v: Int): Array[Byte] =
+    ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(v.toShort).array()
+
+  def readU16le(content: Array[Byte]): Int =
+    ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN).getShort() & 0xFFFF
+
+  /** Per-channel power-calibration constant pair.
+    * Ref: hyperion.py:679-697 — `#GetPowerCalibrationInfo` content is a
+    * flat int32 array with offsets at even indices (`cal_info[::2]`) and
+    * scales at odd indices (`cal_info[1::2]`); dBm conversion divides by
+    * scale (`inverse_scales = 1.0/scales`), so scales are integral.
+    */
+  final case class PowerCal(offset: Int, scale: Int)
+
+  def encodePowerCal(cal: Seq[PowerCal]): Array[Byte] = {
+    val out = ByteBuffer.allocate(8 * cal.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    cal.foreach { c => out.putInt(c.offset); out.putInt(c.scale) }
+    out.array()
+  }
+
+  def decodePowerCal(content: Array[Byte]): Seq[PowerCal] = {
+    require(content.length % 8 == 0,
+      s"power-cal content not interleaved int32 pairs: ${content.length}B")
+    val b = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    Seq.fill(content.length / 8)(PowerCal(b.getInt(), b.getInt()))
+  }
+
+  /** One peak-detection preset as carried on the wire.
+    * Ref: hyperion.py:593-637 `HPeakDetectionSettings.from_binary_data` —
+    * records concatenate as: `BB` (setting_id, name_length), name bytes,
+    * `B` description_length, description bytes, then `HHHHiB`
+    * (boxcar_length, diff_filter_length, lockout, ntv_period,
+    * threshold int32, mode byte; mode 0 = Valley, else Peak) — all
+    * little-endian, no record framing beyond the embedded lengths.
+    */
+  final case class DetectionSetting(settingId: Int, name: String,
+      description: String, boxcarLength: Int, diffFilterLength: Int,
+      lockout: Int, ntvPeriod: Int, threshold: Int, mode: String)
+
+  def encodeDetectionSettings(ss: Seq[DetectionSetting]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    ss.foreach { s =>
+      val name = s.name.getBytes(US_ASCII)
+      val desc = s.description.getBytes(US_ASCII)
+      require(name.length < 256 && desc.length < 256,
+        "detection-setting name/description exceed 1-byte length prefix")
+      val b = ByteBuffer.allocate(3 + name.length + desc.length + 13)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(s.settingId.toByte).put(name.length.toByte).put(name)
+      b.put(desc.length.toByte).put(desc)
+      b.putShort(s.boxcarLength.toShort)
+      b.putShort(s.diffFilterLength.toShort)
+      b.putShort(s.lockout.toShort)
+      b.putShort(s.ntvPeriod.toShort)
+      b.putInt(s.threshold)
+      b.put((if (s.mode == "Valley") 0 else 1).toByte)
+      out.write(b.array())
+    }
+    out.toByteArray
+  }
+
+  def decodeDetectionSettings(content: Array[Byte]): Seq[DetectionSetting] = {
+    val out = Seq.newBuilder[DetectionSetting]
+    var i = 0
+    while (i < content.length) {
+      val id = content(i) & 0xFF
+      val nameLen = content(i + 1) & 0xFF
+      val name = new String(content, i + 2, nameLen, US_ASCII)
+      var j = i + 2 + nameLen
+      val descLen = content(j) & 0xFF
+      val desc = new String(content, j + 1, descLen, US_ASCII)
+      j += 1 + descLen
+      val b = ByteBuffer.wrap(content, j, 13).order(ByteOrder.LITTLE_ENDIAN)
+      out += DetectionSetting(id, name, desc,
+        b.getShort() & 0xFFFF, b.getShort() & 0xFFFF,
+        b.getShort() & 0xFFFF, b.getShort() & 0xFFFF, b.getInt(),
+        if ((b.get() & 0xFF) == 0) "Valley" else "Peak")
+      i = j + 13
+    }
+    out.result()
+  }
+
+  /** The add/update argument format — the reference's
+    * `HPeakDetectionSettings.pack` (hyperion.py:639-651):
+    * `id 'name' 'description' boxcar diff lockout ntv threshold mode`
+    * with mode 1 = Peak, 0 = Valley.
+    */
+  def formatDetectionSetting(s: DetectionSetting): String =
+    s"${s.settingId} '${s.name}' '${s.description}' ${s.boxcarLength} " +
+      s"${s.diffFilterLength} ${s.lockout} ${s.ntvPeriod} " +
+      s"${s.threshold} ${if (s.mode == "Valley") 0 else 1}"
+
+  private val PackRe =
+    """(\d+) '([^']*)' '([^']*)' (\d+) (\d+) (\d+) (\d+) (-?\d+) ([01])""".r
+
+  def parseDetectionSetting(arg: String): Option[DetectionSetting] =
+    arg.trim match {
+      case PackRe(id, name, desc, box, diff, lock, ntv, thr, mode) =>
+        Some(DetectionSetting(id.toInt, name, desc, box.toInt, diff.toInt,
+          lock.toInt, ntv.toInt, thr.toInt,
+          if (mode == "0") "Valley" else "Peak"))
+      case _ => None
+    }
 }

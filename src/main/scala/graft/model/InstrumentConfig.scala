@@ -2,7 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ingest.FrameSource
+import graft.ingest.{CommandCodec, FrameSource}
 
 /** S14-lite — the instrument's config/metadata surface as static
   * DataFrames, so queries can join against instrument properties the
@@ -64,4 +64,30 @@ object InstrumentConfig {
   def channelSettings(spark: SparkSession): DataFrame =
     spark.createDataFrame((1 to ChannelCount).map(c =>
       ChannelSetting(c, (c - 1) % Presets.size)))
+
+  /** Per-channel power calibration (ref: hyperion.py:679-697): integral
+    * offset/scale per channel — offsets at even int32 indices, scales at
+    * odd (`cal_info[::2]` / `cal_info[1::2]`), dBm = raw·(1/scale)+offset.
+    * Deterministic synthetic values: offset(ch) = -40-ch, scale(ch) =
+    * 100+ch for 0-based channel ch.
+    */
+  val PowerCalibration: Seq[CommandCodec.PowerCal] =
+    (0 until ChannelCount).map(ch =>
+      CommandCodec.PowerCal(-40 - ch, 100 + ch))
+
+  /** The `#GetPowerCalibrationInfo` wire content. */
+  def powerCalContent: Array[Byte] =
+    CommandCodec.encodePowerCal(PowerCalibration)
+
+  /** The power-cal dim table (channel, offset, scale) the dBm kernel
+    * broadcast-joins against — built by DECODING the same wire bytes the
+    * responder serves, so the constants feeding [[graft.ops.Calibrate]]
+    * are sourced from the command path, never duplicated by hand.
+    */
+  def powerCal(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      CommandCodec.decodePowerCal(powerCalContent).zipWithIndex.map {
+        case (c, ch) => Schemas.PowerCal(ch, c.offset.toDouble,
+          c.scale.toDouble)
+      })
 }

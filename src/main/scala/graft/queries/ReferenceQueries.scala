@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.util.Tables._
 import graft.ingest.{FrameCodec, FrameSource}
 import graft.ops._
+import graft.model.InstrumentConfig
 import graft.pipeline.{Analyze, PeakStreaming}
 
 /** Oracle-checked queries covering the reference's operator inventory
@@ -132,18 +133,23 @@ object ReferenceQueries {
         (floor(epochS(col("ts"))).cast("double") +
           (col("event_id") % 1000000) * lit(1e-9)).as("ts_composed"))),
 
-    // F4 — per-channel dBm calibration (ref: hyperion.py:533-540)
+    // F4 — per-channel dBm calibration (ref: hyperion.py:533-540). The
+    // per-channel offset/scale come from the power-cal dim table decoded
+    // from the #GetPowerCalibrationInfo wire bytes (hyperion.py:679-697)
+    // and broadcast onto the frame stream — the constants the kernel
+    // sees are exactly what the command port serves.
     "q_calibrate" -> ((s, d) => {
       val fr = FrameSource.frames(s, d)
-      val ch = (col("serial_number") % 8)
-      val scale = lit(1.0) + ch * 0.01
-      val offset = lit(-40.0) - ch
       // scalar kernel on the one needed element — converting the whole
       // vector through the transform() lambda then discarding 7/8 of it
       // pays interpreted HOF cost per row (same double either way)
-      fr.select(col("frame_id").as("event_id"), ch.cast("int").as("channel"),
-        Calibrate.toDbScalar(element_at(col("peaks"), 1), scale, offset)
-          .as("db_first"))
+      fr.select(col("frame_id").as("event_id"),
+          (col("serial_number") % 8).cast("int").as("channel"),
+          element_at(col("peaks"), 1).as("raw"))
+        .join(broadcast(InstrumentConfig.powerCal(s)), "channel")
+        .select(col("event_id"), col("channel"),
+          Calibrate.toDbScalar(col("raw"), col("scale"), col("offset"))
+            .as("db_first"))
     }),
 
     // F5 — wavelength axis start + i*inc (ref: hyperion.py:527-531)
@@ -260,15 +266,19 @@ object ReferenceQueries {
         .select(col("frame_id"), col("ch"), col("start_wavelength"),
           col("wavelength_increment"),
           element_at(col("spectrum"), col("ch") + 1).as("raw"))
-      val scale = lit(1.0) + col("ch") * 0.01
-      val offset = lit(-40.0) - col("ch")
+      // per-channel offset/scale broadcast from the power-cal dim table
+      // (decoded #GetPowerCalibrationInfo bytes, hyperion.py:679-697)
+      val cal = InstrumentConfig.powerCal(s)
+        .select(col("channel").as("ch"), col("scale").as("sc"),
+          col("offset").as("off"))
       // SCALAR wl/db arithmetic after the point explode — the
       // arrays_zip(wavelengthAxis, toDb) form is two interpreted
       // higher-order transforms per channel (same values: identical op
       // order, see Calibrate.toDbScalar).
-      perCh.select(col("frame_id"), col("ch").cast("int").as("channel"),
+      perCh.join(broadcast(cal), "ch")
+        .select(col("frame_id"), col("ch").cast("int").as("channel"),
           col("start_wavelength"), col("wavelength_increment"),
-          scale.as("sc"), offset.as("off"),
+          col("sc"), col("off"),
           posexplode(col("raw")).as(Seq("p", "rawv")))
         .select(col("frame_id"), col("channel"),
           col("p").cast("int").as("point_idx"),
@@ -527,7 +537,6 @@ object ReferenceQueries {
     // channel's detection preset. The config sides are tiny and
     // broadcast; the frame side is one map + one narrow agg.
     "q_instrument_config" -> ((s, d) => {
-      import graft.model.InstrumentConfig
       val perCh = FrameSource.frames(s, d)
         .select(posexplode(col("peak_counts")).as(Seq("p0", "cnt")))
         .groupBy((col("p0") + 1).as("channel"))
@@ -644,9 +653,11 @@ object ReferenceQueries {
       ("SELECT event_id, cast(floor(epoch(ts)) AS double) + " +
         "(event_id % 1000000) * 1e-9 AS ts_composed FROM events"),
 
+    // scale/offset mirror InstrumentConfig.PowerCalibration: offset(ch)
+    // = -40-ch, scale(ch) = 100+ch (the decoded command-port constants)
     "q_calibrate" ->
       ("SELECT event_id, cast(user_id % 8 AS int) AS channel, " +
-        "floor(value*100 + 0.5) * (1.0/(1.0 + (user_id % 8) * 0.01)) + " +
+        "floor(value*100 + 0.5) * (1.0/(100.0 + (user_id % 8))) + " +
         "(-40.0 - (user_id % 8)) AS db_first FROM events"),
 
     // CAST literals to DOUBLE: DuckDB parses 1500.0/0.8 as DECIMAL, and
@@ -706,7 +717,7 @@ object ReferenceQueries {
       s"""SELECT event_id AS frame_id, cast(ch AS int) AS channel,
          | cast(p AS int) AS point_idx,
          | CAST(1500.0 AS DOUBLE) + p * CAST(0.8 AS DOUBLE) AS wl,
-         | ${rs(s"$raw * (1.0/(1.0 + ch*0.01)) + (-40.0 - ch)", 6)} AS db
+         | ${rs(s"$raw * (1.0/(100.0 + ch)) + (-40.0 - ch)", 6)} AS db
          |FROM events, generate_series(0, 7) c(ch),
          | generate_series(0, 15) s(p)
          |WHERE event_id % 50 = 0

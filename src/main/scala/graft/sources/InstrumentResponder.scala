@@ -18,9 +18,24 @@ import graft.model.InstrumentConfig
   * (hyperion.py:699-780): `#GetSerialNumber`, `#GetInstrumentName`,
   * `#GetFirmwareVersion`, `#GetFPGAVersion` (ascii content),
   * `#isready` (1 byte), `#GetDutChannelCount`,
-  * `#GetMaximumPeakCountPerDutChannel` (u32 LE). Unknown commands
+  * `#GetMaximumPeakCountPerDutChannel` (u32 LE),
+  * `#GetPowerCalibrationInfo` (interleaved int32 offset/scale pairs,
+  * hyperion.py:679-697), plus the detection-settings surface
+  * (hyperion.py:777-801, 1027-1086): `#GetAvailableDetectionSettings` /
+  * `#getDetectionSetting` (binary records), `#AddDetectionSetting` /
+  * `#UpdateDetectionSetting` (pack-string argument; add fails on an
+  * existing id so the reference client's add-then-update fallback
+  * exercises both paths), `#removeDetectionSetting` (refused for ids
+  * outside 0-127 or in use on a channel, hyperion.py:1051-1058),
+  * `#GetAllChannelDetectionSettingIds` (one byte per channel),
+  * `#GetChannelDetectionSettingId` (u16 LE) and
+  * `#SetChannelDetectionSettingID`. Unknown commands
   * answer status≠SUCCESS with the error text in `message`, matching
   * the reference's error path (hyperion.py:141-146).
+  *
+  * Detection presets and channel assignments are MUTABLE instrument
+  * state, seeded from [[InstrumentConfig]]'s static defaults; mutations
+  * serialize on the responder (control-plane rates, one per device).
   *
   * This is a single-instrument control-plane endpoint (one per
   * device), not a data-plane component — the engine-scale story stays
@@ -29,9 +44,23 @@ import graft.model.InstrumentConfig
   * spec-driven end to end.
   */
 class InstrumentResponder {
+  import CommandCodec.DetectionSetting
+
   private val server = new ServerSocket(0)
   @volatile private var running = true
   private var acceptThread: Thread = _
+
+  // mutable control state, seeded from the static defaults so the live
+  // surface and the queryable config start in agreement
+  private val settings =
+    scala.collection.mutable.LinkedHashMap[Int, DetectionSetting](
+      InstrumentConfig.Presets.map(p => p.setting_id ->
+        DetectionSetting(p.setting_id, p.name, p.description,
+          p.boxcar_length, p.diff_filter_length, p.lockout, p.ntv_period,
+          p.threshold, p.mode)): _*)
+  private val channelIds =
+    Array.tabulate(InstrumentConfig.ChannelCount)(
+      _ % InstrumentConfig.Presets.size)
 
   def port: Int = server.getLocalPort
 
@@ -71,12 +100,79 @@ class InstrumentResponder {
       ok(CommandCodec.u32le(InstrumentConfig.ChannelCount))
     case "#GetMaximumPeakCountPerDutChannel" =>
       ok(CommandCodec.u32le(InstrumentConfig.MaxPeaksPerChannel))
+    case "#GetPowerCalibrationInfo" =>
+      ok(InstrumentConfig.powerCalContent)
+    case "#GetAvailableDetectionSettings" => settings.synchronized {
+      ok(CommandCodec.encodeDetectionSettings(settings.values.toSeq))
+    }
+    case "#getDetectionSetting" => settings.synchronized {
+      intArg(r.argument).flatMap(settings.get) match {
+        case Some(s) => ok(CommandCodec.encodeDetectionSettings(Seq(s)))
+        case None => err(s"no detection setting: ${r.argument}")
+      }
+    }
+    case "#AddDetectionSetting" => settings.synchronized {
+      CommandCodec.parseDetectionSetting(r.argument) match {
+        case None => err(s"malformed detection setting: ${r.argument}")
+        case Some(s) if settings.contains(s.settingId) =>
+          err(s"detection setting ${s.settingId} already exists")
+        case Some(s) => settings(s.settingId) = s; ok(Array.emptyByteArray)
+      }
+    }
+    case "#UpdateDetectionSetting" => settings.synchronized {
+      CommandCodec.parseDetectionSetting(r.argument) match {
+        case None => err(s"malformed detection setting: ${r.argument}")
+        case Some(s) if !settings.contains(s.settingId) =>
+          err(s"no detection setting: ${s.settingId}")
+        case Some(s) => settings(s.settingId) = s; ok(Array.emptyByteArray)
+      }
+    }
+    case "#removeDetectionSetting" => settings.synchronized {
+      intArg(r.argument) match {
+        case None => err(s"malformed setting id: ${r.argument}")
+        case Some(id) if id < 0 || id > 127 =>
+          err(s"setting id out of range 0-127: $id")
+        case Some(id) if !settings.contains(id) =>
+          err(s"no detection setting: $id")
+        case Some(id) if channelIds.contains(id) =>
+          err(s"detection setting $id is in use on a channel")
+        case Some(id) => settings.remove(id); ok(Array.emptyByteArray)
+      }
+    }
+    case "#GetAllChannelDetectionSettingIds" => settings.synchronized {
+      ok(channelIds.map(_.toByte))
+    }
+    case "#GetChannelDetectionSettingId" => settings.synchronized {
+      intArg(r.argument).filter(c => c >= 1 && c <= channelIds.length) match {
+        case Some(c) => ok(CommandCodec.u16le(channelIds(c - 1)))
+        case None => err(s"bad channel: ${r.argument}")
+      }
+    }
+    case "#SetChannelDetectionSettingID" => settings.synchronized {
+      r.argument.trim.split("\\s+") match {
+        case Array(chS, idS) =>
+          (intArg(chS), intArg(idS)) match {
+            case (Some(c), Some(id))
+                if c >= 1 && c <= channelIds.length =>
+              if (!settings.contains(id)) err(s"no detection setting: $id")
+              else { channelIds(c - 1) = id; ok(Array.emptyByteArray) }
+            case _ => err(s"bad channel/setting: ${r.argument}")
+          }
+        case _ => err(s"expected 'channel settingId': ${r.argument}")
+      }
+    }
     case other =>
-      Response(1, 0, s"unknown command: $other", Array.emptyByteArray)
+      err(s"unknown command: $other")
   }
+
+  private def intArg(s: String): Option[Int] =
+    try Some(s.trim.toInt) catch { case _: NumberFormatException => None }
 
   private def ok(content: Array[Byte]): Response =
     Response(CommandCodec.Success, 0, "", content)
+
+  private def err(message: String): Response =
+    Response(1, 0, message, Array.emptyByteArray)
 
   private def handle(sock: Socket): Unit =
     try {

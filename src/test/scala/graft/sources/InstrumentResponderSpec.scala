@@ -49,6 +49,98 @@ class InstrumentResponderSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("#GetPowerCalibrationInfo round-trips the interleaved int32 cal") {
+    val r = new InstrumentResponder().start()
+    try {
+      val resp = InstrumentResponder.command("127.0.0.1", r.port,
+        "#GetPowerCalibrationInfo")
+      assert(resp.status == CommandCodec.Success)
+      // the reference parse: offsets = cal_info[::2], scales =
+      // cal_info[1::2] (hyperion.py:679-697)
+      val decoded = CommandCodec.decodePowerCal(resp.content)
+      assert(decoded == InstrumentConfig.PowerCalibration)
+      assert(decoded.map(_.offset) ==
+        (0 until InstrumentConfig.ChannelCount).map(-40 - _))
+      assert(decoded.map(_.scale) ==
+        (0 until InstrumentConfig.ChannelCount).map(100 + _))
+      // the queryable dim table is built from the SAME decoded bytes the
+      // socket serves — the dBm kernel's constants come from the wire
+      val rows = InstrumentConfig.powerCal(spark)
+        .orderBy("channel").collect()
+      assert(rows.length == decoded.size)
+      for ((row, ch) <- rows.zipWithIndex) {
+        assert(row.getAs[Int]("channel") == ch)
+        assert(row.getAs[Double]("offset") == decoded(ch).offset.toDouble)
+        assert(row.getAs[Double]("scale") == decoded(ch).scale.toDouble)
+      }
+    } finally r.stop()
+  }
+
+  test("detection-settings surface round-trips incl. the error paths") {
+    import CommandCodec.DetectionSetting
+    val r = new InstrumentResponder().start()
+    try {
+      def cmd(c: String, a: String = "") =
+        InstrumentResponder.command("127.0.0.1", r.port, c, a)
+      // full preset dump decodes back to the static defaults
+      val all = CommandCodec.decodeDetectionSettings(
+        cmd("#GetAvailableDetectionSettings").content)
+      assert(all.map(_.settingId) == InstrumentConfig.Presets.map(_.setting_id))
+      assert(all.map(_.name) == InstrumentConfig.Presets.map(_.name))
+      assert(all.map(_.threshold) == InstrumentConfig.Presets.map(_.threshold))
+      assert(all.map(_.mode) == InstrumentConfig.Presets.map(_.mode))
+      // single-setting fetch (#getDetectionSetting, hyperion.py:1027-1037)
+      val one = CommandCodec.decodeDetectionSettings(
+        cmd("#getDetectionSetting", "1").content)
+      assert(one == Seq(all(1)))
+      assert(cmd("#getDetectionSetting", "9").status != CommandCodec.Success)
+      // add: fails on an existing id (the reference client's
+      // add-then-update fallback, hyperion.py:1039-1049), succeeds fresh
+      val mine = DetectionSetting(7, "mine", "a user preset",
+        300, 900, 1200, 9500, 2500, "Valley")
+      val packed = CommandCodec.formatDetectionSetting(mine)
+      assert(cmd("#AddDetectionSetting",
+        CommandCodec.formatDetectionSetting(all.head)).status
+        != CommandCodec.Success)
+      assert(cmd("#AddDetectionSetting", packed).status
+        == CommandCodec.Success)
+      assert(CommandCodec.decodeDetectionSettings(
+        cmd("#getDetectionSetting", "7").content) == Seq(mine))
+      // update requires the id to exist
+      val mine2 = mine.copy(threshold = 2600)
+      assert(cmd("#UpdateDetectionSetting",
+        CommandCodec.formatDetectionSetting(mine2)).status
+        == CommandCodec.Success)
+      assert(cmd("#UpdateDetectionSetting",
+        CommandCodec.formatDetectionSetting(mine.copy(settingId = 99)))
+        .status != CommandCodec.Success)
+      // channel assignment: ids dump one byte per channel; set then read
+      val ids0 = cmd("#GetAllChannelDetectionSettingIds").content
+      assert(ids0.toSeq == (0 until InstrumentConfig.ChannelCount)
+        .map(c => (c % InstrumentConfig.Presets.size).toByte))
+      assert(cmd("#SetChannelDetectionSettingID", "3 7").status
+        == CommandCodec.Success)
+      assert(CommandCodec.readU16le(
+        cmd("#GetChannelDetectionSettingId", "3").content) == 7)
+      assert(cmd("#SetChannelDetectionSettingID", "3 42").status
+        != CommandCodec.Success) // unknown setting id
+      assert(cmd("#GetChannelDetectionSettingId", "0").status
+        != CommandCodec.Success) // channels are 1-based
+      // remove: refused while in use on a channel (hyperion.py:1051-1058),
+      // allowed once unassigned; out-of-range ids refused
+      assert(cmd("#removeDetectionSetting", "7").status
+        != CommandCodec.Success)
+      assert(cmd("#SetChannelDetectionSettingID", "3 2").status
+        == CommandCodec.Success)
+      assert(cmd("#removeDetectionSetting", "7").status
+        == CommandCodec.Success)
+      assert(cmd("#getDetectionSetting", "7").status
+        != CommandCodec.Success)
+      assert(cmd("#removeDetectionSetting", "200").status
+        != CommandCodec.Success)
+    } finally r.stop()
+  }
+
   test("multiple commands pipeline over one connection") {
     val r = new InstrumentResponder().start()
     try {
