@@ -177,6 +177,63 @@ object CommandCodec {
     out.result()
   }
 
+  /** One sensor's configuration as carried in the `#ExportSensors`
+    * content. Ref: hyperion.py:1281-1331 `export_sensors` — header `HH`
+    * (header_version, num_sensors), then per sensor: `H` version,
+    * 16 raw id bytes, `H`-prefixed name, `H`-prefixed model, `H`
+    * channel (wire stores 0-based; the client presents 1-based),
+    * `d` distance, 2 reserved bytes, then `ddddd` (wavelength,
+    * calibration_factor, rc_gain, rc_thresholdHigh, rc_thresholdLow) —
+    * all little-endian. `channel` here is the 1-based client view.
+    */
+  final case class SensorExport(version: Int, id: Seq[Byte], name: String,
+      model: String, channel: Int, distance: Double, wavelength: Double,
+      calibrationFactor: Double, rcGain: Double, rcThresholdHigh: Double,
+      rcThresholdLow: Double)
+
+  def encodeSensorExport(headerVersion: Int,
+      sensors: Seq[SensorExport]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(u16le(headerVersion)); out.write(u16le(sensors.length))
+    sensors.foreach { s =>
+      require(s.id.length == 16, s"sensor id must be 16 bytes: ${s.name}")
+      val name = s.name.getBytes(US_ASCII)
+      val model = s.model.getBytes(US_ASCII)
+      val b = ByteBuffer
+        .allocate(2 + 16 + 2 + name.length + 2 + model.length + 2 + 8 + 2 + 40)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(s.version.toShort).put(s.id.toArray)
+      b.putShort(name.length.toShort).put(name)
+      b.putShort(model.length.toShort).put(model)
+      b.putShort((s.channel - 1).toShort)
+      b.putDouble(s.distance)
+      b.putShort(0) // reserved
+      b.putDouble(s.wavelength).putDouble(s.calibrationFactor)
+      b.putDouble(s.rcGain).putDouble(s.rcThresholdHigh)
+      b.putDouble(s.rcThresholdLow)
+      out.write(b.array())
+    }
+    out.toByteArray
+  }
+
+  def decodeSensorExport(content: Array[Byte]): Seq[SensorExport] = {
+    val b = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    b.getShort() // header_version (unused by the reference parse, too)
+    val n = b.getShort() & 0xFFFF
+    Seq.fill(n) {
+      val version = b.getShort() & 0xFFFF
+      val id = new Array[Byte](16); b.get(id)
+      val name = new Array[Byte](b.getShort() & 0xFFFF); b.get(name)
+      val model = new Array[Byte](b.getShort() & 0xFFFF); b.get(model)
+      val channel = (b.getShort() & 0xFFFF) + 1
+      val distance = b.getDouble()
+      b.getShort() // reserved
+      SensorExport(version, id.toSeq, new String(name, US_ASCII),
+        new String(model, US_ASCII), channel, distance, b.getDouble(),
+        b.getDouble(), b.getDouble(), b.getDouble(), b.getDouble())
+    }
+  }
+
   /** The add/update argument format — the reference's
     * `HPeakDetectionSettings.pack` (hyperion.py:639-651):
     * `id 'name' 'description' boxcar diff lockout ntv threshold mode`

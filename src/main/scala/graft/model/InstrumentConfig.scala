@@ -79,6 +79,51 @@ object InstrumentConfig {
   def powerCalContent: Array[Byte] =
     CommandCodec.encodePowerCal(PowerCalibration)
 
+  /** Time-sync defaults (ref: hyperion.py:947-1000): NTP on, PTP off —
+    * the instrument enforces that the two are never enabled together.
+    */
+  val NtpEnabledDefault = true
+  val NtpServerDefault = "10.0.0.1"
+  val PtpEnabledDefault = false
+
+  /** Default sensors (ref: hyperion.py:1229-1330 add_sensor /
+    * export_sensors): one per sensor-stream slot
+    * ([[FrameSource]] sensor frames carry 4 sensors), channels 1-based,
+    * calibration factors exact binary fractions so calibrated
+    * aggregates stay float-safe across engines. The 16-byte wire id is
+    * the md5 of the name — deterministic, collision-free at this scale.
+    */
+  val DefaultSensors: Seq[CommandCodec.SensorExport] =
+    (1 to 4).map { k =>
+      CommandCodec.SensorExport(version = 1, id = sensorId(s"sensor_$k"),
+        name = s"sensor_$k", model = if (k % 2 == 1) "os7510" else "os7520",
+        channel = k, distance = 10.0 * k, wavelength = 1500.0 + 10 * k,
+        calibrationFactor = k * 0.25, rcGain = 1.0,
+        rcThresholdHigh = 3000.0, rcThresholdLow = 1000.0)
+    }
+
+  def sensorId(name: String): Seq[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .toSeq
+
+  val SensorExportHeaderVersion = 1
+
+  case class SensorRow(sensor_no: Int, name: String, model: String,
+                       channel: Int, distance: Double, wavelength: Double,
+                       calibration_factor: Double)
+
+  /** The queryable sensor dim table, built by DECODING the same
+    * `#ExportSensors` wire bytes the responder serves (the powerCal
+    * pattern): sensor_no is the 1-based stream slot = channel.
+    */
+  def sensors(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      CommandCodec.decodeSensorExport(CommandCodec.encodeSensorExport(
+        SensorExportHeaderVersion, DefaultSensors)).map(s =>
+        SensorRow(s.channel, s.name, s.model, s.channel, s.distance,
+          s.wavelength, s.calibrationFactor)))
+
   /** The power-cal dim table (channel, offset, scale) the dBm kernel
     * broadcast-joins against — built by DECODING the same wire bytes the
     * responder serves, so the constants feeding [[graft.ops.Calibrate]]

@@ -551,7 +551,26 @@ object ReferenceQueries {
             .as("within_limit"),
           col("serial_number"), col("setting_id"),
           col("name").as("setting_name"), col("threshold"), col("mode"))
-    }))
+    }),
+
+    // S14 breadth — sensor-management config (ref: hyperion.py:1229-1330
+    // add_sensor / export_sensors): the sensor dim table decoded from
+    // the #ExportSensors wire bytes, broadcast onto the per-sensor
+    // stream aggregate. Calibration factors are exact binary fractions
+    // and sval totals exact longs, so the calibrated total is one exact
+    // long × double product in both engines.
+    "q_sensor_config" -> ((s, d) =>
+      FrameSource.sensorFrames(s, d)
+        .select(posexplode(col("values")).as(Seq("k", "sval")))
+        .groupBy((col("k") + 1).cast("int").as("sensor_no"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("sval").cast("long")).as("sval_total"))
+        .join(broadcast(InstrumentConfig.sensors(s)), "sensor_no")
+        .select(col("sensor_no"), col("name"), col("model"),
+          col("channel"), col("wavelength"), col("calibration_factor"),
+          col("n_frames"), col("sval_total"),
+          (col("sval_total") * col("calibration_factor"))
+            .as("calibrated_total"))))
 
   /** Exact-cents peak model (see FrameSource.frames): peak_i of a window
     * = avg(floor(value*100+0.5) + (i-1)*100) — integer-valued doubles, so
@@ -846,5 +865,28 @@ object ReferenceQueries {
         |  s.mode
         |FROM perch p
         |JOIN st s ON s.setting_id = (p.channel - 1) % 3
-        |CROSS JOIN cfg""".stripMargin)
+        |CROSS JOIN cfg""".stripMargin,
+
+    // dim VALUES generated from the same InstrumentConfig constants the
+    // responder serves over #ExportSensors
+    "q_sensor_config" -> {
+      val dim = graft.model.InstrumentConfig.DefaultSensors.map(x =>
+        s"(cast(${x.channel} AS int), '${x.name}', '${x.model}', " +
+          s"cast(${x.channel} AS int), cast(${x.wavelength} AS double), " +
+          s"cast(${x.calibrationFactor} AS double))").mkString(",\n|  ")
+      s"""WITH dim AS (SELECT * FROM (VALUES
+         |  $dim)
+         |  AS t(sensor_no, name, model, channel, wavelength,
+         |       calibration_factor)),
+         |agg AS (
+         |  SELECT cast(k+1 AS int) AS sensor_no, count(*) AS n_frames,
+         |    cast(sum(cast(floor(value*100 + 0.5) + k*1000 AS bigint))
+         |      AS bigint) AS sval_total
+         |  FROM events, generate_series(0, 3) t(k)
+         |  GROUP BY 1)
+         |SELECT a.sensor_no, d.name, d.model, d.channel, d.wavelength,
+         |  d.calibration_factor, a.n_frames, a.sval_total,
+         |  a.sval_total * d.calibration_factor AS calibrated_total
+         |FROM agg a JOIN dim d ON a.sensor_no = d.sensor_no""".stripMargin
+    })
 }

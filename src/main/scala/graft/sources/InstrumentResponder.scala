@@ -61,6 +61,17 @@ class InstrumentResponder {
   private val channelIds =
     Array.tabulate(InstrumentConfig.ChannelCount)(
       _ % InstrumentConfig.Presets.size)
+  // time sync (ref: hyperion.py:947-1000): NTP and PTP are mutually
+  // exclusive — enabling one disables the other
+  private var ntpEnabled = InstrumentConfig.NtpEnabledDefault
+  private var ntpServer = InstrumentConfig.NtpServerDefault
+  private var ptpEnabled = InstrumentConfig.PtpEnabledDefault
+  // sensors (ref: hyperion.py:1229-1330), keyed by name; saveSensors
+  // marks the running set persistent (a flag here — no real flash)
+  private val sensors =
+    scala.collection.mutable.LinkedHashMap[String, CommandCodec.SensorExport](
+      InstrumentConfig.DefaultSensors.map(s => s.name -> s): _*)
+  @volatile private var sensorsSaved = true
 
   def port: Int = server.getLocalPort
 
@@ -161,9 +172,97 @@ class InstrumentResponder {
         case _ => err(s"expected 'channel settingId': ${r.argument}")
       }
     }
+    // --- time sync (ref: hyperion.py:947-1000): u32 booleans, ascii
+    // server address; NTP and PTP never report enabled together ---
+    case "#GetNtpEnabled" => settings.synchronized {
+      ok(CommandCodec.u32le(if (ntpEnabled) 1 else 0))
+    }
+    case "#SetNtpEnabled" => settings.synchronized {
+      boolArg(r.argument) match {
+        case Some(v) =>
+          ntpEnabled = v; if (v) ptpEnabled = false; ok(Array.emptyByteArray)
+        case None => err(s"expected 0/1: ${r.argument}")
+      }
+    }
+    case "#GetNtpServer" => settings.synchronized {
+      ok(ntpServer.getBytes(US_ASCII))
+    }
+    case "#SetNtpServer" => settings.synchronized {
+      val v = r.argument.trim
+      if (v.isEmpty) err("empty NTP server address")
+      else { ntpServer = v; ok(Array.emptyByteArray) }
+    }
+    case "#GetPtpEnabled" => settings.synchronized {
+      ok(CommandCodec.u32le(if (ptpEnabled) 1 else 0))
+    }
+    case "#SetPtpEnabled" => settings.synchronized {
+      boolArg(r.argument) match {
+        case Some(v) =>
+          ptpEnabled = v; if (v) ntpEnabled = false; ok(Array.emptyByteArray)
+        case None => err(s"expected 0/1: ${r.argument}")
+      }
+    }
+    // --- sensor management (ref: hyperion.py:1229-1330) ---
+    // #AddSensor argument: "name model channel distance wavelength
+    // calibration_factor" (hyperion.py:1229-1243)
+    case "#AddSensor" => settings.synchronized {
+      r.argument.trim.split("\\s+") match {
+        case Array(name, model, chS, distS, wlS, calS) =>
+          (intArg(chS), dblArg(distS), dblArg(wlS), dblArg(calS)) match {
+            case (Some(ch), Some(dist), Some(wl), Some(cal))
+                if ch >= 1 && ch <= InstrumentConfig.ChannelCount =>
+              if (sensors.contains(name)) err(s"sensor exists: $name")
+              else if (model != "os7510" && model != "os7520")
+                err(s"unknown sensor model: $model")
+              else {
+                sensors(name) = CommandCodec.SensorExport(
+                  InstrumentConfig.SensorExportHeaderVersion,
+                  InstrumentConfig.sensorId(name), name, model, ch, dist,
+                  wl, cal, rcGain = 1.0, rcThresholdHigh = 3000.0,
+                  rcThresholdLow = 1000.0)
+                sensorsSaved = false
+                ok(Array.emptyByteArray)
+              }
+            case _ => err(s"bad sensor argument: ${r.argument}")
+          }
+        case _ =>
+          err("expected 'name model channel distance wavelength cal'")
+      }
+    }
+    // names travel in the MESSAGE field, space-separated — the one
+    // command whose payload is the message (hyperion.py:1245-1255)
+    case "#GetSensorNames" => settings.synchronized {
+      Response(CommandCodec.Success, 0, sensors.keys.mkString(" "),
+        Array.emptyByteArray)
+    }
+    case "#ExportSensors" => settings.synchronized {
+      ok(CommandCodec.encodeSensorExport(
+        InstrumentConfig.SensorExportHeaderVersion, sensors.values.toSeq))
+    }
+    case "#removeSensor" => settings.synchronized {
+      val name = r.argument.trim
+      if (sensors.remove(name).isDefined) {
+        sensorsSaved = false; ok(Array.emptyByteArray)
+      } else err(s"no sensor: $name")
+    }
+    case "#saveSensors" => settings.synchronized {
+      sensorsSaved = true; ok(Array.emptyByteArray)
+    }
     case other =>
       err(s"unknown command: $other")
   }
+
+  /** Whether the current sensor set has been committed via #saveSensors. */
+  def sensorsPersisted: Boolean = sensorsSaved
+
+  private def boolArg(s: String): Option[Boolean] = s.trim match {
+    case "1" => Some(true)
+    case "0" => Some(false)
+    case _ => None
+  }
+
+  private def dblArg(s: String): Option[Double] =
+    try Some(s.trim.toDouble) catch { case _: NumberFormatException => None }
 
   private def intArg(s: String): Option[Int] =
     try Some(s.trim.toInt) catch { case _: NumberFormatException => None }

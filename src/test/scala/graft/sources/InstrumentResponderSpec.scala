@@ -141,6 +141,75 @@ class InstrumentResponderSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("NTP/PTP time-sync round-trips with mutual exclusion") {
+    val r = new InstrumentResponder().start()
+    try {
+      def cmd(c: String, a: String = "") =
+        InstrumentResponder.command("127.0.0.1", r.port, c, a)
+      def flag(c: String): Boolean =
+        CommandCodec.readU32le(cmd(c).content) > 0
+      // defaults: NTP on, PTP off (u32 content, hyperion.py:947-1000)
+      assert(flag("#GetNtpEnabled") && !flag("#GetPtpEnabled"))
+      assert(new String(cmd("#GetNtpServer").content, US_ASCII)
+        == InstrumentConfig.NtpServerDefault)
+      // set the server, flip to PTP — NTP must drop (the reference notes
+      // the two cannot be enabled together)
+      assert(cmd("#SetNtpServer", "10.9.9.9").status == CommandCodec.Success)
+      assert(new String(cmd("#GetNtpServer").content, US_ASCII) == "10.9.9.9")
+      assert(cmd("#SetPtpEnabled", "1").status == CommandCodec.Success)
+      assert(flag("#GetPtpEnabled") && !flag("#GetNtpEnabled"))
+      assert(cmd("#SetNtpEnabled", "1").status == CommandCodec.Success)
+      assert(flag("#GetNtpEnabled") && !flag("#GetPtpEnabled"))
+      // malformed boolean arguments are refused
+      assert(cmd("#SetNtpEnabled", "yes").status != CommandCodec.Success)
+      assert(cmd("#SetNtpServer", "").status != CommandCodec.Success)
+    } finally r.stop()
+  }
+
+  test("sensor management round-trips incl. export binary and errors") {
+    val r = new InstrumentResponder().start()
+    try {
+      def cmd(c: String, a: String = "") =
+        InstrumentResponder.command("127.0.0.1", r.port, c, a)
+      // names travel in the MESSAGE field (hyperion.py:1245-1255)
+      assert(cmd("#GetSensorNames").message.split(" ").toSeq
+        == InstrumentConfig.DefaultSensors.map(_.name))
+      // the export binary decodes back to the defaults (hyperion.py:
+      // 1281-1331: HH header, then versioned per-sensor records)
+      val exported = CommandCodec.decodeSensorExport(
+        cmd("#ExportSensors").content)
+      assert(exported == InstrumentConfig.DefaultSensors)
+      // add → appears in names and export; duplicate/bad-model refused
+      assert(cmd("#AddSensor", "strain_5 os7510 5 50 1550.0 1.5").status
+        == CommandCodec.Success)
+      assert(!r.sensorsPersisted)
+      val after = CommandCodec.decodeSensorExport(
+        cmd("#ExportSensors").content)
+      assert(after.size == 5 && after.last.name == "strain_5" &&
+        after.last.channel == 5 && after.last.wavelength == 1550.0 &&
+        after.last.calibrationFactor == 1.5 && after.last.distance == 50.0)
+      assert(cmd("#AddSensor", "strain_5 os7510 5 50 1550.0 1.5").status
+        != CommandCodec.Success) // duplicate name
+      assert(cmd("#AddSensor", "x os9999 1 0 1500.0 1.0").status
+        != CommandCodec.Success) // unknown model
+      assert(cmd("#AddSensor", "x os7510 99 0 1500.0 1.0").status
+        != CommandCodec.Success) // channel out of range
+      // save marks persistent; remove unmarks; removing twice errors
+      assert(cmd("#saveSensors").status == CommandCodec.Success)
+      assert(r.sensorsPersisted)
+      assert(cmd("#removeSensor", "strain_5").status == CommandCodec.Success)
+      assert(!r.sensorsPersisted)
+      assert(cmd("#removeSensor", "strain_5").status != CommandCodec.Success)
+      // the queryable dim table equals the decoded default export
+      val rows = InstrumentConfig.sensors(spark).orderBy("sensor_no")
+        .collect()
+      assert(rows.map(_.getAs[String]("name")).toSeq
+        == InstrumentConfig.DefaultSensors.map(_.name))
+      assert(rows.map(_.getAs[Double]("calibration_factor")).toSeq
+        == InstrumentConfig.DefaultSensors.map(_.calibrationFactor))
+    } finally r.stop()
+  }
+
   test("multiple commands pipeline over one connection") {
     val r = new InstrumentResponder().start()
     try {
