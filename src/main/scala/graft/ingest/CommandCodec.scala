@@ -234,15 +234,131 @@ object CommandCodec {
     }
   }
 
+  /** Flat little-endian int32 array content — the shape of
+    * `#GetAvailableLaserScanSpeeds` (hyperion.py:824-831,
+    * `np.frombuffer(..., dtype=np.int32)`) and
+    * `#getActiveFullSpectrumDutChannelNumbers` (hyperion.py:803-810).
+    */
+  def i32ArrayLe(vs: Seq[Int]): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(b.putInt)
+    b.array()
+  }
+
+  def readI32ArrayLe(content: Array[Byte]): Seq[Int] = {
+    require(content.length % 4 == 0,
+      s"content not an int32 array: ${content.length}B")
+    val b = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    Seq.fill(content.length / 4)(b.getInt())
+  }
+
+  /** One little-endian float64 — the conversion-command content shape
+    * (`#ConvertCountToWavelength` / `#ConvertWavelengthToCount`,
+    * hyperion.py:1196-1223, `unpack('d', result)`).
+    */
+  def f64le(v: Double): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putDouble(v).array()
+
+  def readF64le(content: Array[Byte]): Double =
+    ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN).getDouble()
+
+  /** Per-channel time-of-flight compensation regions.
+    * Ref: hyperion.py:1101-1126 `get_peak_offsets` — content is `H`
+    * num_regions then per region `I` delay (ns) + `H` boundary (counts);
+    * the set argument is `'{ch} {n} ' + '{delay} {boundary} '*n`
+    * (hyperion.py:1085-1099), delays first, boundaries second.
+    */
+  final case class PeakOffsets(boundaries: Seq[Int], delays: Seq[Long]) {
+    require(boundaries.length == delays.length,
+      "boundaries and delays must pair 1:1")
+  }
+
+  def encodePeakOffsets(o: PeakOffsets): Array[Byte] = {
+    val b = ByteBuffer.allocate(2 + 6 * o.boundaries.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(o.boundaries.length.toShort)
+    o.delays.zip(o.boundaries).foreach { case (d, bd) =>
+      b.putInt(d.toInt); b.putShort(bd.toShort)
+    }
+    b.array()
+  }
+
+  def decodePeakOffsets(content: Array[Byte]): PeakOffsets = {
+    val b = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    val n = b.getShort() & 0xFFFF
+    require(content.length == 2 + 6 * n,
+      s"peak-offsets content length ${content.length} != 2+6*$n")
+    val pairs = Seq.fill(n)((b.getInt() & 0xFFFFFFFFL, b.getShort() & 0xFFFF))
+    PeakOffsets(pairs.map(_._2), pairs.map(_._1))
+  }
+
+  /** Network triple as carried by `#Get{Active,Static}NetworkSettings`
+    * (hyperion.py:848-877): 12 raw bytes — address, netmask, gateway,
+    * each 4 network-order IPv4 octets (`socket.inet_ntoa` slices).
+    */
+  final case class NetworkSettings(address: String, netmask: String,
+                                   gateway: String)
+
+  def ipv4Bytes(s: String): Option[Array[Byte]] = {
+    val parts = s.trim.split("\\.")
+    if (parts.length != 4) return None
+    try {
+      val o = parts.map(_.toInt)
+      if (o.exists(x => x < 0 || x > 255)) None
+      else Some(o.map(_.toByte))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  private def ipv4String(b: Array[Byte], off: Int): String =
+    (0 until 4).map(i => b(off + i) & 0xFF).mkString(".")
+
+  def encodeNetworkSettings(n: NetworkSettings): Array[Byte] =
+    Seq(n.address, n.netmask, n.gateway).flatMap(s =>
+      ipv4Bytes(s).getOrElse(
+        throw new IllegalArgumentException(s"bad IPv4: $s")).toSeq).toArray
+
+  def decodeNetworkSettings(content: Array[Byte]): NetworkSettings = {
+    require(content.length == 12,
+      s"network-settings content must be 12 bytes: ${content.length}")
+    NetworkSettings(ipv4String(content, 0), ipv4String(content, 4),
+      ipv4String(content, 8))
+  }
+
+  /** UTC datetime content — `#GetInstrumentUtcDateTime`
+    * (hyperion.py:927-942): six little-endian u16s
+    * (year month day hour minute second, `unpack('HHHHHH', ...)`);
+    * the setter argument is `'%Y %m %d %H %M %S'`.
+    */
+  def encodeUtcDateTime(parts: Seq[Int]): Array[Byte] = {
+    require(parts.length == 6, "UTC datetime needs 6 fields")
+    val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    parts.foreach(p => b.putShort(p.toShort))
+    b.array()
+  }
+
+  def decodeUtcDateTime(content: Array[Byte]): Seq[Int] = {
+    require(content.length == 12,
+      s"UTC datetime content must be 12 bytes: ${content.length}")
+    val b = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    Seq.fill(6)(b.getShort() & 0xFFFF)
+  }
+
   /** The add/update argument format — the reference's
     * `HPeakDetectionSettings.pack` (hyperion.py:639-651):
     * `id 'name' 'description' boxcar diff lockout ntv threshold mode`
-    * with mode 1 = Peak, 0 = Valley.
+    * with mode 1 = Peak, 0 = Valley. Names/descriptions containing a
+    * single quote are rejected here (the reference's pack() emits them
+    * unescaped and its own parse then fails — we keep the two surfaces
+    * mutually round-trippable by refusing at format time).
     */
-  def formatDetectionSetting(s: DetectionSetting): String =
+  def formatDetectionSetting(s: DetectionSetting): String = {
+    require(!s.name.contains('\'') && !s.description.contains('\''),
+      "detection-setting name/description must not contain single quotes")
     s"${s.settingId} '${s.name}' '${s.description}' ${s.boxcarLength} " +
       s"${s.diffFilterLength} ${s.lockout} ${s.ntvPeriod} " +
       s"${s.threshold} ${if (s.mode == "Valley") 0 else 1}"
+  }
 
   private val PackRe =
     """(\d+) '([^']*)' '([^']*)' (\d+) (\d+) (\d+) (\d+) (-?\d+) ([01])""".r

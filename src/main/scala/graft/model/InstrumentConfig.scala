@@ -86,6 +86,108 @@ object InstrumentConfig {
   val NtpServerDefault = "10.0.0.1"
   val PtpEnabledDefault = false
 
+  /** Laser scan speeds (ref: hyperion.py:824-846): the settable Hz
+    * rates; the default is the 10 Hz envelope the whole streaming
+    * pipeline is built around ([[graft.pipeline.PeakStreaming.WindowMs]]
+    * = one scan period). Synthetic-deterministic set — the reference
+    * fetches it from hardware.
+    */
+  val AvailableLaserScanSpeeds: Seq[Int] = Seq(1, 10, 100, 1000)
+  val LaserScanSpeedDefault = 10
+
+  /** Fiber index of refraction used wherever delay physics runs — the
+    * reference's client-side default for SMF28 is 1.452
+    * (hyperion.py:1134); we pin one instrument-wide constant shared by
+    * the wire-served peak-offset table and the q_delay_physics kernel.
+    */
+  val IndexOfRefraction = 1.4682
+
+  /** Synthetic count↔wavelength model for `#ConvertCountToWavelength` /
+    * `#ConvertWavelengthToCount` (hyperion.py:1175-1223): wl(count) =
+    * [[CountZeroWavelength]] + count·[[WavelengthPerCount]]; the
+    * wavelength→count direction additionally shifts by the offset delay
+    * (ns) at [[CountsPerNsDelay]] counts/ns. Linear like the
+    * instrument's published axis (start + k·increment).
+    */
+  val CountZeroWavelength = 1500.0
+  val WavelengthPerCount = 0.0008
+  val CountsPerNsDelay = 1.0
+
+  def countToWavelength(count: Double): Double =
+    CountZeroWavelength + count * WavelengthPerCount
+
+  def wavelengthToCount(wl: Double, offsetNs: Double): Double =
+    (wl - CountZeroWavelength) / WavelengthPerCount +
+      offsetNs * CountsPerNsDelay
+
+  /** Default time-of-flight compensation regions per channel
+    * (ref: hyperion.py:1085-1126): channel ch carries min(ch, 3)
+    * regions; region r (1-based) ends at boundary 1000·r + 100·ch
+    * counts and compensates a one-way fiber run of 10·ch + 5·r meters,
+    * so every wire-served delay is the [[graft.ops.Physics]] formula
+    * over that distance at [[IndexOfRefraction]] — the command path and
+    * the physics kernel can never disagree.
+    */
+  def offsetDistanceM(ch: Int, region: Int): Double = 10.0 * ch + 5.0 * region
+
+  def offsetBoundary(ch: Int, region: Int): Int = 1000 * region + 100 * ch
+
+  def defaultPeakOffsets(ch: Int): CommandCodec.PeakOffsets = {
+    val regions = (1 to math.min(ch, 3))
+    CommandCodec.PeakOffsets(
+      regions.map(r => offsetBoundary(ch, r)),
+      regions.map(r => graft.ops.Physics.delayNsScalar(
+        offsetDistanceM(ch, r), IndexOfRefraction)))
+  }
+
+  case class PeakOffsetRow(channel: Int, region: Int, boundary: Int,
+                           delay_ns: Long)
+
+  /** The queryable peak-offsets dim — built by DECODING the same
+    * `#GetPeakOffsets` wire bytes the responder serves per channel
+    * (the powerCal pattern), one row per (channel, region).
+    */
+  def peakOffsets(spark: SparkSession): DataFrame =
+    spark.createDataFrame((1 to ChannelCount).flatMap { ch =>
+      val o = CommandCodec.decodePeakOffsets(
+        CommandCodec.encodePeakOffsets(defaultPeakOffsets(ch)))
+      o.boundaries.zip(o.delays).zipWithIndex.map { case ((b, d), i) =>
+        PeakOffsetRow(ch, i + 1, b, d)
+      }
+    })
+
+  /** Network defaults (ref: hyperion.py:848-925): DHCP mode on boot;
+    * the static triple is what `#EnableStaticIpMode` switches to.
+    */
+  val StaticNetworkDefault: CommandCodec.NetworkSettings =
+    CommandCodec.NetworkSettings("10.0.0.55", "255.255.255.0", "10.0.0.254")
+  val DhcpNetworkDefault: CommandCodec.NetworkSettings =
+    CommandCodec.NetworkSettings("10.0.1.77", "255.255.255.0", "10.0.1.1")
+  val IpModeDefault = "DHCP"
+
+  /** Deterministic boot clock for `#GetInstrumentUtcDateTime`
+    * (hyperion.py:927-942) — a fixed instant, not wall time, so specs
+    * and oracles never race the clock.
+    */
+  val BootUtc: Seq[Int] = Seq(2026, 1, 1, 0, 0, 0)
+
+  /** Channels streaming full spectra by default
+    * (ref: hyperion.py:803-821) — all of them, matching
+    * [[FrameSource.SpectrumChannels]].
+    */
+  val ActiveFullSpectrumChannelsDefault: Seq[Int] =
+    (1 to FrameSource.SpectrumChannels)
+
+  /** Deterministic current-frame state behind the `#GetPeaks` /
+    * `#GetSpectrum` snapshot commands (hyperion.py:1003-1019): the
+    * FrameSource recipe at cents=2500 (value 25.00), matching what the
+    * stream would emit for that event.
+    */
+  val SnapshotCentsDefault = 2500L
+  val SnapshotSerialDefault = 1L
+  val SnapshotTsIntDefault = 1735689600L // 2025-01-01T00:00:00Z
+  val SnapshotTsFracDefault = 500000000L
+
   /** Default sensors (ref: hyperion.py:1229-1330 add_sensor /
     * export_sensors): one per sensor-stream slot
     * ([[FrameSource]] sensor frames carry 4 sensors), channels 1-based,

@@ -34,4 +34,12 @@ object Physics {
     */
   def delayNs(distanceM: Column, ior: Column): Column =
     floor(lit(2.0) * distanceM * ior / SpeedOfLight * 1e9 + 0.5).cast("long")
+
+  /** Scalar form of [[delayNs]] — used where the delay feeds a wire
+    * payload built on the driver (the instrument's default peak-offset
+    * table, [[graft.model.InstrumentConfig.defaultPeakOffsets]]), so the
+    * command path and the query kernel share one formula.
+    */
+  def delayNsScalar(distanceM: Double, ior: Double): Long =
+    math.floor(2.0 * distanceM * ior / SpeedOfLight * 1e9 + 0.5).toLong
 }

@@ -21,7 +21,12 @@ import graft.ops.WindowMean
   * lose-on-crash buffers.
   */
 object PeakStreaming {
-  val WindowMs = 100          // ref window ≈ 97 ms drain loop
+  /** One laser-scan period (ref window ≈ 97 ms drain loop at the 10 Hz
+    * default rate) — fetched from the instrument's scan-speed surface
+    * (`#GetLaserScanSpeed` default), not assumed.
+    */
+  val WindowMs: Int =
+    1000 / graft.model.InstrumentConfig.LaserScanSpeedDefault
   val LtIncrement = 10        // ref: database_peak_streaming.py:11 (smoke)
   val StLengthSec = 30L       // ref: database_peak_streaming.py:13 (smoke)
 

@@ -33,6 +33,25 @@ import graft.model.InstrumentConfig
   * answer status≠SUCCESS with the error text in `message`, matching
   * the reference's error path (hyperion.py:141-146).
   *
+  * COMPLETE command surface as of round 8 — additionally: the one-shot
+  * snapshot reads `#GetPeaks` / `#GetSpectrum` (hyperion.py:1003-1019,
+  * served through the same [[graft.ingest.FrameCodec]] encoders the
+  * stream uses, spectrum restricted to the active full-spectrum set),
+  * laser scan speed (`#Get/SetLaserScanSpeed`,
+  * `#GetAvailableLaserScanSpeeds`, hyperion.py:824-846), per-channel
+  * peak offsets + count↔wavelength conversion
+  * (`#Get/Set/ClearPeakOffsets`, `#ClearAllPeakOffsets`,
+  * `#ConvertCountToWavelength`, `#ConvertWavelengthToCount`,
+  * hyperion.py:1085-1223), the full-spectrum channel set
+  * (`#get/setActiveFullSpectrumDutChannelNumbers`, hyperion.py:803-821),
+  * network settings (`#Get{Active,Static}NetworkSettings`,
+  * `#SetStaticNetworkSettings`, `#GetNetworkIpMode`,
+  * `#Enable{Static,Dynamic}IpMode`, hyperion.py:848-925), the UTC clock
+  * (`#Get/SetInstrumentUtcDateTime`, hyperion.py:927-942),
+  * `#SetInstrumentName` (hyperion.py:745-748) and `#Reboot`
+  * (hyperion.py:1021-1025, reverting unsaved sensor edits to the last
+  * `#saveSensors` snapshot).
+  *
   * Detection presets and channel assignments are MUTABLE instrument
   * state, seeded from [[InstrumentConfig]]'s static defaults; mutations
   * serialize on the responder (control-plane rates, one per device).
@@ -67,11 +86,81 @@ class InstrumentResponder {
   private var ntpServer = InstrumentConfig.NtpServerDefault
   private var ptpEnabled = InstrumentConfig.PtpEnabledDefault
   // sensors (ref: hyperion.py:1229-1330), keyed by name; saveSensors
-  // marks the running set persistent (a flag here — no real flash)
+  // commits the running set as the persistent snapshot — #Reboot
+  // restores it (the one piece of state the reference documents as
+  // needing an explicit save)
   private val sensors =
     scala.collection.mutable.LinkedHashMap[String, CommandCodec.SensorExport](
       InstrumentConfig.DefaultSensors.map(s => s.name -> s): _*)
+  private var savedSensors: Seq[CommandCodec.SensorExport] =
+    InstrumentConfig.DefaultSensors
   @volatile private var sensorsSaved = true
+  // instrument identity / clock / network (ref: hyperion.py:737-942)
+  private var instrumentName = InstrumentConfig.InstrumentName
+  private var utcDateTime: Seq[Int] = InstrumentConfig.BootUtc
+  private var staticNet = InstrumentConfig.StaticNetworkDefault
+  private var ipMode = InstrumentConfig.IpModeDefault
+  @volatile private var rebootCount = 0
+  // laser scan (ref: hyperion.py:824-846): only speeds from the
+  // available set are accepted
+  private var scanSpeed = InstrumentConfig.LaserScanSpeedDefault
+  // per-channel time-of-flight compensation (ref: hyperion.py:1085-1126)
+  private val peakOffsets =
+    scala.collection.mutable.LinkedHashMap[Int, CommandCodec.PeakOffsets](
+      (1 to InstrumentConfig.ChannelCount)
+        .map(ch => ch -> InstrumentConfig.defaultPeakOffsets(ch)): _*)
+  // full-spectrum acquisition set (ref: hyperion.py:803-821), 1-based
+  private var activeSpectrumChannels: Seq[Int] =
+    InstrumentConfig.ActiveFullSpectrumChannelsDefault
+  // current-frame state behind #GetPeaks/#GetSpectrum
+  // (hyperion.py:1003-1019): the FrameSource recipe over (cents,
+  // serial, ts) — the same frame the stream would emit for that event
+  private var snapCents = InstrumentConfig.SnapshotCentsDefault
+  private var snapSerial = InstrumentConfig.SnapshotSerialDefault
+  private var snapTsInt = InstrumentConfig.SnapshotTsIntDefault
+  private var snapTsFrac = InstrumentConfig.SnapshotTsFracDefault
+
+  /** Point the snapshot surface at a specific "current" frame — what a
+    * live gateway would do on every received frame.
+    */
+  def setCurrentFrame(cents: Long, serial: Long, tsInt: Long,
+                      tsFrac: Long): Unit = settings.synchronized {
+    snapCents = cents; snapSerial = serial
+    snapTsInt = tsInt; snapTsFrac = tsFrac
+  }
+
+  /** How many #Reboot commands have been accepted. */
+  def rebootsSeen: Int = rebootCount
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import graft.ingest.{FrameCodec, FrameSource}
+
+  /** The current peaks frame, encoded with the SAME FrameCodec byte
+    * path the stream uses: counts = 1 per port, peaks[i] = cents+i·100
+    * (the FrameSource recipe).
+    */
+  private def snapshotPeaksBytes(): Array[Byte] =
+    FrameCodec.encodePeaksBytes(snapSerial, snapTsInt, snapTsFrac,
+      new GenericArrayData(Array.fill(FrameSource.NumPorts)(1)),
+      new GenericArrayData(Array.tabulate(FrameSource.NumPeaks)(i =>
+        snapCents.toDouble + i * 100.0)))
+
+  /** The current spectrum frame for the ACTIVE full-spectrum channels
+    * only: num_channels rows in channel order, active_channel_bits has
+    * bit (ch-1) set per active channel (the reference's channel_map
+    * decode, hyperion.py:495-501), matrix rows follow the FrameSource
+    * synth recipe for the absolute channel index.
+    */
+  private def snapshotSpectrumBytes(): Array[Byte] = {
+    val chans = activeSpectrumChannels
+    val bits = chans.map(ch => 1 << (ch - 1)).sum
+    FrameCodec.encodeSpectrumBytes(snapSerial, snapTsInt, snapTsFrac,
+      1500.0, 0.8, bits,
+      new GenericArrayData(chans.map(ch =>
+        new GenericArrayData(Array.tabulate(FrameSource.SpectrumPoints)(p =>
+          ((snapCents + (ch - 1) * 1000L + p * 7L) % 65536L).toInt)): Any)
+        .toArray))
+  }
 
   def port: Int = server.getLocalPort
 
@@ -100,8 +189,14 @@ class InstrumentResponder {
   private def dispatch(r: Request): Response = r.command match {
     case "#GetSerialNumber" =>
       ok(InstrumentConfig.Serial.getBytes(US_ASCII))
-    case "#GetInstrumentName" =>
-      ok(InstrumentConfig.InstrumentName.getBytes(US_ASCII))
+    case "#GetInstrumentName" => settings.synchronized {
+      ok(instrumentName.getBytes(US_ASCII))
+    }
+    case "#SetInstrumentName" => settings.synchronized {
+      val v = r.argument.trim
+      if (v.isEmpty) err("empty instrument name")
+      else { instrumentName = v; ok(Array.emptyByteArray) }
+    }
     case "#GetFirmwareVersion" =>
       ok(InstrumentConfig.FirmwareVersion.getBytes(US_ASCII))
     case "#GetFPGAVersion" =>
@@ -122,9 +217,15 @@ class InstrumentResponder {
         case None => err(s"no detection setting: ${r.argument}")
       }
     }
+    // id range 0-127 enforced at add/update (matching the remove
+    // path's documented range, hyperion.py:1053): the binary dump
+    // writes the id as ONE byte, so an id like 300 would silently
+    // round-trip as 44 and corrupt the settings decode
     case "#AddDetectionSetting" => settings.synchronized {
       CommandCodec.parseDetectionSetting(r.argument) match {
         case None => err(s"malformed detection setting: ${r.argument}")
+        case Some(s) if s.settingId < 0 || s.settingId > 127 =>
+          err(s"setting id out of range 0-127: ${s.settingId}")
         case Some(s) if settings.contains(s.settingId) =>
           err(s"detection setting ${s.settingId} already exists")
         case Some(s) => settings(s.settingId) = s; ok(Array.emptyByteArray)
@@ -133,6 +234,8 @@ class InstrumentResponder {
     case "#UpdateDetectionSetting" => settings.synchronized {
       CommandCodec.parseDetectionSetting(r.argument) match {
         case None => err(s"malformed detection setting: ${r.argument}")
+        case Some(s) if s.settingId < 0 || s.settingId > 127 =>
+          err(s"setting id out of range 0-127: ${s.settingId}")
         case Some(s) if !settings.contains(s.settingId) =>
           err(s"no detection setting: ${s.settingId}")
         case Some(s) => settings(s.settingId) = s; ok(Array.emptyByteArray)
@@ -246,7 +349,173 @@ class InstrumentResponder {
       } else err(s"no sensor: $name")
     }
     case "#saveSensors" => settings.synchronized {
+      savedSensors = sensors.values.toSeq
       sensorsSaved = true; ok(Array.emptyByteArray)
+    }
+    // --- snapshot reads (ref: hyperion.py:1003-1019): the current
+    // frame over the command port, byte-identical to what the stream
+    // would emit — #GetSpectrum serves RAW uint16 counts; the client
+    // applies power cal after decode, exactly like HACQSpectrumData ---
+    case "#GetPeaks" => settings.synchronized {
+      ok(snapshotPeaksBytes())
+    }
+    case "#GetSpectrum" => settings.synchronized {
+      ok(snapshotSpectrumBytes())
+    }
+    // --- laser scan speed (ref: hyperion.py:824-846): u32 Hz; only
+    // values from the advertised set are accepted ---
+    case "#GetLaserScanSpeed" => settings.synchronized {
+      ok(CommandCodec.u32le(scanSpeed))
+    }
+    case "#GetAvailableLaserScanSpeeds" => settings.synchronized {
+      ok(CommandCodec.i32ArrayLe(InstrumentConfig.AvailableLaserScanSpeeds))
+    }
+    case "#SetLaserScanSpeed" => settings.synchronized {
+      intArg(r.argument) match {
+        case Some(v) if InstrumentConfig.AvailableLaserScanSpeeds.contains(v) =>
+          scanSpeed = v; ok(Array.emptyByteArray)
+        case Some(v) => err(s"scan speed not available: $v " +
+          s"(available: ${InstrumentConfig.AvailableLaserScanSpeeds.mkString(" ")})")
+        case None => err(s"malformed scan speed: ${r.argument}")
+      }
+    }
+    // --- peak offsets (ref: hyperion.py:1085-1126): per-channel
+    // time-of-flight compensation regions ---
+    case "#GetPeakOffsets" => settings.synchronized {
+      intArg(r.argument).flatMap(peakOffsets.get) match {
+        case Some(o) => ok(CommandCodec.encodePeakOffsets(o))
+        case None => err(s"bad channel: ${r.argument}")
+      }
+    }
+    case "#SetPeakOffsets" => settings.synchronized {
+      // '{ch} {n} ' + '{delay} {boundary} ' * n (hyperion.py:1095-1099)
+      val toks = r.argument.trim.split("\\s+").toSeq
+      val parsed = toks.headOption.flatMap(intArg).flatMap { ch =>
+        toks.lift(1).flatMap(intArg).flatMap { n =>
+          val pairs = toks.drop(2).flatMap(intArg)
+          if (pairs.length != 2 * n) None
+          else Some((ch, pairs.grouped(2).map(p => (p(0), p(1))).toSeq))
+        }
+      }
+      parsed match {
+        case None => err(s"expected 'ch n (delay boundary)*n': ${r.argument}")
+        case Some((ch, _)) if !peakOffsets.contains(ch) =>
+          err(s"bad channel: $ch")
+        case Some((_, ps)) if ps.exists { case (d, b) =>
+            d < 0 || b < 0 || b > 0xFFFF } =>
+          err("delay must be u32, boundary u16")
+        case Some((ch, ps)) =>
+          peakOffsets(ch) = CommandCodec.PeakOffsets(
+            ps.map(_._2), ps.map(_._1.toLong))
+          ok(Array.emptyByteArray)
+      }
+    }
+    case "#ClearPeakOffsets" => settings.synchronized {
+      intArg(r.argument) match {
+        case Some(ch) if peakOffsets.contains(ch) =>
+          peakOffsets(ch) = CommandCodec.PeakOffsets(Nil, Nil)
+          ok(Array.emptyByteArray)
+        case _ => err(s"bad channel: ${r.argument}")
+      }
+    }
+    case "#ClearAllPeakOffsets" => settings.synchronized {
+      peakOffsets.keys.toSeq.foreach(ch =>
+        peakOffsets(ch) = CommandCodec.PeakOffsets(Nil, Nil))
+      ok(Array.emptyByteArray)
+    }
+    // --- count↔wavelength conversions (ref: hyperion.py:1175-1223):
+    // f64 content both ways; the wavelength→count argument carries the
+    // offset delay in ns as its second token ---
+    case "#ConvertCountToWavelength" => settings.synchronized {
+      dblArg(r.argument) match {
+        case Some(c) =>
+          ok(CommandCodec.f64le(InstrumentConfig.countToWavelength(c)))
+        case None => err(s"malformed count: ${r.argument}")
+      }
+    }
+    case "#ConvertWavelengthToCount" => settings.synchronized {
+      r.argument.trim.split("\\s+") match {
+        case Array(wlS, offS) =>
+          (dblArg(wlS), dblArg(offS)) match {
+            case (Some(wl), Some(off)) =>
+              ok(CommandCodec.f64le(
+                InstrumentConfig.wavelengthToCount(wl, off)))
+            case _ => err(s"malformed 'wavelength offset': ${r.argument}")
+          }
+        case _ => err(s"expected 'wavelength offset': ${r.argument}")
+      }
+    }
+    // --- full-spectrum channel set (ref: hyperion.py:803-821): i32
+    // array content; the setter takes space-separated 1-based channels ---
+    case "#getActiveFullSpectrumDutChannelNumbers" => settings.synchronized {
+      ok(CommandCodec.i32ArrayLe(activeSpectrumChannels))
+    }
+    case "#setActiveFullSpectrumDutChannelNumbers" => settings.synchronized {
+      val chans = r.argument.trim.split("\\s+").filter(_.nonEmpty)
+        .toSeq.map(intArg)
+      if (chans.isEmpty || chans.exists(_.isEmpty))
+        err(s"malformed channel list: ${r.argument}")
+      else {
+        val cs = chans.flatten.distinct.sorted
+        if (cs.exists(c => c < 1 || c > FrameSource.SpectrumChannels))
+          err(s"channel out of range 1-${FrameSource.SpectrumChannels}")
+        else { activeSpectrumChannels = cs; ok(Array.emptyByteArray) }
+      }
+    }
+    // --- network settings (ref: hyperion.py:848-925) ---
+    case "#GetActiveNetworkSettings" => settings.synchronized {
+      ok(CommandCodec.encodeNetworkSettings(
+        if (ipMode == "STATIC") staticNet
+        else InstrumentConfig.DhcpNetworkDefault))
+    }
+    case "#GetStaticNetworkSettings" => settings.synchronized {
+      ok(CommandCodec.encodeNetworkSettings(staticNet))
+    }
+    case "#SetStaticNetworkSettings" => settings.synchronized {
+      r.argument.trim.split("\\s+") match {
+        case Array(a, m, g)
+            if Seq(a, m, g).forall(CommandCodec.ipv4Bytes(_).isDefined) =>
+          staticNet = CommandCodec.NetworkSettings(a, m, g)
+          ok(Array.emptyByteArray)
+        case _ => err(s"expected 'address netmask gateway': ${r.argument}")
+      }
+    }
+    case "#GetNetworkIpMode" => settings.synchronized {
+      ok(ipMode.getBytes(US_ASCII))
+    }
+    case "#EnableStaticIpMode" => settings.synchronized {
+      ipMode = "STATIC"; ok(Array.emptyByteArray)
+    }
+    case "#EnableDynamicIpMode" => settings.synchronized {
+      ipMode = "DHCP"; ok(Array.emptyByteArray)
+    }
+    // --- UTC clock (ref: hyperion.py:927-942): six u16s; the setter
+    // argument is '%Y %m %d %H %M %S' ---
+    case "#GetInstrumentUtcDateTime" => settings.synchronized {
+      ok(CommandCodec.encodeUtcDateTime(utcDateTime))
+    }
+    case "#SetInstrumentUtcDateTime" => settings.synchronized {
+      val parts = r.argument.trim.split("\\s+").toSeq.map(intArg)
+      if (parts.length != 6 || parts.exists(_.isEmpty))
+        err(s"expected 'Y m d H M S': ${r.argument}")
+      else {
+        val Seq(y, mo, d, h, mi, sec) = parts.flatten
+        if (y < 1970 || y > 9999 || mo < 1 || mo > 12 || d < 1 || d > 31 ||
+          h > 23 || h < 0 || mi < 0 || mi > 59 || sec < 0 || sec > 59)
+          err(s"datetime field out of range: ${r.argument}")
+        else { utcDateTime = Seq(y, mo, d, h, mi, sec)
+          ok(Array.emptyByteArray) }
+      }
+    }
+    // --- reboot (ref: hyperion.py:1021-1025): acknowledged, then the
+    // instrument restarts — modeled as reverting the UNSAVED sensor set
+    // to the last #saveSensors snapshot (flash persists everything else)
+    case "#Reboot" => settings.synchronized {
+      sensors.clear()
+      savedSensors.foreach(s => sensors(s.name) = s)
+      sensorsSaved = true
+      rebootCount += 1
+      ok(Array.emptyByteArray)
     }
     case other =>
       err(s"unknown command: $other")

@@ -229,6 +229,246 @@ class InstrumentResponderSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("#GetPeaks snapshot is byte-identical to the stream's frame") {
+    import org.apache.spark.sql.functions._
+    val r = new InstrumentResponder().start()
+    try {
+      def cmd(c: String, a: String = "") =
+        InstrumentResponder.command("127.0.0.1", r.port, c, a)
+      // default snapshot decodes through the SAME parser the stream uses
+      val d0 = graft.ingest.FrameCodec.decodePeaksBytes(
+        cmd("#GetPeaks").content)
+      assert(d0.getLong(2) == InstrumentConfig.SnapshotSerialDefault)
+      assert(d0.getArray(6).toDoubleArray().toSeq ==
+        (0 until graft.ingest.FrameSource.NumPeaks).map(i =>
+          InstrumentConfig.SnapshotCentsDefault.toDouble + i * 100.0))
+      // point the snapshot at a REAL event and compare byte-for-byte
+      // with the frame the streaming path emits for that event
+      val d = "/root/testdata/sf0.001"
+      val ev = graft.ingest.FrameSource.frames(spark, d)
+        .orderBy("frame_id").limit(1)
+      val streamBytes = ev.select(graft.ingest.FrameCodec.encodePeaks(
+        col("serial_number"),
+        floor(col("ts").cast("double")).cast("long"),
+        col("frame_id") % 1000000000L,
+        col("peak_counts"), col("peaks")).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      val row = ev.select(col("serial_number"),
+        floor(col("ts").cast("double")).cast("long").as("tsi"),
+        (col("frame_id") % 1000000000L).as("tsf"),
+        element_at(col("peaks"), 1).as("p0")).head()
+      r.setCurrentFrame(row.getAs[Double]("p0").toLong,
+        row.getAs[Long]("serial_number"), row.getAs[Long]("tsi"),
+        row.getAs[Long]("tsf"))
+      assert(cmd("#GetPeaks").content.toSeq == streamBytes.toSeq,
+        "snapshot must equal the stream-emitted frame bytes")
+    } finally r.stop()
+  }
+
+  test("#GetSpectrum snapshot honors the active channel set + power cal") {
+    val r = new InstrumentResponder().start()
+    try {
+      def cmd(c: String, a: String = "") =
+        InstrumentResponder.command("127.0.0.1", r.port, c, a)
+      // default active set = all channels; raw matrix follows the
+      // FrameSource synth recipe
+      val full = graft.ingest.FrameCodec.decodeSpectrumBytes(
+        cmd("#GetSpectrum").content)
+      assert(full.getInt(8) == graft.ingest.FrameSource.SpectrumChannels)
+      assert(full.getInt(9) == 0xFF) // bits 0-7 set
+      val cents = InstrumentConfig.SnapshotCentsDefault
+      val m0 = full.getArray(10).getArray(0)
+      assert(m0.getInt(0) == (cents % 65536).toInt)
+      assert(m0.getInt(1) == ((cents + 7) % 65536).toInt)
+      // shrink the active set: num_channels and the bitmap follow, rows
+      // keep the ABSOLUTE channel recipe (reference channel_map decode)
+      assert(cmd("#setActiveFullSpectrumDutChannelNumbers", "2 5").status
+        == CommandCodec.Success)
+      assert(CommandCodec.readI32ArrayLe(
+        cmd("#getActiveFullSpectrumDutChannelNumbers").content) == Seq(2, 5))
+      val part = graft.ingest.FrameCodec.decodeSpectrumBytes(
+        cmd("#GetSpectrum").content)
+      assert(part.getInt(8) == 2)
+      assert(part.getInt(9) == ((1 << 1) | (1 << 4)))
+      assert(part.getArray(10).getArray(0).getInt(0)
+        == ((cents + 1000) % 65536).toInt) // channel 2 → c=1
+      assert(part.getArray(10).getArray(1).getInt(0)
+        == ((cents + 4000) % 65536).toInt) // channel 5 → c=4
+      // client-side dBm calibration (HACQSpectrumData with power_cal):
+      // raw*(1/scale)+offset using the channel_map — constants from the
+      // decoded #GetPowerCalibrationInfo bytes
+      val cal = CommandCodec.decodePowerCal(
+        cmd("#GetPowerCalibrationInfo").content)
+      val raw20 = part.getArray(10).getArray(0).getInt(0)
+      val db = raw20 * (1.0 / cal(1).scale) + cal(1).offset
+      assert(math.abs(db - (raw20 / 101.0 - 41.0)) < 1e-12)
+      // out-of-range and malformed channel sets are refused
+      assert(cmd("#setActiveFullSpectrumDutChannelNumbers", "0 3").status
+        != CommandCodec.Success)
+      assert(cmd("#setActiveFullSpectrumDutChannelNumbers", "").status
+        != CommandCodec.Success)
+    } finally r.stop()
+  }
+
+  test("laser scan speed round-trips; rejects unavailable speeds") {
+    val r = new InstrumentResponder().start()
+    try {
+      def cmd(c: String, a: String = "") =
+        InstrumentResponder.command("127.0.0.1", r.port, c, a)
+      assert(CommandCodec.readU32le(cmd("#GetLaserScanSpeed").content)
+        == InstrumentConfig.LaserScanSpeedDefault.toLong)
+      assert(CommandCodec.readI32ArrayLe(
+        cmd("#GetAvailableLaserScanSpeeds").content)
+        == InstrumentConfig.AvailableLaserScanSpeeds)
+      // the streaming window is one scan period of the DEFAULT speed —
+      // the 10 Hz envelope is fetched from this surface, not assumed
+      assert(graft.pipeline.PeakStreaming.WindowMs
+        == 1000 / InstrumentConfig.LaserScanSpeedDefault)
+      assert(cmd("#SetLaserScanSpeed", "100").status == CommandCodec.Success)
+      assert(CommandCodec.readU32le(cmd("#GetLaserScanSpeed").content) == 100L)
+      assert(cmd("#SetLaserScanSpeed", "42").status != CommandCodec.Success)
+      assert(cmd("#SetLaserScanSpeed", "fast").status != CommandCodec.Success)
+      assert(CommandCodec.readU32le(cmd("#GetLaserScanSpeed").content) == 100L)
+    } finally r.stop()
+  }
+
+  test("peak offsets + count↔wavelength conversions round-trip") {
+    val r = new InstrumentResponder().start()
+    try {
+      def cmd(c: String, a: String = "") =
+        InstrumentResponder.command("127.0.0.1", r.port, c, a)
+      // defaults decode to Physics-derived delays over the distance
+      // model — the wire carries the SAME formula the query kernel uses
+      val o3 = CommandCodec.decodePeakOffsets(
+        cmd("#GetPeakOffsets", "3").content)
+      assert(o3.boundaries == (1 to 3).map(r2 =>
+        InstrumentConfig.offsetBoundary(3, r2)))
+      assert(o3.delays == (1 to 3).map(r2 => graft.ops.Physics.delayNsScalar(
+        InstrumentConfig.offsetDistanceM(3, r2),
+        InstrumentConfig.IndexOfRefraction)))
+      // set with the reference's '{ch} {n} {delay} {boundary}...' form
+      assert(cmd("#SetPeakOffsets", "3 2 450 1200 900 2400").status
+        == CommandCodec.Success)
+      val o3b = CommandCodec.decodePeakOffsets(
+        cmd("#GetPeakOffsets", "3").content)
+      assert(o3b.delays == Seq(450L, 900L) &&
+        o3b.boundaries == Seq(1200, 2400))
+      // clear one channel / all channels
+      assert(cmd("#ClearPeakOffsets", "3").status == CommandCodec.Success)
+      assert(CommandCodec.decodePeakOffsets(
+        cmd("#GetPeakOffsets", "3").content).boundaries.isEmpty)
+      assert(CommandCodec.decodePeakOffsets(
+        cmd("#GetPeakOffsets", "2").content).boundaries.nonEmpty)
+      assert(cmd("#ClearAllPeakOffsets").status == CommandCodec.Success)
+      assert(CommandCodec.decodePeakOffsets(
+        cmd("#GetPeakOffsets", "2").content).boundaries.isEmpty)
+      // malformed/out-of-range forms are refused
+      assert(cmd("#GetPeakOffsets", "99").status != CommandCodec.Success)
+      assert(cmd("#SetPeakOffsets", "3 2 450 1200").status
+        != CommandCodec.Success) // count mismatch
+      assert(cmd("#SetPeakOffsets", "3 1 450 70000").status
+        != CommandCodec.Success) // boundary exceeds u16
+      // conversions: f64 content, linear model, offset shifts the count
+      val wl = CommandCodec.readF64le(
+        cmd("#ConvertCountToWavelength", "2500").content)
+      assert(wl == InstrumentConfig.countToWavelength(2500.0))
+      val back = CommandCodec.readF64le(
+        cmd("#ConvertWavelengthToCount", s"$wl 0").content)
+      assert(math.abs(back - 2500.0) < 1e-9)
+      val shifted = CommandCodec.readF64le(
+        cmd("#ConvertWavelengthToCount", s"$wl 40").content)
+      assert(math.abs(shifted - back -
+        40.0 * InstrumentConfig.CountsPerNsDelay) < 1e-9)
+      assert(cmd("#ConvertWavelengthToCount", "1500.0").status
+        != CommandCodec.Success) // missing offset token
+    } finally r.stop()
+  }
+
+  test("network / UTC clock / name / reboot complete the command tail") {
+    val r = new InstrumentResponder().start()
+    try {
+      def cmd(c: String, a: String = "") =
+        InstrumentResponder.command("127.0.0.1", r.port, c, a)
+      // network: boot mode DHCP; active follows the mode, static is
+      // whatever was last set (12-byte inet_ntoa triple)
+      assert(new String(cmd("#GetNetworkIpMode").content, US_ASCII) == "DHCP")
+      assert(CommandCodec.decodeNetworkSettings(
+        cmd("#GetActiveNetworkSettings").content)
+        == InstrumentConfig.DhcpNetworkDefault)
+      assert(cmd("#SetStaticNetworkSettings",
+        "192.168.7.2 255.255.255.0 192.168.7.1").status
+        == CommandCodec.Success)
+      assert(cmd("#EnableStaticIpMode").status == CommandCodec.Success)
+      assert(new String(cmd("#GetNetworkIpMode").content, US_ASCII)
+        == "STATIC")
+      val active = CommandCodec.decodeNetworkSettings(
+        cmd("#GetActiveNetworkSettings").content)
+      assert(active == CommandCodec.NetworkSettings("192.168.7.2",
+        "255.255.255.0", "192.168.7.1"))
+      assert(cmd("#EnableDynamicIpMode").status == CommandCodec.Success)
+      assert(cmd("#SetStaticNetworkSettings", "bad input here").status
+        != CommandCodec.Success)
+      assert(cmd("#SetStaticNetworkSettings", "1.2.3.999 0.0.0.0 1.1.1.1")
+        .status != CommandCodec.Success)
+      // UTC clock: six u16s, '%Y %m %d %H %M %S' setter
+      assert(CommandCodec.decodeUtcDateTime(
+        cmd("#GetInstrumentUtcDateTime").content)
+        == InstrumentConfig.BootUtc)
+      assert(cmd("#SetInstrumentUtcDateTime", "2026 8 13 12 30 45").status
+        == CommandCodec.Success)
+      assert(CommandCodec.decodeUtcDateTime(
+        cmd("#GetInstrumentUtcDateTime").content)
+        == Seq(2026, 8, 13, 12, 30, 45))
+      assert(cmd("#SetInstrumentUtcDateTime", "2026 13 1 0 0 0").status
+        != CommandCodec.Success) // month 13
+      assert(cmd("#SetInstrumentUtcDateTime", "2026 1 1").status
+        != CommandCodec.Success)
+      // instrument name is settable (hyperion.py:745-748)
+      assert(cmd("#SetInstrumentName", "bench-rig-2").status
+        == CommandCodec.Success)
+      assert(new String(cmd("#GetInstrumentName").content, US_ASCII)
+        == "bench-rig-2")
+      assert(cmd("#SetInstrumentName", "  ").status != CommandCodec.Success)
+      // reboot: acknowledged; unsaved sensor edits revert to the last
+      // #saveSensors snapshot, saved ones survive
+      assert(cmd("#AddSensor", "temp_9 os7520 2 20 1540.0 0.5").status
+        == CommandCodec.Success)
+      assert(cmd("#saveSensors").status == CommandCodec.Success)
+      assert(cmd("#AddSensor", "temp_10 os7510 3 30 1560.0 0.75").status
+        == CommandCodec.Success)
+      assert(!r.sensorsPersisted)
+      assert(cmd("#Reboot").status == CommandCodec.Success)
+      assert(r.rebootsSeen == 1)
+      val names = cmd("#GetSensorNames").message.split(" ").toSeq
+      assert(names.contains("temp_9") && !names.contains("temp_10"))
+      assert(r.sensorsPersisted)
+    } finally r.stop()
+  }
+
+  test("detection-setting ids outside 0-127 are refused at add/update") {
+    import CommandCodec.DetectionSetting
+    val r = new InstrumentResponder().start()
+    try {
+      def cmd(c: String, a: String = "") =
+        InstrumentResponder.command("127.0.0.1", r.port, c, a)
+      // 300 would round-trip as 300.toByte = 44 in the binary dump
+      val big = DetectionSetting(300, "big", "id too big",
+        250, 800, 1000, 9000, 2000, "Peak")
+      assert(cmd("#AddDetectionSetting",
+        CommandCodec.formatDetectionSetting(big)).status
+        != CommandCodec.Success)
+      assert(cmd("#UpdateDetectionSetting",
+        CommandCodec.formatDetectionSetting(big)).status
+        != CommandCodec.Success)
+      // quote-bearing names are refused at FORMAT time (the reference's
+      // pack() emits them unescaped and then cannot re-parse them)
+      intercept[IllegalArgumentException] {
+        CommandCodec.formatDetectionSetting(DetectionSetting(
+          5, "bob's preset", "", 250, 800, 1000, 9000, 2000, "Peak"))
+      }
+    } finally r.stop()
+  }
+
   test("q_command_format hex equals the real CommandCodec wire bytes") {
     val hex = "0123456789ABCDEF"
     def toHex(b: Array[Byte]): String =
