@@ -288,10 +288,105 @@ object ReferenceQueries {
             .as("db"))
     }),
 
-    // F6 — fiber delay physics (ref: hyperion.py:1150-1153)
+    // F6 — fiber delay physics (ref: hyperion.py:1150-1153); the ior
+    // constant is the instrument-wide one the wire-served peak-offset
+    // table is built from (InstrumentConfig.IndexOfRefraction)
     "q_delay_physics" -> ((s, d) =>
       events(s, d).select(col("event_id"),
-        Physics.delayNs(col("value"), lit(1.4682)).as("delay_ns"))),
+        Physics.delayNs(col("value"),
+          lit(InstrumentConfig.IndexOfRefraction)).as("delay_ns"))),
+
+    // S14 — #GetPeaks one-shot snapshot semantics (hyperion.py:1003-1010):
+    // the CURRENT frame per serial — argmax by (ts, frame_id), one
+    // shuffle with map-side combine — served through the same
+    // encode→decode byte path the command port uses, then split into
+    // HACQPeaksData channel slices (counts are 1/port, so slice i is
+    // peak i). Scale: the max_by pre-aggregates per partition; no sort.
+    "q_snapshot_peaks" -> ((s, d) => {
+      val fr = FrameSource.frames(s, d)
+      val latest = fr.groupBy(col("serial_number"))
+        .agg(max_by(
+          struct(col("frame_id"), col("ts"), col("peak_counts"),
+            col("peaks")),
+          struct(col("ts"), col("frame_id"))).as("cur"))
+        .select(col("serial_number"), col("cur.*"))
+      val bin = FrameCodec.encodePeaks(col("serial_number"),
+        floor(epochS(col("ts"))).cast("long"),
+        col("frame_id") % 1000000000L,
+        col("peak_counts"), col("peaks"))
+      latest.select(col("serial_number"),
+          FrameCodec.decodePeaks(bin).as("f"))
+        .select(col("serial_number"),
+          col("f.timestamp_int").as("ts_int"),
+          col("f.timestamp_frac").as("ts_frac"),
+          posexplode(col("f.peaks")).as(Seq("i", "peak_value")))
+        .select(col("serial_number"), col("ts_int"), col("ts_frac"),
+          (col("i") + 1).cast("int").as("channel"), col("peak_value"))
+    }),
+
+    // S14 — #GetSpectrum one-shot snapshot semantics
+    // (hyperion.py:1012-1019): the single current frame
+    // (TakeOrderedAndProject, no global sort), through the wire byte
+    // path, active channels from the header bitmap, client-side dBm
+    // calibration from the decoded power-cal — exactly what
+    // HACQSpectrumData(content, power_cal) computes.
+    "q_snapshot_spectrum" -> ((s, d) => {
+      val fr = FrameSource.spectrumFrames(s, d)
+      // latest-frame pick as a broadcast max-key probe (the
+      // q_stride/q_min_key pattern): the 1-row max aggregates map-side
+      // over a (ts, frame_id)-pruned scan, and the equality filter
+      // pushes BELOW the matrix-building Project — an orderBy.limit(1)
+      // here planned a global range-sort carrying every row's
+      // synthesized 8×16 matrix (caught by PlanAuditSpec)
+      val mx = fr.agg(max(struct(col("ts"), col("frame_id"))).as("__mx"))
+      val sp = fr.crossJoin(broadcast(mx))
+        .filter(struct(col("ts"), col("frame_id")) === col("__mx"))
+        .drop("__mx")
+      val bin = FrameCodec.encodeSpectrum(col("frame_id"),
+        floor(epochS(col("ts"))).cast("long"),
+        col("frame_id") % 1000000000L,
+        col("start_wavelength"), col("wavelength_increment"),
+        col("active_channel_bits"), col("spectrum"))
+      val dec = sp.select(FrameCodec.decodeSpectrum(bin).as("f"))
+        .select(col("f.serial_number").as("frame_id"),
+          col("f.active_channel_bits").as("bits"),
+          col("f.start_wavelength").as("swl"),
+          col("f.wavelength_increment").as("wli"),
+          col("f.spectrum").as("spectrum"))
+      val perCh = dec.select(col("frame_id"), col("bits"), col("swl"),
+          col("wli"), col("spectrum"),
+          explode(sequence(lit(0),
+            lit(FrameSource.SpectrumChannels - 1))).as("ch"))
+        .filter(col("bits").bitwiseAND(expr("shiftleft(1, ch)")) =!= 0)
+        .select(col("frame_id"), col("ch"), col("swl"), col("wli"),
+          element_at(col("spectrum"), col("ch") + 1).as("raw"))
+      val cal = InstrumentConfig.powerCal(s)
+        .select(col("channel").as("ch"), col("scale").as("sc"),
+          col("offset").as("off"))
+      perCh.join(broadcast(cal), "ch")
+        .select(col("frame_id"), col("ch").cast("int").as("channel"),
+          col("swl"), col("wli"), col("sc"), col("off"),
+          posexplode(col("raw")).as(Seq("p", "rawv")))
+        .select(col("frame_id"), col("channel"),
+          col("p").cast("int").as("point_idx"),
+          (col("swl") + col("p").cast("double") * col("wli")).as("wl"),
+          r(Calibrate.toDbScalar(col("rawv"), col("sc"), col("off")), 6)
+            .as("db"))
+    }),
+
+    // S14/F6 — the peak-offsets dim DECODED from the same
+    // #GetPeakOffsets wire bytes the responder serves
+    // (hyperion.py:1101-1126): every delay on the wire is the Physics
+    // formula over the region's fiber distance at the instrument ior,
+    // and each boundary converts to a wavelength through the
+    // count→wavelength model (#ConvertCountToWavelength).
+    "q_peak_offsets" -> ((s, _) =>
+      InstrumentConfig.peakOffsets(s)
+        .select(col("channel"), col("region"), col("boundary"),
+          col("delay_ns"),
+          (lit(InstrumentConfig.CountZeroWavelength) +
+            col("boundary").cast("double") *
+              lit(InstrumentConfig.WavelengthPerCount)).as("boundary_wl"))),
 
     // S11 — catalog scan (ref: database_peak_streaming.py:103-106 /
     // analyze_data.py:21-24 list sqlite_master): register the data-dir
@@ -746,6 +841,51 @@ object ReferenceQueries {
     "q_delay_physics" ->
       ("SELECT event_id, cast(floor(2.0*value*1.4682/299792458.0*1e9 " +
         "+ 0.5) AS bigint) AS delay_ns FROM events"),
+
+    // current frame per serial = argmax by (ts, event_id); peak i of the
+    // FrameSource recipe lands in channel slice i+1 (counts are 1/port)
+    "q_snapshot_peaks" ->
+      ("""WITH latest AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |SELECT user_id AS serial_number,
+         |  cast(floor(epoch(ts)) AS bigint) AS ts_int,
+         |  event_id % 1000000000 AS ts_frac,
+         |  cast(i+1 AS int) AS channel,
+         |  floor(value*100 + 0.5) + i*100 AS peak_value
+         |FROM latest, generate_series(0, 7) t(i)
+         |WHERE rn = 1""").stripMargin,
+
+    // the single latest frame, then the q_spectrum_calibrate arithmetic
+    "q_snapshot_spectrum" -> {
+      val raw = "((cast(floor(value*100 + 0.5) AS bigint) " +
+        "+ ch*1000 + p*7) % 65536)"
+      s"""WITH latest AS (
+         |  SELECT event_id, ts, value FROM events
+         |  ORDER BY ts DESC, event_id DESC LIMIT 1)
+         |SELECT event_id AS frame_id, cast(ch AS int) AS channel,
+         | cast(p AS int) AS point_idx,
+         | CAST(1500.0 AS DOUBLE) + p * CAST(0.8 AS DOUBLE) AS wl,
+         | ${rs(s"$raw * (1.0/(100.0 + ch)) + (-40.0 - ch)", 6)} AS db
+         |FROM latest, generate_series(0, 7) c(ch),
+         | generate_series(0, 15) s(p)
+         |WHERE ((event_id % 256) >> ch) & 1 = 1""".stripMargin
+    },
+
+    // the deterministic default offset table: region r of channel ch
+    // ends at 1000r+100ch counts and compensates 10ch+5r meters of
+    // fiber at ior 1.4682 (what the wire bytes decode to)
+    "q_peak_offsets" ->
+      ("""SELECT cast(ch AS int) AS channel, cast(r AS int) AS region,
+         |  cast(1000*r + 100*ch AS int) AS boundary,
+         |  cast(floor(2.0*CAST(10*ch + 5*r AS DOUBLE)*1.4682/
+         |    299792458.0*1e9 + 0.5) AS bigint) AS delay_ns,
+         |  CAST(1500.0 AS DOUBLE) + (1000*r + 100*ch) *
+         |    CAST(0.0008 AS DOUBLE) AS boundary_wl
+         |FROM generate_series(1, 8) c(ch), generate_series(1, 3) t(r)
+         |WHERE r <= least(ch, 3)""").stripMargin,
 
     "q_catalog_scan" -> {
       val names = Seq("region", "nation", "customer", "supplier", "part",

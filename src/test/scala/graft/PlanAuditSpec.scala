@@ -323,4 +323,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode"), s"no explode replication:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_snapshot_peaks: per-serial argmax aggregates map-side, no sort") {
+    val p = plan("q_snapshot_peaks")
+    // the current-frame pick is a partial max_by before ONE exchange —
+    // never a per-serial window sort of the whole stream
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      (p.contains("max_by") && p.contains("HashAggregate")), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"want 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Window "), s"window sort crept in:\n$p")
+  }
+
+  test("q_snapshot_spectrum: latest frame via broadcast max-key, no sort") {
+    val p = plan("q_snapshot_spectrum")
+    // the snapshot moment is a 1-row broadcast max-key probe — never a
+    // global range-sort (which would carry every row's synthesized
+    // matrix through an exchange); power-cal joins broadcast
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort crept in:\n$p")
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("Sort ["),
+      s"sort-based latest pick:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the max-key filter must gate the scan BEFORE the matrix is built:
+    // the synth call appears exactly once outside the probe side
+    assert("synthSpectrumMatrix".r.findAllIn(p).size <= 2, p)
+  }
 }
