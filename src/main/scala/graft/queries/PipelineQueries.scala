@@ -482,26 +482,41 @@ object PipelineQueries {
       // completion barrier, not just a claim: the first caller installs
       // a latch and writes; a concurrent caller that loses the
       // putIfAbsent race awaits the latch instead of reading a layout
-      // still being written
-      val gate = new java.util.concurrent.CountDownLatch(1)
-      val prior = writtenLayouts.putIfAbsent(path, gate)
-      if (prior == null)
-        try {
-          documents(s, d)
-            .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
-            // repartition on the partition columns BEFORE partitionBy: one
-            // task owns each (lang, source) directory, so the layout is one
-            // file per partition instead of tasks × partitions small files
-            // — the 100 TB small-files guard
-            .repartition(col("lang"), col("source"))
-            .write.mode("overwrite").partitionBy("lang", "source").parquet(path)
-          gate.countDown()
-        } catch { case e: Throwable =>
-          writtenLayouts.remove(path) // failed write must not memoize
-          gate.countDown() // waiters proceed and surface the read failure
-          throw e
+      // still being written. A woken waiter re-checks the memo — a
+      // FAILED writer removes its entry before counting down, and the
+      // waiter then re-enters the loop to retry the write itself
+      // (rather than failing its query on a missing/half-written path);
+      // a fresh in-progress latch from a racing retry is awaited, not
+      // read through.
+      var done = false
+      while (!done) {
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val prior = writtenLayouts.putIfAbsent(path, gate)
+        if (prior == null)
+          try {
+            documents(s, d)
+              .select(col("doc_id"), col("n_chars"), col("lang"),
+                col("source"))
+              // repartition on the partition columns BEFORE partitionBy:
+              // one task owns each (lang, source) directory, so the
+              // layout is one file per partition instead of tasks ×
+              // partitions small files — the 100 TB small-files guard
+              .repartition(col("lang"), col("source"))
+              .write.mode("overwrite").partitionBy("lang", "source")
+              .parquet(path)
+            gate.countDown()
+            done = true
+          } catch { case e: Throwable =>
+            writtenLayouts.remove(path) // failed write must not memoize
+            gate.countDown() // waiters wake, see no memo, and retry
+            throw e
+          }
+        else {
+          prior.await()
+          val cur = writtenLayouts.get(path)
+          done = cur != null && cur.getCount == 0
         }
-      else prior.await()
+      }
       s.read.parquet(path)
         .filter(col("lang") === "en")
         .groupBy(col("source"))

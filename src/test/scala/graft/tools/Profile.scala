@@ -22,6 +22,10 @@ object Profile {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // UTC like every other entry point — Tables.events casts
+      // TIMESTAMP_NTZ through the session zone, so a non-UTC host would
+      // silently shift all timestamps
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
