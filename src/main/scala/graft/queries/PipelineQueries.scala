@@ -1280,12 +1280,17 @@ object PipelineQueries {
     // and each rewrite stage feeds the next lazily.
     "q_curation_pipeline" -> ((s, d) => {
       val lineW = 4; val maxDf = 2
+      // stage barriers go through Materialize.barrier: localCheckpoint
+      // by default, reliable parquet when spark.graft.materializeDir is
+      // set (the cluster configuration — executor loss re-reads a
+      // landed stage instead of replaying the funnel)
+      def bar(df: DataFrame, stage: String): DataFrame =
+        graft.util.Materialize.barrier(df, s"curation_${stage}_$d")
       val all = documents(s, d)
       val bench = all.filter(col("doc_id") % 20 === 0)
-      val t0 = parallelize(all.filter(col("doc_id") % 20 =!= 0))
+      val t0 = bar(parallelize(all.filter(col("doc_id") % 20 =!= 0))
         .select(col("doc_id"),
-          TextAnalysis.normalizeText(col("text")).as("t"))
-        .localCheckpoint(false)
+          TextAnalysis.normalizeText(col("text")).as("t")), "normalized")
       // stage 1: Gopher gate (q_gopher_filter's integer-exact rules)
       val toks = split(col("t"), " ")
       val nTok = size(toks).cast("long")
@@ -1311,17 +1316,16 @@ object PipelineQueries {
             (col("i") * lineW + 1).cast("int"), lit(lineW)), " ")
             .as("line"))
         .withColumn("k", md5(col("line")))
-        .localCheckpoint(false)
-      val lineDf = lines.groupBy(col("k"))
+      val linesBar = bar(lines, "lines")
+      val lineDf = linesBar.groupBy(col("k"))
         .agg(countDistinct(col("doc_id")).as("df"))
-      val t3 = lines.join(lineDf.hint("shuffle_hash"), "k")
+      val t3 = bar(linesBar.join(lineDf.hint("shuffle_hash"), "k")
         .groupBy(col("doc_id"))
         .agg(array_join(
           transform(array_sort(collect_list(
             when(col("df") <= maxDf, struct(col("i"), col("line"))))),
             x => x.getField("line")), " ").as("t"))
-        .filter(col("t") =!= "")
-        .localCheckpoint(false)
+        .filter(col("t") =!= ""), "rewritten")
       // stage 4: decontaminate the REWRITTEN text against the benchmark
       val corpusSpans = t3
         .select(col("doc_id"), explode(Dedup.shingles(col("t"), 5)).as("sp"))

@@ -1,0 +1,36 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Stage-barrier materialization with a scale-configurable backend.
+  *
+  * Multi-stage pipelines (the curation funnel, iterative clustering)
+  * cut lineage at stage boundaries so a stage computes once, not once
+  * per downstream consumer. Two backends:
+  *
+  *  - default: `localCheckpoint` — executor-local blocks, fastest on a
+  *    healthy cluster, but blocks die with their executor;
+  *  - `spark.graft.materializeDir` set: stage output goes to parquet
+  *    under that directory (the 100 TB configuration, mirroring
+  *    [[graft.dedup.Dedup.duplicateClusters]]'s `materializePath`) — a
+  *    lost executor re-reads from reliable storage instead of
+  *    recomputing the stage chain, and a restarted job can resume from
+  *    landed stages.
+  *
+  * The conf is read at call time from the session's runtime conf, so a
+  * cluster profile flips every barrier with one setting and tests can
+  * toggle per-session.
+  */
+object Materialize {
+  val ConfKey = "spark.graft.materializeDir"
+
+  def barrier(df: DataFrame, name: String): DataFrame =
+    df.sparkSession.conf.getOption(ConfKey) match {
+      case Some(base) if base.nonEmpty =>
+        val safe = name.replaceAll("[^a-zA-Z0-9_-]", "_")
+        val p = s"$base/$safe"
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case _ => df.localCheckpoint(eager = false)
+    }
+}

@@ -45,4 +45,24 @@ class CurationSpec extends SparkSpec {
     assert(out == Seq((1L, 0L, 0L), (2L, 3L, 0L), (3L, 7L, 1L),
       (9L, 0L, 0L), (10L, 11L, 2L)))
   }
+
+  test("curation funnel: reliable-storage barriers match localCheckpoint " +
+      "and land stage parquet") {
+    // the cluster configuration: spark.graft.materializeDir routes every
+    // stage barrier to parquet (executor-loss-safe), values unchanged
+    val d = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("q_curation_pipeline")
+    val expect = q(spark, d).collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_mat").toString
+    spark.conf.set(graft.util.Materialize.ConfKey, dir)
+    try {
+      val got = q(spark, d).collect().map(_.toSeq).toSet
+      assert(got == expect)
+      val stages = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(stages.exists(_.startsWith("curation_normalized")) &&
+        stages.exists(_.startsWith("curation_lines")) &&
+        stages.exists(_.startsWith("curation_rewritten")), stages)
+    } finally spark.conf.unset(graft.util.Materialize.ConfKey)
+  }
 }
