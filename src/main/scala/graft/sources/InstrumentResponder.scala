@@ -120,14 +120,30 @@ class InstrumentResponder {
   private var snapTsInt = InstrumentConfig.SnapshotTsIntDefault
   private var snapTsFrac = InstrumentConfig.SnapshotTsFracDefault
 
-  /** Point the snapshot surface at a specific "current" frame — what a
-    * live gateway would do on every received frame.
+  // raw mirrored frame takes precedence over the synthetic recipe —
+  // an arbitrary streamed frame need not follow the FrameSource shape
+  @volatile private var mirroredPeaks: Option[Array[Byte]] = None
+
+  /** Point the snapshot surface at a specific "current" frame by its
+    * recipe parameters (synthetic form, used by specs/defaults).
     */
   def setCurrentFrame(cents: Long, serial: Long, tsInt: Long,
                       tsFrac: Long): Unit = settings.synchronized {
     snapCents = cents; snapSerial = serial
     snapTsInt = tsInt; snapTsFrac = tsFrac
+    mirroredPeaks = None
   }
+
+  /** Live mirror: serve these RAW peaks-frame bytes as the current
+    * `#GetPeaks` snapshot — what a [[SocketLandingGateway]] `onContent`
+    * hook calls per streamed frame, so the command port answers with
+    * whatever the stream last produced (the reference instrument's
+    * behavior). Undecodable bytes are refused (returns false) — a
+    * poison frame must not corrupt the snapshot surface.
+    */
+  def setCurrentPeaksFrame(bytes: Array[Byte]): Boolean =
+    if (graft.ingest.FrameCodec.decodePeaksBytes(bytes) == null) false
+    else { mirroredPeaks = Some(bytes.clone()); true }
 
   /** How many #Reboot commands have been accepted. */
   def rebootsSeen: Int = rebootCount
@@ -140,10 +156,11 @@ class InstrumentResponder {
     * (the FrameSource recipe).
     */
   private def snapshotPeaksBytes(): Array[Byte] =
-    FrameCodec.encodePeaksBytes(snapSerial, snapTsInt, snapTsFrac,
-      new GenericArrayData(Array.fill(FrameSource.NumPorts)(1)),
-      new GenericArrayData(Array.tabulate(FrameSource.NumPeaks)(i =>
-        snapCents.toDouble + i * 100.0)))
+    mirroredPeaks.getOrElse(
+      FrameCodec.encodePeaksBytes(snapSerial, snapTsInt, snapTsFrac,
+        new GenericArrayData(Array.fill(FrameSource.NumPorts)(1)),
+        new GenericArrayData(Array.tabulate(FrameSource.NumPeaks)(i =>
+          snapCents.toDouble + i * 100.0))))
 
   /** The current spectrum frame for the ACTIVE full-spectrum channels
     * only: num_channels rows in channel order, active_channel_bits has

@@ -42,9 +42,20 @@ import scala.collection.mutable.ArrayBuffer
   * carry no markers) terminates that connection after flushing its
   * buffered frames, mirroring the dump reader's stop-clean semantics.
   */
+/** @param onContent optional live mirror invoked with each record's
+  *   CONTENT bytes (the frame) as it arrives — how the one-shot
+  *   snapshot surface ([[InstrumentResponder.setCurrentPeaksFrame]])
+  *   tracks the current frame, exactly like the reference instrument
+  *   where `#GetPeaks` serves whatever the stream last produced. The
+  *   mirror is best-effort control-plane state: it runs BEFORE the
+  *   durable land (latest-frame semantics want immediacy), and a
+  *   throwing mirror is swallowed — it must never take down the
+  *   data-plane connection.
+  */
 class SocketLandingGateway(landingDir: String,
                            maxFramesPerFile: Int = 10000,
-                           flushMs: Long = 200L) {
+                           flushMs: Long = 200L,
+                           onContent: Array[Byte] => Unit = _ => ()) {
   require(maxFramesPerFile > 0)
   private val server = new ServerSocket(0) // ephemeral port
   @volatile private var running = true
@@ -115,6 +126,9 @@ class SocketLandingGateway(landingDir: String,
             val rec = new Array[Byte](8 + messageLen + contentLen.toInt)
             System.arraycopy(hdr, 0, rec, 0, 8)
             in.readFully(rec, 8, rec.length - 8)
+            try onContent(java.util.Arrays.copyOfRange(rec,
+              8 + messageLen, rec.length))
+            catch { case _: Throwable => () } // mirror never kills data
             buf += rec
             if (buf.size >= maxFramesPerFile ||
                 (System.nanoTime() - lastFlush) / 1000000 >= flushMs)

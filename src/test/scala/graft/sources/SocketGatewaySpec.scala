@@ -31,6 +31,32 @@ class SocketGatewaySpec extends SparkSpec {
     assert(gw.framesLanded == n, s"landed ${gw.framesLanded}, want $n")
   }
 
+  test("gateway mirrors the current frame to the snapshot surface: " +
+      "#GetPeaks serves the last streamed frame") {
+    val dir = Files.createTempDirectory("graft_gateway_snap").toString
+    val resp = new InstrumentResponder().start()
+    val gw = new SocketLandingGateway(dir,
+      onContent = b => { resp.setCurrentPeaksFrame(b); () }).start()
+    try {
+      val sock = new Socket("127.0.0.1", gw.port)
+      val os = sock.getOutputStream
+      for (i <- 0 until 5)
+        os.write(FrameDump.record(encodedPeaks(100L + i, 1700000000L + i)))
+      os.flush(); sock.close()
+      awaitLanded(gw, 5)
+      // the command port now answers with frame 104 — decoded by the
+      // same client parser, byte-identical to the streamed frame
+      val h = new graft.client.Instrument("127.0.0.1", resp.port)
+      val p = h.peaks
+      assert(p.serialNumber == 104L)
+      assert(p.timestampInt == 1700000004L)
+      assert(p.channelSlices == Seq(Seq(104.0), Seq(114.0)))
+      // a poison frame is refused and the snapshot stays intact
+      assert(!resp.setCurrentPeaksFrame(Array[Byte](1, 2, 3)))
+      assert(h.peaks.serialNumber == 104L)
+    } finally { gw.stop(); resp.stop() }
+  }
+
   test("socket → gateway → MicroBatchStream → PeakStreaming: every " +
       "frame of a misaligned byte stream arrives exactly once") {
     val dir = Files.createTempDirectory("graft_gateway").toString
