@@ -1725,10 +1725,12 @@ object PipelineQueries {
     // candidates ever pay the exact-Jaccard compare.
     "q_fuzzy_dedup" -> ((s, d) => {
       val docs = documents(s, d)
-      val cand = Dedup.lshCandidatePairs(
+      // stage barriers via Materialize.barrier: reliable parquet when
+      // spark.graft.materializeDir is set (see q_curation_pipeline)
+      val cand = graft.util.Materialize.barrier(
+        Dedup.lshCandidatePairs(
           Dedup.lshBands(docs, col("doc_id"), col("text"), 2,
-            LshBands, LshRows))
-        .localCheckpoint(false)
+            LshBands, LshRows)), s"fuzzy_cand_$d")
       val sh = docs.select(col("doc_id"),
         Dedup.shingles(col("text"), 2).as("sh"))
       val inter = size(array_intersect(col("sa"), col("sb")))
@@ -1739,7 +1741,7 @@ object PipelineQueries {
           "id_b")
         .filter(inter * 2 >= size(col("sa")) + size(col("sb")) - inter)
         .select(col("id_a"), col("id_b"))
-        .localCheckpoint(false)
+        .transform(graft.util.Materialize.barrier(_, s"fuzzy_edges_$d"))
       val clusters = Dedup.duplicateClusters(edges)
       // duplicateClusters labels each member with the component's min id,
       // so the survivor IS the label; removed = members with other ids
