@@ -47,8 +47,11 @@ class Instrument(host: String, port: Int) {
       exec("#GetMaximumPeakCountPerDutChannel").content).toInt
 
   // --- power calibration (hyperion.py:679-697) ---
-  /** (offset, scale) per channel; dBm = raw·(1/scale)+offset. */
-  def powerCal: Seq[CommandCodec.PowerCal] =
+  /** (offset, scale) per channel; dBm = raw·(1/scale)+offset. Fetched
+    * once and cached like the reference client (`self._power_cal`,
+    * hyperion.py:686) — calibration constants are fixed per instrument.
+    */
+  lazy val powerCal: Seq[CommandCodec.PowerCal] =
     CommandCodec.decodePowerCal(exec("#GetPowerCalibrationInfo").content)
 
   // --- detection settings (hyperion.py:776-801, 1027-1082) ---
