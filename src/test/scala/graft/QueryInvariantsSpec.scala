@@ -296,4 +296,50 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(r.forall(x =>
       Set("insert", "update", "keep")(x.getAs[String]("action"))))
   }
+
+  test("q_snapshot_peaks: one frame per serial, 8 channel slices each") {
+    val r = rows("q_snapshot_peaks")
+    val bySerial = r.groupBy(_.getAs[Long]("serial_number"))
+    // exactly one snapshot frame per serial: 8 channels, one ts pair
+    assert(bySerial.values.forall(_.size == 8))
+    assert(bySerial.values.forall(g =>
+      g.map(x => (x.getAs[Long]("ts_int"), x.getAs[Long]("ts_frac")))
+        .distinct.size == 1))
+    assert(bySerial.values.forall(g =>
+      g.map(_.getAs[Int]("channel")).sorted == (1 to 8)))
+    // the recipe: channel slice i = slice 1's peak + (i-1)*100
+    assert(bySerial.values.forall { g =>
+      val p1 = g.find(_.getAs[Int]("channel") == 1).get
+        .getAs[Double]("peak_value")
+      g.forall(x => x.getAs[Double]("peak_value")
+        == p1 + (x.getAs[Int]("channel") - 1) * 100.0)
+    })
+  }
+
+  test("q_snapshot_spectrum: single frame, only bitmap-active channels") {
+    val r = rows("q_snapshot_spectrum")
+    val frames = r.map(_.getAs[Long]("frame_id")).distinct
+    assert(frames.size == 1, s"want ONE snapshot frame, got $frames")
+    // active channels each carry the full 16-point axis
+    val byCh = r.groupBy(_.getAs[Int]("channel"))
+    assert(byCh.values.forall(_.size == 16))
+    assert(byCh.keySet.forall(ch =>
+      ((frames.head % 256) >> ch & 1L) == 1L))
+    // wavelength axis is the header grid
+    assert(r.forall(x => x.getAs[Double]("wl")
+      == 1500.0 + x.getAs[Int]("point_idx") * 0.8))
+  }
+
+  test("q_peak_offsets: wire-decoded delays equal the physics formula") {
+    val r = rows("q_peak_offsets")
+    assert(r.size == (1 to 8).map(ch => math.min(ch, 3)).sum)
+    assert(r.forall { x =>
+      val ch = x.getAs[Int]("channel"); val rg = x.getAs[Int]("region")
+      x.getAs[Long]("delay_ns") == graft.ops.Physics.delayNsScalar(
+        graft.model.InstrumentConfig.offsetDistanceM(ch, rg),
+        graft.model.InstrumentConfig.IndexOfRefraction) &&
+        x.getAs[Int]("boundary") ==
+          graft.model.InstrumentConfig.offsetBoundary(ch, rg)
+    })
+  }
 }
