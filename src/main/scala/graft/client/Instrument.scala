@@ -24,7 +24,7 @@ import graft.sources.InstrumentResponder
   * exists so the full reference API surface is callable end to end.
   */
 class Instrument(host: String, port: Int) {
-  import Instrument._
+  import graft.client.Instrument._
 
   private def exec(command: String, argument: String = ""): Response = {
     val r = InstrumentResponder.command(host, port, command, argument)

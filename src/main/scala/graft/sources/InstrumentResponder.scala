@@ -63,7 +63,7 @@ import graft.model.InstrumentConfig
   * spec-driven end to end.
   */
 class InstrumentResponder {
-  import CommandCodec.DetectionSetting
+  import graft.ingest.CommandCodec.DetectionSetting
 
   private val server = new ServerSocket(0)
   @volatile private var running = true

@@ -77,7 +77,7 @@ class InstrumentResponderSpec extends SparkSpec {
   }
 
   test("detection-settings surface round-trips incl. the error paths") {
-    import CommandCodec.DetectionSetting
+    import graft.ingest.CommandCodec.DetectionSetting
     val r = new InstrumentResponder().start()
     try {
       def cmd(c: String, a: String = "") =
@@ -446,7 +446,7 @@ class InstrumentResponderSpec extends SparkSpec {
   }
 
   test("detection-setting ids outside 0-127 are refused at add/update") {
-    import CommandCodec.DetectionSetting
+    import graft.ingest.CommandCodec.DetectionSetting
     val r = new InstrumentResponder().start()
     try {
       def cmd(c: String, a: String = "") =
