@@ -140,8 +140,10 @@ class Instrument(host: String, port: Int) {
     require(row != null, "malformed #GetPeaks content")
     val counts = row.getArray(5).toIntArray()
     val data = row.getArray(6).toDoubleArray()
-    val slices = counts.scanLeft(0)(_ + _).sliding(2).map {
-      case Array(a, b) => data.slice(a, b).toSeq
+    // a zero-port frame (header only) is a valid empty snapshot
+    val bounds = counts.scanLeft(0)(_ + _)
+    val slices = bounds.zip(bounds.drop(1)).map {
+      case (a, b) => data.slice(a, b).toSeq
     }.toSeq
     PeaksSnapshot(row.getLong(2), row.getLong(3), row.getLong(4), slices)
   }

@@ -285,6 +285,9 @@ object CommandCodec {
   }
 
   def decodePeakOffsets(content: Array[Byte]): PeakOffsets = {
+    require(content.length >= 2,
+      s"peak-offsets content too short for the u16 count: " +
+        s"${content.length}B")
     val b = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
     val n = b.getShort() & 0xFFFF
     require(content.length == 2 + 6 * n,

@@ -364,7 +364,13 @@ object ReferenceQueries {
         .select(col("channel").as("ch"), col("scale").as("sc"),
           col("offset").as("off"))
       perCh.join(broadcast(cal), "ch")
-        .select(col("frame_id"), col("ch").cast("int").as("channel"),
+        // channel is 1-BASED here (bit index + 1) — the reference keys
+        // HACQSpectrumData.spectra 1-based (hyperion.py:509) and
+        // q_snapshot_peaks' channel is 1-based, so the two snapshot
+        // dims join on the same physical channel identity.
+        // (q_spectrum_calibrate keeps its historical 0-based `channel`
+        // = power-cal index; its consumers pair it with that dim.)
+        .select(col("frame_id"), (col("ch") + 1).cast("int").as("channel"),
           col("swl"), col("wli"), col("sc"), col("off"),
           posexplode(col("raw")).as(Seq("p", "rawv")))
         .select(col("frame_id"), col("channel"),
@@ -865,7 +871,7 @@ object ReferenceQueries {
       s"""WITH latest AS (
          |  SELECT event_id, ts, value FROM events
          |  ORDER BY ts DESC, event_id DESC LIMIT 1)
-         |SELECT event_id AS frame_id, cast(ch AS int) AS channel,
+         |SELECT event_id AS frame_id, cast(ch + 1 AS int) AS channel,
          | cast(p AS int) AS point_idx,
          | CAST(1500.0 AS DOUBLE) + p * CAST(0.8 AS DOUBLE) AS wl,
          | ${rs(s"$raw * (1.0/(100.0 + ch)) + (-40.0 - ch)", 6)} AS db

@@ -120,9 +120,10 @@ class InstrumentResponder {
   private var snapTsInt = InstrumentConfig.SnapshotTsIntDefault
   private var snapTsFrac = InstrumentConfig.SnapshotTsFracDefault
 
-  // raw mirrored frame takes precedence over the synthetic recipe —
+  // raw mirrored frames take precedence over the synthetic recipe —
   // an arbitrary streamed frame need not follow the FrameSource shape
   @volatile private var mirroredPeaks: Option[Array[Byte]] = None
+  @volatile private var mirroredSpectrum: Option[Array[Byte]] = None
 
   /** Point the snapshot surface at a specific "current" frame by its
     * recipe parameters (synthetic form, used by specs/defaults).
@@ -132,18 +133,38 @@ class InstrumentResponder {
     snapCents = cents; snapSerial = serial
     snapTsInt = tsInt; snapTsFrac = tsFrac
     mirroredPeaks = None
+    mirroredSpectrum = None
   }
 
   /** Live mirror: serve these RAW peaks-frame bytes as the current
     * `#GetPeaks` snapshot — what a [[SocketLandingGateway]] `onContent`
     * hook calls per streamed frame, so the command port answers with
     * whatever the stream last produced (the reference instrument's
-    * behavior). Undecodable bytes are refused (returns false) — a
-    * poison frame must not corrupt the snapshot surface.
+    * behavior). Bytes are refused (returns false) unless they decode
+    * AND satisfy the peaks-frame invariant sum(peak_counts) == |peaks|
+    * (the reference's channel_boundaries cumsum ends at the data
+    * length) — spectrum/sensor frames happen to pass the structural
+    * decode checks, and a mis-wired stream must not corrupt the
+    * snapshot surface.
     */
-  def setCurrentPeaksFrame(bytes: Array[Byte]): Boolean =
-    if (graft.ingest.FrameCodec.decodePeaksBytes(bytes) == null) false
+  def setCurrentPeaksFrame(bytes: Array[Byte]): Boolean = {
+    val row = graft.ingest.FrameCodec.decodePeaksBytes(bytes)
+    if (row == null ||
+        row.getArray(5).toIntArray().map(_.toLong).sum
+          != row.getArray(6).numElements().toLong) false
     else { mirroredPeaks = Some(bytes.clone()); true }
+  }
+
+  /** Spectrum counterpart of [[setCurrentPeaksFrame]]: the mirrored
+    * frame carries its own channel bitmap/count, which must agree
+    * (bitcount(active_bits) == num_channels) for acceptance.
+    */
+  def setCurrentSpectrumFrame(bytes: Array[Byte]): Boolean = {
+    val row = graft.ingest.FrameCodec.decodeSpectrumBytes(bytes)
+    if (row == null ||
+        java.lang.Integer.bitCount(row.getInt(9)) != row.getInt(8)) false
+    else { mirroredSpectrum = Some(bytes.clone()); true }
+  }
 
   /** How many #Reboot commands have been accepted. */
   def rebootsSeen: Int = rebootCount
@@ -168,8 +189,13 @@ class InstrumentResponder {
     * decode, hyperion.py:495-501), matrix rows follow the FrameSource
     * synth recipe for the absolute channel index.
     */
-  private def snapshotSpectrumBytes(): Array[Byte] = {
-    val chans = activeSpectrumChannels
+  private def snapshotSpectrumBytes(): Array[Byte] =
+    mirroredSpectrum.getOrElse(synthSpectrumBytes())
+
+  private def synthSpectrumBytes(): Array[Byte] = {
+    // channel_map order (ascending bit index), whatever order the set
+    // arrived in — HACQSpectrumData derives channels from the BITMAP
+    val chans = activeSpectrumChannels.distinct.sorted
     val bits = chans.map(ch => 1 << (ch - 1)).sum
     FrameCodec.encodeSpectrumBytes(snapSerial, snapTsInt, snapTsFrac,
       1500.0, 0.8, bits,
@@ -405,12 +431,15 @@ class InstrumentResponder {
       }
     }
     case "#SetPeakOffsets" => settings.synchronized {
-      // '{ch} {n} ' + '{delay} {boundary} ' * n (hyperion.py:1095-1099)
+      // '{ch} {n} ' + '{delay} {boundary} ' * n (hyperion.py:1095-1099);
+      // delays parse as LONG — the wire carries a full u32 (unpack('I')),
+      // so values in [2^31, 2^32) are legal
       val toks = r.argument.trim.split("\\s+").toSeq
       val parsed = toks.headOption.flatMap(intArg).flatMap { ch =>
         toks.lift(1).flatMap(intArg).flatMap { n =>
-          val pairs = toks.drop(2).flatMap(intArg)
-          if (pairs.length != 2 * n) None
+          val pairs = toks.drop(2).flatMap(longArg)
+          if (n < 0 || pairs.length != toks.length - 2 ||
+              pairs.length != 2 * n) None
           else Some((ch, pairs.grouped(2).map(p => (p(0), p(1))).toSeq))
         }
       }
@@ -419,11 +448,11 @@ class InstrumentResponder {
         case Some((ch, _)) if !peakOffsets.contains(ch) =>
           err(s"bad channel: $ch")
         case Some((_, ps)) if ps.exists { case (d, b) =>
-            d < 0 || b < 0 || b > 0xFFFF } =>
+            d < 0 || d > 0xFFFFFFFFL || b < 0 || b > 0xFFFF } =>
           err("delay must be u32, boundary u16")
         case Some((ch, ps)) =>
           peakOffsets(ch) = CommandCodec.PeakOffsets(
-            ps.map(_._2), ps.map(_._1.toLong))
+            ps.map(_._2.toInt), ps.map(_._1))
           ok(Array.emptyByteArray)
       }
     }
@@ -468,12 +497,16 @@ class InstrumentResponder {
       ok(CommandCodec.i32ArrayLe(activeSpectrumChannels))
     }
     case "#setActiveFullSpectrumDutChannelNumbers" => settings.synchronized {
-      val chans = r.argument.trim.split("\\s+").filter(_.nonEmpty)
-        .toSeq.map(intArg)
-      if (chans.isEmpty || chans.exists(_.isEmpty))
+      // an EMPTY argument clears the set (the reference setter with []
+      // sends an empty channel string, hyperion.py:814-821); the given
+      // order is preserved for the get round-trip — the snapshot's
+      // channel_map is bitmap-derived (ascending) regardless
+      val toks = r.argument.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val chans = toks.map(intArg)
+      if (chans.exists(_.isEmpty))
         err(s"malformed channel list: ${r.argument}")
       else {
-        val cs = chans.flatten.distinct.sorted
+        val cs = chans.flatten
         if (cs.exists(c => c < 1 || c > FrameSource.SpectrumChannels))
           err(s"channel out of range 1-${FrameSource.SpectrumChannels}")
         else { activeSpectrumChannels = cs; ok(Array.emptyByteArray) }
@@ -552,6 +585,9 @@ class InstrumentResponder {
 
   private def intArg(s: String): Option[Int] =
     try Some(s.trim.toInt) catch { case _: NumberFormatException => None }
+
+  private def longArg(s: String): Option[Long] =
+    try Some(s.trim.toLong) catch { case _: NumberFormatException => None }
 
   private def ok(content: Array[Byte]): Response =
     Response(CommandCodec.Success, 0, "", content)

@@ -55,7 +55,12 @@ import scala.collection.mutable.ArrayBuffer
 class SocketLandingGateway(landingDir: String,
                            maxFramesPerFile: Int = 10000,
                            flushMs: Long = 200L,
-                           onContent: Array[Byte] => Unit = _ => ()) {
+                           onContent: Array[Byte] => Unit =
+                             SocketLandingGateway.NoMirror) {
+  // skip the per-record content copy entirely when no mirror is wired —
+  // the ingest loop is the hot path
+  private val mirrorEnabled =
+    onContent ne SocketLandingGateway.NoMirror
   require(maxFramesPerFile > 0)
   private val server = new ServerSocket(0) // ephemeral port
   @volatile private var running = true
@@ -126,9 +131,10 @@ class SocketLandingGateway(landingDir: String,
             val rec = new Array[Byte](8 + messageLen + contentLen.toInt)
             System.arraycopy(hdr, 0, rec, 0, 8)
             in.readFully(rec, 8, rec.length - 8)
-            try onContent(java.util.Arrays.copyOfRange(rec,
-              8 + messageLen, rec.length))
-            catch { case _: Throwable => () } // mirror never kills data
+            if (mirrorEnabled)
+              try onContent(java.util.Arrays.copyOfRange(rec,
+                8 + messageLen, rec.length))
+              catch { case _: Throwable => () } // mirror never kills data
             buf += rec
             if (buf.size >= maxFramesPerFile ||
                 (System.nanoTime() - lastFlush) / 1000000 >= flushMs)
@@ -143,6 +149,9 @@ class SocketLandingGateway(landingDir: String,
       try sock.close() catch { case _: Throwable => () }
     }
   }
+
+  // (companion holds the shared default so the hot loop can detect
+  // "no mirror wired" by reference)
 
   /** Land one file: write a hidden temp (the source ignores `.`/`_`
     * prefixes), then assign the sequence number and atomically rename
@@ -160,4 +169,11 @@ class SocketLandingGateway(landingDir: String,
         StandardCopyOption.ATOMIC_MOVE)
     }
   }
+}
+
+object SocketLandingGateway {
+  /** Shared no-op default for `onContent` — reference-compared by the
+    * ingest loop to skip the per-record content copy when unused.
+    */
+  val NoMirror: Array[Byte] => Unit = _ => ()
 }

@@ -24,12 +24,23 @@ import org.apache.spark.sql.DataFrame
 object Materialize {
   val ConfKey = "spark.graft.materializeDir"
 
+  /** Cut lineage at a stage boundary. Reliable mode writes to a
+    * UNIQUE per-invocation subdirectory (`<name>-<uuid>`): a barrier
+    * is per-execution state, not a cross-query memo, so two concurrent
+    * runs of the same query must never overwrite each other's landed
+    * stage out from under a returned DataFrame. (Memoized artifacts
+    * with sharing semantics use their own latches — see
+    * q_partitioned_prune.) Unlike lazy `localCheckpoint`, reliable
+    * mode runs the stage's write job at barrier time; callers already
+    * consume every stage, so nothing is computed that wasn't before.
+    * The caller owns cleanup of the base directory.
+    */
   def barrier(df: DataFrame, name: String): DataFrame =
     df.sparkSession.conf.getOption(ConfKey) match {
       case Some(base) if base.nonEmpty =>
         val safe = name.replaceAll("[^a-zA-Z0-9_-]", "_")
-        val p = s"$base/$safe"
-        df.write.mode("overwrite").parquet(p)
+        val p = s"$base/$safe-${java.util.UUID.randomUUID().toString.take(8)}"
+        df.write.mode("error").parquet(p)
         df.sparkSession.read.parquet(p)
       case _ => df.localCheckpoint(eager = false)
     }

@@ -323,8 +323,9 @@ class QueryInvariantsSpec extends SparkSpec {
     // active channels each carry the full 16-point axis
     val byCh = r.groupBy(_.getAs[Int]("channel"))
     assert(byCh.values.forall(_.size == 16))
+    // channel is 1-based (reference spectra keying); bit index = ch-1
     assert(byCh.keySet.forall(ch =>
-      ((frames.head % 256) >> ch & 1L) == 1L))
+      ((frames.head % 256) >> (ch - 1) & 1L) == 1L))
     // wavelength axis is the header grid
     assert(r.forall(x => x.getAs[Double]("wl")
       == 1500.0 + x.getAs[Int]("point_idx") * 0.8))

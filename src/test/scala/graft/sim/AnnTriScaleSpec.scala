@@ -21,10 +21,17 @@ class AnnTriScaleSpec extends SparkSpec {
     .map(s => s -> s"/root/testdata/$s")
     .filter { case (_, p) => new java.io.File(p).exists() }
 
+  // the gate needs the small AND large corpora present — cancel (not
+  // fail) when the driver hasn't generated them, never NPE on sfs.last
+  private def requireScales(): Unit =
+    assume(sfs.size >= 2 && sfs.map(_._1).contains("sf0.1"),
+      s"tri-scale gate needs sf0.001+sf0.1 testdata; found ${sfs.map(_._1)}")
+
   private def embCount(dir: String): Long =
     spark.read.parquet(s"$dir/embeddings.parquet").count()
 
   test("blocking params derive from corpus stats and move across scales") {
+    requireScales()
     val counts = sfs.map { case (_, p) => embCount(p) }
     // the same target bucket/cell sizes the queries use
     // (PipelineQueries.AnnTargetBucket = 8, IvfTargetCell = 64)
@@ -50,6 +57,7 @@ class AnnTriScaleSpec extends SparkSpec {
     // so at EVERY scale (a parameter pinned to one SF craters
     // elsewhere), and the level must be stable across scales.
     // Measured: 0.40-0.50 recall at scan_frac 0.25 on all three SFs.
+    requireScales()
     val rows = sfs.map { case (sf, p) =>
       val row = SparkEntry.queries("q_ann_recall")(spark, p).head()
       (sf, row.getAs[Double]("recall"), row.getAs[Double]("scan_frac"))
@@ -72,6 +80,7 @@ class AnnTriScaleSpec extends SparkSpec {
     // from their probed cells. (An absolute recall gate is wrong for
     // single-probe IVF over seeded centroids — it is the deliberate
     // low-cost/low-recall end of the knob, hash-checked vs its oracle.)
+    requireScales()
     val (sf, p) = sfs.last
     val one = SparkEntry.queries("q_ann_ivf")(spark, p).collect()
     val two = SparkEntry.queries("q_ann_ivf_probe")(spark, p).collect()

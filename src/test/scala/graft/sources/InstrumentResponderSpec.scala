@@ -305,8 +305,42 @@ class InstrumentResponderSpec extends SparkSpec {
       // out-of-range and malformed channel sets are refused
       assert(cmd("#setActiveFullSpectrumDutChannelNumbers", "0 3").status
         != CommandCodec.Success)
-      assert(cmd("#setActiveFullSpectrumDutChannelNumbers", "").status
+      assert(cmd("#setActiveFullSpectrumDutChannelNumbers", "x 3").status
         != CommandCodec.Success)
+      // the given ORDER round-trips (reference does not sort), and an
+      // EMPTY argument clears the set (the reference setter with [],
+      // hyperion.py:814-821) — the snapshot then carries zero channels
+      assert(cmd("#setActiveFullSpectrumDutChannelNumbers", "5 2").status
+        == CommandCodec.Success)
+      assert(CommandCodec.readI32ArrayLe(
+        cmd("#getActiveFullSpectrumDutChannelNumbers").content) == Seq(5, 2))
+      assert(cmd("#setActiveFullSpectrumDutChannelNumbers", "").status
+        == CommandCodec.Success)
+      assert(CommandCodec.readI32ArrayLe(
+        cmd("#getActiveFullSpectrumDutChannelNumbers").content).isEmpty)
+      val empty = graft.ingest.FrameCodec.decodeSpectrumBytes(
+        cmd("#GetSpectrum").content)
+      assert(empty.getInt(8) == 0 && empty.getInt(9) == 0)
+      // live spectrum mirror: raw frame bytes served verbatim; a frame
+      // whose bitmap disagrees with its channel count is refused
+      val good = graft.ingest.FrameCodec.encodeSpectrumBytes(
+        7L, 1700000001L, 5L, 1500.0, 0.8, (1 << 2) | (1 << 6),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Seq(0, 1).map(c =>
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              Array.tabulate(16)(p => c * 100 + p)): Any).toArray))
+      assert(r.setCurrentSpectrumFrame(good))
+      assert(cmd("#GetSpectrum").content.toSeq == good.toSeq)
+      val badBits = graft.ingest.FrameCodec.encodeSpectrumBytes(
+        7L, 1700000001L, 5L, 1500.0, 0.8, 1 /* 1 bit, 2 rows */,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Seq(0, 1).map(c =>
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              Array.tabulate(16)(p => c * 100 + p)): Any).toArray))
+      assert(!r.setCurrentSpectrumFrame(badBits))
+      // cross-kind guard: spectrum bytes must NOT be accepted as the
+      // peaks snapshot even though they pass the structural decode
+      assert(!r.setCurrentPeaksFrame(good))
     } finally r.stop()
   }
 
