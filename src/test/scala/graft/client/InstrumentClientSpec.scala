@@ -164,6 +164,29 @@ class InstrumentClientSpec extends AnyFunSuite {
     }
   }
 
+  test("spectra decodes a live-mirrored frame with power-cal applied") {
+    withInstrument { (h, r) =>
+      // mirror a raw spectrum frame carrying channels 3 and 7 (bits 2,6)
+      val mk = (c: Int) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.tabulate(16)(p => c * 50 + p)): Any
+      val raw = graft.ingest.FrameCodec.encodeSpectrumBytes(
+        11L, 1700000002L, 9L, 1510.0, 0.4, (1 << 2) | (1 << 6),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array(mk(0), mk(1))))
+      assert(r.setCurrentSpectrumFrame(raw))
+      val sp = h.spectra
+      assert(sp.serialNumber == 11L)
+      assert(sp.spectra.keySet == Set(3, 7))
+      assert(sp.startWavelength == 1510.0 && sp.wavelengthIncrement == 0.4)
+      // dBm via the DECODED power cal at the channel-map indices 2 and 6
+      val cal = h.powerCal
+      assert(sp(3).head == 0.0 * (1.0 / cal(2).scale) + cal(2).offset)
+      assert(sp(7)(1) == (50 + 1) * (1.0 / cal(6).scale) + cal(6).offset)
+      intercept[Instrument.CommandError](sp(1))
+    }
+  }
+
   test("command errors surface the instrument's message") {
     withInstrument { (h, _) =>
       val e = intercept[Instrument.CommandError](
