@@ -69,6 +69,9 @@ class InstrumentClientSpec extends AnyFunSuite {
         == InstrumentConfig.ActiveFullSpectrumChannelsDefault)
       h.setActiveFullSpectrumChannelNumbers(Seq(1, 4))
       assert(h.activeFullSpectrumChannelNumbers == Seq(1, 4))
+      // the reference clears the set by assigning [] — empty is legal
+      h.setActiveFullSpectrumChannelNumbers(Nil)
+      assert(h.activeFullSpectrumChannelNumbers.isEmpty)
     }
   }
 
