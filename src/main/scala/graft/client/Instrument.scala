@@ -137,7 +137,7 @@ class Instrument(host: String, port: Int) {
     */
   def peaks: PeaksSnapshot = {
     val row = FrameCodec.decodePeaksBytes(exec("#GetPeaks").content)
-    require(row != null, "malformed #GetPeaks content")
+    if (row == null) throw new CommandError("malformed #GetPeaks content")
     val counts = row.getArray(5).toIntArray()
     val data = row.getArray(6).toDoubleArray()
     // a zero-port frame (header only) is a valid empty snapshot
@@ -155,10 +155,19 @@ class Instrument(host: String, port: Int) {
     */
   def spectra: SpectrumSnapshot = {
     val row = FrameCodec.decodeSpectrumBytes(exec("#GetSpectrum").content)
-    require(row != null, "malformed #GetSpectrum content")
+    if (row == null) throw new CommandError("malformed #GetSpectrum content")
     val cal = powerCal
     val bits = row.getInt(9)
     val chans = (0 until 16).filter(i => ((bits >> i) & 1) == 1)
+    // a frame may legally carry any bit pattern whose popcount matches
+    // its channel count, but calibration only exists for the
+    // instrument's physical channels — fail cleanly, not with an
+    // IndexOutOfBoundsException deep in the map below
+    chans.find(_ >= cal.length).foreach { ch =>
+      throw new CommandError(
+        s"spectrum frame reports channel ${ch + 1} but power " +
+          s"calibration covers only ${cal.length} channels")
+    }
     val m = row.getArray(10)
     val spectraByChannel = chans.zipWithIndex.map { case (ch, i) =>
       (ch + 1) -> m.getArray(i).toIntArray()
@@ -204,8 +213,11 @@ class Instrument(host: String, port: Int) {
       wavelengthBoundaries: Seq[Double], distancesM: Seq[Double],
       indexOfRefraction: Double = InstrumentConfig.IndexOfRefraction)
       : PeakOffsets = {
+    // truncate like the reference's np.asarray(..., dtype=np.int)
+    // (hyperion.py:1151) so the boundary bytes sent to #SetPeakOffsets
+    // match the reference client exactly
     val counts = convertWavelengthsToCounts(wavelengthBoundaries)
-      .map(c => math.round(c).toInt)
+      .map(_.toInt)
     val delays = distancesM.map(d =>
       Physics.delayNsScalar(d, indexOfRefraction))
     val o = PeakOffsets(counts, delays)

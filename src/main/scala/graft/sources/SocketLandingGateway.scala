@@ -134,7 +134,12 @@ class SocketLandingGateway(landingDir: String,
             if (mirrorEnabled)
               try onContent(java.util.Arrays.copyOfRange(rec,
                 8 + messageLen, rec.length))
-              catch { case _: Throwable => () } // mirror never kills data
+              catch { // mirror never kills data, but fatal errors and
+                      // interruption must still propagate/register
+                case _: InterruptedException =>
+                  Thread.currentThread().interrupt()
+                case scala.util.control.NonFatal(_) => ()
+              }
             buf += rec
             if (buf.size >= maxFramesPerFile ||
                 (System.nanoTime() - lastFlush) / 1000000 >= flushMs)

@@ -116,8 +116,10 @@ class InstrumentClientSpec extends AnyFunSuite {
       val dists = Seq(30.0, 60.0)
       val set = h.setPeakOffsetsInWavelength(5, wls, dists)
       assert(h.getPeakOffsets(5) == set)
-      assert(set.boundaries == wls.map(wl => math.round(
-        InstrumentConfig.wavelengthToCount(wl, 0.0)).toInt))
+      // boundaries truncate like the reference's np int cast
+      // (hyperion.py:1151), not round
+      assert(set.boundaries == wls.map(wl =>
+        InstrumentConfig.wavelengthToCount(wl, 0.0).toInt))
       assert(set.delays == dists.map(d => Physics.delayNsScalar(
         d, InstrumentConfig.IndexOfRefraction)))
       // conversions invert each other over the wire
@@ -187,6 +189,24 @@ class InstrumentClientSpec extends AnyFunSuite {
       assert(sp(3).head == 0.0 * (1.0 / cal(2).scale) + cal(2).offset)
       assert(sp(7)(1) == (50 + 1) * (1.0 / cal(6).scale) + cal(6).offset)
       intercept[Instrument.CommandError](sp(1))
+    }
+  }
+
+  test("spectra rejects channels beyond the power calibration cleanly") {
+    withInstrument { (h, r) =>
+      // a mirrored frame may carry any bit pattern whose popcount
+      // matches its channel count — bit 9 is legal on the wire but has
+      // no calibration entry (ChannelCount = 8), so the client must
+      // raise CommandError, not IndexOutOfBoundsException
+      val mk = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.tabulate(16)(p => p): Any)
+      val raw = graft.ingest.FrameCodec.encodeSpectrumBytes(
+        12L, 1700000003L, 0L, 1510.0, 0.4, 1 << 9,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(mk: Any)))
+      assert(r.setCurrentSpectrumFrame(raw))
+      val e = intercept[Instrument.CommandError](h.spectra)
+      assert(e.getMessage.contains("channel 10"))
+      assert(e.getMessage.contains("8 channels"))
     }
   }
 
