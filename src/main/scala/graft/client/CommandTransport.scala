@@ -1,0 +1,73 @@
+package graft.client
+
+import java.net.Socket
+
+import graft.ingest.CommandCodec
+import graft.ingest.CommandCodec.{Request, Response}
+
+/** How a client reaches the instrument's command port. The reference
+  * ships two connection lifecycles over the identical wire protocol:
+  * a throwaway socket per command (`hyperion_command`,
+  * hyperion.py:188-223, used by the sync `Hyperion` class) and one
+  * persistent connection reused across requests (`HCommTCPClient`
+  * held by `AsyncHyperion`, hyperion.py:81-186, 1349). Both are
+  * expressed here so [[Instrument]] speaks either.
+  */
+trait CommandTransport extends AutoCloseable {
+  def execute(command: String, argument: String = "",
+              requestOptions: Int = 0): Response
+  def close(): Unit
+}
+
+/** One TCP connection per command — the sync client's lifecycle
+  * (hyperion.py:188-223: connect, execute, close).
+  */
+final class PerCommandTransport(host: String, port: Int)
+    extends CommandTransport {
+  def execute(command: String, argument: String = "",
+              requestOptions: Int = 0): Response =
+    graft.sources.InstrumentResponder.command(
+      host, port, command, argument, requestOptions)
+  def close(): Unit = ()
+}
+
+/** ONE TCP connection reused across many requests — the persistent
+  * lifecycle `AsyncHyperion` holds for its whole life
+  * (hyperion.py:1349; `HCommTCPClient.execute_command` at 166-182).
+  * Like the reference it connects lazily on the first command
+  * (hyperion.py:177-178); unlike a raw socket it also reconnects
+  * after [[close]] so a client survives an instrument reboot.
+  *
+  * Request/response pairs are serialized under the connection's own
+  * lock, so concurrent callers never interleave bytes on the wire —
+  * the role the asyncio event loop plays for the reference.
+  */
+final class PersistentConnection(host: String, port: Int)
+    extends CommandTransport {
+  private[this] var sock: Socket = null
+
+  def execute(command: String, argument: String = "",
+              requestOptions: Int = 0): Response = synchronized {
+    if (sock == null || sock.isClosed) sock = new Socket(host, port)
+    val out = sock.getOutputStream
+    out.write(CommandCodec.encodeRequest(
+      Request(requestOptions, command, argument)))
+    out.flush()
+    CommandCodec.readResponse(sock.getInputStream)
+  }
+
+  /** True while the underlying socket is open (i.e. at least one
+    * command has run and [[close]] has not).
+    */
+  def isConnected: Boolean = synchronized {
+    sock != null && !sock.isClosed
+  }
+
+  def close(): Unit = synchronized {
+    if (sock != null) {
+      try sock.close()
+      catch { case _: java.io.IOException => () }
+      sock = null
+    }
+  }
+}

@@ -6,7 +6,6 @@ import graft.ingest.{CommandCodec, FrameCodec}
 import graft.ingest.CommandCodec.{DetectionSetting, NetworkSettings, PeakOffsets, Response, SensorExport}
 import graft.model.InstrumentConfig
 import graft.ops.Physics
-import graft.sources.InstrumentResponder
 
 /** Typed synchronous client for the instrument command port — the
   * Scala equivalent of the reference's `Hyperion` class property
@@ -23,14 +22,24 @@ import graft.sources.InstrumentResponder
   * scale lives in the landing gateway + MicroBatchStream; the client
   * exists so the full reference API surface is callable end to end.
   */
-class Instrument(host: String, port: Int) {
+class Instrument(transport: CommandTransport) {
   import graft.client.Instrument._
 
+  /** The reference's default lifecycle: a throwaway socket per command
+    * (hyperion.py:188-223). Pass a [[PersistentConnection]] instead to
+    * get the `AsyncHyperion` lifecycle over the same typed surface.
+    */
+  def this(host: String, port: Int) =
+    this(new PerCommandTransport(host, port))
+
   private def exec(command: String, argument: String = ""): Response = {
-    val r = InstrumentResponder.command(host, port, command, argument)
+    val r = transport.execute(command, argument)
     if (r.status != CommandCodec.Success) throw new CommandError(r.message)
     r
   }
+
+  /** The version of this client library (hyperion.py:711, 64). */
+  def libraryVersion: String = Instrument.LibraryVersion
 
   // --- identity / readiness (hyperion.py:700-774) ---
   def serialNumber: String = ascii(exec("#GetSerialNumber"))
@@ -247,6 +256,11 @@ class Instrument(host: String, port: Int) {
 }
 
 object Instrument {
+  /** The analogue of the reference's `_LIBRARY_VERSION` constant
+    * (hyperion.py:64), served client-side without touching the wire.
+    */
+  val LibraryVersion: String = "1.0.0"
+
   /** Non-SUCCESS response status — the reference's `HyperionError`. */
   final class CommandError(message: String)
       extends RuntimeException(message)

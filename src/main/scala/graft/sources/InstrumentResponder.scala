@@ -169,6 +169,12 @@ class InstrumentResponder {
   /** How many #Reboot commands have been accepted. */
   def rebootsSeen: Int = rebootCount
 
+  private val connectionCount = new java.util.concurrent.atomic.AtomicInteger
+  /** How many TCP connections the command port has accepted — lets
+    * specs prove a persistent client really reuses ONE connection.
+    */
+  def connectionsSeen: Int = connectionCount.get
+
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import graft.ingest.{FrameCodec, FrameSource}
 
@@ -212,6 +218,7 @@ class InstrumentResponder {
       while (running) {
         try {
           val sock = server.accept()
+          connectionCount.incrementAndGet()
           val t = new Thread(() => handle(sock), "graft-instrument-conn")
           t.setDaemon(true)
           t.start()
