@@ -112,6 +112,7 @@ final class AsyncInstrument(host: String, port: Int) extends AutoCloseable {
   // --- one-shot snapshot reads (hyperion.py:1684-1705) ---
   def getPeaks: Future[Instrument.PeaksSnapshot] = run(_.peaks)
   def getSpectra: Future[Instrument.SpectrumSnapshot] = run(_.spectra)
+  def getSensors: Future[Instrument.SensorsSnapshot] = run(_.sensors)
 
   // --- reboot (hyperion.py:1707-1713) ---
   def reboot(): Future[Unit] = run(_.reboot())

