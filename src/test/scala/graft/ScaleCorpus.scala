@@ -28,13 +28,24 @@ import org.apache.spark.sql.functions._
   * and the DuckDB oracle then read identical bytes, so generation
   * arithmetic cannot cause gate mismatches.
   *
-  * Usage: Test/runMain graft.ScaleCorpus <srcSfDir> <outDir> [N=10]
+  * Document and embedding factors are independent, defaulting to the
+  * DRIVER's own decade scaling (sf0.01 → sf0.1 is docs ×10 but
+  * embeddings ×4): docs ×10 → 50k, embeddings ×4 → 8k. The embedding
+  * factor matters for the oracle gate: 8k vectors sit inside both
+  * static-literal envelopes (srpBits 10 ≤ MaxOracleBits 12; ivfCells
+  * ⌈8000/64⌉ = 125 ≤ MaxOracleCells 128), while a ×10 replication
+  * (20k) would need 313 IVF centroid literals — an ORACLE-SQL
+  * embedding artifact, not a Spark-plan limit (the plans derive
+  * parameters up to maxBits=30 / 2^20 cells).
+  *
+  * Usage: Test/runMain graft.ScaleCorpus <srcSfDir> <outDir> [N=10] [embN=4]
   */
 object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sfx1")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val embN = args.lift(3).map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -57,12 +68,13 @@ object ScaleCorpus {
       .withColumn("n_chars", length(col("text")))
       .drop("r")
 
+    val embReps = spark.range(0, embN).select(col("id").cast("int").as("r"))
     val dim = spark.read.parquet(s"$src/embeddings.parquet")
       .select(size(col("embedding"))).head().getInt(0)
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
-      .crossJoin(reps)
+      .crossJoin(embReps)
       .select(
-        (col("vec_id") * n + col("r")).as("vec_id"),
+        (col("vec_id") * embN + col("r")).as("vec_id"),
         when(col("r") === 0, col("embedding")).otherwise(
           transform(sequence(lit(0), lit(dim - 1)),
             i => element_at(col("embedding"),
