@@ -1133,9 +1133,12 @@ object PipelineQueries {
     // corpus volume through the exchange). PlanAuditSpec pins the
     // fixed-width-key property.
     "q_span_dedup" -> ((s, d) => {
-      // spans materialized once (localCheckpoint, the lshCandidatePairs
-      // pattern): without it the scan→explode→md5 pipeline runs on BOTH
-      // the count side and the join-back side
+      // spans deliberately NOT materialized: the scan→explode→md5
+      // pipeline runs on both the count side and the join-back side,
+      // and that is the cheaper plan — MEASURED at 10× (the sfx1
+      // corpus) a localCheckpoint barrier here was 5× SLOWER (17 s vs
+      // 3.5 s), because storing the exploded corpus-×8 span table
+      // costs far more than re-running the codegen'd digest scan
       val spans = parallelize(documents(s, d))
         .select(col("doc_id"),
           explode(Dedup.shingles(col("text"), 8)).as("span"))

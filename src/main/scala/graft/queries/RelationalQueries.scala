@@ -584,6 +584,11 @@ object RelationalQueries {
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("us")).as("start_us"),
           (max(col("us")) + 1).as("end_us"))
+        // one row per session, materialized once: the start-delta and
+        // end-delta arms and the bucket-offset branch each consume
+        // `sess` — without the barrier the events scan + sessionization
+        // window ran up to four times (r9 perf audit)
+        .localCheckpoint(false)
       val deltas = sess
         .select(col("start_us").as("us"), lit(1L).as("delta"))
         .unionAll(sess.select(col("end_us").as("us"), lit(-1L).as("delta")))
