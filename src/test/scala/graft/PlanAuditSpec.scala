@@ -349,4 +349,20 @@ class PlanAuditSpec extends SparkSpec {
     // the synth call appears exactly once outside the probe side
     assert("synthSpectrumMatrix".r.findAllIn(p).size <= 2, p)
   }
+
+  test("r9 barrier queries: one corpus pass behind the stage barrier") {
+    // q_rrf_fusion tokenizes documents once, q_rfm rolls events up
+    // once, q_concurrency sessionizes events once — each behind a lazy
+    // localCheckpoint whose consumers all read the barrier. A
+    // regression that drops the barrier re-introduces parquet scans of
+    // the base table into the final plan and fails here.
+    for ((q, tbl) <- Seq(("q_rrf_fusion", "documents"),
+        ("q_rfm", "events"), ("q_concurrency", "events"))) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q lost its stage barrier:\n$p")
+      assert(!p.contains(s"$tbl.parquet"),
+        s"$q re-scans $tbl around the barrier:\n$p")
+    }
+  }
 }
