@@ -380,6 +380,30 @@ object ReferenceQueries {
             .as("db"))
     }),
 
+    // S14 — #GetSensors one-shot snapshot semantics (the engine-side
+    // extension closing the third streamer port; see
+    // InstrumentResponder): the single current sensor frame through the
+    // same encode→decode byte path the command port serves, one value
+    // per sensor slot (1-based). Latest-frame pick is the
+    // q_snapshot_spectrum broadcast max-key probe — no global sort.
+    "q_snapshot_sensors" -> ((s, d) => {
+      val fr = FrameSource.sensorFrames(s, d)
+      val mx = fr.agg(max(struct(col("ts"), col("frame_id"))).as("__mx"))
+      val latest = fr.crossJoin(broadcast(mx))
+        .filter(struct(col("ts"), col("frame_id")) === col("__mx"))
+        .drop("__mx")
+      val bin = FrameCodec.encodeSensor(lit(0), lit(0), col("frame_id"),
+        floor(epochS(col("ts"))).cast("long"),
+        col("frame_id") % 1000000000L, col("values"))
+      latest.select(FrameCodec.decodeSensor(bin).as("f"))
+        .select(col("f.serial_number").as("frame_id"),
+          col("f.timestamp_int").as("ts_int"),
+          col("f.timestamp_frac").as("ts_frac"),
+          posexplode(col("f.values")).as(Seq("i", "value")))
+        .select(col("frame_id"), col("ts_int"), col("ts_frac"),
+          (col("i") + 1).cast("int").as("slot"), col("value"))
+    }),
+
     // S14/F6 — the peak-offsets dim DECODED from the same
     // #GetPeakOffsets wire bytes the responder serves
     // (hyperion.py:1101-1126): every delay on the wire is the Physics
@@ -879,6 +903,19 @@ object ReferenceQueries {
          | generate_series(0, 15) s(p)
          |WHERE ((event_id % 256) >> ch) & 1 = 1""".stripMargin
     },
+
+    // the single latest frame, values[k] = cents + k*1000 (the
+    // FrameSource sensor recipe), slot 1-based
+    "q_snapshot_sensors" ->
+      ("""WITH latest AS (
+         |  SELECT event_id, ts, value FROM events
+         |  ORDER BY ts DESC, event_id DESC LIMIT 1)
+         |SELECT event_id AS frame_id,
+         |  cast(floor(epoch(ts)) AS bigint) AS ts_int,
+         |  event_id % 1000000000 AS ts_frac,
+         |  cast(k + 1 AS int) AS slot,
+         |  floor(value*100 + 0.5) + k*1000 AS value
+         |FROM latest, generate_series(0, 3) t(k)""").stripMargin,
 
     // the deterministic default offset table: region r of channel ch
     // ends at 1000r+100ch counts and compensates 10ch+5r meters of
