@@ -144,47 +144,15 @@ class Instrument(transport: CommandTransport) {
   /** The current peaks frame, decoded with the stream's parser and
     * split into 1-based channel slices like `HACQPeaksData`.
     */
-  def peaks: PeaksSnapshot = {
-    val row = FrameCodec.decodePeaksBytes(exec("#GetPeaks").content)
-    if (row == null) throw new CommandError("malformed #GetPeaks content")
-    val counts = row.getArray(5).toIntArray()
-    val data = row.getArray(6).toDoubleArray()
-    // a zero-port frame (header only) is a valid empty snapshot
-    val bounds = counts.scanLeft(0)(_ + _)
-    val slices = bounds.zip(bounds.drop(1)).map {
-      case (a, b) => data.slice(a, b).toSeq
-    }.toSeq
-    PeaksSnapshot(row.getLong(2), row.getLong(3), row.getLong(4), slices)
-  }
+  def peaks: PeaksSnapshot = Instrument.parsePeaks(exec("#GetPeaks").content)
 
   /** The current spectra in dBm for the active full-spectrum channels,
     * keyed by 1-based channel — `HACQSpectrumData(content, power_cal)`:
     * raw·(1/scale)+offset per the channel map, wavelength axis from the
     * header (hyperion.py:488-540).
     */
-  def spectra: SpectrumSnapshot = {
-    val row = FrameCodec.decodeSpectrumBytes(exec("#GetSpectrum").content)
-    if (row == null) throw new CommandError("malformed #GetSpectrum content")
-    val cal = powerCal
-    val bits = row.getInt(9)
-    val chans = (0 until 16).filter(i => ((bits >> i) & 1) == 1)
-    // a frame may legally carry any bit pattern whose popcount matches
-    // its channel count, but calibration only exists for the
-    // instrument's physical channels — fail cleanly, not with an
-    // IndexOutOfBoundsException deep in the map below
-    chans.find(_ >= cal.length).foreach { ch =>
-      throw new CommandError(
-        s"spectrum frame reports channel ${ch + 1} but power " +
-          s"calibration covers only ${cal.length} channels")
-    }
-    val m = row.getArray(10)
-    val spectraByChannel = chans.zipWithIndex.map { case (ch, i) =>
-      (ch + 1) -> m.getArray(i).toIntArray()
-        .map(raw => raw * (1.0 / cal(ch).scale) + cal(ch).offset).toSeq
-    }.toMap
-    SpectrumSnapshot(row.getLong(2), row.getLong(3), row.getLong(4),
-      row.getDouble(5), row.getDouble(6), row.getInt(7), spectraByChannel)
-  }
+  def spectra: SpectrumSnapshot =
+    Instrument.parseSpectrum(exec("#GetSpectrum").content, powerCal)
 
   /** The current sensor frame — the `#GetSensors` engine extension
     * (the reference serves sensors stream-only on STREAM_SENSORS_PORT,
@@ -192,13 +160,8 @@ class Instrument(transport: CommandTransport) {
     * status/buffer header plus one measurement value per sensor slot,
     * decoded with the stream's parser.
     */
-  def sensors: SensorsSnapshot = {
-    val row = FrameCodec.decodeSensorBytes(exec("#GetSensors").content)
-    if (row == null) throw new CommandError("malformed #GetSensors content")
-    SensorsSnapshot(row.getInt(1), row.getInt(2), row.getLong(3),
-      row.getLong(4), row.getLong(5),
-      row.getArray(6).toDoubleArray().toSeq)
-  }
+  def sensors: SensorsSnapshot =
+    Instrument.parseSensors(exec("#GetSensors").content)
 
   // --- peak offsets + conversions (hyperion.py:1085-1223) ---
   def getPeakOffsets(channel: Int): PeakOffsets =
@@ -315,5 +278,67 @@ object Instrument {
       serialNumber: Long, timestampInt: Long, timestampFrac: Long,
       values: Seq[Double]) {
     def timestamp: Double = timestampFrac * 1e-9 + timestampInt
+  }
+
+  // --- frame-content parsers, shared by the snapshot facade and the
+  // --- streaming client (the reference's HACQ*Data.data_parser
+  // --- callables, hyperion.py:388-549, are exactly this split: one
+  // --- parse function consumed by both `Hyperion.peaks` and the
+  // --- `HCommTCPStreamer` subclasses)
+
+  /** `HACQPeaksData` parse (hyperion.py:422-470): frame content →
+    * typed peaks, 1-based channel slices from the counts cumsum.
+    * Undecodable content raises [[CommandError]].
+    */
+  def parsePeaks(content: Array[Byte]): PeaksSnapshot = {
+    val row = FrameCodec.decodePeaksBytes(content)
+    if (row == null) throw new CommandError("malformed peaks frame content")
+    val counts = row.getArray(5).toIntArray()
+    val data = row.getArray(6).toDoubleArray()
+    // a zero-port frame (header only) is a valid empty snapshot
+    val bounds = counts.scanLeft(0)(_ + _)
+    val slices = bounds.zip(bounds.drop(1)).map {
+      case (a, b) => data.slice(a, b).toSeq
+    }.toSeq
+    PeaksSnapshot(row.getLong(2), row.getLong(3), row.getLong(4), slices)
+  }
+
+  /** `HACQSpectrumData` parse bound to a power calibration
+    * (hyperion.py:473-549, the `powercal` parameter): channels from the
+    * frame's bitmap, dBm = raw·(1/scale)+offset per mapped channel.
+    */
+  def parseSpectrum(content: Array[Byte],
+      cal: Seq[CommandCodec.PowerCal]): SpectrumSnapshot = {
+    val row = FrameCodec.decodeSpectrumBytes(content)
+    if (row == null)
+      throw new CommandError("malformed spectrum frame content")
+    val bits = row.getInt(9)
+    val chans = (0 until 16).filter(i => ((bits >> i) & 1) == 1)
+    // a frame may legally carry any bit pattern whose popcount matches
+    // its channel count, but calibration only exists for the
+    // instrument's physical channels — fail cleanly, not with an
+    // IndexOutOfBoundsException deep in the map below
+    chans.find(_ >= cal.length).foreach { ch =>
+      throw new CommandError(
+        s"spectrum frame reports channel ${ch + 1} but power " +
+          s"calibration covers only ${cal.length} channels")
+    }
+    val m = row.getArray(10)
+    val spectraByChannel = chans.zipWithIndex.map { case (ch, i) =>
+      (ch + 1) -> m.getArray(i).toIntArray()
+        .map(raw => raw * (1.0 / cal(ch).scale) + cal(ch).offset).toSeq
+    }.toMap
+    SpectrumSnapshot(row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getDouble(5), row.getDouble(6), row.getInt(7), spectraByChannel)
+  }
+
+  /** `HACQSensorData` parse (hyperion.py:388-420). */
+  def parseSensors(content: Array[Byte]): SensorsSnapshot = {
+    val row = FrameCodec.decodeSensorBytes(content)
+    if (row == null)
+      throw new CommandError("malformed sensor frame content")
+    SensorsSnapshot(row.getInt(1), row.getInt(2), row.getLong(3),
+      row.getLong(4), row.getLong(5),
+      row.getArray(6).toDoubleArray().toSeq)
   }
 }

@@ -62,12 +62,29 @@ import graft.model.InstrumentConfig
   * so the full client→socket→instrument→response loop is modeled and
   * spec-driven end to end.
   */
-class InstrumentResponder {
+class InstrumentResponder(streamIntervalMs: Long = 1L) {
   import graft.ingest.CommandCodec.DetectionSetting
 
   private val server = new ServerSocket(0)
   @volatile private var running = true
   private var acceptThread: Thread = _
+
+  // --- streaming ports (ref: hyperion.py:57-60 STREAM_PEAKS_PORT /
+  // STREAM_SPECTRA_PORT / STREAM_SENSORS_PORT): one server socket per
+  // kind. The reference instrument starts pushing framed records the
+  // moment a client connects; each accepted connection here gets its
+  // own producer thread doing the same, paced by `streamIntervalMs`,
+  // which is what the [[graft.client.InstrumentStreamer]] family
+  // consumes. Streamed frames also update the snapshot mirror, so the
+  // command port's #GetPeaks/#GetSpectrum/#GetSensors always answer
+  // with the last streamed frame — the reference's coherence.
+  private val peaksStreamServer = new ServerSocket(0)
+  private val sensorsStreamServer = new ServerSocket(0)
+  private val spectraStreamServer = new ServerSocket(0)
+  private var streamAcceptThreads: List[Thread] = Nil
+  def streamPeaksPort: Int = peaksStreamServer.getLocalPort
+  def streamSensorsPort: Int = sensorsStreamServer.getLocalPort
+  def streamSpectraPort: Int = spectraStreamServer.getLocalPort
 
   // mutable control state, seeded from the static defaults so the live
   // surface and the queryable config start in agreement
@@ -198,11 +215,7 @@ class InstrumentResponder {
     * (the FrameSource recipe).
     */
   private def snapshotPeaksBytes(): Array[Byte] =
-    mirroredPeaks.getOrElse(
-      FrameCodec.encodePeaksBytes(snapSerial, snapTsInt, snapTsFrac,
-        new GenericArrayData(Array.fill(FrameSource.NumPorts)(1)),
-        new GenericArrayData(Array.tabulate(FrameSource.NumPeaks)(i =>
-          snapCents.toDouble + i * 100.0))))
+    mirroredPeaks.getOrElse(synthPeaksBytes(0L))
 
   /** The current spectrum frame for the ACTIVE full-spectrum channels
     * only: num_channels rows in channel order, active_channel_bits has
@@ -218,22 +231,80 @@ class InstrumentResponder {
     * recipe, one value per defined sensor slot).
     */
   private def snapshotSensorBytes(): Array[Byte] =
-    mirroredSensor.getOrElse(
-      FrameCodec.encodeSensorBytes(0, 0, snapSerial, snapTsInt, snapTsFrac,
-        new GenericArrayData(Array.tabulate(FrameSource.NumSensors)(k =>
-          snapCents.toDouble + k * 1000.0))))
+    mirroredSensor.getOrElse(synthSensorBytes(0L))
 
-  private def synthSpectrumBytes(): Array[Byte] = {
+  private def synthSpectrumBytes(): Array[Byte] = synthSpectrumBytes(0L)
+
+  /** The spectrum synth recipe at `offset` frames past the current
+    * snapshot state — offset 0 is the snapshot itself; the stream
+    * producer advances serial/ts/cents by the frame ordinal.
+    */
+  private def synthSpectrumBytes(offset: Long): Array[Byte] = {
     // channel_map order (ascending bit index), whatever order the set
     // arrived in — HACQSpectrumData derives channels from the BITMAP
     val chans = activeSpectrumChannels.distinct.sorted
     val bits = chans.map(ch => 1 << (ch - 1)).sum
-    FrameCodec.encodeSpectrumBytes(snapSerial, snapTsInt, snapTsFrac,
-      1500.0, 0.8, bits,
+    FrameCodec.encodeSpectrumBytes(snapSerial + offset, snapTsInt + offset,
+      snapTsFrac, 1500.0, 0.8, bits,
       new GenericArrayData(chans.map(ch =>
         new GenericArrayData(Array.tabulate(FrameSource.SpectrumPoints)(p =>
-          ((snapCents + (ch - 1) * 1000L + p * 7L) % 65536L).toInt)): Any)
-        .toArray))
+          ((snapCents + offset + (ch - 1) * 1000L + p * 7L) % 65536L).toInt))
+          : Any).toArray))
+  }
+
+  /** Peaks/sensor synth recipes at `offset` frames past the snapshot
+    * state (the FrameSource shapes, values advancing with the ordinal
+    * so successive streamed frames are distinct).
+    */
+  private def synthPeaksBytes(offset: Long): Array[Byte] =
+    FrameCodec.encodePeaksBytes(snapSerial + offset, snapTsInt + offset,
+      snapTsFrac,
+      new GenericArrayData(Array.fill(FrameSource.NumPorts)(1)),
+      new GenericArrayData(Array.tabulate(FrameSource.NumPeaks)(i =>
+        (snapCents + offset).toDouble + i * 100.0)))
+
+  private def synthSensorBytes(offset: Long): Array[Byte] =
+    FrameCodec.encodeSensorBytes(0, 0, snapSerial + offset,
+      snapTsInt + offset, snapTsFrac,
+      new GenericArrayData(Array.tabulate(FrameSource.NumSensors)(k =>
+        (snapCents + offset).toDouble + k * 1000.0)))
+
+  /** One streaming connection: push framed records (the 8-byte BBHI
+    * read header with message_length 0, then the frame content — the
+    * exact record shape `HCommTCPStreamer.get_data` consumes,
+    * hyperion.py:266-282) until the responder stops or the client
+    * disconnects. Every pushed frame updates the snapshot mirror
+    * first, so the command port serves the last streamed frame.
+    */
+  private def serveStream(sock: Socket, kind: Int): Unit = {
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    var i = 0L
+    try {
+      while (running && !sock.isClosed) {
+        val content = settings.synchronized {
+          kind match {
+            case 0 => val b = synthPeaksBytes(i); mirroredPeaks = Some(b); b
+            case 1 => val b = synthSensorBytes(i); mirroredSensor = Some(b); b
+            case _ =>
+              val b = synthSpectrumBytes(i); mirroredSpectrum = Some(b); b
+          }
+        }
+        val hdr = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        hdr.put(0.toByte).put(0.toByte).putShort(0.toShort)
+          .putInt(content.length)
+        out.write(hdr.array())
+        out.write(content)
+        out.flush()
+        i += 1
+        if (streamIntervalMs > 0) Thread.sleep(streamIntervalMs)
+      }
+    } catch {
+      case _: java.io.IOException => () // client hung up
+      case _: InterruptedException => ()
+    } finally {
+      try sock.close() catch { case _: java.io.IOException => () }
+    }
   }
 
   def port: Int = server.getLocalPort
@@ -252,13 +323,35 @@ class InstrumentResponder {
     }, "graft-instrument-accept")
     acceptThread.setDaemon(true)
     acceptThread.start()
+    streamAcceptThreads =
+      List((peaksStreamServer, 0, "peaks"), (sensorsStreamServer, 1, "sensors"),
+        (spectraStreamServer, 2, "spectra")).map { case (srv, kind, name) =>
+        val t = new Thread(() => {
+          while (running) {
+            try {
+              val sock = srv.accept()
+              val c = new Thread(() => serveStream(sock, kind),
+                s"graft-instrument-stream-$name-conn")
+              c.setDaemon(true)
+              c.start()
+            } catch { case _: SocketException => () }
+          }
+        }, s"graft-instrument-stream-$name-accept")
+        t.setDaemon(true)
+        t.start()
+        t
+      }
     this
   }
 
   def stop(): Unit = {
     running = false
     server.close()
+    peaksStreamServer.close()
+    sensorsStreamServer.close()
+    spectraStreamServer.close()
     acceptThread.join(2000)
+    streamAcceptThreads.foreach(_.join(2000))
   }
 
   private def dispatch(r: Request): Response = r.command match {
