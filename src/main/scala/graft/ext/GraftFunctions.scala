@@ -77,6 +77,18 @@ object GraftFunctions {
           org.apache.spark.sql.types.StringType),
         c(1).eval().asInstanceOf[Number].intValue(),
         c(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_hash_sample"),
+      new ExpressionInfo(
+        classOf[graft.functions.HashSampleExpr].getCanonicalName,
+        "graft_hash_sample"),
+      // k is a plan-time literal, like graft_kmv's
+      (c: Seq[Expression]) => graft.functions.HashSampleExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(c(0),
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(c(1),
+          org.apache.spark.sql.types.LongType),
+        c(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =

@@ -577,6 +577,48 @@ object PipelineQueries {
           r(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
           max(col("n_chars")).as("max_chars"))),
 
+    // Sampled quantiles from a mergeable bottom-k-by-hash sketch — the
+    // 100 TB distribution report when even q_length_quantiles' bounded
+    // value→count percentile state is too wide (float domains,
+    // high-cardinality value columns): a deterministic uniform
+    // k-sample per group ([[graft.functions.HashSampleExpr]]) rides
+    // the aggregation layer's partial/merge machinery — k pairs per
+    // map-side partial, one exchange, no window sort, no join-back —
+    // and the estimate interpolates the sorted sample at rank p·(m−1),
+    // the same formula as the exact report, so it converges to
+    // q_length_quantiles as k → group size. The sample is the k
+    // smallest DISTINCT (hash, value) pairs (set semantics in both
+    // engines), so the result is a pure function of the input set;
+    // exact columns ride along for the est-vs-exact comparison (like
+    // q_kmv_distinct's), and the rank arithmetic is forced to double
+    // on both sides so even the estimates hash-match bit-for-bit.
+    "q_sample_quantiles" -> ((s, d) => {
+      val k = 64
+      def est(p: Double) = {
+        val pos = s"cast($p AS double) * (size(vs) - 1)"
+        expr(s"cast(element_at(vs, cast(floor($pos) AS int) + 1) AS double)" +
+          s" * (1.0 - ($pos - floor($pos))) + " +
+          s"cast(element_at(vs, cast(ceil($pos) AS int) + 1) AS double)" +
+          s" * ($pos - floor($pos))")
+      }
+      documents(s, d)
+        .select(col("source"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"),
+          col("n_chars").cast("long").as("v"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.HashSampleExpr.sample(col("h"), col("v"), k)
+            .as("vs"),
+          r(expr("percentile(v, 0.5)"), 6).as("median_exact"),
+          r(expr("percentile(v, 0.9)"), 6).as("p90_exact"))
+        .select(col("source"), col("n_docs"),
+          size(col("vs")).cast("long").as("m"),
+          r(est(0.5), 6).as("median_est"),
+          r(est(0.9), 6).as("p90_est"),
+          col("median_exact"), col("p90_exact"))
+    }),
+
     // Gopher-style composite quality gate (Rae et al. 2021 §A1.1-style
     // rule battery): token-count bounds, mean-word-length bounds,
     // minimum stopword evidence, and a distinct-token repetition floor,
@@ -3528,6 +3570,40 @@ object PipelineQueries {
          |  ${rs("quantile_cont(n_chars, 0.9)", 6)} AS p90_chars,
          |  max(n_chars) AS max_chars
          |FROM documents GROUP BY source""".stripMargin,
+
+    // bottom-k-by-hash uniform sample (k smallest DISTINCT (h, v)
+    // pairs per source), quantiles interpolated from the sorted sample
+    // at rank p·(m−1) with the SAME forced-double arithmetic the Spark
+    // side uses — vs[i] is 1-based like element_at
+    "q_sample_quantiles" -> {
+      def estSql(p: String): String = {
+        val pos = s"cast($p AS double) * (m - 1)"
+        s"cast(vs[cast(floor($pos) AS int) + 1] AS double)" +
+          s" * (1.0 - ($pos - floor($pos))) + " +
+          s"cast(vs[cast(ceil($pos) AS int) + 1] AS double)" +
+          s" * ($pos - floor($pos))"
+      }
+      s"""WITH hv AS (SELECT source,
+         |    cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 12))
+         |      AS bigint) AS h,
+         |    cast(n_chars AS bigint) AS v
+         |  FROM documents),
+         |ranked AS (SELECT source, v, row_number() OVER
+         |    (PARTITION BY source ORDER BY h, v) AS rn
+         |  FROM (SELECT DISTINCT source, h, v FROM hv)),
+         |sl AS (SELECT source, list_sort(list(v)) AS vs,
+         |    cast(count(*) AS bigint) AS m
+         |  FROM ranked WHERE rn <= 64 GROUP BY source),
+         |ex AS (SELECT source, cast(count(*) AS bigint) AS n_docs,
+         |    ${rs("quantile_cont(v, 0.5)", 6)} AS median_exact,
+         |    ${rs("quantile_cont(v, 0.9)", 6)} AS p90_exact
+         |  FROM hv GROUP BY source)
+         |SELECT ex.source, ex.n_docs, sl.m,
+         |  ${rs(estSql("0.5"), 6)} AS median_est,
+         |  ${rs(estSql("0.9"), 6)} AS p90_est,
+         |  ex.median_exact, ex.p90_exact
+         |FROM ex JOIN sl ON ex.source = sl.source""".stripMargin
+    },
 
     // curation funnel: every stage mirrored as a CTE; per-stage doc +
     // token counts UNION'd in stage order

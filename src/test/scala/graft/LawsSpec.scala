@@ -120,6 +120,23 @@ class LawsSpec extends SparkSpec {
     assert(bad == 0, "cms under-estimated some token")
   }
 
+  test("laws: hash_sample == bottom-k-by-(h,v) reference under any " +
+      "partitioning") {
+    val k = 16
+    val rows = (1 to 500).map(_ =>
+      (rnd.nextLong() & 0xFFFFFFFFL, rnd.nextInt(1000).toLong))
+    // reference: values of the k smallest DISTINCT (h, v) pairs,
+    // sorted ascending — what the aggregate must produce however the
+    // input is partitioned (partial/merge associativity)
+    val expected = rows.distinct.sorted.take(k).map(_._2).sorted
+    for (parts <- Seq(1, 3, 32)) {
+      val got = rows.toDF("h", "v").repartition(parts)
+        .agg(graft.functions.HashSampleExpr.sample($"h", $"v", k).as("vs"))
+        .head.getSeq[Long](0)
+      assert(got == expected, s"parts=$parts: $got != $expected")
+    }
+  }
+
   test("laws: bloom filter has no false negatives on random strings") {
     val items = (1 to 500).map(i =>
       (i, rnd.alphanumeric.take(1 + rnd.nextInt(24)).mkString))

@@ -179,6 +179,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_kmv_sketch"), s"no map-side partials:\n$p")
   }
 
+  test("q_sample_quantiles: sample partials aggregate map-side, " +
+      "no window sort") {
+    val p = plan("q_sample_quantiles")
+    // the per-group uniform sample must ride the aggregation layer —
+    // k pairs per map-side partial below ONE exchange, not a
+    // WindowExec row_number sort of every group
+    assert(p.contains("partial_hash_sample"), s"no map-side partials:\n$p")
+    assert(!p.contains("Window"), s"window sort crept in:\n$p")
+    assert(p.sliding(8).count(_ == "Exchange") <= 1, s"extra exchange:\n$p")
+  }
+
   test("q_hll_distinct: register build partial-aggregates map-side") {
     val p = plan("q_hll_distinct")
     // groupBy(reg).max(rank) must show partial max BELOW the exchange —

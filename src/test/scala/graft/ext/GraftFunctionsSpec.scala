@@ -47,6 +47,17 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(mins == Seq(3L, 7L, 10L))
   }
 
+  test("graft_hash_sample SQL aggregate: bottom-k-by-hash values " +
+      "sorted ascending") {
+    GraftFunctions.register(spark)
+    Seq((10L, 100L), (10L, 100L), (7L, 900L), (42L, 5L), (3L, 200L))
+      .toDF("h", "v").createOrReplaceTempView("hs_in")
+    val vs = spark.sql("SELECT graft_hash_sample(h, v, 3) AS s FROM hs_in")
+      .as[Seq[Long]].head()
+    // pairs (3,200) (7,900) (10,100) survive; values sorted ascending
+    assert(vs == Seq(100L, 200L, 900L))
+  }
+
   test("graft_cms SQL aggregate: counter grid over a token stream") {
     GraftFunctions.register(spark)
     Seq("a", "a", "b").toDF("t").createOrReplaceTempView("cms_in")
@@ -64,7 +75,7 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(names == Seq("graft_dot", "graft_cosine", "graft_norm",
       "graft_lang_id", "graft_rolling_fp", "graft_bpe_count",
       "graft_stopword_count", "graft_vec_mean", "graft_kmv",
-      "graft_cms"))
+      "graft_cms", "graft_hash_sample"))
     assert(names.distinct.size == names.size)
     val ext = new GraftExtensions
     val se = new org.apache.spark.sql.SparkSessionExtensions
