@@ -55,4 +55,39 @@ class StreamingKmvSpec extends SparkSpec {
       assert(got.values.map(_._2).sum == 40L)
     } finally q.stop()
   }
+
+  test("windowed streaming hash_sample == batch sample over the same " +
+      "rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 5
+    val in = MemoryStream[(Timestamp, Long, Long)]
+    def sampled(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "60 seconds").as("win"))
+      .agg(graft.functions.HashSampleExpr.sample($"h", $"v", k).as("vs"))
+      .select($"win.start".as("win_start"), $"vs")
+    val q = sampled(in.toDF().toDF("ts", "h", "v"))
+      .writeStream.format("memory").queryName("hs_stream")
+      .outputMode("complete").start()
+    try {
+      val rows = (0 until 30).map(i =>
+        (ts(10 + (i * 7) % 50), ((i * 37) % 17) * 100L, i * 11L))
+      in.addData(rows.take(12))
+      q.processAllAvailable()
+      in.addData(rows.drop(12))
+      q.processAllAvailable()
+      val got = spark.table("hs_stream")
+        .as[(Timestamp, Seq[Long])].collect()
+        .map(r => r._1.getTime -> r._2).toMap
+      val expected = rows.toDF("ts", "h", "v")
+        .withWatermark("ts", "10 seconds")
+        .groupBy(window($"ts", "60 seconds").as("win"))
+        .agg(graft.functions.HashSampleExpr.sample($"h", $"v", k).as("vs"))
+        .select($"win.start".as("win_start"), $"vs")
+        .as[(Timestamp, Seq[Long])].collect()
+        .map(r => r._1.getTime -> r._2).toMap
+      assert(got == expected)
+      assert(got.values.forall(_.size <= k))
+    } finally q.stop()
+  }
 }
