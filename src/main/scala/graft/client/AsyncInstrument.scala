@@ -155,9 +155,22 @@ final class AsyncInstrument(host: String, port: Int) extends AutoCloseable {
     }
   def saveSensors(): Future[Unit] = run(_.saveSensors())
 
-  /** Close the persistent connection and stop the command executor. */
+  /** Close the persistent connection and stop the command executor.
+    * Queued commands drain FIRST (bounded wait) — closing the
+    * connection before the queue is empty would let a still-queued
+    * command lazily REOPEN it, leaking a socket and running commands
+    * after close.
+    */
   def close(): Unit = {
     executor.shutdown()
+    try {
+      if (!executor.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS))
+        executor.shutdownNow()
+    } catch {
+      case _: InterruptedException =>
+        executor.shutdownNow()
+        Thread.currentThread().interrupt()
+    }
     connection.close()
   }
 }

@@ -49,11 +49,25 @@ final class PersistentConnection(host: String, port: Int)
   def execute(command: String, argument: String = "",
               requestOptions: Int = 0): Response = synchronized {
     if (sock == null || sock.isClosed) sock = new Socket(host, port)
-    val out = sock.getOutputStream
-    out.write(CommandCodec.encodeRequest(
-      Request(requestOptions, command, argument)))
-    out.flush()
-    CommandCodec.readResponse(sock.getInputStream)
+    try {
+      val out = sock.getOutputStream
+      out.write(CommandCodec.encodeRequest(
+        Request(requestOptions, command, argument)))
+      out.flush()
+      CommandCodec.readResponse(sock.getInputStream)
+    } catch {
+      // a failed round-trip leaves the stream desynced (a half-read
+      // response would be parsed as the NEXT response) or dead (peer
+      // dropped TCP — sock.isClosed only reflects LOCAL close, so the
+      // stale socket would be reused forever). Invalidate it either
+      // way: the next command reconnects cleanly, which is what makes
+      // the documented reboot-survival actually work against a peer
+      // that drops connections.
+      case e: Throwable =>
+        try sock.close() catch { case _: java.io.IOException => () }
+        sock = null
+        throw e
+    }
   }
 
   /** True while the underlying socket is open (i.e. at least one

@@ -45,6 +45,10 @@ final class InstrumentStreamer[T](host: String, port: Int,
   private var in: DataInputStream = _
   // -1 = unknown; set after the first parsed header in fast mode
   private var lastContentLength = -1
+  // over-read bytes pushed back by a fast-path resync (see below):
+  // consumed before the socket by fill()
+  private var pending: Array[Byte] = Array.emptyByteArray
+  private var pendingOff = 0
   private val headerCount = new AtomicInteger
   private val frameCount = new AtomicLong
 
@@ -66,34 +70,99 @@ final class InstrumentStreamer[T](host: String, port: Int,
     }
   }
 
+  /** Fill `buf[off, off+len)` from the pushback buffer first, then the
+    * socket — how resync'd over-read bytes re-enter the stream.
+    */
+  private def fill(buf: Array[Byte], off: Int, len: Int): Unit = {
+    var o = off
+    var remaining = len
+    val avail = pending.length - pendingOff
+    if (avail > 0) {
+      val take = math.min(avail, remaining)
+      System.arraycopy(pending, pendingOff, buf, o, take)
+      pendingOff += take
+      o += take
+      remaining -= take
+      if (pendingOff == pending.length) {
+        pending = Array.emptyByteArray
+        pendingOff = 0
+      }
+    }
+    if (remaining > 0) in.readFully(buf, o, remaining)
+  }
+
+  private def boundsCheck(msgLen: Int, contentLen: Long): Int = {
+    if (contentLen < 0 || msgLen < 0 ||
+        contentLen > graft.sources.FrameDumpReader.MaxRecordBytes)
+      throw new IOException(
+        s"corrupt stream header: msg=$msgLen content=$contentLen")
+    contentLen.toInt
+  }
+
   /** Read and parse ONE record (`get_data`, hyperion.py:256-282): fast
     * path = one combined read with the 8 header bytes dropped
     * unparsed; slow path = parse the BBHI header, then read content.
+    *
+    * Unlike the reference, the fast path VALIDATES the length field of
+    * the combined read (4 byte comparisons, not a parse): a stream
+    * whose record length changes mid-flight — e.g. the spectrum
+    * stream after `#setActiveFullSpectrumDutChannelNumbers` shrinks or
+    * grows the channel set over the command port — would otherwise be
+    * silently misframed from that record on. On a mismatch the record
+    * is re-framed from the already-read bytes (reading more or pushing
+    * back the surplus) and the fast length re-latches.
     */
   def getData(): T = {
     connect()
     if (lastContentLength >= 0) {
       val rec = new Array[Byte](8 + lastContentLength)
-      in.readFully(rec)
-      parser(java.util.Arrays.copyOfRange(rec, 8, rec.length))
+      fill(rec, 0, rec.length)
+      val (msgLen, contentLenL) = CommandCodec.readHeaderLengths(rec)
+      if (msgLen == 0 && contentLenL == lastContentLength.toLong)
+        parser(java.util.Arrays.copyOfRange(rec, 8, rec.length))
+      else resync(rec, msgLen, boundsCheck(msgLen, contentLenL))
     } else {
       val hdr = new Array[Byte](8)
-      in.readFully(hdr)
+      fill(hdr, 0, 8)
       headerCount.incrementAndGet()
-      val messageLen = (hdr(2) & 0xFF) | ((hdr(3) & 0xFF) << 8)
-      val contentLen = (hdr(4) & 0xFF) | ((hdr(5) & 0xFF) << 8) |
-        ((hdr(6) & 0xFF) << 16) | ((hdr(7) & 0xFF) << 24)
-      if (contentLen < 0)
-        throw new IOException(s"corrupt stream header: length $contentLen")
-      if (messageLen > 0) in.skipNBytes(messageLen.toLong)
+      val (msgLen, contentLenL) = CommandCodec.readHeaderLengths(hdr)
+      val contentLen = boundsCheck(msgLen, contentLenL)
+      if (msgLen > 0) {
+        val skip = new Array[Byte](msgLen)
+        fill(skip, 0, msgLen) // streams carry no message; drop if present
+      }
       val content = new Array[Byte](contentLen)
-      in.readFully(content)
+      fill(content, 0, contentLen)
       // the combined fast read assumes message_length == 0 (true on
       // streaming ports; the reference's single-read path makes the
       // same assumption, hyperion.py:268-270)
-      if (fastStreaming && messageLen == 0) lastContentLength = contentLen
+      if (fastStreaming && msgLen == 0) lastContentLength = contentLen
       parser(content)
     }
+  }
+
+  /** The stream's record shape changed under an elided read: re-frame
+    * the record whose real lengths are (msgLen, contentLen) from the
+    * `8 + old` bytes already in `rec`, then re-latch the fast length.
+    */
+  private def resync(rec: Array[Byte], msgLen: Int, contentLen: Int): T = {
+    headerCount.incrementAndGet() // a genuine re-parse
+    val total = 8 + msgLen + contentLen
+    val full =
+      if (total <= rec.length) rec
+      else {
+        val b = java.util.Arrays.copyOf(rec, total)
+        fill(b, rec.length, total - rec.length)
+        b
+      }
+    if (total < rec.length) {
+      // over-read into the next record: push the surplus back (fill()
+      // drained `pending` before reading `rec`, so it is empty here)
+      pending = java.util.Arrays.copyOfRange(rec, total, rec.length)
+      pendingOff = 0
+    }
+    lastContentLength = if (msgLen == 0) contentLen else -1
+    parser(java.util.Arrays.copyOfRange(full, 8 + msgLen, total))
   }
 
   /** Producer loop (`stream_data`, hyperion.py:284-312): `Some(data)`
@@ -101,20 +170,25 @@ final class InstrumentStreamer[T](host: String, port: Int,
     * A connection loss also ends the stream (sentinel still sent).
     */
   def streamData(queue: BlockingQueue[Option[T]]): Unit = {
-    connect()
-    streamActive = true
     try {
+      connect()
+      streamActive = true
       while (streamActive) {
         val d = getData()
         queue.put(Some(d))
         frameCount.incrementAndGet()
       }
     } catch {
-      case _: IOException => () // connection lost or closed under us
+      // connection loss, a desynced read, a close() racing getData,
+      // AND parser failures (CommandError on undecodable content) all
+      // end the stream the same way — the sentinel in the finally must
+      // land regardless, or a blocked consumer hangs forever
+      case scala.util.control.NonFatal(_) => ()
+    } finally {
+      streamActive = false
+      queue.put(None)
+      close()
     }
-    streamActive = false
-    queue.put(None)
-    close()
   }
 
   /** Flag the producer loop to stop at the next record boundary
@@ -129,6 +203,11 @@ final class InstrumentStreamer[T](host: String, port: Int,
       socket = null
       in = null
     }
+    // a reused instance must not carry a stale fast length or
+    // pushback bytes into a NEW connection's stream
+    lastContentLength = -1
+    pending = Array.emptyByteArray
+    pendingOff = 0
   }
 }
 

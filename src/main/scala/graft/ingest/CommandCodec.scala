@@ -68,18 +68,32 @@ object CommandCodec {
     Some(Request(opts, new String(cmd, US_ASCII), new String(arg, US_ASCII)))
   }
 
+  /** (message_length, content_length) from the first 8 bytes of a
+    * BBHI read header — the ONE source of truth for the layout shared
+    * by the response reader, the landing gateway's framing loop, and
+    * the client streamer's fast path (content_length is u32, returned
+    * widened so 2-4 GiB lengths surface as bounds errors, not as
+    * negative Ints).
+    */
+  def readHeaderLengths(hdr: Array[Byte]): (Int, Long) = {
+    val b = ByteBuffer.wrap(hdr, 0, 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.getShort() // status + response-type bytes
+    val msgLen = b.getShort() & 0xFFFF
+    val contentLen = b.getInt() & 0xFFFFFFFFL
+    (msgLen, contentLen)
+  }
+
   /** Blocking stream parse of one response. */
   def readResponse(in: InputStream): Response = {
     val d = new DataInputStream(in)
     val hdr = new Array[Byte](8)
     d.readFully(hdr)
-    val b = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
-    val status = b.get() & 0xFF
-    val rType = b.get() & 0xFF
-    val msgLen = b.getShort() & 0xFFFF
-    val contentLen = b.getInt()
-    require(contentLen >= 0 && contentLen < (1 << 26),
-      s"bad content length $contentLen")
+    val status = hdr(0) & 0xFF
+    val rType = hdr(1) & 0xFF
+    val (msgLen, contentLenL) = readHeaderLengths(hdr)
+    require(contentLenL >= 0 && contentLenL < (1 << 26),
+      s"bad content length $contentLenL")
+    val contentLen = contentLenL.toInt
     val msg = new Array[Byte](msgLen)
     d.readFully(msg)
     val content = new Array[Byte](contentLen)

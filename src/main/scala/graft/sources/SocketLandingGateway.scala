@@ -120,11 +120,8 @@ class SocketLandingGateway(landingDir: String,
         try in.readFully(hdr)
         catch { case _: EOFException => done = true }
         if (!done) {
-          val messageLen = (hdr(2) & 0xFF) | ((hdr(3) & 0xFF) << 8)
-          val contentLen = (hdr(4) & 0xFF).toLong |
-            ((hdr(5) & 0xFF).toLong << 8) |
-            ((hdr(6) & 0xFF).toLong << 16) |
-            ((hdr(7) & 0xFF).toLong << 24)
+          val (messageLen, contentLen) =
+            graft.ingest.CommandCodec.readHeaderLengths(hdr)
           if (contentLen < 0 || contentLen > FrameDumpReader.MaxRecordBytes)
             done = true // corrupt header: flush what we have, drop conn
           else {

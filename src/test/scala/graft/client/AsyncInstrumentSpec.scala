@@ -133,4 +133,53 @@ class AsyncInstrumentSpec extends AnyFunSuite {
       assert(await(a.getSensorNames).nonEmpty)
     } finally { a.close(); r.stop() }
   }
+
+  test("the persistent connection invalidates a peer-dropped socket " +
+      "and reconnects on the next command") {
+    import graft.ingest.CommandCodec
+    // a server that answers ONE command per connection then drops TCP
+    // — the real-reboot/network-blip shape the sim responder (which
+    // keeps connections open) never exercises
+    val srv = new java.net.ServerSocket(0)
+    val accepted = new java.util.concurrent.atomic.AtomicInteger
+    val acceptor = new Thread(() => {
+      while (!srv.isClosed) {
+        try {
+          val sock = srv.accept()
+          accepted.incrementAndGet()
+          CommandCodec.readRequest(sock.getInputStream).foreach { req =>
+            sock.getOutputStream.write(CommandCodec.encodeResponse(
+              CommandCodec.Response(CommandCodec.Success, 0, "",
+                req.command.getBytes("US-ASCII"))))
+            sock.getOutputStream.flush()
+          }
+          sock.close() // drop after one round-trip
+        } catch { case _: java.io.IOException => () }
+      }
+    }, "spec-dropping-server")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PersistentConnection("127.0.0.1", srv.getLocalPort)
+    try {
+      assert(new String(c.execute("#one").content, "US-ASCII") == "#one")
+      // the peer has closed its side; isClosed is still false locally,
+      // so without invalidation this second command would write into
+      // the dead stream and fail forever — the transport must notice
+      // the failure, drop the stale socket, and reconnect cleanly
+      val second =
+        try new String(c.execute("#two").content, "US-ASCII")
+        catch { case _: Throwable =>
+          new String(c.execute("#two").content, "US-ASCII")
+        }
+      assert(second == "#two")
+      assert(accepted.get >= 2, "never reconnected")
+      // and the connection keeps working afterwards
+      val third =
+        try new String(c.execute("#three").content, "US-ASCII")
+        catch { case _: Throwable =>
+          new String(c.execute("#three").content, "US-ASCII")
+        }
+      assert(third == "#three")
+    } finally { c.close(); srv.close() }
+  }
 }

@@ -139,6 +139,86 @@ class InstrumentStreamerSpec extends AnyFunSuite {
     } finally r.stop()
   }
 
+  test("fast-path resync: a record-length change mid-stream (channel " +
+      "set edited over the command port) re-frames instead of " +
+      "misparsing — both shrink (pushback) and grow (read-more)") {
+    val r = new InstrumentResponder().start()
+    try {
+      val h = new Instrument("127.0.0.1", r.port)
+      val s = InstrumentStreamer.spectra("127.0.0.1", r.streamSpectraPort,
+        h.powerCal)
+      val q = new LinkedBlockingQueue[Option[Instrument.SpectrumSnapshot]]()
+      val t = new Thread(() => s.streamData(q), "spec-resync-streamer")
+      t.setDaemon(true)
+      t.start()
+      def take(): Instrument.SpectrumSnapshot = {
+        val e = q.poll(10, TimeUnit.SECONDS)
+        assert(e != null && e.isDefined, "stream ended early")
+        e.get
+      }
+      def drainUntil(nCh: Int): Instrument.SpectrumSnapshot = {
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var f = take()
+        while (f.spectra.size != nCh && System.nanoTime() < deadline)
+          f = take()
+        assert(f.spectra.size == nCh,
+          s"never saw a $nCh-channel frame after the channel-set edit")
+        f
+      }
+      val full = InstrumentConfig.ActiveFullSpectrumChannelsDefault
+      assert(take().spectra.keySet == full.toSet)
+      assert(s.headerParses == 1)
+      // SHRINK the channel set: records get smaller, so the elided
+      // read over-reads into the next record — the pushback path
+      h.setActiveFullSpectrumChannelNumbers(Seq(1, 2))
+      val small = drainUntil(2)
+      assert(small.spectra.keySet == Set(1, 2))
+      // GROW back: records get bigger — the read-more path
+      h.setActiveFullSpectrumChannelNumbers(full)
+      val big = drainUntil(full.size)
+      assert(big.spectra.keySet == full.toSet)
+      // frames on both sides of each resync decoded cleanly, and the
+      // re-latched fast path went back to eliding headers: exactly one
+      // extra parse per shape change
+      assert(s.headerParses == 3, s"parsed ${s.headerParses} headers")
+      s.stopStreaming()
+      t.join(10000)
+    } finally r.stop()
+  }
+
+  test("a parser failure ends the stream WITH the end-of-stream " +
+      "sentinel (consumer never hangs)") {
+    // a raw server that frames one undecodable record: valid BBHI
+    // header, garbage content the spectrum parser rejects
+    val srv = new java.net.ServerSocket(0)
+    val pusher = new Thread(() => {
+      val sock = srv.accept()
+      val out = sock.getOutputStream
+      val content = Array.fill[Byte](5)(0x7F)
+      val hdr = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.put(0.toByte).put(0.toByte).putShort(0.toShort)
+        .putInt(content.length)
+      out.write(hdr.array()); out.write(content); out.flush()
+    }, "spec-garbage-pusher")
+    pusher.setDaemon(true)
+    pusher.start()
+    try {
+      val s = InstrumentStreamer.spectra("127.0.0.1", srv.getLocalPort,
+        InstrumentConfig.PowerCalibration)
+      val q = new LinkedBlockingQueue[Option[Instrument.SpectrumSnapshot]]()
+      val t = new Thread(() => s.streamData(q), "spec-garbage-streamer")
+      t.setDaemon(true)
+      t.start()
+      val e = q.poll(10, TimeUnit.SECONDS)
+      assert(e != null, "no sentinel after a parser failure")
+      assert(e.isEmpty, "garbage content must not produce a frame")
+      t.join(10000)
+      assert(!t.isAlive)
+      assert(!s.isStreaming)
+    } finally srv.close()
+  }
+
   test("streamers run concurrently with the persistent command client " +
       "on one instrument (the AsyncHyperion use-case)") {
     val r = new InstrumentResponder().start()
