@@ -32,6 +32,28 @@ class QueryInvariantsSpec extends SparkSpec {
     })
   }
 
+  test("q_sample_quantiles: estimates live inside the sampled order " +
+      "statistics and equal the exact report when the sample is the " +
+      "whole group") {
+    val r = rows("q_sample_quantiles")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val m = x.getAs[Long]("m")
+      val n = x.getAs[Long]("n_docs")
+      assert(m == math.min(n, 64L)) // sample size = min(group, k)
+      val med = x.getAs[Double]("median_est")
+      val p90 = x.getAs[Double]("p90_est")
+      assert(med <= p90, s"quantiles out of order: $x")
+      // at sf0.001 every group is smaller than k, so the "sample" is
+      // the whole group and the sketch must REPRODUCE the exact report
+      if (n <= 64) {
+        assert(med == x.getAs[Double]("median_exact"), s"median: $x")
+        assert(p90 == x.getAs[Double]("p90_exact"), s"p90: $x")
+      }
+      ()
+    }
+  }
+
   test("q_mattr: ratios in (0,1], at least one window per doc") {
     val r = rows("q_mattr")
     assert(r.nonEmpty)
