@@ -2327,6 +2327,48 @@ object PipelineQueries {
             .as("jaccard"))
     }),
 
+    // KMV-sketch vocabulary overlap — the 100 TB form of
+    // q_vocab_overlap (whose exact plan materializes every source's
+    // FULL vocabulary through collect_set): sketch each source's
+    // token-hash set with the bottom-k KMV (one pass, ≤ k longs per
+    // map-side partial), then estimate Jaccard from the SKETCHES
+    // alone with the standard KMV estimator — the k smallest of the
+    // union of the two sketches, counting how many live in both
+    // (Beyer et al., SIGMOD 2007). Everything after the sketch is
+    // integer set arithmetic over 2k longs per source pair, so the
+    // estimate is deterministic and the oracle reproduces it
+    // bit-for-bit; when a source's set fits inside k the estimator
+    // degenerates to EXACT Jaccard (see QueryInvariantsSpec). The set
+    // is the 2-gram shingle vocabulary, not single words — the
+    // corpus's word vocabulary (~31/source) would be trivially inside
+    // any k, while ~900 distinct bigrams per source keep the sketch
+    // path live (k < |set|) from sf0.1 up.
+    "q_kmv_overlap" -> ((s, d) => {
+      val k = 256
+      val sk = parallelize(documents(s, d))
+        .select(col("source"),
+          explode(Dedup.shingles(col("text"), 2)).as("g"))
+        .select(col("source"),
+          conv(substring(md5(col("g")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("source"))
+        .agg(graft.functions.KmvSketchExpr.kmv(col("h"), k).as("sk"))
+        .withColumn("sidx", substring(col("source"), 4, 10).cast("int"))
+      val a = sk.select(col("source").as("src_a"), col("sidx"),
+        col("sk").as("ska"))
+      val b = sk.select(col("sidx").as("sb"), col("source").as("src_b"),
+        col("sk").as("skb"))
+      val unionK =
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)
+      val matches = size(array_intersect(unionK,
+        array_intersect(col("ska"), col("skb"))))
+      a.join(b, col("sb") === col("sidx") + 1)
+        .select(col("src_a"), col("src_b"),
+          size(col("ska")).as("k_a"), size(col("skb")).as("k_b"),
+          matches.cast("long").as("n_match"),
+          r(matches.cast("double") / size(unionK), 6).as("jaccard_est"))
+    }),
+
     // Keyword-in-context (concordance) extraction — the corpus
     // inspection tool behind "show me how this term is used": every
     // occurrence of the probe term with ±3 words of context, in
@@ -4412,6 +4454,34 @@ object PipelineQueries {
               "(len(a.vocab) + len(b.vocab) - " +
               "len(list_intersect(a.vocab, b.vocab)))", 6)} AS jaccard
          |FROM v a JOIN v b ON b.sidx = a.sidx + 1""".stripMargin,
+
+    // KMV overlap: same 48-bit md5 bigram-shingle hashes, per-source
+    // bottom-256 via row_number, union bottom-k + two-sided
+    // membership — pure integer set arithmetic, so est matches Spark
+    // bit-for-bit
+    "q_kmv_overlap" ->
+      s"""WITH h AS (SELECT DISTINCT source,
+         |    cast(('0x' || substr(md5(g), 1, 12)) AS bigint) AS h
+         |  FROM (SELECT source, unnest($shSql) AS g
+         |        FROM documents)),
+         |sk AS (SELECT source, h FROM (
+         |    SELECT source, h, row_number() OVER
+         |      (PARTITION BY source ORDER BY h) AS rn FROM h)
+         |  WHERE rn <= 256),
+         |s AS (SELECT source, cast(substr(source, 4) AS int) AS sidx,
+         |    list_sort(list(h)) AS sk, cast(count(*) AS int) AS ksz
+         |  FROM sk GROUP BY 1, 2),
+         |u AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    a.sk AS ska, b.sk AS skb, a.ksz AS k_a, b.ksz AS k_b,
+         |    list_slice(list_sort(list_distinct(list_concat(a.sk, b.sk))),
+         |      1, 256) AS uk
+         |  FROM s a JOIN s b ON b.sidx = a.sidx + 1)
+         |SELECT src_a, src_b, k_a, k_b,
+         |  cast(len(list_intersect(uk, list_intersect(ska, skb)))
+         |    AS bigint) AS n_match,
+         |  ${rs("cast(len(list_intersect(uk, list_intersect(ska, skb))) " +
+              "AS double) / len(uk)", 6)} AS jaccard_est
+         |FROM u""".stripMargin,
 
     // concordance: same ±3 window; generate_subscripts is 1-based vs
     // posexplode's 0-based pos — aligned with o-1

@@ -54,6 +54,35 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_overlap: estimator degenerates to exact Jaccard when " +
+      "both sketches hold the whole set") {
+    val est = rows("q_kmv_overlap")
+    assert(est.nonEmpty)
+    // exact bigram-shingle Jaccard per consecutive source pair,
+    // computed independently of the sketch path
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("source"),
+        explode(graft.dedup.Dedup.shingles(col("text"), 2)).as("g"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
+      .toMap
+    est.foreach { x =>
+      val e = x.getAs[Double]("jaccard_est")
+      assert(e >= 0.0 && e <= 1.0, s"estimate out of range: $x")
+      val a = docs(x.getAs[String]("src_a"))
+      val b = docs(x.getAs[String]("src_b"))
+      if ((a | b).size <= 256) {
+        // the whole UNION fits in the sketch budget, so the union
+        // bottom-k is the union itself -> estimator must be EXACT
+        val exact = (a & b).size.toDouble / (a | b).size
+        assert(math.abs(e - exact) < 1e-6,
+          s"degenerate estimate $e != exact $exact for $x")
+      }
+      ()
+    }
+  }
+
   test("q_mattr: ratios in (0,1], at least one window per doc") {
     val r = rows("q_mattr")
     assert(r.nonEmpty)
