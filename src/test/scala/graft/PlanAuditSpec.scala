@@ -179,6 +179,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_kmv_sketch"), s"no map-side partials:\n$p")
   }
 
+  test("q_kmv_overlap: both sketch sides aggregate map-side; no " +
+      "vocabulary materializes") {
+    val p = plan("q_kmv_overlap")
+    // the shingle stream collapses to k-long sketches BELOW the
+    // exchange on both join inputs; the exact query's collect_set
+    // vocabularies must not appear anywhere in this plan
+    assert(p.contains("partial_kmv_sketch"), s"no map-side partials:\n$p")
+    assert(!p.contains("collect_set"), s"full vocabulary crept in:\n$p")
+  }
+
   test("q_sample_quantiles: sample partials aggregate map-side, " +
       "no window sort") {
     val p = plan("q_sample_quantiles")
