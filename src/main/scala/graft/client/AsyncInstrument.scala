@@ -159,18 +159,24 @@ final class AsyncInstrument(host: String, port: Int) extends AutoCloseable {
     * Queued commands drain FIRST (bounded wait) — closing the
     * connection before the queue is empty would let a still-queued
     * command lazily REOPEN it, leaking a socket and running commands
-    * after close.
+    * after close. If the drain exceeds the bound (hung peer — socket
+    * reads ignore interrupts), the connection is closed TERMINALLY,
+    * which aborts the stuck read without touching the monitor that
+    * read holds, and the still-queued command runnables run against
+    * the now-fail-fast transport so every outstanding Future completes
+    * (exceptionally) instead of hanging its waiter forever.
     */
   def close(): Unit = {
     executor.shutdown()
-    try {
-      if (!executor.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS))
-        executor.shutdownNow()
-    } catch {
-      case _: InterruptedException =>
-        executor.shutdownNow()
-        Thread.currentThread().interrupt()
-    }
-    connection.close()
+    val drained =
+      try executor.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+          false
+      }
+    connection.closeTerminally()
+    if (!drained)
+      executor.shutdownNow().forEach(_.run()) // fail fast, complete Futures
   }
 }

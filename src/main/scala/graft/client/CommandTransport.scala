@@ -45,10 +45,20 @@ final class PerCommandTransport(host: String, port: Int)
 final class PersistentConnection(host: String, port: Int)
     extends CommandTransport {
   private[this] var sock: Socket = null
+  // guards ONLY socket creation/teardown and the closed flag — never
+  // held across wire I/O, so close() can always interpose even while a
+  // command is blocked mid-read under the main monitor (Socket.close
+  // is thread-safe and aborts that read)
+  private[this] val sockLock = new Object
+  private[this] var closed = false
 
   def execute(command: String, argument: String = "",
               requestOptions: Int = 0): Response = synchronized {
-    if (sock == null || sock.isClosed) sock = new Socket(host, port)
+    sockLock.synchronized {
+      if (closed)
+        throw new java.io.IOException("transport closed")
+      if (sock == null || sock.isClosed) sock = new Socket(host, port)
+    }
     try {
       val out = sock.getOutputStream
       out.write(CommandCodec.encodeRequest(
@@ -64,8 +74,12 @@ final class PersistentConnection(host: String, port: Int)
       // the documented reboot-survival actually work against a peer
       // that drops connections.
       case e: Throwable =>
-        try sock.close() catch { case _: java.io.IOException => () }
-        sock = null
+        sockLock.synchronized {
+          if (sock != null) {
+            try sock.close() catch { case _: java.io.IOException => () }
+            sock = null
+          }
+        }
         throw e
     }
   }
@@ -73,15 +87,28 @@ final class PersistentConnection(host: String, port: Int)
   /** True while the underlying socket is open (i.e. at least one
     * command has run and [[close]] has not).
     */
-  def isConnected: Boolean = synchronized {
+  def isConnected: Boolean = sockLock.synchronized {
     sock != null && !sock.isClosed
   }
 
-  def close(): Unit = synchronized {
+  /** Reopenable close (the pre-terminal lifecycle): drops the current
+    * socket; the next command reconnects. Never blocks on an in-flight
+    * command — closing the socket ABORTS a read stuck on a hung peer.
+    */
+  def close(): Unit = sockLock.synchronized {
     if (sock != null) {
       try sock.close()
       catch { case _: java.io.IOException => () }
       sock = null
     }
+  }
+
+  /** Terminal close: like [[close]], but every subsequent execute
+    * fails fast instead of reconnecting — what lets an owner complete
+    * still-queued commands exceptionally after ITS shutdown.
+    */
+  def closeTerminally(): Unit = {
+    sockLock.synchronized { closed = true }
+    close()
   }
 }

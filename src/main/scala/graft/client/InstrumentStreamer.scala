@@ -156,9 +156,22 @@ final class InstrumentStreamer[T](host: String, port: Int,
         b
       }
     if (total < rec.length) {
-      // over-read into the next record: push the surplus back (fill()
-      // drained `pending` before reading `rec`, so it is empty here)
-      pending = java.util.Arrays.copyOfRange(rec, total, rec.length)
+      // over-read into the next record: push the surplus back. fill()
+      // drained `pending` FIRST, so any unconsumed pending remainder
+      // holds bytes that come AFTER `rec` on the stream — the surplus
+      // must be PREPENDED to it, not replace it (two shrinks in quick
+      // succession would otherwise drop the buffered tail and desync)
+      val surplus = java.util.Arrays.copyOfRange(rec, total, rec.length)
+      val remaining = pending.length - pendingOff
+      if (remaining == 0) {
+        pending = surplus
+      } else {
+        val merged = new Array[Byte](surplus.length + remaining)
+        System.arraycopy(surplus, 0, merged, 0, surplus.length)
+        System.arraycopy(pending, pendingOff, merged, surplus.length,
+          remaining)
+        pending = merged
+      }
       pendingOff = 0
     }
     lastContentLength = if (msgLen == 0) contentLen else -1
@@ -186,8 +199,12 @@ final class InstrumentStreamer[T](host: String, port: Int,
       case scala.util.control.NonFatal(_) => ()
     } finally {
       streamActive = false
-      queue.put(None)
-      close()
+      close() // release the socket FIRST — the sentinel can wait, fds can't
+      // bounded: an ABANDONED bounded queue (consumer gone, queue
+      // full) must not pin this thread forever; any live consumer
+      // drains well within the bound
+      queue.offer(None, 10, java.util.concurrent.TimeUnit.SECONDS)
+      ()
     }
   }
 

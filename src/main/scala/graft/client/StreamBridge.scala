@@ -47,11 +47,8 @@ final class StreamBridge(streamer: InstrumentStreamer[Array[Byte]],
       while (!done) {
         queue.take() match {
           case Some(content) if n < maxFrames =>
-            val hdr = java.nio.ByteBuffer.allocate(8)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            hdr.put(0.toByte).put(0.toByte).putShort(0.toShort)
-              .putInt(content.length)
-            out.write(hdr.array())
+            out.write(graft.ingest.CommandCodec
+              .streamRecordHeader(content.length))
             out.write(content)
             n += 1
             if (n >= maxFrames) {
@@ -66,6 +63,16 @@ final class StreamBridge(streamer: InstrumentStreamer[Array[Byte]],
       try { out.flush(); sock.close() }
       catch { case _: IOException => () }
       streamer.stopStreaming()
+      // a producer blocked in put on the full bounded queue cannot see
+      // the stop flag — consume through to its sentinel so streamData
+      // reaches its own finally (socket close); bounded in case the
+      // producer already died
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var sentinel = done
+      while (!sentinel && System.nanoTime() < deadline) {
+        val e = queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (e != null && e.isEmpty) sentinel = true
+      }
       producer.join(10000)
     }
     n

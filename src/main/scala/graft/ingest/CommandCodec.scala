@@ -83,6 +83,16 @@ object CommandCodec {
     (msgLen, contentLen)
   }
 
+  /** An 8-byte BBHI stream-record read header (status 0, type 0,
+    * message_length 0) for `contentLen` content bytes — the write-side
+    * counterpart of [[readHeaderLengths]], shared by every stream
+    * producer (responder streaming ports, bridge pump).
+    */
+  def streamRecordHeader(contentLen: Int): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .put(0.toByte).put(0.toByte).putShort(0.toShort)
+      .putInt(contentLen).array()
+
   /** Blocking stream parse of one response. */
   def readResponse(in: InputStream): Response = {
     val d = new DataInputStream(in)

@@ -289,11 +289,7 @@ class InstrumentResponder(streamIntervalMs: Long = 1L) {
               val b = synthSpectrumBytes(i); mirroredSpectrum = Some(b); b
           }
         }
-        val hdr = java.nio.ByteBuffer.allocate(8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        hdr.put(0.toByte).put(0.toByte).putShort(0.toShort)
-          .putInt(content.length)
-        out.write(hdr.array())
+        out.write(CommandCodec.streamRecordHeader(content.length))
         out.write(content)
         out.flush()
         i += 1

@@ -134,6 +134,37 @@ class AsyncInstrumentSpec extends AnyFunSuite {
     } finally { a.close(); r.stop() }
   }
 
+  test("close() against a HUNG peer is bounded, aborts the stuck " +
+      "read, and completes every queued Future exceptionally") {
+    // a server that accepts and reads but never responds — the
+    // half-open shape interrupt-insensitive socket reads cannot escape
+    val srv = new java.net.ServerSocket(0)
+    val acceptor = new Thread(() => {
+      try {
+        val sock = srv.accept()
+        while (sock.getInputStream.read() >= 0) () // consume forever
+      } catch { case _: java.io.IOException => () }
+    }, "spec-hung-server")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val a = new AsyncInstrument("127.0.0.1", srv.getLocalPort)
+    try {
+      val inflight = a.getSerialNumber   // blocks in readResponse
+      val queued = a.getFirmwareVersion  // waits behind it forever
+      Thread.sleep(300) // let the first command reach the wire
+      val t0 = System.nanoTime()
+      a.close()
+      val closeSec = (System.nanoTime() - t0) / 1e9
+      assert(closeSec < 20, f"close took $closeSec%.1f s")
+      // both Futures COMPLETE (exceptionally) — nothing hangs a waiter
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      assert(scala.util.Try(Await.result(inflight, 10.seconds)).isFailure)
+      assert(scala.util.Try(Await.result(queued, 10.seconds)).isFailure)
+      assert(!a.isConnected)
+    } finally srv.close()
+  }
+
   test("the persistent connection invalidates a peer-dropped socket " +
       "and reconnects on the next command") {
     import graft.ingest.CommandCodec

@@ -186,6 +186,42 @@ class InstrumentStreamerSpec extends AnyFunSuite {
     } finally r.stop()
   }
 
+  test("two shape-shrinks in quick succession: the second resync " +
+      "PREPENDS its surplus to the unconsumed pushback (byte-exact " +
+      "drain, no drops)") {
+    // deterministic wire: one 64-byte record, two 8-byte records, six
+    // 4-byte records — the first elided read (latched at 64) spans the
+    // whole first transition AND part of the second, so the second
+    // resync fires while the pushback buffer still holds bytes
+    import graft.ingest.CommandCodec
+    def rec(id: Int, len: Int): Array[Byte] =
+      CommandCodec.streamRecordHeader(len) ++
+        Array.tabulate[Byte](len)(j => (id * 16 + j).toByte)
+    val expected =
+      Seq(rec(1, 64), rec(2, 8), rec(3, 8)) ++
+        (4 to 9).map(rec(_, 4))
+    val srv = new java.net.ServerSocket(0)
+    val pusher = new Thread(() => {
+      val sock = srv.accept()
+      val out = sock.getOutputStream
+      expected.foreach(out.write)
+      out.flush() // keep the socket open: the client drains at will
+      Thread.sleep(60000)
+    }, "spec-shrink-pusher")
+    pusher.setDaemon(true)
+    pusher.start()
+    try {
+      val s = new InstrumentStreamer[Array[Byte]]("127.0.0.1",
+        srv.getLocalPort, identity, fastStreaming = true)
+      val got = (1 to expected.size).map(_ => s.getData().toSeq)
+      assert(got == expected.map(_.drop(8).toSeq),
+        "stream bytes dropped or misframed across the double shrink")
+      // slow first parse + one genuine re-parse per shape change
+      assert(s.headerParses == 3, s"parsed ${s.headerParses} headers")
+      s.close()
+    } finally srv.close()
+  }
+
   test("a parser failure ends the stream WITH the end-of-stream " +
       "sentinel (consumer never hangs)") {
     // a raw server that frames one undecodable record: valid BBHI
@@ -195,11 +231,8 @@ class InstrumentStreamerSpec extends AnyFunSuite {
       val sock = srv.accept()
       val out = sock.getOutputStream
       val content = Array.fill[Byte](5)(0x7F)
-      val hdr = java.nio.ByteBuffer.allocate(8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      hdr.put(0.toByte).put(0.toByte).putShort(0.toShort)
-        .putInt(content.length)
-      out.write(hdr.array()); out.write(content); out.flush()
+      out.write(graft.ingest.CommandCodec.streamRecordHeader(content.length))
+      out.write(content); out.flush()
     }, "spec-garbage-pusher")
     pusher.setDaemon(true)
     pusher.start()

@@ -56,6 +56,39 @@ class StreamBridgeSpec extends SparkSpec {
     }
   }
 
+  test("a dying gateway connection ends the pump cleanly: producer " +
+      "thread exits, streamer socket released, error surfaced") {
+    val r = new InstrumentResponder().start()
+    // a "gateway" that accepts and immediately drops the connection —
+    // the pump's writes fail once the RST lands
+    val srv = new java.net.ServerSocket(0)
+    val dropper = new Thread(() => {
+      try srv.accept().close() catch { case _: java.io.IOException => () }
+    }, "spec-dropping-gateway")
+    dropper.setDaemon(true)
+    dropper.start()
+    try {
+      val streamer =
+        StreamBridge.raw("127.0.0.1", r.streamSensorsPort, fast = true)
+      val bridge = new StreamBridge(streamer, "127.0.0.1", srv.getLocalPort)
+      @volatile var err: Throwable = null
+      val t = new Thread(() => {
+        try { bridge.pump(); () } catch { case e: Throwable => err = e }
+      }, "spec-failing-pump")
+      t.setDaemon(true)
+      t.start()
+      t.join(30000)
+      assert(!t.isAlive, "pump never terminated after the sink died")
+      assert(err != null, "pump swallowed the sink failure")
+      // the producer was unblocked and ran to ITS cleanup: the
+      // instrument-side socket is released, not leaked
+      assert(!streamer.isStreaming)
+    } finally {
+      srv.close()
+      r.stop()
+    }
+  }
+
   test("stop() from another thread ends an unbounded pump with the " +
       "tail landed (the reference's call_later shutdown)") {
     val r = new InstrumentResponder().start()
