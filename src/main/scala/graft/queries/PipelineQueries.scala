@@ -122,14 +122,13 @@ object PipelineQueries {
     embCountCache.getOrElseUpdate((s, d), embeddings(s, d).count())
 
   // Iterative graph artifacts (PageRank ranks, BFS distances) memoized
-  // per (session, dir) like span5Cache: one eager evaluation
-  // materializes the FINAL table (which stays persisted in the memo),
-  // then every per-iteration intermediate and the edge cache are
-  // released non-blocking — without this, each bench pass re-ran the
-  // whole iteration and stacked ~6 more cached tables per run.
-  // Lineage is retained (persist, not checkpoint), so a lost block of
-  // the final table recomputes through the full iteration — slower,
-  // never wrong.
+  // per (session, dir) like span5Cache: the iteration runs once and
+  // its bounded (vocabulary/frontier-sized) result lands via
+  // Materialize.memo — a parquet read-back, so every consuming query
+  // carries a file-scan plan (a retained iteration chain cost ~2 s of
+  // DRIVER re-analysis per query even with its caches hit) and the
+  // artifact survives total executor-storage loss
+  // (BlockLossRecoverySpec wipes every block and re-runs the family).
   private val graphCache = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String, String), DataFrame]
 
@@ -188,16 +187,15 @@ object PipelineQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         inter += ranks
       }
-      // memoized artifact: cut the five-iteration lineage behind a
-      // stage barrier (vocabulary-sized table), so every later
-      // execution scans the materialized blocks instead of re-running
-      // the iteration chain — measured 2.1 s → 0.07 s per bench pass
-      // at sf0.1 (the persisted-DF memo alone did NOT stick: repeat
-      // noop-write runs re-executed the full lineage) — and ALL
-      // per-iteration caches can then be released, not just the
-      // first four
-      val out = graft.util.Materialize.barrier(ranks, "pagerank_ranks")
-      out.count() // one evaluation materializes every level + barrier
+      // memoized artifact: land the vocabulary-sized result via
+      // Materialize.memo (parquet) — a persisted chain kept its full
+      // ~300-node analyzed plan and the DRIVER paid ~2 s of
+      // re-analysis per consuming query even though the cache was hit
+      // (measured: 2.1 s → 0.05 s per q_pagerank execution), and a
+      // localCheckpoint dies with executor storage (the round-6
+      // flake; BlockLossRecoverySpec wipes every block and re-runs).
+      // With the memo landed, every per-iteration cache can go.
+      val out = graft.util.Materialize.memo(ranks, "pagerank_ranks")
       inter.foreach(_.unpersist(false))
       edges.unpersist(false)
       out
@@ -233,11 +231,10 @@ object PipelineQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         inter += dists
       }
-      // same barrier pattern as pagerankRanks: the memo must survive
-      // the per-iteration cache release, so land the frontier-sized
-      // result behind a lineage cut and free every superstep cache
-      val out = graft.util.Materialize.barrier(dists, "bfs_dists")
-      out.count() // one evaluation materializes every level + barrier
+      // same memo-landing as pagerankRanks: parquet keeps the plan a
+      // file scan and survives storage loss; every superstep cache
+      // releases after the landing
+      val out = graft.util.Materialize.memo(dists, "bfs_dists")
       inter.foreach(_.unpersist(false))
       edges.unpersist(false)
       out
@@ -259,10 +256,11 @@ object PipelineQueries {
           col("b.doc_id") === col("a.doc_id") + 1 &&
             col("a.doc_id") % 50 < 5)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val out = Dedup.duplicateClusters(edges)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count() // eager: materialize once, before any consumer forks
-      out
+      // landed via Materialize.memo like the other graph memos:
+      // duplicateClusters' internal default localCheckpoint dies with
+      // executor storage, and a memo must outlive that for the session
+      graft.util.Materialize.memo(
+        Dedup.duplicateClusters(edges), "dup_clusters")
     })
 
   private def annBits(n: Long): Int =

@@ -19,8 +19,11 @@ class BlockLossRecoverySpec extends SparkSpec {
 
   test("memoized artifacts survive losing every cached block") {
     // one query per memoized artifact: span-digest index, bigram-NLL
-    // tree, trained BPE vocab
-    val qs = Seq("q_bloom_decontam", "q_ngram_lm", "q_bpe_apply")
+    // tree, trained BPE vocab, and the iterative graph memos (whose
+    // persisted levels must recompute through lineage — a checkpoint
+    // formulation here dies exactly like the round-6 flake)
+    val qs = Seq("q_bloom_decontam", "q_ngram_lm", "q_bpe_apply",
+      "q_pagerank", "q_bfs_hops", "q_dup_survivors")
     val before = qs.map(q => q -> run(q)).toMap // materializes the caches
     // simulate total executor-storage loss
     spark.sparkContext.getPersistentRDDs.values
