@@ -446,6 +446,88 @@ object PipelineQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    // ---- set-similarity join (AllPairs prefix filtering) ----------------
+    // Exact Jaccard >= τ self-join WITHOUT LSH (the deterministic sibling
+    // of q_fuzzy_dedup's banded funnel): each doc keeps only its
+    // p = n − ⌈τ·n⌉ + 1 globally-rarest shingles under a total order
+    // (df asc, shingle asc) — by the prefix-filtering theorem (Bayardo et
+    // al., WWW'07 "Scaling Up All Pairs") any pair with overlap ≥ ⌈τ·n⌉
+    // must share a prefix token, so the candidate join runs over ~40 % of
+    // the token stream and exact verification touches candidates only;
+    // never all-pairs. ⌈τ·n⌉ via double ceil can only err UPWARD at
+    // integer boundaries (longer prefix → a candidate superset), so the
+    // pruning stays lossless on both engines regardless of FP rounding.
+    // The oracle derives candidates INDEPENDENTLY (pairs sharing ANY
+    // shingle — a strict superset of prefix candidates), so a prefix bug
+    // that drops a qualifying pair hash-mismatches rather than agreeing.
+    "q_prefix_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tau = 0.6
+      val sh = parallelize(documents(s, d))
+        .select(col("doc_id"), Dedup.shingles(col("text"), 8).as("sh"))
+        .localCheckpoint(false) // 3 consumers (rank, verify a/b); ~5 KB/doc
+      val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("t"))
+      val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val pfx = tok.join(dfreq, "t")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+        .filter(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
+        .select(col("doc_id"), col("t"))
+      val cand = pfx.select(col("doc_id").as("id_a"), col("t"))
+        .join(pfx.select(col("doc_id").as("id_b"), col("t")), Seq("t"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      val jac = r(inter / (size(col("sa")) + size(col("sb")) - inter), 6)
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+        .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= tau)
+    }),
+
+    // ---- cross-source contamination matrix ------------------------------
+    // "How much of source A is inside source B" — the curation diagnostic
+    // run before mixing corpora: distinct 8-gram spans per source,
+    // digest-keyed self-join (md5-width shuffle keys, never raw span
+    // strings), shared-span counts per source pair. The same span-digest
+    // construction as q_contamination, but source×source instead of
+    // corpus×benchmark.
+    "q_source_overlap" -> ((s, d) => {
+      val sp = parallelize(documents(s, d))
+        .select(col("source"),
+          explode(Dedup.shingles(col("text"), 8)).as("span"))
+        .select(col("source"), md5(col("span")).as("h")).distinct()
+      sp.select(col("source").as("src_a"), col("h"))
+        .join(sp.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // ---- exponential smoothing (EWMA) -----------------------------------
+    // Windowed-truncated exponentially weighted moving average over the
+    // per-user event series (pandas `ewm(alpha=.25, adjust=True)` over the
+    // last 16 observations): numerator Σ xᵢ·βⁿ⁻¹⁻ⁱ and normalizer Σ βᵏ are
+    // BOTH evaluated as left-to-right Horner folds over the window-ordered
+    // value list — Spark `aggregate(arr, 0.0, (acc,x) → acc·β + x)` and
+    // DuckDB `list_reduce` execute the identical op sequence (0·β+x₁ ≡ the
+    // reduce's x₁ seed), so the doubles agree bit-for-bit before the 6-dp
+    // pin, with no pow() library variance anywhere.
+    "q_ewma" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(epochS(col("ts")), col("event_id")).rowsBetween(-15, 0)
+      val beta = 0.75
+      events(s, d)
+        .withColumn("arr", collect_list(col("value")).over(w))
+        .select(col("event_id"), col("user_id"),
+          r(aggregate(col("arr"), lit(0.0), (acc, x) => acc * beta + x) /
+            aggregate(col("arr"), lit(0.0), (acc, _) => acc * beta + 1.0), 6)
+            .as("ewma"))
+    }),
+
     // ---- text analysis --------------------------------------------------
     "q_text_stats" -> ((s, d) =>
       TextAnalysis.withQuality(documents(s, d), col("text"))
@@ -2869,6 +2951,51 @@ object PipelineQueries {
     String, java.util.concurrent.CountDownLatch]()
 
   val oracle: Map[String, String] = Map(
+    // Candidates derived INDEPENDENTLY of the Spark plan's prefix filter:
+    // every pair sharing ANY shingle (a strict superset of prefix
+    // candidates — complete for any τ > 0), then the same exact-Jaccard
+    // verify. A lossy prefix on the Spark side loses rows against this.
+    "q_prefix_join" -> {
+      val jac = "cast(i AS double)/(na + nb - i)"
+      s"""WITH s AS (SELECT doc_id, $spanShinglesSql AS sh FROM documents),
+         |tok AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id),
+         |v AS (SELECT c.id_a, c.id_b,
+         |        len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS i,
+         |        len(sa.sh) AS na, len(sb.sh) AS nb
+         |      FROM cand c JOIN s sa ON sa.doc_id = c.id_a
+         |                  JOIN s sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b, ${rs(jac, 6)} AS jaccard
+         |FROM v WHERE ${rs(jac, 6)} >= 0.6""".stripMargin
+    },
+
+    "q_source_overlap" ->
+      s"""WITH sp AS (SELECT DISTINCT source, md5(t) AS h
+         |  FROM (SELECT source, unnest($spanShinglesSql) AS t
+         |        FROM documents))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  cast(count(*) AS bigint) AS n_shared
+         |FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+
+    // same (tss, event_id) total order, same Horner folds: list_reduce
+    // seeds acc with x₁ exactly like Spark's 0·β+x₁ first step; the
+    // normalizer folds over a ones-list so its seed is 1.0 on both sides
+    "q_ewma" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch(ts) AS tss, value
+         |           FROM events),
+         |w AS (SELECT event_id, user_id,
+         |        list(value) OVER (PARTITION BY user_id
+         |          ORDER BY tss, event_id
+         |          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+         |      FROM e)
+         |SELECT event_id, user_id,
+         |  ${rs("list_reduce(arr, (acc, x) -> acc*0.75 + x) / " +
+               "list_reduce(list_transform(arr, x -> cast(1.0 AS double)), " +
+               "(acc, o) -> acc*0.75 + o)", 6)} AS ewma
+         |FROM w""".stripMargin,
+
     "q_weighted_sample" ->
       ("""SELECT doc_id, n_chars,
          |  cast(floor(ln((cast(cast(('0x' ||

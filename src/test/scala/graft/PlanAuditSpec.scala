@@ -386,4 +386,40 @@ class PlanAuditSpec extends SparkSpec {
         s"$q re-scans $tbl around the barrier:\n$p")
     }
   }
+
+  test("q_prefix_join: equi-joined candidates off one shingle barrier, " +
+      "never all-pairs") {
+    val p = plan("q_prefix_join")
+    // the AllPairs guarantee: candidates come from an equi join on the
+    // prefix token — a cartesian/nested-loop anywhere is the all-pairs
+    // collapse the prefix filter exists to avoid
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"all-pairs join:\n$p")
+    // shingle arrays materialize once behind the barrier; rank, verify-a
+    // and verify-b all read it instead of re-scanning documents
+    assert(p.contains("Scan ExistingRDD"), s"lost the shingle barrier:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"re-scans documents around the barrier:\n$p")
+  }
+
+  test("q_source_overlap: exchanges carry span digests, never raw spans") {
+    val p = plan("q_source_overlap")
+    // distinct + self-join key on the md5 digest h — a raw 8-word span
+    // as a shuffle key is the q_span_dedup 100 TB scale-killer
+    assert(!p.contains("hashpartitioning(span"),
+      s"raw-text shuffle key:\n$p")
+    // distinct exchanges key on (source, digest); the self-join keys on
+    // the digest alone (hash-family join — broadcast at toy stats,
+    // shuffled at scale — but the KEY must be the fixed-width digest)
+    assert("hashpartitioning\\(source#\\d+, h#".r.findFirstIn(p).isDefined, p)
+    assert("Join \\[h#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q_ewma: one user_id exchange, join-free") {
+    val p = plan("q_ewma")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(user_id#"), p)
+  }
 }
