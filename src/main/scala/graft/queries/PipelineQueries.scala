@@ -529,6 +529,30 @@ object PipelineQueries {
     }),
 
     // ---- text analysis --------------------------------------------------
+    // Per-doc Shannon token entropy — the gibberish/boilerplate quality
+    // signal (low entropy = repetitive spam, high = natural text):
+    // H = ln n − (Σ cᵢ·ln cᵢ)/n over per-doc token counts. Every ln is
+    // integerized to micro-nats per DISTINCT count value before the
+    // integer-exact sums (the q_ngram_lm recipe), so aggregation order
+    // can't move the hash; the only doubles are one final exact-integer
+    // division. Two-level aggregation: (doc, tok) partials then the
+    // doc rollup — the ANALYZE shape, no Expand.
+    "q_token_entropy" -> ((s, d) => {
+      val micro = (e: Column) => floor(e * 1e6 + 0.5).cast("long")
+      parallelize(documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * micro(log(col("c").cast("double"))))
+            .as("s_micro"))
+        .select(col("doc_id"), col("n_tokens"),
+          r((micro(log(col("n_tokens").cast("double"))) * col("n_tokens") -
+              col("s_micro")).cast("double") /
+            (col("n_tokens").cast("double") * 1e6), 6).as("entropy"))
+    }),
+
     "q_text_stats" -> ((s, d) =>
       TextAnalysis.withQuality(documents(s, d), col("text"))
         .select(col("doc_id"), col("n_tokens"),
@@ -2969,6 +2993,20 @@ object PipelineQueries {
          |SELECT id_a, id_b, ${rs(jac, 6)} AS jaccard
          |FROM v WHERE ${rs(jac, 6)} >= 0.6""".stripMargin
     },
+
+    "q_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         |p AS (SELECT doc_id, cast(sum(c) AS bigint) AS n_tokens,
+         |        cast(sum(c * cast(floor(ln(cast(c AS double))*1000000
+         |          + 0.5) AS bigint)) AS bigint) AS s_micro
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  ${rs("(cast(floor(ln(cast(n_tokens AS double))*1000000 + 0.5) " +
+               "AS bigint)*n_tokens - s_micro) / " +
+               "(cast(n_tokens AS double)*1000000)", 6)} AS entropy
+         |FROM p""".stripMargin,
 
     "q_source_overlap" ->
       s"""WITH sp AS (SELECT DISTINCT source, md5(t) AS h

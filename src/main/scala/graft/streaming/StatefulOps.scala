@@ -110,6 +110,52 @@ object StatefulOps {
     }
   }
 
+  final case class EventPoint(event_id: Long, user_id: Long,
+      ts: Timestamp, value: Double)
+  final case class EwmaPoint(event_id: Long, user_id: Long, ewma: Double)
+  /** Trailing window carried between micro-batches: at most k−1 values,
+    * newest last — bounded per-key state (16 doubles), store-friendly.
+    */
+  final case class EwmaState(values: Seq[Double])
+
+  /** Streaming form of `q_ewma`: per-user trailing-k exponentially
+    * weighted mean, one output row per arriving event. Each event folds
+    * the IDENTICAL left-to-right Horner recurrences the batch query
+    * evaluates (numerator Σ xᵢβⁿ⁻¹⁻ⁱ, normalizer Σ βᵏ, 6-dp floor pin),
+    * so the update stream equals the batch result bit-for-bit when
+    * events arrive in (ts, event_id) order per key. Within a
+    * micro-batch the processor re-sorts its group (the groupByKey
+    * shuffle has no order contract); CROSS-batch in-order delivery is
+    * the stream contract, like the reference's in-order TCP frame
+    * stream. Parity is pinned by StatefulOpsSpec against the batch
+    * query on the same events.
+    */
+  def ewmaByKey(events: Dataset[EventPoint], beta: Double = 0.75,
+                k: Int = 16): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventPoint],
+         state: GroupState[EwmaState]) =>
+          var buf = state.getOption.map(_.values.toVector)
+            .getOrElse(Vector.empty[Double])
+          val ordered = rows.toVector.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond * 1000000L +
+              e.ts.getNanos / 1000L, e.event_id))
+          val out = ordered.map { e =>
+            val arr = (buf :+ e.value).takeRight(k)
+            val num = arr.foldLeft(0.0)((acc, x) => acc * beta + x)
+            val den = arr.foldLeft(0.0)((acc, _) => acc * beta + 1.0)
+            buf = arr.takeRight(k - 1)
+            EwmaPoint(e.event_id, user,
+              math.floor(num / den * 1e6 + 0.5) / 1e6)
+          }
+          state.update(EwmaState(buf))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on a content digest within the watermark
     * horizon — the streaming form of [[graft.dedup.Dedup.exactDuplicates]]
     * using the BUILT-IN state operator (preferred over custom state when

@@ -151,4 +151,34 @@ class StatefulOpsSpec extends SparkSpec {
       assert(rows.contains((1L, 100L, 1L)), rows)
     } finally q.stop()
   }
+
+  test("ewmaByKey parity: the streaming update stream equals batch " +
+      "q_ewma bit-for-bit on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    // real driver events, global (ts, event_id) order, fed as 4
+    // event-time slices — cross-batch in-order delivery is the stream
+    // contract; WITHIN a slice groupByKey scrambles and the processor
+    // re-sorts
+    val all = graft.util.Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .as[StatefulOps.EventPoint].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val slices = all.grouped(math.max(1, all.length / 4 + 1)).toSeq
+    val in = MemoryStream[StatefulOps.EventPoint]
+    val q = StatefulOps.ewmaByKey(in.toDS())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    try {
+      slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("ewma_stream")
+        .as[StatefulOps.EwmaPoint].collect()
+        .map(p => (p.event_id, p.user_id, p.ewma)).toSet
+      val batch = graft.SparkEntry.queries("q_ewma")(spark, d)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed.size == all.length)
+      assert(streamed == batch,
+        s"diff=${(streamed diff batch).take(5)} / ${(batch diff streamed).take(5)}")
+    } finally q.stop()
+  }
 }
