@@ -506,6 +506,42 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // ---- URL canonicalization + URL-level dedup -------------------------
+    // The FineWeb/CCNet web-pipeline op: URLs arrive messy (case-mixed
+    // scheme/host, explicit default port, tracking params, trailing
+    // slash) and URL-level dedup keys on the canonical form. Like the
+    // media tables, the INPUT is synthesized deterministically in-query
+    // (mixed-case + junk varies per doc_id; colliding path = doc_id%40
+    // per source) so the oracle sees identical bytes and real duplicate
+    // groups exist. Canonical = lowercase host + port-stripped,
+    // slash-trimmed path + the one meaningful param — tracking params
+    // (utm_*, fbclid) are dropped by omission of everything not
+    // whitelisted. Pure codegen'd string expressions; one canonical-key
+    // shuffle.
+    "q_url_canon" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(id % 3 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM"),
+        when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (id % 40).cast("string"),
+        when(id % 7 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&page="), (id % 3).cast("string"),
+        lit("&fbclid="), id.cast("string"))
+      val host = lower(regexp_extract(col("url"), "://([^/:?]+)", 1))
+      val path =
+        rtrim(regexp_extract(col("url"), "[^/]//[^/?]+(/[^?]*)", 1), "/")
+      val page = regexp_extract(col("url"), "[?&]page=([0-9]+)", 1)
+      parallelize(documents(s, d))
+        .select(id.as("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          concat(lit("https://"), host, path, lit("?page="), page)
+            .as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+    }),
+
     // ---- exponential smoothing (EWMA) -----------------------------------
     // Windowed-truncated exponentially weighted moving average over the
     // per-user event series (pandas `ewm(alpha=.25, adjust=True)` over the
@@ -3016,6 +3052,27 @@ object PipelineQueries {
          |  cast(count(*) AS bigint) AS n_shared
          |FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+
+    "q_url_canon" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+         |   CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+         |   '.Example.COM' ||
+         |   CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+         |   '/docs/' || cast(doc_id % 40 AS varchar) ||
+         |   CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+         |   '?utm_source=feed&page=' || cast(doc_id % 3 AS varchar) ||
+         |   '&fbclid=' || cast(doc_id AS varchar)) AS url
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  'https://' || lower(regexp_extract(url, '://([^/:?]+)', 1)) ||
+         |  rtrim(regexp_extract(url, '[^/]//[^/?]+(/[^?]*)', 1), '/') ||
+         |  '?page=' || regexp_extract(url, '[?&]page=([0-9]+)', 1)
+         |    AS canonical_url
+         |  FROM u)
+         |SELECT canonical_url, cast(count(*) AS bigint) AS n_docs,
+         |  min(doc_id) AS keeper
+         |FROM c GROUP BY 1""".stripMargin,
 
     // same (tss, event_id) total order, same Horner folds: list_reduce
     // seeds acc with x₁ exactly like Spark's 0·β+x₁ first step; the
