@@ -40,7 +40,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // local iteration aid (the driver never sets it): restrict the
+    // bench to a comma-separated name list — lets the scaled decades
+    // (ScaleCorpus dirs, documents+embeddings only) time their families
+    // without the full suite failing on absent tables
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     var errors = Map.empty[String, String]
 
     names.foreach { n =>            // warmup pass (untimed)
@@ -85,7 +92,10 @@ object Bench {
       .map { case (k, v) => s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"")}\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val streaming = streamingFigure(spark, sfDir)
+    // a filtered run is a query-timing probe, not the driver contract —
+    // scaled decades carry no frame files for the streaming figure
+    val streaming =
+      if (only.isDefined) "{}" else streamingFigure(spark, sfDir)
     val core =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"streaming":$streaming,"errors":$errs"""
     // Two stdout line shapes, disambiguated by a trailing "line" tag
