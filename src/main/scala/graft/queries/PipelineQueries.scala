@@ -386,18 +386,24 @@ object PipelineQueries {
     * with n=2, bands=4, rowsPerBand=2: ONE md5 per shingle, k 16-bit
     * chunk-min hashes (Dedup.chunkMinhash).
     */
-  private val bandsCte = {
+  /** The minhash-signature → band CTE chain over a given shingle-list
+    * SQL, with `p`-prefixed CTE names so two chains (or a chain plus
+    * other CTEs) can coexist in one statement. `bandsChain(shSql, "")`
+    * is the historical `bandsCte` body byte-for-byte.
+    */
+  private def bandsChain(shingleSql: String, p: String): String = {
     val sig = (0 until LshBands * LshRows)
       .map(c => s"list_min(list_transform(dg, d -> substr(d, ${c * 4 + 1}, 4)))")
       .mkString("[", ", ", "]")
-    s"""WITH s AS (SELECT doc_id, $shSql AS sh FROM documents),
-       |dg AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS dg FROM s),
-       |sig AS (SELECT doc_id, $sig AS sig FROM dg),
-       |bands AS (
+    s"""${p}s AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+       |${p}dg AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS dg FROM ${p}s),
+       |${p}sig AS (SELECT doc_id, $sig AS sig FROM ${p}dg),
+       |${p}bands AS (
        |  SELECT doc_id, b AS band_idx,
        |    md5(array_to_string(list_slice(sig, b*$LshRows+1, b*$LshRows+$LshRows), '')) AS band_key
-       |  FROM sig, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS b))""".stripMargin
+       |  FROM ${p}sig, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS b))""".stripMargin
   }
+  private val bandsCte = s"WITH ${bandsChain(shSql, "")}"
 
   /** Per-doc bigram-LM negative log-likelihood under the corpus's own
     * bigram model → (doc_id, n_bigrams, nll_sum_micro); shared by
@@ -445,6 +451,38 @@ object PipelineQueries {
         sum(col("c") * col("nll_micro")).as("nll_sum_micro"))
   }
 
+  /** Exact Jaccard ≥ 0.6 pairs over 8-word shingles via AllPairs prefix
+    * filtering — q_prefix_join's engine, reused verbatim as the GROUND
+    * TRUTH by q_lsh_recall (grading the approximate funnel against the
+    * exact answer, the q_ann_recall pattern for text dedup).
+    */
+  private def prefixJoinPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tau = 0.6
+    val sh = parallelize(documents(s, d))
+      .select(col("doc_id"), Dedup.shingles(col("text"), 8).as("sh"))
+      .localCheckpoint(false) // 3 consumers (rank, verify a/b); ~5 KB/doc
+    val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val pfx = tok.join(dfreq, "t")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+      .filter(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
+      .select(col("doc_id"), col("t"))
+    val cand = pfx.select(col("doc_id").as("id_a"), col("t"))
+      .join(pfx.select(col("doc_id").as("id_b"), col("t")), Seq("t"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val jac = r(inter / (size(col("sa")) + size(col("sb")) - inter), 6)
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   val defs: Map[String, Q] = Map(
     // ---- set-similarity join (AllPairs prefix filtering) ----------------
     // Exact Jaccard >= τ self-join WITHOUT LSH (the deterministic sibling
@@ -460,31 +498,33 @@ object PipelineQueries {
     // The oracle derives candidates INDEPENDENTLY (pairs sharing ANY
     // shingle — a strict superset of prefix candidates), so a prefix bug
     // that drops a qualifying pair hash-mismatches rather than agreeing.
-    "q_prefix_join" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val tau = 0.6
-      val sh = parallelize(documents(s, d))
-        .select(col("doc_id"), Dedup.shingles(col("text"), 8).as("sh"))
-        .localCheckpoint(false) // 3 consumers (rank, verify a/b); ~5 KB/doc
-      val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("t"))
-      val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val pfx = tok.join(dfreq, "t")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
-        .filter(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
-        .select(col("doc_id"), col("t"))
-      val cand = pfx.select(col("doc_id").as("id_a"), col("t"))
-        .join(pfx.select(col("doc_id").as("id_b"), col("t")), Seq("t"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-      val jac = r(inter / (size(col("sa")) + size(col("sb")) - inter), 6)
-      cand
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
-        .select(col("id_a"), col("id_b"), jac.as("jaccard"))
-        .filter(col("jaccard") >= tau)
+    "q_prefix_join" -> ((s, d) => prefixJoinPairs(s, d)),
+
+    // ---- LSH funnel recall/precision vs exact ground truth --------------
+    // The q_ann_recall pattern for text dedup: the MinHash-LSH candidate
+    // funnel (8-shingles, 4 bands × 2 rows — S-curve hit prob
+    // 1−(1−J²)⁴ ≈ 0.83 at J=0.6) graded against the EXACT Jaccard≥0.6
+    // pair set from the AllPairs prefix join. One integer row:
+    // truth/candidate/hit counts plus floor-micro recall and precision —
+    // the measurement a pipeline owner uses to size bands/rows before
+    // trusting the funnel at 100 TB. Counts are exact and the funnel is
+    // deterministic, so the row is hash-stable.
+    "q_lsh_recall" -> ((s, d) => {
+      val truth = prefixJoinPairs(s, d).select(col("id_a"), col("id_b"))
+        .localCheckpoint(false) // consumed by n_true and the hit join
+      val lsh = Dedup.lshCandidatePairs(
+        Dedup.lshBands(documents(s, d), col("doc_id"), col("text"), 8,
+          LshBands, LshRows))
+      val hit = lsh.join(truth, Seq("id_a", "id_b"))
+      val m = (n: Column, den: Column) =>
+        when(den > 0, floor(n * 1000000L / den)).otherwise(lit(-1L))
+          .cast("long")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          m(col("n_hit"), col("n_true")).as("recall_micro"),
+          m(col("n_hit"), col("n_cand")).as("precision_micro"))
     }),
 
     // ---- cross-source contamination matrix ------------------------------
@@ -3052,6 +3092,42 @@ object PipelineQueries {
          |  cast(count(*) AS bigint) AS n_shared
          |FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+
+    // truth from the INDEPENDENT any-shared-shingle candidate superset
+    // (the q_prefix_join oracle's construction); the funnel re-derived
+    // through the n=8 band chain — same signature algebra as q_lsh_pairs
+    "q_lsh_recall" -> {
+      val jac = "cast(i AS double)/(na + nb - i)"
+      s"""WITH s AS (SELECT doc_id, $spanShinglesSql AS sh FROM documents),
+         |tok AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM tok a JOIN tok b ON a.t = b.t
+         |           AND a.doc_id < b.doc_id),
+         |v AS (SELECT c.id_a, c.id_b,
+         |        len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS i,
+         |        len(sa.sh) AS na, len(sb.sh) AS nb
+         |      FROM cand c JOIN s sa ON sa.doc_id = c.id_a
+         |                  JOIN s sb ON sb.doc_id = c.id_b),
+         |truth AS (SELECT id_a, id_b FROM v WHERE ${rs(jac, 6)} >= 0.6),
+         |${bandsChain(spanShinglesSql, "l")},
+         |lshp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM lbands a JOIN lbands b
+         |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |           AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |hit AS (SELECT t.id_a FROM truth t JOIN lshp l
+         |        ON t.id_a = l.id_a AND t.id_b = l.id_b),
+         |m AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+         |             (SELECT count(*) FROM lshp) AS n_cand,
+         |             (SELECT count(*) FROM hit) AS n_hit)
+         |SELECT cast(n_true AS bigint) AS n_true,
+         |  cast(n_cand AS bigint) AS n_cand,
+         |  cast(n_hit AS bigint) AS n_hit,
+         |  cast(CASE WHEN n_true > 0 THEN floor(n_hit * 1000000 / n_true)
+         |       ELSE -1 END AS bigint) AS recall_micro,
+         |  cast(CASE WHEN n_cand > 0 THEN floor(n_hit * 1000000 / n_cand)
+         |       ELSE -1 END AS bigint) AS precision_micro
+         |FROM m""".stripMargin
+    },
 
     "q_url_canon" ->
       s"""WITH u AS (SELECT doc_id,

@@ -415,6 +415,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("Join \\[h#".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_lsh_recall: corpus joins are equi joins; nested loops only " +
+      "combine the three 1-row aggregates") {
+    val p = plan("q_lsh_recall")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the funnel's candidate join keys on the band, hash-based
+    assert("Join \\[band_idx#".r.findFirstIn(p).isDefined, p)
+    // the only nested loops are the scalar (count-row × count-row)
+    // crossJoins assembling the single output row — every one sits
+    // directly above single-partition aggregates, never corpus rows
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nlj == 2, s"expected exactly the 2 scalar combines, got $nlj:\n$p")
+  }
+
   test("q_ewma: one user_id exchange, join-free") {
     val p = plan("q_ewma")
     assert(!p.contains("Join"), s"unexpected join:\n$p")
