@@ -46,6 +46,14 @@ object Bench {
     // without the full suite failing on absent tables
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // "" degrades to no filter, not an empty bench
+    // a typo'd name silently measuring nothing is worse than a crash:
+    // the probe's whole point is the named queries
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     var errors = Map.empty[String, String]

@@ -492,9 +492,13 @@ object PipelineQueries {
     // al., WWW'07 "Scaling Up All Pairs") any pair with overlap ≥ ⌈τ·n⌉
     // must share a prefix token, so the candidate join runs over ~40 % of
     // the token stream and exact verification touches candidates only;
-    // never all-pairs. ⌈τ·n⌉ via double ceil can only err UPWARD at
-    // integer boundaries (longer prefix → a candidate superset), so the
-    // pruning stays lossless on both engines regardless of FP rounding.
+    // never all-pairs. FP safety of ⌈τ·n⌉: a LARGER ceil would SHORTEN
+    // the prefix p = n − ⌈τ·n⌉ + 1 (the lossy direction), but with
+    // τ=0.6 the double product can only round DOWN past an integer
+    // (0.6d < 3/5, so fl(n·0.6d) ≤ n·3/5) — ceil never exceeds the
+    // exact ⌈3n/5⌉ and the prefix is never shorter than the theorem
+    // needs. Changing τ or the rounding form requires re-checking this
+    // direction; PrefixJoinLawsSpec brute-forces it on random corpora.
     // The oracle derives candidates INDEPENDENTLY (pairs sharing ANY
     // shingle — a strict superset of prefix candidates), so a prefix bug
     // that drops a qualifying pair hash-mismatches rather than agreeing.
@@ -515,6 +519,9 @@ object PipelineQueries {
       val lsh = Dedup.lshCandidatePairs(
         Dedup.lshBands(documents(s, d), col("doc_id"), col("text"), 8,
           LshBands, LshRows))
+        .localCheckpoint(false) // consumed by n_cand and the hit join —
+                                // without it the band self-join+distinct
+                                // subtree appears in both branches
       val hit = lsh.join(truth, Seq("id_a", "id_b"))
       val m = (n: Column, den: Column) =>
         when(den > 0, floor(n * 1000000L / den)).otherwise(lit(-1L))
@@ -3050,22 +3057,33 @@ object PipelineQueries {
   private val writtenLayouts = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CountDownLatch]()
 
+  /** Exact-truth CTE chain (s/tok/cand/v) over 8-shingles: candidates
+    * are the ANY-shared-shingle superset — independent of the Spark
+    * plan's prefix filter, complete for any τ > 0 — with the exact
+    * array-intersection Jaccard terms. ONE definition shared by the
+    * q_prefix_join and q_lsh_recall oracles, so the ground truth the
+    * funnel is graded against can never silently diverge from the
+    * prefix join's own oracle. `_2` is the jaccard expression over v.
+    */
+  private val prefixTruthCtes: (String, String) = (
+    s"""s AS (SELECT doc_id, $spanShinglesSql AS sh FROM documents),
+       |tok AS (SELECT doc_id, unnest(sh) AS t FROM s),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM tok a JOIN tok b ON a.t = b.t
+       |           AND a.doc_id < b.doc_id),
+       |v AS (SELECT c.id_a, c.id_b,
+       |        len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS i,
+       |        len(sa.sh) AS na, len(sb.sh) AS nb
+       |      FROM cand c JOIN s sa ON sa.doc_id = c.id_a
+       |                  JOIN s sb ON sb.doc_id = c.id_b)""".stripMargin,
+    "cast(i AS double)/(na + nb - i)")
+
   val oracle: Map[String, String] = Map(
-    // Candidates derived INDEPENDENTLY of the Spark plan's prefix filter:
-    // every pair sharing ANY shingle (a strict superset of prefix
-    // candidates — complete for any τ > 0), then the same exact-Jaccard
-    // verify. A lossy prefix on the Spark side loses rows against this.
+    // A lossy prefix on the Spark side loses rows against the
+    // independent any-shared-shingle truth construction.
     "q_prefix_join" -> {
-      val jac = "cast(i AS double)/(na + nb - i)"
-      s"""WITH s AS (SELECT doc_id, $spanShinglesSql AS sh FROM documents),
-         |tok AS (SELECT doc_id, unnest(sh) AS t FROM s),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id),
-         |v AS (SELECT c.id_a, c.id_b,
-         |        len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS i,
-         |        len(sa.sh) AS na, len(sb.sh) AS nb
-         |      FROM cand c JOIN s sa ON sa.doc_id = c.id_a
-         |                  JOIN s sb ON sb.doc_id = c.id_b)
+      val (ctes, jac) = prefixTruthCtes
+      s"""WITH $ctes
          |SELECT id_a, id_b, ${rs(jac, 6)} AS jaccard
          |FROM v WHERE ${rs(jac, 6)} >= 0.6""".stripMargin
     },
@@ -3097,17 +3115,8 @@ object PipelineQueries {
     // (the q_prefix_join oracle's construction); the funnel re-derived
     // through the n=8 band chain — same signature algebra as q_lsh_pairs
     "q_lsh_recall" -> {
-      val jac = "cast(i AS double)/(na + nb - i)"
-      s"""WITH s AS (SELECT doc_id, $spanShinglesSql AS sh FROM documents),
-         |tok AS (SELECT doc_id, unnest(sh) AS t FROM s),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM tok a JOIN tok b ON a.t = b.t
-         |           AND a.doc_id < b.doc_id),
-         |v AS (SELECT c.id_a, c.id_b,
-         |        len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS i,
-         |        len(sa.sh) AS na, len(sb.sh) AS nb
-         |      FROM cand c JOIN s sa ON sa.doc_id = c.id_a
-         |                  JOIN s sb ON sb.doc_id = c.id_b),
+      val (ctes, jac) = prefixTruthCtes
+      s"""WITH $ctes,
          |truth AS (SELECT id_a, id_b FROM v WHERE ${rs(jac, 6)} >= 0.6),
          |${bandsChain(spanShinglesSql, "l")},
          |lshp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -419,8 +419,9 @@ class PlanAuditSpec extends SparkSpec {
       "combine the three 1-row aggregates") {
     val p = plan("q_lsh_recall")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
-    // the funnel's candidate join keys on the band, hash-based
-    assert("Join \\[band_idx#".r.findFirstIn(p).isDefined, p)
+    // truth and funnel sides sit behind stage barriers (the band
+    // equi-join's own shape is pinned by the q_lsh_pairs audit above)
+    assert(p.contains("Scan ExistingRDD"), s"lost the stage barriers:\n$p")
     // the only nested loops are the scalar (count-row × count-row)
     // crossJoins assembling the single output row — every one sits
     // directly above single-partition aggregates, never corpus rows

@@ -163,7 +163,12 @@ class StatefulOpsSpec extends SparkSpec {
     val all = graft.util.Tables.events(spark, d)
       .select($"event_id", $"user_id", $"ts", $"value")
       .as[StatefulOps.EventPoint].collect()
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      // MICROSECOND order — the same key the processor and the batch
+      // query sort by; ms-truncated getTime could split a same-ms pair
+      // across slices against its micros order, violating the in-order
+      // cross-batch contract the parity claim assumes
+      .sortBy(e => (e.ts.toInstant.getEpochSecond * 1000000L +
+        e.ts.getNanos / 1000L, e.event_id))
     val slices = all.grouped(math.max(1, all.length / 4 + 1)).toSeq
     val in = MemoryStream[StatefulOps.EventPoint]
     val q = StatefulOps.ewmaByKey(in.toDS())
