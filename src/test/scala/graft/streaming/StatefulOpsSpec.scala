@@ -152,6 +152,51 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaByKey state survives a checkpoint restart: stop mid-stream, " +
+      "restart from the checkpoint, outputs still equal batch q_ewma") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val all = graft.util.Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .as[StatefulOps.EventPoint].collect()
+      .sortBy(e => (e.ts.toInstant.getEpochSecond * 1000000L +
+        e.ts.getNanos / 1000L, e.event_id))
+    val (first, second) = all.splitAt(all.length / 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ewma_ckpt").toString
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Double)]()
+    def start(in: MemoryStream[StatefulOps.EventPoint]) =
+      StatefulOps.ewmaByKey(in.toDS())
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            StatefulOps.EwmaPoint], _: Long) =>
+          df.collect().foreach(p =>
+            got.add((p.event_id, p.user_id, p.ewma)))
+        }
+        .outputMode("append").start()
+    val in = MemoryStream[StatefulOps.EventPoint]
+    val q1 = start(in)
+    in.addData(first.toIndexedSeq)
+    q1.processAllAvailable()
+    q1.stop() // mid-stream shutdown: per-user trailing windows live in
+              // the checkpointed state store, not the JVM
+    val q2 = start(in)
+    in.addData(second.toIndexedSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val batch = graft.SparkEntry.queries("q_ewma")(spark, d)
+      .as[(Long, Long, Double)].collect().toSet
+    val streamed = {
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    assert(streamed.size == all.length)
+    assert(streamed == batch,
+      s"restart changed results: diff=${(streamed diff batch).take(5)} " +
+        s"/ ${(batch diff streamed).take(5)}")
+  }
+
   test("ewmaByKey parity: the streaming update stream equals batch " +
       "q_ewma bit-for-bit on the same events") {
     implicit val sqlCtx = spark.sqlContext
