@@ -211,6 +211,20 @@ object RelationalQueries {
       events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
+    // Spark 4 VARIANT shredding: parse the JSON props column ONCE into
+    // the binary VARIANT encoding, then typed-path extraction feeding a
+    // grouped rollup — the open-table-format semi-structured pattern
+    // (shred at ingest, type at query). Unlike q_json_extract's
+    // per-access string parse, variant_get walks the pre-parsed binary.
+    "q_variant_shred" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))),
+
     // explicit GROUPING SETS with grouping_id — the general form rollup/
     // cube specialize; identical SQL runs on both engines (spark.sql
     // entry path over a registered view)
@@ -979,6 +993,16 @@ object RelationalQueries {
     "q_json_extract" ->
       ("SELECT event_id, cast(json_extract_string(props, '$.k') AS int) " +
         "AS k FROM events"),
+
+    "q_variant_shred" ->
+      ("""SELECT event_type, cast(count(*) AS bigint) AS n,
+         |  cast(sum(cast(json_extract_string(props, '$.k') AS int))
+         |    AS bigint) AS k_sum,
+         |  cast(min(cast(json_extract_string(props, '$.k') AS int))
+         |    AS int) AS k_min,
+         |  cast(max(cast(json_extract_string(props, '$.k') AS int))
+         |    AS int) AS k_max
+         |FROM events GROUP BY 1""").stripMargin,
 
     "q_scalar_funcs" ->
       (s"""SELECT event_id,
