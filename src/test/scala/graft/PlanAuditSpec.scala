@@ -388,18 +388,27 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_prefix_join: equi-joined candidates off one shingle barrier, " +
-      "never all-pairs") {
-    val p = plan("q_prefix_join")
-    // the AllPairs guarantee: candidates come from an equi join on the
-    // prefix token — a cartesian/nested-loop anywhere is the all-pairs
-    // collapse the prefix filter exists to avoid
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoop"), s"all-pairs join:\n$p")
+      "never all-pairs; consumers read the session memo") {
+    // the UNDERLYING pair computation (what the memo lands once per
+    // session): candidates from an equi join on the prefix token — a
+    // cartesian/nested-loop anywhere is the all-pairs collapse the
+    // prefix filter exists to avoid
+    val inner = graft.queries.PipelineQueries
+      .prefixJoinPairsForAudit(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!inner.contains("CartesianProduct") &&
+      !inner.contains("BroadcastNestedLoop"), s"all-pairs join:\n$inner")
     // shingle arrays materialize once behind the barrier; rank, verify-a
     // and verify-b all read it instead of re-scanning documents
-    assert(p.contains("Scan ExistingRDD"), s"lost the shingle barrier:\n$p")
-    assert(!p.contains("documents.parquet"),
-      s"re-scans documents around the barrier:\n$p")
+    assert(inner.contains("Scan ExistingRDD"),
+      s"lost the shingle barrier:\n$inner")
+    assert(!inner.contains("documents.parquet"),
+      s"re-scans documents around the barrier:\n$inner")
+    // the exposed query serves the memoized parquet landing: a plain
+    // file scan of the artifact, never a recompute per consumer
+    val p = plan("q_prefix_join")
+    assert(p.contains("prefix_pairs-") && !p.contains("documents.parquet"),
+      s"not serving the session memo:\n$p")
   }
 
   test("q_source_overlap: exchanges carry span digests, never raw spans") {
