@@ -1,0 +1,58 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, SparkEntry}
+
+/** Automated decade invariants for the document families, built on
+  * [[graft.ScaleCorpus]]'s construction: replica 0 is the source corpus
+  * verbatim and replica r>0 token-prefixes every word, so per-replica
+  * structure (shingle-set sizes, Jaccard values, per-source span sets,
+  * token-count distributions) is PRESERVED while nothing is shared
+  * across replicas. Exact consequences a correct implementation must
+  * reproduce — and a scale-dependent bug (a pinned threshold, a
+  * candidate set that leaks across replicas, an order-sensitive float)
+  * cannot:
+  *
+  *  - exact-pair count at ×N = N × the sf0.1 count (q_prefix_join);
+  *  - per-source-pair shared-span counts at ×N = N × sf0.1's matrix
+  *    (sources repeat across replicas, spans never do);
+  *
+  * Cancels (not fails) when the ScaleCorpus dir is absent — the same
+  * contract as AnnTriScaleSpec.
+  */
+class DocScaleSpec extends SparkSpec {
+  private val base = "/root/testdata/sf0.1"
+  private val sfx1 = sys.env.getOrElse("GRAFT_SFX1_DIR", "/tmp/graft_sfx1")
+
+  private def requireCorpus(): Long = {
+    assume(new java.io.File(s"$sfx1/documents.parquet").exists(),
+      s"decade gate needs the ScaleCorpus dir at $sfx1")
+    val nBase = spark.read.parquet(s"$base/documents.parquet").count()
+    val nBig = spark.read.parquet(s"$sfx1/documents.parquet").count()
+    assume(nBase > 0 && nBig % nBase == 0 && nBig > nBase,
+      s"$sfx1 is not an integer replication of $base ($nBig vs $nBase)")
+    nBig / nBase
+  }
+
+  test("exact near-dup pairs scale exactly xN across the decade") {
+    val n = requireCorpus()
+    val basePairs = SparkEntry.queries("q_prefix_join")(spark, base).count()
+    val bigPairs = SparkEntry.queries("q_prefix_join")(spark, sfx1).count()
+    assert(basePairs > 0)
+    assert(bigPairs == n * basePairs,
+      s"expected ${n}x$basePairs pairs at the decade, got $bigPairs — " +
+        "candidates leak across replicas or a threshold is scale-pinned")
+  }
+
+  test("the cross-source span matrix scales exactly xN per source pair") {
+    val n = requireCorpus()
+    val b = SparkEntry.queries("q_source_overlap")(spark, base)
+      .withColumn("n_shared", col("n_shared") * n)
+    val big = SparkEntry.queries("q_source_overlap")(spark, sfx1)
+    assert(b.count() > 0)
+    // exact frame equality both directions (source pairs AND counts)
+    assert(big.exceptAll(b).isEmpty && b.exceptAll(big).isEmpty,
+      s"matrix diverged: extra=${big.exceptAll(b).take(3).toSeq} " +
+        s"missing=${b.exceptAll(big).take(3).toSeq}")
+  }
+}
