@@ -211,6 +211,23 @@ object RelationalQueries {
       events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
+    // Spark 4 collations: case-insensitive grouping through the
+    // UTF8_LCASE collation — the engine-level alternative to lower()
+    // normalization (collation-aware comparators reach codegen'd
+    // hash/sort operators; no per-row lowercased copy of the column).
+    // Mixed-case input synthesized in-query (the url_canon recipe) so
+    // real case collisions exist and the oracle sees identical bytes.
+    "q_collated_group" -> ((s, d) =>
+      events(s, d)
+        .select(when(col("event_id") % 2 === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("et"), col("value"))
+        .groupBy(expr("collate(et, 'UTF8_LCASE')").as("et_ci"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("v_cents")) // integerize per row,
+                                                  // THEN the exact sum
+        .select(expr("cast(lower(et_ci) as string collate UTF8_BINARY)")
+          .as("event_type"), col("n"), col("v_cents"))),
+
     // Spark 4 VARIANT shredding: parse the JSON props column ONCE into
     // the binary VARIANT encoding, then typed-path extraction feeding a
     // grouped rollup — the open-table-format semi-structured pattern
@@ -993,6 +1010,15 @@ object RelationalQueries {
     "q_json_extract" ->
       ("SELECT event_id, cast(json_extract_string(props, '$.k') AS int) " +
         "AS k FROM events"),
+
+    "q_collated_group" ->
+      ("""WITH m AS (SELECT CASE WHEN event_id % 2 = 0
+         |    THEN upper(event_type) ELSE event_type END AS et, value
+         |  FROM events)
+         |SELECT lower(et) AS event_type, cast(count(*) AS bigint) AS n,
+         |  cast(sum(cast(floor(value*100 + 0.5) AS bigint)) AS bigint)
+         |    AS v_cents
+         |FROM m GROUP BY 1""").stripMargin,
 
     "q_variant_shred" ->
       ("""SELECT event_type, cast(count(*) AS bigint) AS n,
