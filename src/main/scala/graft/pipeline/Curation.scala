@@ -59,6 +59,63 @@ object Curation {
         .otherwise(lit(Array.empty[Long]))))
   }
 
+  /** Temperature-resampled mix (the multilingual-LM α-sampling knob at
+    * α=0.5): per-stratum weights n_s^α flatten the stratum distribution
+    * and a corpus-derived budget T = n_all/2 is apportioned by exact
+    * largest-remainder (Hamilton) integer algebra — sqrt is integerized
+    * to micro-units first, and IEEE sqrt is correctly rounded, so any
+    * engine integerizes the same double. The sample itself is drawn per
+    * stratum by deterministic md5 rank (no rand(), retry-stable).
+    *
+    * A stratum whose allocation EXCEEDS its row count — the skewed-corpus
+    * case α-sampling exists for — is oversampled by repetition: every row
+    * repeats `alloc div n` full passes and the first `alloc mod n` rows
+    * (in md5-rank order) once more, so the output has exactly `alloc`
+    * rows per stratum with `pick_rank` spanning 1..alloc contiguously
+    * (pick_rank = (pass-1)·n + rank, a bijection onto 1..alloc). When
+    * alloc ≤ n this degenerates to the plain rank filter.
+    *
+    * Scale shape: only the stratum-sized alloc table touches windows
+    * over lit(1); the corpus pass is one per-stratum rank plus a narrow
+    * generate for the repeated passes — no all-corpus window, no rand().
+    */
+  def temperatureMix(df: DataFrame, keyName: String,
+      stratumName: String): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    val ord = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col(stratumName).asc)
+    val alloc = df.groupBy(col(stratumName))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        floor(sqrt(col("n").cast("double")) * 1e6 + 0.5).cast("long"))
+      .withColumn("w_all", sum(col("w")).over(wAll))
+      .withColumn("n_all", sum(col("n")).over(wAll))
+      .withColumn("t_total", expr("n_all div 2"))
+      .withColumn("base", expr("(t_total * w) div w_all"))
+      .withColumn("rem",
+        col("t_total") * col("w") - col("base") * col("w_all"))
+      .withColumn("leftover",
+        col("t_total") - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(ord))
+      .select(col(stratumName), col("n"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+    val pick = Window.partitionBy(col(stratumName))
+      .orderBy(md5(col(keyName).cast("string")), col(keyName))
+    df.select(col(keyName), col(stratumName))
+      .withColumn("prk", row_number().over(pick))
+      .join(alloc, stratumName)
+      .withColumn("copies",
+        expr("alloc div n") +
+          when(col("prk") <= expr("alloc % n"), 1L).otherwise(0L))
+      // sequence(1, 0) is DESCENDING in Spark — drop copies=0 rows first
+      .filter(col("copies") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("copies"))))
+      .select(col(stratumName), col(keyName),
+        ((col("copy") - 1L) * col("n") + col("prk")).cast("long")
+          .as("pick_rank"))
+  }
+
   /** Sequence packing: concatenate documents in `order` within each
     * `shard`, cut the token stream at `capacity` boundaries, and label
     * each document with the bin its first token lands in — the

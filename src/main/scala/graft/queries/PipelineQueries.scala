@@ -1911,44 +1911,15 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("copy"))),
 
     // Temperature-resampled mix (the multilingual-LM α-sampling knob,
-    // α=0.5): per-source weights n_s^α flatten the source distribution,
-    // a corpus-derived budget T = total/2 is apportioned by the exact
-    // largest-remainder (Hamilton) integer algebra of q_token_budget —
-    // sqrt integerized to micro-units first; IEEE sqrt is correctly
-    // rounded, so both engines integerize the same double — and the
-    // ACTUAL sample is drawn per source by deterministic md5 rank (no
-    // rand(), retry-stable). Only the source-sized alloc table touches
-    // windows over lit(1); the corpus pass is one per-source rank.
-    "q_temperature_mix" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wAll = Window.partitionBy(lit(1))
-      val ord = Window.partitionBy(lit(1))
-        .orderBy(col("rem").desc, col("source").asc)
-      val alloc = documents(s, d).groupBy(col("source"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("w",
-          floor(sqrt(col("n").cast("double")) * 1e6 + 0.5).cast("long"))
-        .withColumn("w_all", sum(col("w")).over(wAll))
-        .withColumn("n_all", sum(col("n")).over(wAll))
-        .withColumn("t_total", expr("n_all div 2"))
-        .withColumn("base", expr("(t_total * w) div w_all"))
-        .withColumn("rem",
-          col("t_total") * col("w") - col("base") * col("w_all"))
-        .withColumn("leftover",
-          col("t_total") - sum(col("base")).over(wAll))
-        .withColumn("rk", row_number().over(ord))
-        .select(col("source"),
-          (col("base") + when(col("rk") <= col("leftover"), 1L)
-            .otherwise(0L)).as("alloc"))
-      val pick = Window.partitionBy(col("source"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      parallelize(documents(s, d)).select(col("doc_id"), col("source"))
-        .withColumn("prk", row_number().over(pick))
-        .join(alloc, "source")
-        .filter(col("prk") <= col("alloc"))
-        .select(col("source"), col("doc_id"),
-          col("prk").cast("long").as("pick_rank"))
-    }),
+    // α=0.5): Hamilton-apportioned budget, per-source md5-rank draw,
+    // and oversampling by repetition when a small source's allocation
+    // exceeds its row count — see Curation.temperatureMix. On the
+    // uniform fixture every alloc < n, so pick_rank ≡ prk (the skew
+    // branch is exercised by CurationSpec on a 100:1 corpus).
+    "q_temperature_mix" -> ((s, d) =>
+      graft.pipeline.Curation.temperatureMix(
+        parallelize(documents(s, d)).select(col("doc_id"), col("source")),
+        "doc_id", "source")),
 
     // Sequence packing: concatenate each source's docs in doc_id order,
     // cut into 2048-token context bins, report per-bin fill — packing
@@ -4192,7 +4163,7 @@ object PipelineQueries {
          |        cast(sum(w) OVER () AS bigint) AS w_all,
          |        cast(sum(n) OVER () AS bigint) // 2 AS t_total
          |      FROM w),
-         |a AS (SELECT source, w, w_all, t_total,
+         |a AS (SELECT source, n, w, w_all, t_total,
          |        (t_total * w) // w_all AS base,
          |        t_total*w - ((t_total * w) // w_all)*w_all AS rem
          |      FROM t),
@@ -4200,16 +4171,25 @@ object PipelineQueries {
          |        t_total - cast(sum(base) OVER () AS bigint) AS leftover,
          |        row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
          |      FROM a),
-         |alloc AS (SELECT source,
+         |alloc AS (SELECT source, n,
          |            base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
          |              AS alloc
          |          FROM l),
          |p AS (SELECT doc_id, source,
          |        row_number() OVER (PARTITION BY source
          |          ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS prk
-         |      FROM documents)
-         |SELECT p.source, p.doc_id, cast(prk AS bigint) AS pick_rank
-         |FROM p JOIN alloc USING (source) WHERE prk <= alloc""")
+         |      FROM documents),
+         |j AS (SELECT p.source, p.doc_id, p.prk, alloc.n,
+         |        alloc.alloc // alloc.n
+         |          + CASE WHEN p.prk <= alloc.alloc % alloc.n
+         |                 THEN 1 ELSE 0 END AS copies
+         |      FROM p JOIN alloc USING (source)),
+         |e AS (SELECT source, doc_id, prk, n,
+         |        unnest(generate_series(1, copies)) AS copy
+         |      FROM j)
+         |SELECT source, doc_id,
+         |       cast((copy - 1) * n + prk AS bigint) AS pick_rank
+         |FROM e""")
         .stripMargin,
 
     "q_seq_packing" ->

@@ -46,13 +46,17 @@ class DocScaleSpec extends SparkSpec {
 
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
+    // the matrix is source-pair-sized — collect once and compare sets,
+    // rather than 4 exceptAll jobs re-running the shingle self-join
     val b = SparkEntry.queries("q_source_overlap")(spark, base)
       .withColumn("n_shared", col("n_shared") * n)
+      .collect().map(_.toSeq).toSet
     val big = SparkEntry.queries("q_source_overlap")(spark, sfx1)
-    assert(b.count() > 0)
+      .collect().map(_.toSeq).toSet
+    assert(b.nonEmpty)
     // exact frame equality both directions (source pairs AND counts)
-    assert(big.exceptAll(b).isEmpty && b.exceptAll(big).isEmpty,
-      s"matrix diverged: extra=${big.exceptAll(b).take(3).toSeq} " +
-        s"missing=${b.exceptAll(big).take(3).toSeq}")
+    assert(big == b,
+      s"matrix diverged: extra=${(big -- b).take(3)} " +
+        s"missing=${(b -- big).take(3)}")
   }
 }

@@ -46,6 +46,30 @@ class CurationSpec extends SparkSpec {
       (9L, 0L, 0L), (10L, 11L, 2L)))
   }
 
+  test("temperatureMix: skewed corpus oversamples the small source by " +
+      "repetition, exactly filling the Hamilton allocation") {
+    // 100:1 skew — the case α=0.5 flattening exists for. n_all=2020,
+    // T=1010; w_small=floor(sqrt(20)e6+.5)=4472136, w_big=44721360,
+    // w_all=49193496; base 91/918, leftover 1 goes to small (larger
+    // remainder) → alloc small=92 (4.6× its 20 rows), big=918.
+    val df = ((0L until 2000L).map(i => (i, "big")) ++
+      (10000L until 10020L).map(i => (i, "small"))).toDF("id", "source")
+    val out = Curation.temperatureMix(df, "id", "source")
+      .select($"source", $"id", $"pick_rank").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(out.size == 1010)
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc("small").size == 92 && bySrc("big").size == 918)
+    // pick_rank is a bijection onto 1..alloc within each source
+    assert(bySrc("small").map(_._3).sorted == (1L to 92L))
+    assert(bySrc("big").map(_._3).sorted == (1L to 918L))
+    // small source repeats: 92 = 4 full passes + 12 extras, so every
+    // doc appears 4 or 5 times; big is a plain subsample (once each)
+    val smallCopies = bySrc("small").groupBy(_._2).map(_._2.size).toSet
+    assert(smallCopies == Set(4, 5))
+    assert(bySrc("big").groupBy(_._2).forall(_._2.size == 1))
+  }
+
   test("curation funnel: reliable-storage barriers match localCheckpoint " +
       "and land stage parquet") {
     // the cluster configuration: spark.graft.materializeDir routes every
