@@ -1471,6 +1471,54 @@ object PipelineQueries {
               x => x.getField("line")), " ").as("clean_text"))
     }),
 
+    // ExactSubstr-style duplicated-span report via content-defined
+    // chunking (Lee et al., "Deduplicating Training Data Makes LMs
+    // Better"): a Karp–Rabin rolling hash cuts each doc at content-
+    // determined anchors (CdcChunksExpr — identical substrings yield
+    // identical interior chunks at ANY offset, which fixed-stride
+    // windows can't), chunk digests are counted corpus-wide, and runs
+    // of duplicated chunks merge gaps-and-islands style into maximal
+    // duplicated spans (≥48 chars reported). Scale shape follows
+    // q_span_dedup: only 128-bit md5 digests key the occurrence
+    // groupBy and the shuffle-hash join-back (never chunk text), the
+    // islands window partitions by doc_id, and the chunking itself is
+    // one codegen'd pass per doc — the same construction (CDC + digest
+    // count) production dedup runs at petabyte scale.
+    "q_substring_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val minSpan = 48L
+      val chunks = parallelize(documents(s, d))
+        .select(col("doc_id"),
+          posexplode(graft.functions.CdcExprs
+            .cdcChunks(col("text"), 8, 131L, 32L)))
+        .select(col("doc_id"), col("pos").as("ord"),
+          length(col("col.chunk")).cast("long").as("clen"),
+          md5(col("col.chunk")).as("k"))
+      val occ = chunks.groupBy(col("k")).agg(count(lit(1)).as("occ"))
+      // occ is corpus-sized (one row per distinct chunk): shuffle-hash
+      // co-partitioned on the digest, never broadcast
+      val j = chunks.join(occ.hint("shuffle_hash"), "k")
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
+      val spans = j.filter(col("occ") >= 2)
+        .withColumn("island", col("ord") - row_number().over(wDoc))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(sum(col("clen")).as("span_len"))
+        .filter(col("span_len") >= minSpan)
+      val tot = j.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(col("clen")).as("total_chars"))
+      val sp = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_len")).as("removed_chars"))
+      tot.join(sp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+          (col("total_chars") - coalesce(col("removed_chars"), lit(0L)))
+            .as("clean_chars"))
+    }),
+
     // Bigram language-model quality score: per-doc average negative
     // log-likelihood under the corpus's own bigram LM (the classic
     // perplexity-style quality signal; high avg_nll = unusual token
@@ -3526,6 +3574,59 @@ object PipelineQueries {
         |  coalesce(kept.n_kept, 0) AS n_kept,
         |  coalesce(kept.clean_text, '') AS clean_text
         |FROM tot LEFT JOIN kept USING (doc_id)""".stripMargin,
+
+    // CDC substring dedup: the per-position window polynomial
+    // Σ code·131^k (exact BIGINT — 131^7·121·8 ≈ 8.1e16 < 2^63)
+    // reproduces every content-defined cut the one-pass Spark
+    // expression emits, then the same digest-count / islands algebra
+    "q_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+        |pos AS (SELECT doc_id, text, n, unnest(range(7, n)) AS i FROM d),
+        |hp AS (SELECT doc_id, i + 1 AS cut FROM pos
+        |       WHERE i + 1 < n AND (
+        |         cast(ord(substring(text, i-6, 1)) AS bigint)*662062621900811 +
+        |         cast(ord(substring(text, i-5, 1)) AS bigint)*5053913144281 +
+        |         cast(ord(substring(text, i-4, 1)) AS bigint)*38579489651 +
+        |         cast(ord(substring(text, i-3, 1)) AS bigint)*294499921 +
+        |         cast(ord(substring(text, i-2, 1)) AS bigint)*2248091 +
+        |         cast(ord(substring(text, i-1, 1)) AS bigint)*17161 +
+        |         ord(substring(text, i,   1))*131 +
+        |         cast(ord(substring(text, i+1, 1)) AS bigint)) % 32 = 0),
+        |cuts AS (SELECT doc_id, list_sort(list(cut)) AS cuts
+        |         FROM hp GROUP BY 1),
+        |st AS (SELECT d.doc_id, d.text, d.n,
+        |         [0] || coalesce(c.cuts, []) AS starts
+        |       FROM d LEFT JOIN cuts c USING (doc_id)),
+        |chx AS (SELECT doc_id, text, n, starts,
+        |          unnest(range(len(starts))) AS ord FROM st),
+        |ch AS (SELECT doc_id, ord,
+        |         cast(coalesce(starts[ord+2], n) - starts[ord+1]
+        |           AS bigint) AS clen,
+        |         md5(substring(text, starts[ord+1] + 1,
+        |           coalesce(starts[ord+2], n) - starts[ord+1])) AS k
+        |       FROM chx),
+        |occ AS (SELECT k, count(*) AS occ FROM ch GROUP BY 1),
+        |j AS (SELECT ch.*, occ.occ FROM ch JOIN occ USING (k)),
+        |isl AS (SELECT doc_id, ord, clen,
+        |          ord - row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY ord) AS island
+        |        FROM j WHERE occ >= 2),
+        |sp AS (SELECT doc_id, island,
+        |         cast(sum(clen) AS bigint) AS span_len
+        |       FROM isl GROUP BY 1, 2 HAVING sum(clen) >= 48),
+        |tot AS (SELECT doc_id, cast(count(*) AS bigint) AS n_chunks,
+        |          cast(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+        |            AS bigint) AS n_dup_chunks,
+        |          cast(sum(clen) AS bigint) AS total_chars
+        |        FROM j GROUP BY 1),
+        |spa AS (SELECT doc_id, cast(count(*) AS bigint) AS n_spans,
+        |          cast(sum(span_len) AS bigint) AS removed_chars
+        |        FROM sp GROUP BY 1)
+        |SELECT t.doc_id, t.n_chunks, t.n_dup_chunks,
+        |  coalesce(s.n_spans, 0) AS n_spans,
+        |  coalesce(s.removed_chars, 0) AS removed_chars,
+        |  t.total_chars - coalesce(s.removed_chars, 0) AS clean_chars
+        |FROM tot t LEFT JOIN spa s USING (doc_id)""".stripMargin,
 
     // bigram-LM NLL: same per-doc-first aggregation tree; the per-bigram
     // surprise is integerized to micro-nats (exact BIGINT) before any

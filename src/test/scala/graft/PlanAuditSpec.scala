@@ -107,6 +107,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), s"counts side not shuffled:\n$p")
   }
 
+  test("q_substring_dedup: exchanges carry md5 digests, never chunk text") {
+    val p = plan("q_substring_dedup")
+    // CDC chunk text must never key a shuffle — only the 128-bit digest
+    // k and doc_id partition the exchanges (the q_span_dedup rule)
+    assert(!p.contains("hashpartitioning(chunk"),
+      s"raw-chunk shuffle key:\n$p")
+    assert(p.contains("hashpartitioning(k#"), p)
+    // the occurrence-count side (≈ one row per distinct chunk) is
+    // corpus-sized: co-partitioned shuffle-hash join, never broadcast
+    assert(p.contains("ShuffledHashJoin"), s"occ side not shuffled:\n$p")
+  }
+
   test("q_line_dedup: exchanges carry md5 digests, df side shuffle-hash") {
     val p = plan("q_line_dedup")
     // frequency groupBy and join-back key on the fixed-width digest —
