@@ -1519,6 +1519,48 @@ object PipelineQueries {
             .as("clean_chars"))
     }),
 
+    // ExactSubstr REMOVAL (the rewrite, where q_substring_dedup is the
+    // report): same CDC chunks / digest occurrence counts / islands,
+    // then each doc reassembled in chunk order WITHOUT the chunks of
+    // its ≥48-char duplicated spans. The islands + span lengths come
+    // from ONE doc_id-partitioned window pass (conditional running
+    // count → island id, island-partitioned sum → span length); the
+    // reassembly groups by doc_id, so the single text-bearing shuffle
+    // carries each chunk exactly once — corpus volume, the q_line_dedup
+    // rule.
+    "q_substring_scrub" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val minSpan = 48L
+      val chunks = parallelize(documents(s, d))
+        .select(col("doc_id"),
+          posexplode(graft.functions.CdcExprs
+            .cdcChunks(col("text"), 8, 131L, 32L)))
+        .select(col("doc_id"), col("pos").as("ord"),
+          col("col.chunk").as("chunk"),
+          length(col("col.chunk")).cast("long").as("clen"),
+          md5(col("col.chunk")).as("k"))
+      val occ = chunks.groupBy(col("k")).agg(count(lit(1)).as("occ"))
+      val j = chunks.join(occ.hint("shuffle_hash"), "k")
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wi = j.withColumn("island",
+        when(col("occ") >= 2, col("ord") -
+          sum(when(col("occ") >= 2, 1L).otherwise(0L)).over(wDoc)))
+      val flagged = wi.withColumn("span_len",
+          sum(col("clen")).over(
+            Window.partitionBy(col("doc_id"), col("island"))))
+        .withColumn("keep",
+          col("occ") < 2 || col("span_len") < minSpan)
+      flagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed_chunks"),
+          sum(when(col("keep"), 0L).otherwise(col("clen")))
+            .as("removed_chars"),
+          array_join(transform(array_sort(collect_list(
+            when(col("keep"), struct(col("ord"), col("chunk"))))),
+            x => x.getField("chunk")), "").as("clean_text"))
+    }),
+
     // Bigram language-model quality score: per-doc average negative
     // log-likelihood under the corpus's own bigram LM (the classic
     // perplexity-style quality signal; high avg_nll = unusual token
@@ -3627,6 +3669,57 @@ object PipelineQueries {
         |  coalesce(s.removed_chars, 0) AS removed_chars,
         |  t.total_chars - coalesce(s.removed_chars, 0) AS clean_chars
         |FROM tot t LEFT JOIN spa s USING (doc_id)""".stripMargin,
+
+    // CDC scrub: identical cut/digest/island algebra, then ordered
+    // reassembly of the kept chunks (string_agg skips the NULLs the
+    // CASE leaves for removed chunks — the q_line_dedup construction)
+    "q_substring_scrub" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+        |pos AS (SELECT doc_id, text, n, unnest(range(7, n)) AS i FROM d),
+        |hp AS (SELECT doc_id, i + 1 AS cut FROM pos
+        |       WHERE i + 1 < n AND (
+        |         cast(ord(substring(text, i-6, 1)) AS bigint)*662062621900811 +
+        |         cast(ord(substring(text, i-5, 1)) AS bigint)*5053913144281 +
+        |         cast(ord(substring(text, i-4, 1)) AS bigint)*38579489651 +
+        |         cast(ord(substring(text, i-3, 1)) AS bigint)*294499921 +
+        |         cast(ord(substring(text, i-2, 1)) AS bigint)*2248091 +
+        |         cast(ord(substring(text, i-1, 1)) AS bigint)*17161 +
+        |         cast(ord(substring(text, i,   1)) AS bigint)*131 +
+        |         cast(ord(substring(text, i+1, 1)) AS bigint)) % 32 = 0),
+        |cuts AS (SELECT doc_id, list_sort(list(cut)) AS cuts
+        |         FROM hp GROUP BY 1),
+        |st AS (SELECT d.doc_id, d.text, d.n,
+        |         [0] || coalesce(c.cuts, []) AS starts
+        |       FROM d LEFT JOIN cuts c USING (doc_id)),
+        |chx AS (SELECT doc_id, text, n, starts,
+        |          unnest(range(len(starts))) AS ord FROM st),
+        |ch AS (SELECT doc_id, ord,
+        |         cast(coalesce(starts[ord+2], n) - starts[ord+1]
+        |           AS bigint) AS clen,
+        |         substring(text, starts[ord+1] + 1,
+        |           coalesce(starts[ord+2], n) - starts[ord+1]) AS chunk
+        |       FROM chx),
+        |occ AS (SELECT md5(chunk) AS k, count(*) AS occ
+        |        FROM ch GROUP BY 1),
+        |j AS (SELECT ch.*, occ.occ FROM ch
+        |      JOIN occ ON md5(ch.chunk) = occ.k),
+        |w AS (SELECT *, CASE WHEN occ >= 2 THEN ord -
+        |         sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY ord
+        |                 ROWS UNBOUNDED PRECEDING) END AS island
+        |      FROM j),
+        |f AS (SELECT *, sum(clen)
+        |         OVER (PARTITION BY doc_id, island) AS span_len
+        |      FROM w),
+        |kp AS (SELECT *, (occ < 2 OR span_len < 48) AS keep FROM f)
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_chunks,
+        |  cast(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS bigint)
+        |    AS n_removed_chunks,
+        |  cast(sum(CASE WHEN keep THEN 0 ELSE clen END) AS bigint)
+        |    AS removed_chars,
+        |  coalesce(string_agg(CASE WHEN keep THEN chunk END, ''
+        |    ORDER BY ord), '') AS clean_text
+        |FROM kp GROUP BY 1""".stripMargin,
 
     // bigram-LM NLL: same per-doc-first aggregation tree; the per-bigram
     // surprise is integerized to micro-nats (exact BIGINT) before any

@@ -32,6 +32,27 @@ class QueryInvariantsSpec extends SparkSpec {
     })
   }
 
+  test("q_substring_dedup ≡ q_substring_scrub: report and rewrite agree " +
+      "doc by doc, and the rewrite's text length proves it") {
+    val rep = rows("q_substring_dedup")
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("removed_chars"), x.getAs[Long]("clean_chars"),
+          x.getAs[Long]("n_chunks"))).toMap
+    val scr = rows("q_substring_scrub")
+    assert(scr.nonEmpty && scr.size == rep.size)
+    scr.foreach { x =>
+      val (removed, clean, nChunks) = rep(x.getAs[Long]("doc_id"))
+      assert(x.getAs[Long]("removed_chars") == removed)
+      assert(x.getAs[Long]("n_chunks") == nChunks)
+      // the rewrite really removed exactly the reported spans
+      assert(x.getAs[String]("clean_text").length.toLong == clean)
+    }
+    // the fixture exercises both branches: some doc loses a span,
+    // most docs keep everything
+    assert(scr.exists(_.getAs[Long]("removed_chars") > 0))
+    assert(scr.exists(_.getAs[Long]("removed_chars") == 0))
+  }
+
   test("q_sample_quantiles: estimates live inside the sampled order " +
       "statistics and equal the exact report when the sample is the " +
       "whole group") {
