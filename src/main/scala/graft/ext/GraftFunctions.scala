@@ -5,13 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BpeCountExpr, CmsSketchExpr, CosineSim, DotProduct, KmvSketchExpr, LangIdExpr, NormL2, RollingFpExpr, TokenSetCount, VecMeanExpr}
+import graft.functions.{BpeCountExpr, CdcChunksExpr, CmsSketchExpr, CosineSim, DotProduct, KmvSketchExpr, LangIdExpr, NormL2, RollingFpExpr, TokenSetCount, VecMeanExpr}
 import graft.text.TextAnalysis
 
 /** SQL surface for the native expressions: `graft_dot`, `graft_cosine`,
   * `graft_norm`, `graft_lang_id`, `graft_rolling_fp`,
-  * `graft_bpe_count`, `graft_stopword_count`, and the `graft_vec_mean`
-  * aggregate become callable from `spark.sql(...)`.
+  * `graft_bpe_count`, `graft_stopword_count`, `graft_cdc_chunks`, and
+  * the `graft_vec_mean`/`graft_kmv`/`graft_cms`/`graft_hash_sample`
+  * aggregates become callable from `spark.sql(...)`.
   *
   * Two registration paths:
   *  - new sessions: `.config("spark.sql.extensions",
@@ -78,6 +79,15 @@ object GraftFunctions {
         c(1).eval().asInstanceOf[Number].intValue(),
         c(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()),
+    (FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunksExpr].getCanonicalName,
+        "graft_cdc_chunks"),
+      // window / base / cut-modulus are plan-time literals, like
+      // graft_kmv's k
+      (c: Seq[Expression]) => CdcChunksExpr(c(0),
+        c(1).eval().asInstanceOf[Number].intValue(),
+        c(2).eval().asInstanceOf[Number].longValue(),
+        c(3).eval().asInstanceOf[Number].longValue())),
     (FunctionIdentifier("graft_hash_sample"),
       new ExpressionInfo(
         classOf[graft.functions.HashSampleExpr].getCanonicalName,

@@ -67,6 +67,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(grid.slice(0, 8).sum == 3 && grid.slice(8, 16).sum == 3)
   }
 
+  test("graft_cdc_chunks SQL function: tiles the input, plan-time params") {
+    GraftFunctions.register(spark)
+    val ch = spark.sql(
+      "SELECT graft_cdc_chunks('the quick brown fox jumps over the " +
+        "lazy dog and keeps on running', 8, 131, 32) AS c")
+      .selectExpr("transform(c, x -> x.chunk) AS parts",
+        "transform(c, x -> x.start) AS starts")
+      .as[(Seq[String], Seq[Int])].head()
+    assert(ch._1.mkString == "the quick brown fox jumps over the lazy " +
+      "dog and keeps on running")
+    assert(ch._2.head == 0 &&
+      ch._2 == ch._1.map(_.length).scanLeft(0)(_ + _).dropRight(1))
+  }
+
   test("extensions class injects the same function descriptions") {
     // the extensions path is exercised structurally (a fresh session per
     // suite would need its own SparkContext); descriptions must be
@@ -75,7 +89,7 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(names == Seq("graft_dot", "graft_cosine", "graft_norm",
       "graft_lang_id", "graft_rolling_fp", "graft_bpe_count",
       "graft_stopword_count", "graft_vec_mean", "graft_kmv",
-      "graft_cms", "graft_hash_sample"))
+      "graft_cms", "graft_cdc_chunks", "graft_hash_sample"))
     assert(names.distinct.size == names.size)
     val ext = new GraftExtensions
     val se = new org.apache.spark.sql.SparkSessionExtensions
