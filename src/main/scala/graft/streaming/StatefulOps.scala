@@ -167,6 +167,49 @@ object StatefulOps {
     docs.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(digestCol)
 
+  final case class ChunkInstance(
+      ts: Timestamp, doc_id: Long, ord: Int, digest: String)
+
+  final case class ChunkVerdict(
+      doc_id: Long, ord: Int, digest: String, occurrence: Long)
+
+  final case class DigestCount(n: Long)
+
+  /** Streaming occurrence rank per content digest — the ONLINE form of
+    * q_substring_dedup's corpus-wide chunk occurrence count: each
+    * arriving chunk instance is assigned its 1-based occurrence index
+    * against everything the stream has seen so far (1 = novel content,
+    * ≥2 = repeats earlier stream content). This is the dedup-at-ingest
+    * semantic — a crawler flags repeated material the moment it
+    * arrives, instead of waiting for a retrospective batch pass.
+    *
+    * State per digest is ONE counter (not the instances), partitioned
+    * by the 128-bit digest exactly like the batch query's occurrence
+    * groupBy — the same fixed-width-key scale rule. Within a
+    * micro-batch the group re-sorts by (ts, doc_id, ord) so the rank
+    * is deterministic (the groupByKey shuffle has no order contract);
+    * cross-batch, arrival order is the stream contract.
+    */
+  def chunkOccurrence(chunks: Dataset[ChunkInstance])
+      : Dataset[ChunkVerdict] = {
+    import chunks.sparkSession.implicits._
+    chunks.groupByKey(_.digest)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+        (digest: String, rows: Iterator[ChunkInstance],
+         state: GroupState[DigestCount]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = rows.toVector
+            .sortBy(c => (c.ts.getTime, c.doc_id, c.ord))
+            .map { c =>
+              n += 1
+              ChunkVerdict(c.doc_id, c.ord, digest, n)
+            }
+          state.update(DigestCount(n))
+          out.iterator
+      }
+  }
+
   /** Stream-stream event-time interval join: each left event matched to
     * right events with the same key whose timestamp lies within
     * `[left.ts - lowerSec, left.ts + upperSec]`. Both sides carry

@@ -67,4 +67,60 @@ class StreamingCurationSpec extends SparkSpec {
       assert(streamed.map(_._2).toSet.subsetOf(Set(1L, 2L, 4L, 7L)))
     } finally q.stop()
   }
+
+  test("streaming CDC chunk occurrence == sequential replay; a block " +
+      "repeated across micro-batches is flagged from digest state") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    def txt(n: Int) = Seq.fill(n)((32 + rnd.nextInt(90)).toChar).mkString
+    val block = txt(240)
+    val rows = Seq(
+      (ts(10), 1L, txt(40) + block + txt(30)),   // block's first sighting
+      (ts(11), 2L, txt(300)),                    // unrelated
+      (ts(40), 3L, txt(90) + block + txt(10)),   // later batch, same block
+      (ts(41), 4L, txt(250)))
+    val (batch1, batch2) = rows.splitAt(2)
+
+    def chunked(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ts"), col("doc_id"),
+        posexplode(graft.functions.CdcExprs
+          .cdcChunks(col("text"), 8, 131L, 32L)))
+      .select(col("ts"), col("doc_id"), col("pos").cast("int").as("ord"),
+        md5(col("col.chunk")).as("digest"))
+      .as[StatefulOps.ChunkInstance]
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StatefulOps.chunkOccurrence(
+        chunked(in.toDF().toDF("ts", "doc_id", "text")))
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val got = spark.table("cdc_stream")
+        .select($"doc_id", $"ord", $"digest", $"occurrence")
+        .as[(Long, Int, String, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+      // sequential replay over the same (ts, doc_id, ord) order
+      val seen = scala.collection.mutable.Map[String, Long]()
+      val expect = chunked(rows.toDF("ts", "doc_id", "text"))
+        .collect().sortBy(c => (c.ts.getTime, c.doc_id, c.ord))
+        .map { c =>
+          val n = seen.getOrElse(c.digest, 0L) + 1
+          seen(c.digest) = n
+          (c.doc_id, c.ord) -> (c.digest, n)
+        }.toMap
+      assert(got == expect)
+      // doc 3's block-interior chunks repeat doc 1's across the batch
+      // boundary: digest state flagged them occurrence 2
+      val repeats = got.collect {
+        case ((3L, _), (dg, occ)) if occ >= 2L => dg }.toSet
+      assert(repeats.nonEmpty, "no cross-batch repeat flagged")
+      val doc1 = got.collect { case ((1L, _), (dg, _)) => dg }.toSet
+      assert(repeats.subsetOf(doc1))
+      // novel content stays occurrence 1
+      assert(got.collect { case ((2L, _), v) => v }.forall(_._2 == 1L))
+    } finally q.stop()
+  }
 }
