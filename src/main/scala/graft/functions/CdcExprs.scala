@@ -28,7 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * ASCII corpora hash identically to any chars-as-code-points engine;
   * non-BMP input would diverge from code-point engines (UTF-16 units)
-  * and is out of oracle scope.
+  * and is out of oracle scope. High UTF-16 code units can also wrap
+  * the int64 polynomial — Java wrap is deterministic, so the CHUNKING
+  * stays stable and content-defined either way; only the cross-engine
+  * oracle parity is ASCII-scoped.
   */
 object CdcExprs {
 
