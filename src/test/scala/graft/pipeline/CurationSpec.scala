@@ -70,6 +70,45 @@ class CurationSpec extends SparkSpec {
     assert(bySrc("big").groupBy(_._2).forall(_._2.size == 1))
   }
 
+  test("temperatureMix laws: exact Hamilton fill on random corpora " +
+      "(total = T, per-stratum count = alloc, pick_rank bijective)") {
+    val rnd = new scala.util.Random(2024)
+    for (c <- 1 to 5) {
+      val k = 2 + rnd.nextInt(4)
+      val sizes = Seq.tabulate(k)(i => s"s$i" -> (1 + rnd.nextInt(300)))
+      val rows = sizes.flatMap { case (s, n) =>
+        (0 until n).map(j =>
+          (c * 1000000L + s.drop(1).toLong * 10000L + j, s))
+      }
+      val out = Curation.temperatureMix(rows.toDF("id", "source"),
+          "id", "source")
+        .select($"source", $"pick_rank").as[(String, Long)].collect()
+
+      // independent Hamilton reference (same integer algebra, BigInt-
+      // free: every product bounded by T·w_all < 2^63 at these sizes)
+      val w = sizes.map { case (s, n) =>
+        s -> math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong }
+      val wAll = w.map(_._2).sum
+      val t = sizes.map(_._2.toLong).sum / 2
+      val base = w.map { case (s, ws) => (s, t * ws / wAll,
+        t * ws - (t * ws / wAll) * wAll) }
+      val leftover = t - base.map(_._2).sum
+      val ranked = base.sortBy { case (s, _, rem) => (-rem, s) }
+      val alloc = ranked.zipWithIndex.map { case ((s, b, _), i) =>
+        s -> (b + (if (i < leftover) 1L else 0L)) }.toMap
+
+      assert(out.length.toLong == t, s"case $c: ${out.length} != T=$t")
+      val bySrc = out.groupBy(_._1)
+      sizes.foreach { case (s, _) =>
+        val got = bySrc.get(s).map(_.length.toLong).getOrElse(0L)
+        assert(got == alloc(s), s"case $c stratum $s: $got != ${alloc(s)}")
+        if (got > 0)
+          assert(bySrc(s).map(_._2).sorted.toSeq == (1L to alloc(s)),
+            s"case $c stratum $s: pick_rank not bijective onto 1..alloc")
+      }
+    }
+  }
+
   test("curation funnel: reliable-storage barriers match localCheckpoint " +
       "and land stage parquet") {
     // the cluster configuration: spark.graft.materializeDir routes every
