@@ -84,10 +84,15 @@ object GraftFunctions {
         "graft_cdc_chunks"),
       // window / base / cut-modulus are plan-time literals, like
       // graft_kmv's k
-      (c: Seq[Expression]) => CdcChunksExpr(c(0),
-        c(1).eval().asInstanceOf[Number].intValue(),
-        c(2).eval().asInstanceOf[Number].longValue(),
-        c(3).eval().asInstanceOf[Number].longValue())),
+      (c: Seq[Expression]) => {
+        require(c.length == 4 && c.drop(1).forall(_.foldable),
+          "usage: graft_cdc_chunks(text, window, base, modulus) with " +
+            "literal window/base/modulus")
+        CdcChunksExpr(c(0),
+          c(1).eval().asInstanceOf[Number].intValue(),
+          c(2).eval().asInstanceOf[Number].longValue(),
+          c(3).eval().asInstanceOf[Number].longValue())
+      }),
     (FunctionIdentifier("graft_hash_sample"),
       new ExpressionInfo(
         classOf[graft.functions.HashSampleExpr].getCanonicalName,

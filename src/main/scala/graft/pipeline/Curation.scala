@@ -81,6 +81,18 @@ object Curation {
     */
   def temperatureMix(df: DataFrame, keyName: String,
       stratumName: String): DataFrame = {
+    // the construction builds these internally; a caller column with
+    // one of these names would collide in the alloc join — fail with
+    // the remedy instead of an ambiguous-attribute analysis error
+    val internal = Set("n", "w", "w_all", "n_all", "t_total", "base",
+      "rem", "leftover", "rk", "alloc", "prk", "copies", "copy",
+      "pick_rank")
+    Seq(keyName, stratumName).filter(internal).foreach { c =>
+      throw new IllegalArgumentException(
+        s"temperatureMix reserves column name '$c' internally " +
+          s"(${internal.toSeq.sorted.mkString(", ")}); alias the " +
+          "input column before calling")
+    }
     val wAll = Window.partitionBy(lit(1))
     val ord = Window.partitionBy(lit(1))
       .orderBy(col("rem").desc, col(stratumName).asc)

@@ -41,6 +41,71 @@ object PipelineQueries {
   private def mhSql(seed: Int): String =
     s"list_min(list_transform(sh, x -> md5('$seed' || '|' || x)))"
 
+  /** Shared CDC pipeline for the substring-dedup pair (report +
+    * rewrite): content-defined chunks exploded with their ordinal,
+    * digest occurrence counts joined back — one row per chunk instance
+    * with (doc_id, ord, clen, k, occ[, chunk]). The occurrence side is
+    * corpus-sized (one row per distinct chunk), so the join-back is
+    * shuffle-hash co-partitioned on the 128-bit digest, never
+    * broadcast; chunk TEXT rides along only when the caller rebuilds
+    * documents (`withText`), keeping the report's exchanges digest-only
+    * (PlanAuditSpec).
+    */
+  private def cdcChunkOcc(s: SparkSession, d: String,
+      withText: Boolean): DataFrame = {
+    val exploded = parallelize(documents(s, d))
+      .select(col("doc_id"),
+        posexplode(graft.functions.CdcExprs
+          .cdcChunks(col("text"), 8, 131L, 32L)))
+    val cols = Seq(col("doc_id"), col("pos").as("ord"),
+      length(col("col.chunk")).cast("long").as("clen"),
+      md5(col("col.chunk")).as("k")) ++
+      (if (withText) Seq(col("col.chunk").as("chunk")) else Nil)
+    val chunks = exploded.select(cols: _*)
+    val occ = chunks.groupBy(col("k")).agg(count(lit(1)).as("occ"))
+    chunks.join(occ.hint("shuffle_hash"), "k")
+  }
+
+  /** Minimum maximal-span length (chars) the CDC pair reports/removes. */
+  private val CdcMinSpan = 48L
+
+  /** Shared DuckDB CTE chain mirroring [[cdcChunkOcc]]: every
+    * content-defined cut reproduced from the per-position window
+    * polynomial Σ code·131^k (exact BIGINT — 131^7·121·8 ≈ 8.1e16 <
+    * 2^63), then chunks, digest occurrence counts, and the join-back.
+    * Ends with `j(doc_id, ord, clen, chunk, occ)`.
+    */
+  private val cdcChunkCtes =
+    """d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+      |pos AS (SELECT doc_id, text, n, unnest(range(7, n)) AS i FROM d),
+      |hp AS (SELECT doc_id, i + 1 AS cut FROM pos
+      |       WHERE i + 1 < n AND (
+      |         cast(ord(substring(text, i-6, 1)) AS bigint)*662062621900811 +
+      |         cast(ord(substring(text, i-5, 1)) AS bigint)*5053913144281 +
+      |         cast(ord(substring(text, i-4, 1)) AS bigint)*38579489651 +
+      |         cast(ord(substring(text, i-3, 1)) AS bigint)*294499921 +
+      |         cast(ord(substring(text, i-2, 1)) AS bigint)*2248091 +
+      |         cast(ord(substring(text, i-1, 1)) AS bigint)*17161 +
+      |         cast(ord(substring(text, i,   1)) AS bigint)*131 +
+      |         cast(ord(substring(text, i+1, 1)) AS bigint)) % 32 = 0),
+      |cuts AS (SELECT doc_id, list_sort(list(cut)) AS cuts
+      |         FROM hp GROUP BY 1),
+      |st AS (SELECT d.doc_id, d.text, d.n,
+      |         [0] || coalesce(c.cuts, []) AS starts
+      |       FROM d LEFT JOIN cuts c USING (doc_id)),
+      |chx AS (SELECT doc_id, text, n, starts,
+      |          unnest(range(len(starts))) AS ord FROM st),
+      |ch AS (SELECT doc_id, ord,
+      |         cast(coalesce(starts[ord+2], n) - starts[ord+1]
+      |           AS bigint) AS clen,
+      |         substring(text, starts[ord+1] + 1,
+      |           coalesce(starts[ord+2], n) - starts[ord+1]) AS chunk
+      |       FROM chx),
+      |occ AS (SELECT md5(chunk) AS k, count(*) AS occ
+      |        FROM ch GROUP BY 1),
+      |j AS (SELECT ch.*, occ.occ FROM ch
+      |      JOIN occ ON md5(ch.chunk) = occ.k)""".stripMargin
+
   /** Blocklist for q_blocklist_filter — corpus words standing in for a
     * badwords list (the C4-style keyword gate); includes terms absent
     * from the corpus so the zero-hit path is exercised too.
@@ -1486,18 +1551,8 @@ object PipelineQueries {
     // count) production dedup runs at petabyte scale.
     "q_substring_dedup" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val minSpan = 48L
-      val chunks = parallelize(documents(s, d))
-        .select(col("doc_id"),
-          posexplode(graft.functions.CdcExprs
-            .cdcChunks(col("text"), 8, 131L, 32L)))
-        .select(col("doc_id"), col("pos").as("ord"),
-          length(col("col.chunk")).cast("long").as("clen"),
-          md5(col("col.chunk")).as("k"))
-      val occ = chunks.groupBy(col("k")).agg(count(lit(1)).as("occ"))
-      // occ is corpus-sized (one row per distinct chunk): shuffle-hash
-      // co-partitioned on the digest, never broadcast
-      val j = chunks.join(occ.hint("shuffle_hash"), "k")
+      val minSpan = CdcMinSpan
+      val j = cdcChunkOcc(s, d, withText = false)
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
       val spans = j.filter(col("occ") >= 2)
         .withColumn("island", col("ord") - row_number().over(wDoc))
@@ -1530,17 +1585,8 @@ object PipelineQueries {
     // rule.
     "q_substring_scrub" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val minSpan = 48L
-      val chunks = parallelize(documents(s, d))
-        .select(col("doc_id"),
-          posexplode(graft.functions.CdcExprs
-            .cdcChunks(col("text"), 8, 131L, 32L)))
-        .select(col("doc_id"), col("pos").as("ord"),
-          col("col.chunk").as("chunk"),
-          length(col("col.chunk")).cast("long").as("clen"),
-          md5(col("col.chunk")).as("k"))
-      val occ = chunks.groupBy(col("k")).agg(count(lit(1)).as("occ"))
-      val j = chunks.join(occ.hint("shuffle_hash"), "k")
+      val minSpan = CdcMinSpan
+      val j = cdcChunkOcc(s, d, withText = true)
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wi = j.withColumn("island",
@@ -3617,38 +3663,11 @@ object PipelineQueries {
         |  coalesce(kept.clean_text, '') AS clean_text
         |FROM tot LEFT JOIN kept USING (doc_id)""".stripMargin,
 
-    // CDC substring dedup: the per-position window polynomial
-    // Σ code·131^k (exact BIGINT — 131^7·121·8 ≈ 8.1e16 < 2^63)
-    // reproduces every content-defined cut the one-pass Spark
-    // expression emits, then the same digest-count / islands algebra
+    // CDC substring dedup: the shared cdcChunkCtes chain reproduces
+    // every content-defined cut, then the same digest-count / islands
+    // algebra as the Spark plan
     "q_substring_dedup" ->
-      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
-        |pos AS (SELECT doc_id, text, n, unnest(range(7, n)) AS i FROM d),
-        |hp AS (SELECT doc_id, i + 1 AS cut FROM pos
-        |       WHERE i + 1 < n AND (
-        |         cast(ord(substring(text, i-6, 1)) AS bigint)*662062621900811 +
-        |         cast(ord(substring(text, i-5, 1)) AS bigint)*5053913144281 +
-        |         cast(ord(substring(text, i-4, 1)) AS bigint)*38579489651 +
-        |         cast(ord(substring(text, i-3, 1)) AS bigint)*294499921 +
-        |         cast(ord(substring(text, i-2, 1)) AS bigint)*2248091 +
-        |         cast(ord(substring(text, i-1, 1)) AS bigint)*17161 +
-        |         ord(substring(text, i,   1))*131 +
-        |         cast(ord(substring(text, i+1, 1)) AS bigint)) % 32 = 0),
-        |cuts AS (SELECT doc_id, list_sort(list(cut)) AS cuts
-        |         FROM hp GROUP BY 1),
-        |st AS (SELECT d.doc_id, d.text, d.n,
-        |         [0] || coalesce(c.cuts, []) AS starts
-        |       FROM d LEFT JOIN cuts c USING (doc_id)),
-        |chx AS (SELECT doc_id, text, n, starts,
-        |          unnest(range(len(starts))) AS ord FROM st),
-        |ch AS (SELECT doc_id, ord,
-        |         cast(coalesce(starts[ord+2], n) - starts[ord+1]
-        |           AS bigint) AS clen,
-        |         md5(substring(text, starts[ord+1] + 1,
-        |           coalesce(starts[ord+2], n) - starts[ord+1])) AS k
-        |       FROM chx),
-        |occ AS (SELECT k, count(*) AS occ FROM ch GROUP BY 1),
-        |j AS (SELECT ch.*, occ.occ FROM ch JOIN occ USING (k)),
+      s"""WITH $cdcChunkCtes,
         |isl AS (SELECT doc_id, ord, clen,
         |          ord - row_number() OVER (PARTITION BY doc_id
         |            ORDER BY ord) AS island
@@ -3670,39 +3689,11 @@ object PipelineQueries {
         |  t.total_chars - coalesce(s.removed_chars, 0) AS clean_chars
         |FROM tot t LEFT JOIN spa s USING (doc_id)""".stripMargin,
 
-    // CDC scrub: identical cut/digest/island algebra, then ordered
+    // CDC scrub: the shared cdcChunkCtes chain, then ordered
     // reassembly of the kept chunks (string_agg skips the NULLs the
     // CASE leaves for removed chunks — the q_line_dedup construction)
     "q_substring_scrub" ->
-      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
-        |pos AS (SELECT doc_id, text, n, unnest(range(7, n)) AS i FROM d),
-        |hp AS (SELECT doc_id, i + 1 AS cut FROM pos
-        |       WHERE i + 1 < n AND (
-        |         cast(ord(substring(text, i-6, 1)) AS bigint)*662062621900811 +
-        |         cast(ord(substring(text, i-5, 1)) AS bigint)*5053913144281 +
-        |         cast(ord(substring(text, i-4, 1)) AS bigint)*38579489651 +
-        |         cast(ord(substring(text, i-3, 1)) AS bigint)*294499921 +
-        |         cast(ord(substring(text, i-2, 1)) AS bigint)*2248091 +
-        |         cast(ord(substring(text, i-1, 1)) AS bigint)*17161 +
-        |         cast(ord(substring(text, i,   1)) AS bigint)*131 +
-        |         cast(ord(substring(text, i+1, 1)) AS bigint)) % 32 = 0),
-        |cuts AS (SELECT doc_id, list_sort(list(cut)) AS cuts
-        |         FROM hp GROUP BY 1),
-        |st AS (SELECT d.doc_id, d.text, d.n,
-        |         [0] || coalesce(c.cuts, []) AS starts
-        |       FROM d LEFT JOIN cuts c USING (doc_id)),
-        |chx AS (SELECT doc_id, text, n, starts,
-        |          unnest(range(len(starts))) AS ord FROM st),
-        |ch AS (SELECT doc_id, ord,
-        |         cast(coalesce(starts[ord+2], n) - starts[ord+1]
-        |           AS bigint) AS clen,
-        |         substring(text, starts[ord+1] + 1,
-        |           coalesce(starts[ord+2], n) - starts[ord+1]) AS chunk
-        |       FROM chx),
-        |occ AS (SELECT md5(chunk) AS k, count(*) AS occ
-        |        FROM ch GROUP BY 1),
-        |j AS (SELECT ch.*, occ.occ FROM ch
-        |      JOIN occ ON md5(ch.chunk) = occ.k),
+      s"""WITH $cdcChunkCtes,
         |w AS (SELECT *, CASE WHEN occ >= 2 THEN ord -
         |         sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY doc_id ORDER BY ord

@@ -189,24 +189,40 @@ object StatefulOps {
     * micro-batch the group re-sorts by (ts, doc_id, ord) so the rank
     * is deterministic (the groupByKey shuffle has no order contract);
     * cross-batch, arrival order is the stream contract.
+    *
+    * With `idleMs > 0`, a digest not seen for that much processing
+    * time is EVICTED and its count forgotten (the production setting —
+    * distinct-chunk cardinality grows with the corpus, so an unbounded
+    * store is the scale-killer; forgetting idle digests is the same
+    * bounded-memory contract as `dropDuplicatesWithinWatermark`, and
+    * the [[serialMonitor]] idleMs convention). `idleMs = 0` keeps
+    * every digest for the life of the query (bounded-key workloads,
+    * tests).
     */
-  def chunkOccurrence(chunks: Dataset[ChunkInstance])
-      : Dataset[ChunkVerdict] = {
+  def chunkOccurrence(chunks: Dataset[ChunkInstance],
+                      idleMs: Long = 0L): Dataset[ChunkVerdict] = {
     import chunks.sparkSession.implicits._
+    val timeout = if (idleMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     chunks.groupByKey(_.digest)
-      .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (digest: String, rows: Iterator[ChunkInstance],
          state: GroupState[DigestCount]) =>
-          var n = state.getOption.map(_.n).getOrElse(0L)
-          val out = rows.toVector
-            .sortBy(c => (c.ts.getTime, c.doc_id, c.ord))
-            .map { c =>
-              n += 1
-              ChunkVerdict(c.doc_id, c.ord, digest, n)
-            }
-          state.update(DigestCount(n))
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = state.getOption.map(_.n).getOrElse(0L)
+            val out = rows.toVector
+              .sortBy(c => (c.ts.getTime, c.doc_id, c.ord))
+              .map { c =>
+                n += 1
+                ChunkVerdict(c.doc_id, c.ord, digest, n)
+              }
+            state.update(DigestCount(n))
+            if (idleMs > 0) state.setTimeoutDuration(idleMs)
+            out.iterator
+          }
       }
   }
 

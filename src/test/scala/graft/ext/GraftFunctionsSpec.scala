@@ -81,6 +81,16 @@ class GraftFunctionsSpec extends SparkSpec {
       ch._2 == ch._1.map(_.length).scanLeft(0)(_ + _).dropRight(1))
   }
 
+  test("graft_cdc_chunks rejects wrong arity / non-literal params " +
+      "with the usage message") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cdc_chunks('abc', 8, 131)").collect()
+    }
+    assert(e.getMessage.contains("graft_cdc_chunks(text, window, base, " +
+      "modulus)"), e.getMessage)
+  }
+
   test("extensions class injects the same function descriptions") {
     // the extensions path is exercised structurally (a fresh session per
     // suite would need its own SparkContext); descriptions must be

@@ -70,6 +70,14 @@ class CurationSpec extends SparkSpec {
     assert(bySrc("big").groupBy(_._2).forall(_._2.size == 1))
   }
 
+  test("temperatureMix rejects reserved internal column names eagerly") {
+    val df = Seq((1L, "a")).toDF("id", "n")
+    val e = intercept[IllegalArgumentException] {
+      Curation.temperatureMix(df, "id", "n")
+    }
+    assert(e.getMessage.contains("reserves column name 'n'"))
+  }
+
   test("temperatureMix laws: exact Hamilton fill on random corpora " +
       "(total = T, per-stratum count = alloc, pick_rank bijective)") {
     val rnd = new scala.util.Random(2024)
