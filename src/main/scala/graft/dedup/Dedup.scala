@@ -71,6 +71,31 @@ object Dedup {
     explodedShingles(docs, id, text, n)
       .select(col("doc_id"), md5(col("sh")).as("g"))
 
+  /** Content-defined-chunk instances with corpus-wide occurrence
+    * counts — the index the ExactSubstr dedup family (Lee et al.)
+    * builds: each doc chunked at Karp–Rabin rolling-hash anchors
+    * ([[graft.functions.CdcExprs.cdcChunks]] — identical substrings
+    * chunk identically at any offset), digests counted corpus-wide,
+    * counts joined back shuffle-hash on the 128-bit digest (the
+    * occurrence side is corpus-sized; broadcasting it is the
+    * scale-killer). One row per chunk instance:
+    * (doc_id, ord, clen, k, occ[, chunk]) — chunk TEXT rides along
+    * only with `withText` (document rewriting), so detection-only
+    * consumers shuffle fixed-width digests exclusively.
+    */
+  def cdcChunkOccurrences(docs: DataFrame, id: Column, text: Column,
+      w: Int, base: Long, modP: Long, withText: Boolean): DataFrame = {
+    val exploded = docs.select(id.as("doc_id"),
+      posexplode(graft.functions.CdcExprs.cdcChunks(text, w, base, modP)))
+    val cols = Seq(col("doc_id"), col("pos").as("ord"),
+      length(col("col.chunk")).cast("long").as("clen"),
+      md5(col("col.chunk")).as("k")) ++
+      (if (withText) Seq(col("col.chunk").as("chunk")) else Nil)
+    val chunks = exploded.select(cols: _*)
+    val occ = chunks.groupBy(col("k")).agg(count(lit(1)).as("occ"))
+    chunks.join(occ.hint("shuffle_hash"), "k")
+  }
+
   /** Exact dedup: keep the lowest doc id per content digest.
     * Returns (dup_id, kept_id) for every row that would be removed.
     */

@@ -52,19 +52,9 @@ object PipelineQueries {
     * (PlanAuditSpec).
     */
   private def cdcChunkOcc(s: SparkSession, d: String,
-      withText: Boolean): DataFrame = {
-    val exploded = parallelize(documents(s, d))
-      .select(col("doc_id"),
-        posexplode(graft.functions.CdcExprs
-          .cdcChunks(col("text"), 8, 131L, 32L)))
-    val cols = Seq(col("doc_id"), col("pos").as("ord"),
-      length(col("col.chunk")).cast("long").as("clen"),
-      md5(col("col.chunk")).as("k")) ++
-      (if (withText) Seq(col("col.chunk").as("chunk")) else Nil)
-    val chunks = exploded.select(cols: _*)
-    val occ = chunks.groupBy(col("k")).agg(count(lit(1)).as("occ"))
-    chunks.join(occ.hint("shuffle_hash"), "k")
-  }
+      withText: Boolean): DataFrame =
+    Dedup.cdcChunkOccurrences(parallelize(documents(s, d)),
+      col("doc_id"), col("text"), 8, 131L, 32L, withText)
 
   /** Minimum maximal-span length (chars) the CDC pair reports/removes. */
   private val CdcMinSpan = 48L
