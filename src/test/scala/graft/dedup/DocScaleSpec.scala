@@ -44,6 +44,32 @@ class DocScaleSpec extends SparkSpec {
         "candidates leak across replicas or a threshold is scale-pinned")
   }
 
+  test("CDC chunking is corpus-size-invariant per doc; duplication " +
+      "only grows with the decade") {
+    val n = requireCorpus()
+    // replica 0 carries the base corpus TEXT verbatim (at doc_id·N) and
+    // chunk boundaries are content-defined per doc — so every base doc
+    // must chunk IDENTICALLY at x10 (n_chunks equal), while adding N-1
+    // replicas can only grow a chunk's corpus-wide occurrence
+    // (n_dup_chunks monotone >=). A chunker whose boundaries depended
+    // on corpus statistics or partitioning would break the first; a
+    // dup counter that leaked or reset across the decade the second.
+    val baseRep = SparkEntry.queries("q_substring_dedup")(spark, base)
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"))
+      .collect().map(r => r.getLong(0) * n -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val big = SparkEntry.queries("q_substring_dedup")(spark, sfx1)
+      .filter(col("doc_id") % n === 0) // replica 0: doc_id' = doc_id·N
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(big.keySet == baseRep.keySet)
+    baseRep.foreach { case (id, (nc, nd)) =>
+      assert(big(id)._1 == nc, s"doc $id re-chunked at the decade")
+      assert(big(id)._2 >= nd, s"doc $id lost duplication at the decade")
+    }
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
