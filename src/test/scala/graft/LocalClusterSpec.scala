@@ -1,0 +1,58 @@
+package graft
+
+/** Multi-process execution parity: representative queries (one per
+  * custom-machinery class — native codegen expressions, the typed
+  * vec-mean aggregate, the TopKPerKey physical operator, broadcast
+  * Bloom probes, digest shuffle funnels) run on `local-cluster` with
+  * two REAL executor JVMs (ClusterProbe) and must return row sets
+  * identical to the shared single-JVM session. This is the boundary
+  * `local[N]` never crosses: closure/broadcast serialization, remote
+  * shuffle-block fetches between processes, and executor-side
+  * class-loading of generated code and expression reference objects.
+  */
+class LocalClusterSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("representative queries return identical rows on real forked " +
+      "executors (local-cluster) vs the in-process session") {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx4g",
+      "-Dspark.local.dir=/dev/shm/graft-spark-cluster", "-cp", cp,
+      "graft.tools.ClusterProbe", d)
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(cmd, None,
+        "SPARK_HOME" -> "/opt/spark",
+        // executor launcher can't infer the scala version when the
+        // driver isn't started via spark-class on a binary dist
+        "SPARK_SCALA_VERSION" -> "2.13")
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+        _ => ()))
+    assert(rc == 0, s"probe JVM failed (rc=$rc):\n${out.toString.takeRight(4000)}")
+    // driver + 2 executors: multi-process really happened
+    val execLine = out.toString.linesIterator
+      .find(_.startsWith("executors|"))
+    assert(execLine.exists(_.split('|')(1).toInt >= 3),
+      s"probe did not run multi-process: $execLine")
+
+    graft.tools.ClusterProbe.Probes.foreach { name =>
+      val probed = out.toString.linesIterator
+        .filter(_.startsWith(s"$name|")).toVector.sorted
+      val expected = SparkEntry.queries(name)(spark, d).collect()
+        .map(r => s"$name|${r.toString}").toVector.sorted
+      assert(probed.nonEmpty, s"$name returned nothing from the cluster")
+      assert(probed == expected,
+        s"$name diverged across the process boundary:\n" +
+          s"probe=${probed.take(3)}\nlocal=${expected.take(3)}")
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-JVM probe for LocalClusterSpec: runs representative queries on
+  * `local-cluster[2,2,2048]` — in-JVM master/workers but REAL forked
+  * executor processes, so the suite's custom machinery crosses actual
+  * process boundaries for the first time: closures and broadcast
+  * variables serialize over the wire, shuffle blocks are fetched
+  * remotely between executor JVMs through the BlockManager, generated
+  * code and `ctx.addReferenceObj` expression instances are shipped and
+  * class-loaded inside executors, and the typed aggregate buffers
+  * (VecMeanExpr) round-trip their serializers between processes. All of
+  * that is invisible on `local[N]` (one JVM, everything in-heap) and is
+  * exactly what a 1000-executor cluster exercises on every stage.
+  *
+  * Prints `<query>|<row>` lines; LocalClusterSpec diffs them against the
+  * shared in-process session running the IDENTICAL SparkEntry queries.
+  */
+object ClusterProbe {
+
+  /** Queries chosen to cover each custom-machinery class: native
+    * codegen expressions (CDC chunking, text kernels), the custom
+    * TypedImperativeAggregate (vec_mean), the custom physical operator
+    * (TopKPerKey), a distributed-build broadcast Bloom probe, and a
+    * digest-keyed multi-stage shuffle funnel.
+    */
+  val Probes: Seq[String] = Seq(
+    "q_substring_dedup", // CdcChunksExpr codegen in remote executors
+    "q_text_stats",      // TextExprs one-pass kernels
+    "q_window_mean",     // VecMeanExpr typed agg buffers over shuffle
+    "q_topk_per_key",    // custom LogicalPlan/Strategy/SparkPlan
+    "q_bloom_decontam",  // executor-built bloom, broadcast probe
+    "q_lsh_pairs")       // minhash/banding digest shuffle funnel
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,2048]")
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // wait for both executor JVMs to register (driver + 2 = 3 entries)
+    var waited = 0L
+    while (spark.sparkContext.getExecutorMemoryStatus.size < 3 &&
+        waited < 60000L) {
+      Thread.sleep(250L); waited += 250L
+    }
+    Probes.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, d).collect()
+        .map(r => s"$name|${r.toString}").sorted.foreach(println)
+    }
+    // prove the probe really ran multi-process (2 executor JVMs)
+    println(s"executors|${spark.sparkContext.getExecutorMemoryStatus.size}")
+    spark.stop()
+  }
+}
