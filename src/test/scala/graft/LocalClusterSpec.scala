@@ -55,4 +55,62 @@ class LocalClusterSpec extends SparkSpec {
           s"probe=${probed.take(3)}\nlocal=${expected.take(3)}")
     }
   }
+
+  test("stateful streaming (chunkOccurrence) runs with executor-side " +
+      "state stores and matches the sequential replay") {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx4g",
+      "-Dspark.local.dir=/dev/shm/graft-spark-scluster", "-cp", cp,
+      "graft.tools.StreamClusterProbe")
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(cmd, None,
+        "SPARK_HOME" -> "/opt/spark",
+        "SPARK_SCALA_VERSION" -> "2.13")
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+        _ => ()))
+    assert(rc == 0, s"probe JVM failed (rc=$rc):\n${out.toString.takeRight(4000)}")
+    assert(out.toString.linesIterator
+      .find(_.startsWith("executors|"))
+      .exists(_.split('|')(1).toInt >= 3), "not multi-process")
+    val probed = out.toString.linesIterator
+      .filter(_.startsWith("verdict|")).toVector.sorted
+    // the fixture is deterministic (seeded); replay it sequentially
+    val rnd = new scala.util.Random(5)
+    def txt(n: Int) = Seq.fill(n)((32 + rnd.nextInt(90)).toChar).mkString
+    val block = txt(240)
+    val texts = Seq(
+      1L -> (txt(40) + block + txt(30)), 2L -> txt(300),
+      3L -> (txt(90) + block + txt(10)), 4L -> txt(250))
+    val expr = graft.functions.CdcChunksExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(""),
+        org.apache.spark.sql.types.StringType), 8, 131L, 32L)
+    val seen = scala.collection.mutable.Map[String, Long]()
+    val expected = texts.flatMap { case (id, t) =>
+      val arr = expr.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      (0 until arr.numElements()).map { i =>
+        val chunk = arr.getStruct(i, 2).getUTF8String(1).toString
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(chunk.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val n = seen.getOrElse(dg, 0L) + 1
+        seen(dg) = n
+        s"verdict|$id|$i|$dg|$n"
+      }
+    }.sorted
+    assert(probed.nonEmpty && probed == expected,
+      s"cluster stream diverged:\nprobe=${probed.take(3)}\n" +
+        s"replay=${expected.take(3)}")
+  }
 }

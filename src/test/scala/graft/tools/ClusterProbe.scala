@@ -31,7 +31,9 @@ object ClusterProbe {
     "q_window_mean",     // VecMeanExpr typed agg buffers over shuffle
     "q_topk_per_key",    // custom LogicalPlan/Strategy/SparkPlan
     "q_bloom_decontam",  // executor-built bloom, broadcast probe
-    "q_lsh_pairs")       // minhash/banding digest shuffle funnel
+    "q_lsh_pairs",       // minhash/banding digest shuffle funnel
+    "q_ann_batch",       // broadcast query table + custom top-k re-rank
+    "q_window_battery")  // rank/lag/rolling window functions
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
