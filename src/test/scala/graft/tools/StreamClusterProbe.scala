@@ -11,9 +11,10 @@ import graft.streaming.StatefulOps
 /** Child-JVM probe for LocalClusterSpec's streaming test: the stateful
   * CDC chunk-occurrence operator runs on `local-cluster[2,2,2048]`, so
   * the flatMapGroupsWithState STATE STORE lives inside real executor
-  * processes — per-digest state serializes into executor-local
-  * HDFSBackedStateStore files and survives across micro-batches in a
-  * different JVM than the driver that feeds the stream. `local[N]`
+  * processes — per-digest state lives in ROCKSDB
+  * instances opened inside the executor JVMs (rocksdbjni loaded
+  * per-process) and survives across micro-batches in a different JVM
+  * than the driver that feeds the stream. `local[N]`
   * keeps all of that in the driver's heap; a 1000-executor streaming
   * job never does.
   *
@@ -30,6 +31,12 @@ object StreamClusterProbe {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the at-scale provider: RocksDB instances open INSIDE the
+      // executor processes (rocksdbjni loads per-executor-JVM), state
+      // checkpoints under the executor-local store paths
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var waited = 0L
