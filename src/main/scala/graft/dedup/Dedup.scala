@@ -93,7 +93,10 @@ object Dedup {
       (if (withText) Seq(col("col.chunk").as("chunk")) else Nil)
     val chunks = exploded.select(cols: _*)
     val occ = chunks.groupBy(col("k")).agg(count(lit(1)).as("occ"))
-    chunks.join(occ.hint("shuffle_hash"), "k")
+    val outCols = Seq(col("doc_id"), col("ord"), col("clen"), col("k"),
+      col("occ")) ++ (if (withText) Seq(col("chunk")) else Nil)
+    // documented column order (join puts the key first otherwise)
+    chunks.join(occ.hint("shuffle_hash"), "k").select(outCols: _*)
   }
 
   /** Exact dedup: keep the lowest doc id per content digest.

@@ -14,28 +14,12 @@ class TaskRetrySpec extends SparkSpec {
 
   test("injected first-attempt task failure leaves results bit-identical " +
       "(digest shuffle + custom TopKPerKey exec)") {
-    val java = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx4g",
-      "-Dspark.local.dir=/dev/shm/graft-spark-retry", "-cp", cp,
-      "graft.tools.RetryProbe", d)
-    val out = new StringBuilder
-    val rc = scala.sys.process.Process(cmd)
-      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
-        _ => ()))
+    val (rc, out) = graft.tools.ProbeHarness.launch(
+      "graft.tools.RetryProbe", Seq(d), "/dev/shm/graft-spark-retry")
     assert(rc == 0, s"probe JVM failed (rc=$rc):\n$out")
-    assert(out.toString.linesIterator.exists(_.startsWith("injected|")),
+    assert(out.linesIterator.exists(_.startsWith("injected|")),
       s"fault never fired — the probe proved nothing:\n$out")
-    val probed = out.toString.linesIterator
+    val probed = out.linesIterator
       .filter(l => l.startsWith("dedup|") || l.startsWith("topk|"))
       .toVector.sorted
     // clean reference: the IDENTICAL plan shapes (same typed hop, fault

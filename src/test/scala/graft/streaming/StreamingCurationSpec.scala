@@ -71,20 +71,15 @@ class StreamingCurationSpec extends SparkSpec {
   test("streaming CDC chunk occurrence == sequential replay; a block " +
       "repeated across micro-batches is flagged from digest state") {
     implicit val sqlCtx = spark.sqlContext
-    val rnd = new scala.util.Random(5)
-    def txt(n: Int) = Seq.fill(n)((32 + rnd.nextInt(90)).toChar).mkString
-    val block = txt(240)
-    val rows = Seq(
-      (ts(10), 1L, txt(40) + block + txt(30)),   // block's first sighting
-      (ts(11), 2L, txt(300)),                    // unrelated
-      (ts(40), 3L, txt(90) + block + txt(10)),   // later batch, same block
-      (ts(41), 4L, txt(250)))
-    val (batch1, batch2) = rows.splitAt(2)
+    // the seeded fixture shared with StreamClusterProbe/LocalClusterSpec
+    import graft.tools.CdcStreamFixture.{Batch1, Batch2, Rows}
 
     def chunked(df: org.apache.spark.sql.DataFrame) = df
       .select(col("ts"), col("doc_id"),
         posexplode(graft.functions.CdcExprs
-          .cdcChunks(col("text"), 8, 131L, 32L)))
+          .cdcChunks(col("text"), graft.tools.CdcStreamFixture.W,
+            graft.tools.CdcStreamFixture.Base,
+            graft.tools.CdcStreamFixture.ModP)))
       .select(col("ts"), col("doc_id"), col("pos").cast("int").as("ord"),
         md5(col("col.chunk")).as("digest"))
       .as[StatefulOps.ChunkInstance]
@@ -95,8 +90,8 @@ class StreamingCurationSpec extends SparkSpec {
       .writeStream.format("memory").queryName("cdc_stream")
       .outputMode("append").start()
     try {
-      in.addData(batch1); q.processAllAvailable()
-      in.addData(batch2); q.processAllAvailable()
+      in.addData(Batch1); q.processAllAvailable()
+      in.addData(Batch2); q.processAllAvailable()
       val got = spark.table("cdc_stream")
         .select($"doc_id", $"ord", $"digest", $"occurrence")
         .as[(Long, Int, String, Long)].collect()
@@ -104,7 +99,7 @@ class StreamingCurationSpec extends SparkSpec {
 
       // sequential replay over the same (ts, doc_id, ord) order
       val seen = scala.collection.mutable.Map[String, Long]()
-      val expect = chunked(rows.toDF("ts", "doc_id", "text"))
+      val expect = chunked(Rows.toDF("ts", "doc_id", "text"))
         .collect().sortBy(c => (c.ts.getTime, c.doc_id, c.ord))
         .map { c =>
           val n = seen.getOrElse(c.digest, 0L) + 1

@@ -37,27 +37,12 @@ object ClusterProbe {
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local-cluster[2,2,2048]")
-      .config("spark.executor.extraClassPath",
-        System.getProperty("java.class.path"))
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    // wait for both executor JVMs to register (driver + 2 = 3 entries)
-    var waited = 0L
-    while (spark.sparkContext.getExecutorMemoryStatus.size < 3 &&
-        waited < 60000L) {
-      Thread.sleep(250L); waited += 250L
-    }
+    // fails fast + prints the executors| proof line BEFORE any query
+    val spark = ProbeHarness.clusterSession()
     Probes.foreach { name =>
       graft.SparkEntry.queries(name)(spark, d).collect()
         .map(r => s"$name|${r.toString}").sorted.foreach(println)
     }
-    // prove the probe really ran multi-process (2 executor JVMs)
-    println(s"executors|${spark.sparkContext.getExecutorMemoryStatus.size}")
     spark.stop()
   }
 }
