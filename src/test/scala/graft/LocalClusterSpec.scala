@@ -41,6 +41,25 @@ class LocalClusterSpec extends SparkSpec {
     }
   }
 
+  test("an executor killed MID-MICRO-BATCH leaves the stateful stream's " +
+      "verdicts identical to the replay (state recovery + task retry)") {
+    val marker = java.nio.file.Files
+      .createTempDirectory("graft_streamfault").toString + "/fired"
+    val (rc, out) = ProbeHarness.launch("graft.tools.StreamFaultProbe",
+      Seq(marker), "/dev/shm/graft-spark-sfault", ProbeHarness.ClusterEnv)
+    assert(rc == 0, s"probe JVM failed (rc=$rc):\n${out.takeRight(4000)}")
+    assertMultiProcess(out)
+    assert(new java.io.File(marker).exists() &&
+      out.linesIterator.exists(_.startsWith("executor_lost|")),
+      s"no executor died mid-batch — the probe proved nothing:\n" +
+        out.takeRight(2000))
+    val probed = out.linesIterator
+      .filter(_.startsWith("verdict|")).toVector.sorted
+    assert(probed.nonEmpty && probed == CdcStreamFixture.ReplayLines,
+      s"stream diverged after executor loss:\nprobe=${probed.take(3)}\n" +
+        s"replay=${CdcStreamFixture.ReplayLines.take(3)}")
+  }
+
   test("stateful streaming (chunkOccurrence) runs with executor-side " +
       "RocksDB state stores and matches the sequential replay") {
     val (rc, out) = ProbeHarness.launch("graft.tools.StreamClusterProbe",
