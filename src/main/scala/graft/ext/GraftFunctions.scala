@@ -83,7 +83,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getCanonicalName,
         "graft_jaro_winkler"),
-      (c: Seq[Expression]) => JaroWinklerExpr(c(0), c(1))),
+      (c: Seq[Expression]) => {
+        require(c.length == 2, "usage: graft_jaro_winkler(a, b)")
+        JaroWinklerExpr(c(0), c(1))
+      }),
     (FunctionIdentifier("graft_cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunksExpr].getCanonicalName,
         "graft_cdc_chunks"),

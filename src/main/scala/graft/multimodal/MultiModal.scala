@@ -271,9 +271,13 @@ object MultiModal {
     val bpp = buf.getShort(28).toInt
     if (bpp != 24 || w <= 0 || h == 0) return None
     val rows = math.abs(h)
-    val rowSize = ((3 * w + 3) / 4) * 4
-    if (pixelOffset < 0 || pixelOffset.toLong + rowSize.toLong * rows > p.length)
+    // size math in Long: a hostile header with a huge width must fail the
+    // bounds check, not overflow Int into a "valid"-looking negative size
+    val rowSizeL = ((3L * w + 3) / 4) * 4
+    if (pixelOffset < 54 || 3L * w * rows > Int.MaxValue ||
+      pixelOffset + rowSizeL * rows > p.length)
       return None
+    val rowSize = rowSizeL.toInt
     val out = new Array[Int](3 * w * rows)
     var fr = 0
     var o = 0
@@ -305,7 +309,7 @@ object MultiModal {
     var hash = 0L
     var k = 0
     while (k < 60) {
-      if (samples(k * n / 60).toLong * n > sum) hash |= 1L << k
+      if (samples((k.toLong * n / 60).toInt).toLong * n > sum) hash |= 1L << k
       k += 1
     }
     hash

@@ -541,12 +541,30 @@ object PipelineQueries {
   // memoized per (session, dir): the exact pair set serves BOTH
   // q_prefix_join and q_lsh_recall's ground truth — one corpus pass per
   // session, landed to parquet via Materialize.memo (tiny artifact,
-  // storage-loss-proof file-scan plan — the graph-memo pattern)
-  private val prefixPairsCache = scala.collection.concurrent
-    .TrieMap.empty[(SparkSession, String), DataFrame]
-  private def prefixJoinPairsMemo(s: SparkSession, d: String): DataFrame =
-    prefixPairsCache.getOrElseUpdate((s, d),
-      graft.util.Materialize.memo(prefixJoinPairs(s, d), "prefix_pairs"))
+  // storage-loss-proof file-scan plan — the graph-memo pattern).
+  // WEAK-keyed by session and holding only the artifact PATH (a cached
+  // DataFrame would strongly reference its session through the weak
+  // key's value, pinning it forever): a long-lived multi-session
+  // process reclaims dead sessions' entries, and a hit re-reads the
+  // landed parquet — a trivial file-scan plan, which is the whole point
+  // of the memo. Artifacts under the tmpdir default are swept at JVM
+  // exit by Materialize's shutdown hook.
+  private val prefixPairsCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def prefixJoinPairsMemo(s: SparkSession, d: String): DataFrame = {
+    val inner = prefixPairsCache.synchronized {
+      var m = prefixPairsCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        prefixPairsCache.put(s, m)
+      }
+      m
+    }
+    val path = inner.getOrElseUpdate(d,
+      graft.util.Materialize.memoPath(prefixJoinPairs(s, d), "prefix_pairs"))
+    s.read.parquet(path)
+  }
 
   /** Test hook: the un-memoized pair computation, so PlanAuditSpec can
     * audit the plan the memo lands (the memoized public path is a file
@@ -554,6 +572,110 @@ object PipelineQueries {
     */
   private[graft] def prefixJoinPairsForAudit(s: SparkSession,
       d: String): DataFrame = prefixJoinPairs(s, d)
+
+  /** q_skipgrams' symmetrized (center, context) occurrence stream —
+    * exposed so PlanAuditSpec can audit the pair pass. Shape
+    * guarantees: the top-3 stop-word pick plans as
+    * TakeOrderedAndProject (orderBy+limit: per-partition top-3 then a
+    * 3-row merge — never a single-partition WindowExec over the
+    * vocabulary); the 3 dropped words are COLLECTED (a bounded scalar
+    * artifact, the BPE/centroid precedent) so the compaction is a
+    * per-row array filter and pair emission reads adjacent array slots
+    * in the same whole-stage-codegen pass, in BOTH directions (4 slots
+    * per position) — no anti join, no doc_id window exchange, no token
+    * self-join, and no exchange at all inside the pass.
+    */
+  /** The top-3 stop-word pick (cw desc, w) — separate hook so the
+    * audit can pin its TakeOrderedAndProject shape (the collect in
+    * [[skipgramLeadPairs]] hides the plan).
+    */
+  private[graft] def skipgramDrop3(s: SparkSession, d: String): DataFrame =
+    parallelize(documents(s, d))
+      // per-doc term counts fold in the row (native one-pass kernel),
+      // so the explode emits distinct-terms-per-doc rows, not raw
+      // tokens, and the rollup sums tf instead of counting occurrences
+      .select(explode(
+        graft.functions.TextExprs.termCounts(col("text"))).as("tc"))
+      .groupBy(col("tc.term").as("w"))
+      .agg(sum(col("tc.tf")).as("cw"))
+      .orderBy(col("cw").desc, col("w"))
+      .limit(3)
+      .select(col("w"))
+
+  private[graft] def skipgramLeadPairs(s: SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    val docs = parallelize(documents(s, d))
+    val drop3 = skipgramDrop3(s, d).as[String].collect().toSeq
+    val ws = filter(split(col("text"), " "),
+      x => !x.isin(drop3: _*))
+    // ws is consumed in the same codegen stage as the explode — the
+    // per-row array never materializes across an exchange. Neighbor
+    // lookups are when-guarded (ANSI element_at throws on OOB).
+    def slot(off: Int, fwd: Boolean) = {
+      val nb = element_at(col("ws"), col("i") + lit(off))
+      val (c, x) = if (fwd) (col("wa"), nb) else (nb, col("wa"))
+      when(col("i") + off <= size(col("ws")),
+        struct(c.as("center"), x.as("context")))
+    }
+    docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("ws"), posexplode(col("ws")).as(Seq("i", "wa")))
+      .select(explode(array(
+        slot(2, fwd = true), slot(2, fwd = false),
+        slot(3, fwd = true), slot(3, fwd = false))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+  }
+
+  /** Per-cell side bound for [[gridBlockedPairs]] — ≤ cap² verify calls
+    * per grid cell (~1M at 1024: about a second of Jaro-Winkler work,
+    * a healthy task size). Every real block in the test corpora is far
+    * below one cap, so the grid degenerates to the plain block join
+    * there (1-element explodes); the machinery only spreads out when a
+    * block is actually hot.
+    */
+  private[graft] val GridLinkCap = 1024
+
+  /** Within-block unordered pair join, GRID-DECOMPOSED so no task ever
+    * sees more than `cap²` candidate pairs — the de-skew for record
+    * linkage when one blocking key goes hot (a stop-word or dominant
+    * brand as leading token makes the naive block self-join O(B²) in
+    * ONE task). Rows are ranked inside their block by name; chunk
+    * `c = (rank−1)/cap` tiles the ordered pair space into cells
+    * (cx ≤ cy): the a-side replicates each row to every cell column at
+    * or right of its chunk, the b-side to every cell row at or above
+    * its chunk, and the join key is the exact cell — so the ordered
+    * pair (name_a < name_b, which implies chunk_a ≤ chunk_b under the
+    * shared name order) meets in EXACTLY one cell: lossless,
+    * exactly-once, and ⌈B/cap⌉² tasks instead of 1.
+    * `GridBlockedPairsSpec` pins pair-set ≡ the naive block join and
+    * the per-cell occupancy bound on a synthetic hot block.
+    *
+    * Input columns: `nm`, `support`, `blk`; output:
+    * `name_a/name_b/n_a/n_b` for every within-block pair.
+    */
+  private[graft] def gridBlockedPairs(names: DataFrame,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunked = names
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("nm"))))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("blk"))))
+      .withColumn("c", ((col("rn") - 1) / cap).cast("int"))
+      .withColumn("nch", ceil(col("bsz") / lit(cap.toDouble)).cast("int"))
+    val a = chunked.select(col("nm").as("name_a"),
+      col("support").as("n_a"), col("blk"), col("c").as("cx"),
+      explode(sequence(col("c"), col("nch") - 1)).as("cy"))
+    val b = chunked.select(col("nm").as("name_b"),
+      col("support").as("n_b"), col("blk").as("blk_b"),
+      col("c").as("cy_b"),
+      explode(sequence(lit(0), col("c"))).as("cx_b"))
+    a.join(b,
+      col("blk") === col("blk_b") && col("cx") === col("cx_b") &&
+        col("cy") === col("cy_b") && col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"))
+  }
 
   val defs: Map[String, Q] = Map(
     // ---- set-similarity join (AllPairs prefix filtering) ----------------
@@ -3051,24 +3173,26 @@ object PipelineQueries {
     // Record linkage at the 100 TB shape: collapse rows to DISTINCT
     // entity names FIRST (the name-frequency table — value space, not
     // row space), block on the leading token, and Jaro-Winkler-verify
-    // only within blocks. The verify runs through the native codegen'd
-    // JaroWinklerExpr; support counts tie matches back to row
+    // only within blocks — through the grid-decomposed pair join below,
+    // so a hot block (a "the"/brand leading token on a web-scale name
+    // table) is spread across C×C-bounded cells instead of handing one
+    // task O(B²) verify work. The verify runs through the native
+    // codegen'd JaroWinklerExpr; support counts tie matches back to row
     // multiplicity. The oracle's jaro_winkler_similarity is
     // bit-identical to the expression (StringSimSpec pins the
     // conventions), so both the >= 0.8 cut and the rounded score match
-    // exactly.
+    // exactly. NOTE a LENGTH bucket cannot losslessly tighten blocking
+    // at τ=0.8: jw ≥ 0.8 forces jaro > 0.7 (the boost gate), which
+    // bounds only min/max length > 0.1 — a factor-10 band that prunes
+    // nothing real; bounded-cell decomposition is the sound de-skew.
     "q_jaro_link" -> ((s, d) => {
       val names = part(s, d)
         .groupBy(col("p_name").as("nm"))
         .agg(count(lit(1)).as("support"))
         .withColumn("blk", split(col("nm"), " ").getItem(0))
-      val a = names.select(col("nm").as("name_a"),
-        col("support").as("n_a"), col("blk"))
-      val b = names.select(col("nm").as("name_b"),
-        col("support").as("n_b"), col("blk").as("blk_b"))
       val jw = graft.functions.StringSim.jaroWinkler(
         col("name_a"), col("name_b"))
-      a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+      gridBlockedPairs(names, GridLinkCap)
         .filter(jw >= 0.8)
         .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
           r(jw, 6).as("jw"))
@@ -3078,61 +3202,40 @@ object PipelineQueries {
     // overlap (multiset min of per-gram counts — the eval-metric
     // semantics, distinct from q_jaccard_pairs' set semantics), with
     // precision against the candidate (id_b), recall against the
-    // reference (id_a), and their F1. Grams shuffle as md5 digests
-    // (fixed-width keys at any gram length); the pair overlap is an
-    // equi-join on (digest, metric, consecutive id) — candidates only,
-    // never all-pairs. P/R/F1 are single identically-ordered double
-    // expressions over exact longs, rounded by the shared floor recipe.
+    // reference (id_a), and their F1. The metric is per-PAIR, so the
+    // gram work lives IN the row: each doc folds to MAP<fnv64, count>
+    // via the native one-pass GramCountsExpr (the CdcChunksExpr
+    // pattern) and each consecutive pair reduces two maps with
+    // MapClipSumExpr — the gram stream NEVER exists as rows, so there
+    // is no gram-level exchange anywhere (the r9 shape shuffled the
+    // exploded gram stream twice and self-joined it). The only join is
+    // the doc_id+1 self-join of map-valued rows: at scale that is one
+    // co-partitioned exchange whose volume equals the gram maps;
+    // per-doc totals are n / n−1 scan-side projections. P/R/F1 are
+    // single identically-ordered double expressions over exact longs,
+    // rounded by the shared floor recipe.
     "q_rouge_pairs" -> ((s, d) => {
-      val toks = parallelize(documents(s, d))
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-      val uni = toks
-        .select(col("doc_id"), explode(col("t")).as("g"))
-        .withColumn("metric", lit("rouge1"))
-      val bi = toks.filter(size(col("t")) >= 2)
+      import graft.functions.GramExprs
+      val side = parallelize(documents(s, d))
         .select(col("doc_id"),
-          explode(sequence(lit(0), size(col("t")) - 2)).as("i"), col("t"))
-        .select(col("doc_id"),
-          concat_ws(" ", element_at(col("t"), col("i") + 1),
-            element_at(col("t"), col("i") + 2)).as("g"))
-        .withColumn("metric", lit("rouge2"))
-      val counts = uni.unionByName(bi)
-        .groupBy(col("doc_id"), col("metric"), md5(col("g")).as("k"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // one gram pass feeds totals AND overlap
-      val totals = counts.groupBy(col("doc_id"), col("metric"))
-        .agg(sum(col("c")).as("tot"))
-      val ov = counts.as("a")
-        .join(counts.as("b").hint("shuffle_hash"),
-          col("b.k") === col("a.k") && col("b.metric") === col("a.metric") &&
-            col("b.doc_id") === col("a.doc_id") + 1)
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.metric").as("metric"))
-        .agg(sum(least(col("a.c"), col("b.c"))).as("ov"))
-      val docs = documents(s, d).select(col("doc_id"))
-      // metric attaches by explode, not a 2-row join (keeps the plan
-      // free of nested-loop operators); the overlap/totals join-backs
-      // are corpus-sized, so they are pinned to shuffle-hash — the
-      // checkpointed counts subtree has no size stats, and the planner
-      // would otherwise broadcast a corpus-sized table (the
-      // q_span_dedup lesson).
-      val pairs = docs.as("x")
-        .join(docs.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .withColumn("metric",
-          explode(array(lit("rouge1"), lit("rouge2"))))
-      val j = pairs
-        .join(ov.hint("shuffle_hash"), Seq("id_a", "id_b", "metric"), "left")
-        .join(totals.select(col("doc_id").as("id_a"),
-            col("metric"), col("tot").as("ta")).hint("shuffle_hash"),
-          Seq("id_a", "metric"), "left")
-        .join(totals.select(col("doc_id").as("id_b"),
-            col("metric"), col("tot").as("tb")).hint("shuffle_hash"),
-          Seq("id_b", "metric"), "left")
-        .select(col("id_a"), col("id_b"), col("metric"),
-          coalesce(col("ov"), lit(0L)).as("ov"),
-          coalesce(col("ta"), lit(0L)).as("ta"),
-          coalesce(col("tb"), lit(0L)).as("tb"))
+          GramExprs.gramCounts(col("text"), 1).as("m1"),
+          GramExprs.gramCounts(col("text"), 2).as("m2"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+      val x = side.select(col("doc_id").as("id_a"), col("m1").as("m1a"),
+        col("m2").as("m2a"), col("n").as("na"))
+      val y = side.select(col("doc_id").as("id_b"), col("m1").as("m1b"),
+        col("m2").as("m2b"), col("n").as("nb"))
+      val j = x.join(y, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"), explode(array(
+          struct(lit("rouge1").as("metric"),
+            GramExprs.mapClipSum(col("m1a"), col("m1b")).as("ov"),
+            col("na").as("ta"), col("nb").as("tb")),
+          struct(lit("rouge2").as("metric"),
+            GramExprs.mapClipSum(col("m2a"), col("m2b")).as("ov"),
+            greatest(col("na") - 1, lit(0L)).as("ta"),
+            greatest(col("nb") - 1, lit(0L)).as("tb")))).as("e"))
+        .select(col("id_a"), col("id_b"), col("e.metric").as("metric"),
+          col("e.ov").as("ov"), col("e.ta").as("ta"), col("e.tb").as("tb"))
       val p = when(col("tb") > 0, col("ov") / col("tb")).otherwise(lit(0.0))
       val rr = when(col("ta") > 0, col("ov") / col("ta")).otherwise(lit(0.0))
       val f1 = when(col("ov") > 0,
@@ -3152,40 +3255,14 @@ object PipelineQueries {
     // generation is an equi-join on (doc_id, rn + k), k exploded from
     // [1, 2]; output is vocabulary² bounded, not corpus-sized.
     "q_skipgrams" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = parallelize(documents(s, d))
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      val dropped = freq
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("cw").desc, col("w"))))
-        .filter(col("rk") <= 3)
-        .select(col("w"))
-      val kept = toks
-        .join(broadcast(dropped), Seq("w"), "left_anti")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-        .select(col("doc_id"), col("rn"), col("w"))
-        .localCheckpoint(false) // both join sides read one token pass
-      // the window offset attaches by explode (no 2-row join); the
-      // directed pair table aggregates ONCE to vocabulary² size behind
-      // a barrier, then symmetrizes — without it each union branch
-      // would re-run the corpus-sized position join
-      val pairCounts = kept.as("a")
-        .withColumn("k", explode(array(lit(1), lit(2))))
-        .join(kept.as("b"),
-          col("b.doc_id") === col("a.doc_id") &&
-            col("b.rn") === col("a.rn") + col("k"))
-        .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
-        .agg(count(lit(1)).as("n"))
-        .localCheckpoint(false)
-      pairCounts.select(col("wa").as("center"), col("wb").as("context"),
-          col("n"))
-        .unionByName(pairCounts.select(col("wb").as("center"),
-          col("wa").as("context"), col("n")))
+      // the symmetrized pair table is ONE aggregation over the 4-slot
+      // occurrence stream (each position emits its two context words in
+      // both directions) — no token self-join, no checkpoint, no
+      // union/re-group: count(center, context) directly sums the two
+      // directed multiplicities
+      skipgramLeadPairs(s, d)
         .groupBy(col("center"), col("context"))
-        .agg(sum(col("n")).as("n_pairs"))
+        .agg(count(lit(1)).as("n_pairs"))
     }))
 
   /** Shared ANN oracle CTEs (bits/probes derived from count(*) via

@@ -66,13 +66,44 @@ object Materialize {
     * artifacts are bounded (vocabulary/frontier-sized), so the write
     * is trivial.
     */
-  def memo(df: DataFrame, name: String): DataFrame = {
-    val base = df.sparkSession.conf.getOption(ConfKey)
-      .filter(_.nonEmpty)
-      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft-memo")
+  def memo(df: DataFrame, name: String): DataFrame =
+    df.sparkSession.read.parquet(memoPath(df, name))
+
+  /** [[memo]], returning the artifact PATH instead of a DataFrame — for
+    * callers that cache across session lifetimes (a path holds no
+    * session reference; re-reading it is a trivial file-scan plan).
+    * Artifacts landed under the tmpdir default are deleted at JVM exit;
+    * an explicit `materializeDir` is cluster-owned storage and is left
+    * to its owner's retention policy.
+    */
+  def memoPath(df: DataFrame, name: String): String = {
+    val conf = df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty)
+    val base = conf.getOrElse(
+      System.getProperty("java.io.tmpdir") + "/graft-memo")
     val safe = name.replaceAll("[^a-zA-Z0-9_-]", "_")
     val p = s"$base/$safe-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("error").parquet(p)
-    df.sparkSession.read.parquet(p)
+    if (conf.isEmpty) sweepAtExit(p)
+    p
+  }
+
+  // tmpdir memo artifacts are process-scoped scratch: sweep them when
+  // the process ends so long-lived hosts don't accumulate UUID dirs
+  private val exitSweep = scala.collection.mutable.ArrayBuffer.empty[String]
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitSweep.synchronized {
+        exitSweep.foreach { p =>
+          def del(f: java.io.File): Unit = {
+            val kids = f.listFiles()
+            if (kids != null) kids.foreach(del)
+            f.delete()
+          }
+          del(new java.io.File(p))
+        }
+      }, "graft-memo-sweep"))
+  private def sweepAtExit(p: String): Unit = {
+    hookInstalled
+    exitSweep.synchronized { exitSweep += p }
   }
 }

@@ -450,6 +450,75 @@ class PlanAuditSpec extends SparkSpec {
     assert(nlj == 2, s"expected exactly the 2 scalar combines, got $nlj:\n$p")
   }
 
+  test("q_rouge_pairs: gram stream never exists as rows — map kernels " +
+      "in the row, one doc_id+1 join, zero aggregations") {
+    val p = plan("q_rouge_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // the per-doc gram multisets fold inside the row via the native
+    // one-pass kernels; the clip reduces two maps per pair — so the
+    // whole plan has NO aggregation operator and NO gram-keyed
+    // exchange (the r9 shape shuffled the exploded gram stream twice
+    // and self-joined it)
+    assert(p.contains("gram_counts") && p.contains("map_clip_sum"),
+      s"map kernels not in the plan:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"gram-level aggregation crept back:\n$p")
+    // exactly one join: the consecutive-pair self-join of map rows
+    assert("Join".r.findAllIn(p).size == 1, s"extra joins:\n$p")
+    // the metric attach stays an explode, never a 2-row join
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q_skipgrams: top-3 via TakeOrderedAndProject; pair pass is " +
+      "join-free, window-free, exchange-free") {
+    // the stop-word pick is a per-partition top-3 + 3-row merge — the
+    // r9 shape's row_number over an UNPARTITIONED window planned a
+    // single-partition WindowExec over the whole vocabulary
+    val d3 = graft.queries.PipelineQueries.skipgramDrop3(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(d3.contains("TakeOrderedAndProject"), d3)
+    assert(!d3.contains("Window"), s"vocabulary window crept back:\n$d3")
+    // the pair pass (behind the checkpoint in the final plan): the 3
+    // collected stop-words gate a per-row array filter and neighbors
+    // read adjacent slots in the same codegen stage — no join, no
+    // window, and NO exchange until the downstream vocabulary² groupBy
+    val p = graft.queries.PipelineQueries.skipgramLeadPairs(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"token join crept back:\n$p")
+    assert(!p.contains("Window"), s"window crept back:\n$p")
+    // the only allowed exchange is parallelize()'s narrow round-robin
+    // split unlock — no hash/single-partition shuffle in the pass
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange SinglePartition"), s"pair pass shuffles:\n$p")
+  }
+
+  test("q_image_dedup: payload bytes die at the decode stage — one " +
+      "hash exchange of (media_id, ahash) partials") {
+    val p = plan("q_image_dedup")
+    // the only exchange is the ahash groupBy, keyed on the 8-byte hash;
+    // BMP payloads must never be a shuffle key or cross an exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"want 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(ahash#"), p)
+    assert(p.contains("partial_count") || p.contains("partial_min") ||
+      p.contains("Partial"), s"no map-side partials:\n$p")
+  }
+
+  test("q_jaro_link: grid-blocked equi join — cell coords in the join " +
+      "keys, no nested-loop fallback") {
+    val p = plan("q_jaro_link")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // the block join must key on the grid cell (blk, cx, cy) so a hot
+    // leading token spreads across reducers (GridBlockedPairsSpec pins
+    // the pair-set law; this pins the plan shape on the real query)
+    assert(p.contains("Generate explode"), s"no grid replication:\n$p")
+    assert("Join \\[blk#\\d+, cx#\\d+, cy#\\d+\\]".r.findFirstIn(p).isDefined ||
+      ("cx#".r.findFirstIn(p).isDefined && "cy#".r.findFirstIn(p).isDefined),
+      s"cell coords not in the join keys:\n$p")
+  }
+
   test("q_ewma: one user_id exchange, join-free") {
     val p = plan("q_ewma")
     assert(!p.contains("Join"), s"unexpected join:\n$p")

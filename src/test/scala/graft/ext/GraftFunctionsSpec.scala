@@ -99,7 +99,8 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(names == Seq("graft_dot", "graft_cosine", "graft_norm",
       "graft_lang_id", "graft_rolling_fp", "graft_bpe_count",
       "graft_stopword_count", "graft_vec_mean", "graft_kmv",
-      "graft_cms", "graft_cdc_chunks", "graft_hash_sample"))
+      "graft_cms", "graft_jaro_winkler", "graft_cdc_chunks",
+      "graft_hash_sample"))
     assert(names.distinct.size == names.size)
     val ext = new GraftExtensions
     val se = new org.apache.spark.sql.SparkSessionExtensions

