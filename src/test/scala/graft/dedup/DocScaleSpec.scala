@@ -70,6 +70,103 @@ class DocScaleSpec extends SparkSpec {
     }
   }
 
+  test("rouge rows at the decade: exact pair count, all-zero overlap " +
+      "(replica vocabularies are disjoint)") {
+    val n = requireCorpus()
+    // meaningfulness control: the base corpus has real overlap (shared
+    // vocabulary between consecutive docs), so the decade's zero-law
+    // below is a consequence of the replica construction, not a
+    // degenerate metric
+    val baseRows = SparkEntry.queries("q_rouge_pairs")(spark, base)
+    assert(baseRows.filter(col("f1") > 0).count() > 0,
+      "base corpus should have nonzero rouge overlap")
+    // at xN every consecutive doc pair crosses replicas (doc_id' =
+    // d*N + r interleaves them), and replica token sets share nothing —
+    // so EVERY pair row exists (2 metrics x (N*D - 1) pairs) and every
+    // overlap metric is exactly 0. A candidate leak across replicas or
+    // a pair-slot misalignment shows up as a nonzero row or a missing
+    // row here.
+    val nd = spark.read.parquet(s"$sfx1/documents.parquet").count()
+    val big = SparkEntry.queries("q_rouge_pairs")(spark, sfx1)
+    assert(big.count() == 2 * (nd - 1), s"expected ${2 * (nd - 1)} rows")
+    assert(big.filter(col("p") =!= 0.0 || col("rec") =!= 0.0 ||
+      col("f1") =!= 0.0).count() == 0,
+      "cross-replica pair with nonzero overlap — replica leak")
+  }
+
+  test("skipgram pairs at the decade: never mix replicas; total mass " +
+      "equals the base-derived expectation") {
+    val n = requireCorpus()
+    import spark.implicits._
+    val tag = (w: String) => {
+      val m = "^r(\\d+)_".r.findFirstIn(w); m.getOrElse("")
+    }
+    val rows = SparkEntry.queries("q_skipgrams")(spark, sfx1)
+      .select(col("center"), col("context"), col("n_pairs"))
+      .as[(String, String, Long)].collect()
+    // pairs are generated within a doc = within one replica: center and
+    // context must carry the SAME replica prefix
+    rows.foreach { case (c, x, _) =>
+      assert(tag(c) == tag(x), s"cross-replica pair ($c, $x)")
+    }
+    // exact mass law from the BASE corpus: replica r's compacted doc
+    // lengths are the base lengths minus that replica's dropped-variant
+    // occurrences (the global top-3 lands on 3 (replica, word)
+    // variants); a doc with n' kept tokens emits 2*max(n'-1,0) +
+    // 2*max(n'-2,0) directed pairs
+    val drop3 = graft.queries.PipelineQueries.skipgramDrop3(spark, sfx1)
+      .as[String].collect()
+    val dropByReplica = drop3.groupBy(tag).map { case (t, ws) =>
+      val r = if (t.isEmpty) 0 else t.drop(1).dropRight(1).toInt
+      r -> ws.map(w => if (t.isEmpty) w else w.substring(t.length)).toSet
+    }
+    val baseDocs = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("text")).as[String].collect()
+    var expected = 0L
+    for (r <- 0 until n.toInt) {
+      val dropped = dropByReplica.getOrElse(r, Set.empty[String])
+      baseDocs.foreach { t =>
+        val toks = t.split(" ", -1)
+        val kept = toks.count(w => !dropped.contains(w)).toLong
+        expected += 2 * math.max(kept - 1, 0) + 2 * math.max(kept - 2, 0)
+      }
+    }
+    assert(rows.map(_._3).sum == expected,
+      s"pair mass ${rows.map(_._3).sum} != base-derived $expected")
+  }
+
+  test("image-dedup clusters at the decade: same 37 fixtures, counts " +
+      "from the id-range law, stable representatives") {
+    val n = requireCorpus()
+    val nd = spark.read.parquet(s"$sfx1/documents.parquet").count()
+    val b = SparkEntry.queries("q_image_dedup")(spark, base)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val big = SparkEntry.queries("q_image_dedup")(spark, sfx1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the logo fixture keys payloads by doc_id % 37, and doc ids stay
+    // consecutive at the decade — so the SAME cluster set appears, each
+    // representative is its smallest seed (first occurrence), and each
+    // count is the exact id-range mass of the cluster's seed set
+    // (several distinct fixture images share an aHash, so a cluster can
+    // own multiple seeds — derive the seed→hash map from one doc per
+    // seed rather than assuming 1:1)
+    assert(big.keySet == b.keySet, "fixture cluster set changed")
+    val seedsByHash = graft.multimodal.MultiModal.imageAHash(
+        graft.multimodal.MultiModal.asLogoMediaTable(
+          spark.read.parquet(s"$base/documents.parquet")
+            .filter(col("doc_id") < 37), "doc_id"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("ahash"))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(seedsByHash.keySet == b.keySet, "seed map disagrees with base")
+    big.foreach { case (ahash, (cnt, rep)) =>
+      assert(rep == b(ahash)._2, s"representative moved for $ahash")
+      assert(rep == seedsByHash(ahash).min, s"rep not the smallest seed")
+      val exp = seedsByHash(ahash)
+        .map(s => nd / 37 + (if (s < nd % 37) 1 else 0)).sum
+      assert(cnt == exp, s"cluster $ahash count $cnt != id-range law $exp")
+    }
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
