@@ -627,6 +627,23 @@ object PipelineQueries {
       .select(col("p.center").as("center"), col("p.context").as("context"))
   }
 
+  /** The verified record-linkage edge set shared by `q_jaro_link`
+    * (scored pairs) and `q_linkage_clusters` (components +
+    * survivorship): distinct part names with row support, blocked on
+    * the leading token, grid-decomposed within blocks
+    * ([[gridBlockedPairs]]), Jaro-Winkler-verified at ≥ 0.8 through
+    * the native codegen'd expression.
+    */
+  private def jaroLinkEdges(s: SparkSession, d: String): DataFrame = {
+    val names = part(s, d)
+      .groupBy(col("p_name").as("nm"))
+      .agg(count(lit(1)).as("support"))
+      .withColumn("blk", split(col("nm"), " ").getItem(0))
+    gridBlockedPairs(names, GridLinkCap)
+      .filter(graft.functions.StringSim.jaroWinkler(
+        col("name_a"), col("name_b")) >= 0.8)
+  }
+
   /** Per-cell side bound for [[gridBlockedPairs]] — ≤ cap² verify calls
     * per grid cell (~1M at 1024: about a second of Jaro-Winkler work,
     * a healthy task size). Every real block in the test corpora is far
@@ -697,6 +714,48 @@ object PipelineQueries {
     // shingle — a strict superset of prefix candidates), so a prefix bug
     // that drops a qualifying pair hash-mismatches rather than agreeing.
     "q_prefix_join" -> ((s, d) => prefixJoinPairsMemo(s, d)),
+
+    // ---- asymmetric containment join (quote / subset detection) ---------
+    // C(A→B) = |S(A)∩S(B)| / |S(A)| ≥ τ — the metric that finds a doc
+    // QUOTED inside a larger one even when symmetric Jaccard is tiny
+    // (the long-doc dilution problem exact/near dedup misses). The
+    // prefix-filtering theorem applies ASYMMETRICALLY: overlap ≥ ⌈τ·n_a⌉
+    // forces sharing one of A's p = n_a − ⌈τ·n_a⌉ + 1 globally-rarest
+    // shingles, so only the PROBE side prunes to its prefix while the
+    // corpus side keeps its full shingle stream — candidates only,
+    // never all-pairs, and lossless (A's non-prefix holds ⌈τ·n_a⌉ − 1
+    // shingles, fewer than the required overlap). τ=0.5 is exactly
+    // representable, so ⌈n·0.5⌉ has no float-rounding direction to
+    // check. Ordered pairs (a≠b, both directions scored — containment
+    // is not symmetric). The oracle derives candidates INDEPENDENTLY
+    // (pairs sharing ANY shingle, a strict superset), so a prefix bug
+    // hash-mismatches rather than agreeing.
+    "q_containment" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tau = 0.5
+      val sh = parallelize(documents(s, d))
+        .select(col("doc_id"), Dedup.shingles(col("text"), 8).as("sh"))
+        .localCheckpoint(false) // probe prefix, corpus stream, verify a/b
+      val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("t"))
+      val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val pfx = tok.join(dfreq, "t")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+        .filter(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
+        .select(col("doc_id"), col("t"))
+      val cand = pfx.select(col("doc_id").as("id_a"), col("t"))
+        .join(tok.select(col("doc_id").as("id_b"), col("t")), Seq("t"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          r(inter / size(col("sa")), 6).as("containment"))
+        .filter(col("containment") >= tau)
+    }),
 
     // ---- LSH funnel recall/precision vs exact ground truth --------------
     // The q_ann_recall pattern for text dedup: the MinHash-LSH candidate
@@ -3185,17 +3244,37 @@ object PipelineQueries {
     // at τ=0.8: jw ≥ 0.8 forces jaro > 0.7 (the boost gate), which
     // bounds only min/max length > 0.1 — a factor-10 band that prunes
     // nothing real; bounded-cell decomposition is the sound de-skew.
-    "q_jaro_link" -> ((s, d) => {
+    "q_jaro_link" -> ((s, d) =>
+      jaroLinkEdges(s, d)
+        .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+          r(graft.functions.StringSim.jaroWinkler(
+            col("name_a"), col("name_b")), 6).as("jw"))),
+
+    // Entity resolution END TO END: the blocked+verified Jaro-Winkler
+    // edge set above → connected components (the batched
+    // graph-contraction CC, same machinery as q_dedup_clusters —
+    // min-label over STRING ids, driver state bounded to loop control)
+    // → survivorship per entity cluster: canonical name by (support
+    // DESC, name ASC) via one min(struct) aggregate (no window sort),
+    // membership and row-mass rollups. This is the operator a linkage
+    // pipeline actually ships: blocks bound the verify, the grid
+    // bounds the blocks, CC stitches transitive matches, survivorship
+    // picks the record to keep.
+    "q_linkage_clusters" -> ((s, d) => {
+      val edges = jaroLinkEdges(s, d)
+        .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+      val cl = Dedup.duplicateClusters(edges)
+        .select(col("doc_id").as("nm"), col("cluster_id"))
       val names = part(s, d)
         .groupBy(col("p_name").as("nm"))
         .agg(count(lit(1)).as("support"))
-        .withColumn("blk", split(col("nm"), " ").getItem(0))
-      val jw = graft.functions.StringSim.jaroWinkler(
-        col("name_a"), col("name_b"))
-      gridBlockedPairs(names, GridLinkCap)
-        .filter(jw >= 0.8)
-        .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
-          r(jw, 6).as("jw"))
+      cl.join(names, "nm")
+        .groupBy(col("cluster_id"))
+        .agg(
+          min(struct((col("support") * -1).as("ns"), col("nm")))
+            .getField("nm").as("canonical_nm"),
+          count(lit(1)).as("n_names"),
+          sum(col("support")).as("total_support"))
     }),
 
     // ROUGE-1/ROUGE-2 between consecutive-doc pairs: CLIPPED n-gram
@@ -5418,6 +5497,58 @@ object PipelineQueries {
          |SELECT ahash, cast(count(*) AS bigint) AS n_images,
          |  cast(min(doc_id) AS bigint) AS rep_id
          |FROM hs GROUP BY 1""").stripMargin,
+
+    // candidates INDEPENDENTLY derived (any shared shingle — a strict
+    // superset of the asymmetric prefix candidates), verify = exact
+    // list intersection over the probe side's shingle count
+    "q_containment" ->
+      (s"""WITH s AS (SELECT doc_id, $spanShinglesSql AS sh FROM documents),
+         |tok AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM tok a JOIN tok b
+         |           ON a.t = b.t AND a.doc_id <> b.doc_id),
+         |v AS (SELECT id_a, id_b,
+         |        len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS i,
+         |        len(sa.sh) AS na
+         |      FROM cand
+         |      JOIN s sa ON sa.doc_id = id_a
+         |      JOIN s sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b,
+         |  ${rs("cast(i AS double) / na", 6)} AS containment
+         |FROM v WHERE ${rs("cast(i AS double) / na", 6)} >= 0.5"""
+        ).stripMargin,
+
+    // same verified edge set as q_jaro_link, then recursive reachability
+    // components (the q_dedup_clusters construction over STRING ids) and
+    // the survivorship rollup: canonical by (support DESC, name ASC)
+    "q_linkage_clusters" ->
+      (s"""WITH n AS (SELECT p_name AS nm,
+         |    cast(count(*) AS bigint) AS support,
+         |    string_split(p_name, ' ')[1] AS blk
+         |  FROM part GROUP BY 1, 3),
+         |e0 AS (SELECT a.nm AS id_a, b.nm AS id_b
+         |       FROM n a JOIN n b ON a.blk = b.blk AND a.nm < b.nm
+         |       WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |          UNION ALL SELECT id_b, id_a FROM e0),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+         |  SELECT * FROM r),
+         |cl AS (SELECT src AS nm, min(dst) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |j AS (SELECT cl.nm, cl.cluster_id, n.support
+         |      FROM cl JOIN n USING (nm)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |         ORDER BY support DESC, nm ASC) AS rn FROM j)
+         |SELECT cluster_id,
+         |  max(CASE WHEN rn = 1 THEN nm END) AS canonical_nm,
+         |  cast(count(*) AS bigint) AS n_names,
+         |  cast(sum(support) AS bigint) AS total_support
+         |FROM rk GROUP BY 1""").stripMargin,
 
     // jaro_winkler_similarity is bit-identical to JaroWinklerExpr
     // (same conventions: empty -> 0, boost iff jaro > 0.7, prefix cap

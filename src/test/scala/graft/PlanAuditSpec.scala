@@ -519,6 +519,32 @@ class PlanAuditSpec extends SparkSpec {
       s"cell coords not in the join keys:\n$p")
   }
 
+  test("q_containment: asymmetric prefix candidates off one shingle " +
+      "barrier, equi joins only") {
+    val p = plan("q_containment")
+    // candidate generation must stay an equi join on the shingle token
+    // (probe-side prefix vs full corpus stream) — a cartesian/nested
+    // loop is the all-pairs collapse the asymmetric filter avoids
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"all-pairs join:\n$p")
+    // shingle arrays materialize once; prefix, corpus stream and both
+    // verify sides read the barrier instead of re-scanning documents
+    assert(p.contains("Scan ExistingRDD"), s"lost the shingle barrier:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"re-scans documents around the barrier:\n$p")
+  }
+
+  test("q_linkage_clusters: survivorship is one aggregate over the " +
+      "component map — no window sort, no nested loops") {
+    val p = plan("q_linkage_clusters")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // canonical-name pick is min(struct(-support, nm)) in the rollup,
+    // never a per-cluster row_number window
+    assert(!p.contains("Window"), s"window sort crept in:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_ewma: one user_id exchange, join-free") {
     val p = plan("q_ewma")
     assert(!p.contains("Join"), s"unexpected join:\n$p")

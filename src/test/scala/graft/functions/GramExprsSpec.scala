@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * strings.
   */
 class GramExprsSpec extends SparkSpec {
-  import GramExprs._
+  import graft.functions.GramExprs._
 
   private val rnd = new scala.util.Random(41)
   private def randText(): String = {
