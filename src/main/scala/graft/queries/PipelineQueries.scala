@@ -1303,6 +1303,59 @@ object PipelineQueries {
     // w = n_chars makes inclusion probability proportional to weight.
     // Pure scan + TakeOrderedAndProject: no shuffle, no rng state, and
     // re-running on a grown corpus preserves every surviving doc's key.
+    // ---- DSIR importance-resampling data selection ----------------------
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS'23):
+    // score raw docs by how much their hashed-n-gram feature profile
+    // looks like a TARGET domain, then keep the best per source. The
+    // 100 TB shape: features are 256 hash buckets (md5-derived, both
+    // engines bit-identical), so the distribution tables are
+    // VALUE-DOMAIN-sized — ln runs on 256 rows only and is micro-nat
+    // integerized there (the q_ngram_lm recipe), per-doc importance is
+    // an exact BIGINT Σ c_doc(b)·lr_micro(b) via a 256-row broadcast
+    // join, and the per-source selection is the custom TopKPerKey
+    // operator (per-key heap + one hash exchange — never a global or
+    // per-partition full sort). Target = the lexicographically-first
+    // source (derived from data, no scale-pinned literal); Laplace
+    // (+1)/(N+256) smoothing keeps every bucket finite.
+    "q_dsir_select" -> ((s, d) => {
+      val nb = 256
+      val docs = parallelize(documents(s, d))
+      val tok = docs
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .withColumn("b", (conv(substring(md5(col("w")), 1, 8), 16, 10)
+          .cast("long") % nb).cast("int"))
+      val tgt = docs.agg(min(col("source")).as("tgt"))
+      val bc = tok.crossJoin(broadcast(tgt)) // 1-row scalar attach
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("source") === col("tgt"), 1L).otherwise(0L))
+            .as("ct"))
+      // totals are plain token counts — a scan-side aggregate (no
+      // explode), so the bucket aggregation above runs exactly once
+      // (deriving totals FROM bc would re-run the token pass under it)
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val tot = docs.crossJoin(broadcast(tgt))
+        .agg(sum(nTok).as("nr"),
+          sum(when(col("source") === col("tgt"), nTok).otherwise(0L))
+            .as("nt"))
+      val lr = bc.crossJoin(broadcast(tot)) // 256-row × 1-row scalar
+        .select(col("b"), floor(
+          log(((col("ct") + lit(1.0)) / (col("nt") + lit(nb.toDouble))) /
+            ((col("cr") + lit(1.0)) / (col("nr") + lit(nb.toDouble)))) *
+            lit(1e6) + lit(0.5)).cast("long").as("lr_micro"))
+      val imp = tok.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(lr), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c") * col("lr_micro")).as("imp_micro"),
+          sum(col("c")).as("n_tokens"))
+      graft.plans.TopKPerKey(imp, keys = Seq("source"),
+          order = Seq("imp_micro" -> true, "doc_id" -> false), k = 25)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("imp_micro"))
+    }),
+
     "q_weighted_sample" -> ((s, d) => {
       val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
         16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)
@@ -3646,6 +3699,36 @@ object PipelineQueries {
                "list_reduce(list_transform(arr, x -> cast(1.0 AS double)), " +
                "(acc, o) -> acc*0.75 + o)", 6)} AS ewma
          |FROM w""".stripMargin,
+
+    // same md5-bucket hash, same smoothing, ln micro-integerized on the
+    // 256-row bucket table only (identical expression shape), exact
+    // BIGINT per-doc sums, row_number mirror of TopKPerKey
+    "q_dsir_select" ->
+      ("""WITH tok AS (SELECT doc_id, source,
+         |    cast(('0x' || substr(md5(w), 1, 8)) AS bigint) % 256 AS b
+         |  FROM (SELECT doc_id, source,
+         |          unnest(string_split(text, ' ')) AS w FROM documents)),
+         |tgt AS (SELECT min(source) AS tgt FROM documents),
+         |bc AS (SELECT b, cast(count(*) AS bigint) AS cr,
+         |    cast(sum(CASE WHEN source = (SELECT tgt FROM tgt)
+         |             THEN 1 ELSE 0 END) AS bigint) AS ct
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT cast(sum(cr) AS bigint) AS nr,
+         |    cast(sum(ct) AS bigint) AS nt FROM bc),
+         |lr AS (SELECT b, cast(floor(
+         |    ln(((ct + 1.0) / (nt + 256.0)) / ((cr + 1.0) / (nr + 256.0)))
+         |      * 1000000 + 0.5) AS bigint) AS lr_micro
+         |  FROM bc, tot),
+         |pd AS (SELECT doc_id, source, b, cast(count(*) AS bigint) AS c
+         |  FROM tok GROUP BY 1, 2, 3),
+         |imp AS (SELECT doc_id, source,
+         |    cast(sum(c * lr_micro) AS bigint) AS imp_micro,
+         |    cast(sum(c) AS bigint) AS n_tokens
+         |  FROM pd JOIN lr USING (b) GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY imp_micro DESC, doc_id) AS rn FROM imp)
+         |SELECT source, doc_id, n_tokens, imp_micro
+         |FROM rk WHERE rn <= 25""").stripMargin,
 
     "q_weighted_sample" ->
       ("""SELECT doc_id, n_chars,

@@ -545,6 +545,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_dsir_select: value-domain ln, broadcast log-ratio table, " +
+      "TopKPerKey selection — no window, no corpus-side nested loops") {
+    val p = plan("q_dsir_select")
+    // the 256-row log-ratio table must arrive broadcast at the per-doc
+    // join (shuffling the doc-bucket counts against it is the mistake),
+    // and the per-source selection is the custom heap operator, never a
+    // row_number window sort of the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), s"window sort crept in:\n$p")
+    // the only nested-loop joins are the three 1-row scalar attaches
+    // (target→bucket agg, target→totals, totals→log-ratio) — every one
+    // builds a single-row side
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 3, s"corpus-side nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the bucket aggregation over the token stream must appear ONCE:
+    // exactly one exchange keyed on the bucket alone
+    val bAgg = "Exchange hashpartitioning\\(b#\\d+, \\d+\\)".r
+      .findAllIn(p).size
+    assert(bAgg == 1, s"bucket agg ran $bAgg times:\n$p")
+  }
+
   test("q_ewma: one user_id exchange, join-free") {
     val p = plan("q_ewma")
     assert(!p.contains("Join"), s"unexpected join:\n$p")

@@ -33,7 +33,11 @@ object ClusterProbe {
     "q_bloom_decontam",  // executor-built bloom, broadcast probe
     "q_lsh_pairs",       // minhash/banding digest shuffle funnel
     "q_ann_batch",       // broadcast query table + custom top-k re-rank
-    "q_window_battery")  // rank/lag/rolling window functions
+    "q_window_battery",  // rank/lag/rolling window functions
+    "q_rouge_pairs",     // GramCounts/MapClipSum map-valued exprs (r10):
+                         // MapData results cross the shuffle + the
+                         // kernels' reference objects ship to executors
+    "q_jaro_link")       // JaroWinklerExpr codegen + grid-blocked join
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
