@@ -437,6 +437,28 @@ object PipelineQueries {
        |  $scFilter GROUP BY 1)""".stripMargin
   }
 
+  /** Consecutive-doc pair table carrying each side's unigram/bigram
+    * count maps and token counts: (id_a, m1a, m2a, na, id_b, m1b, m2b,
+    * nb) with id_b = id_a + 1. The per-doc gram work lives IN the row
+    * (native one-pass GramCountsExpr → MAP<fnv64, count>) so the gram
+    * stream never exists as rows; the only exchange is the doc_id+1
+    * self-join of map-valued rows. Shared by the eval-metric pair
+    * queries (q_rouge_pairs, q_bleu_pairs).
+    */
+  private def gramPairJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GramExprs
+    val side = parallelize(documents(s, d))
+      .select(col("doc_id"),
+        GramExprs.gramCounts(col("text"), 1).as("m1"),
+        GramExprs.gramCounts(col("text"), 2).as("m2"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+    val x = side.select(col("doc_id").as("id_a"), col("m1").as("m1a"),
+      col("m2").as("m2a"), col("n").as("na"))
+    val y = side.select(col("doc_id").as("id_b"), col("m1").as("m1b"),
+      col("m2").as("m2b"), col("n").as("nb"))
+    x.join(y, col("id_b") === col("id_a") + 1)
+  }
+
   /** CTE producing (doc_id, band_idx, band_key) — mirror of Dedup.lshBands
     * with n=2, bands=4, rowsPerBand=2: ONE md5 per shingle, k 16-bit
     * chunk-min hashes (Dedup.chunkMinhash).
@@ -1678,6 +1700,69 @@ object PipelineQueries {
           coalesce(col("r_lex"), lit(0)).cast("long").as("r_lex"),
           coalesce(col("r_sem"), lit(0)).cast("long").as("r_sem"))
         .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+    }),
+
+    // Ranking-quality eval: NDCG@10 per query term over the BM25
+    // ranking, graded relevance = raw term frequency (the retrieval
+    // eval companion to q_rrf_fusion — same shared bm25Base tokenize
+    // pass, same exact-integer bm25TermMicro scores). Both the system
+    // top-10 (by score) and the ideal top-10 (by relevance) prune
+    // through the TopKPerKey physical operator — per-key bounded
+    // heaps, so no corpus-wide sort and no window over an unbounded
+    // partition; row_number ranks run AFTER the prune on ≤k rows per
+    // term. Per-position gains rel/log2(rank+1) integerize to micro
+    // units so each DCG is an exact long sum, and NDCG is one rounded
+    // division of two longs.
+    "q_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.plans.TopKPerKey
+      val base = bm25Base(s, d)
+      val st = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot"))
+      // tf folds IN the row (hits is already an in-row array and the
+      // term list is a literal), carrying dl along — so unlike the
+      // explode→groupBy shape there is NO corpus-wide exchange and no
+      // dl join-back anywhere: the only shuffles in the whole query
+      // are the 3-row df rollup and the (t, mode) prune
+      val tf = base.select(col("doc_id"), col("dl"),
+        explode(filter(transform(array(Bm25Terms.map(lit): _*),
+          t => struct(t.as("t"),
+            size(filter(col("hits"), h => h === t)).cast("long")
+              .as("tf"))),
+          e => e.getField("tf") > 0)).as("e"))
+        .select(col("doc_id"), col("dl"),
+          col("e.t").as("t"), col("e.tf").as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "t").crossJoin(broadcast(st))
+        .select(col("t"), col("doc_id"), col("tf"), bm25TermMicro.as("sm"))
+      def gain: Column = floor(col("tf").cast("double") /
+        log2(col("rk").cast("double") + lit(1.0)) * lit(1e6) + lit(0.5))
+        .cast("long")
+      // both rankings ride ONE prune/rank/aggregate pass: each scored
+      // row explodes into (mode='sys', ord=score) and (mode='ideal',
+      // ord=rel), so a single TopKPerKey keyed on (t, mode) prunes
+      // both top-10s, one window ranks the |terms|×|modes|×k
+      // survivors, and the two DCG sums split back out as conditional
+      // aggregates — no second corpus pass, no dcg⋈idcg join
+      val both = scored.select(col("t"), col("doc_id"), col("tf"),
+        explode(array(
+          struct(lit("sys").as("mode"), col("sm").as("ord")),
+          struct(lit("ideal").as("mode"), col("tf").as("ord")))).as("e"))
+        .select(col("t"), col("doc_id"), col("tf"),
+          col("e.mode").as("mode"), col("e.ord").as("ord"))
+      val ranked = TopKPerKey(both, Seq("t", "mode"),
+          Seq(("ord", true), ("doc_id", false)), 10)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("t"), col("mode"))
+            .orderBy(col("ord").desc, col("doc_id"))))
+      ranked.groupBy(col("t"))
+        .agg(sum(when(col("mode") === "sys", gain).otherwise(lit(0L)))
+            .as("dcg_micro"),
+          sum(when(col("mode") === "ideal", gain).otherwise(lit(0L)))
+            .as("idcg_micro"))
+        .select(col("t").as("term"), col("dcg_micro"), col("idcg_micro"),
+          r(col("dcg_micro").cast("double") / col("idcg_micro"), 6)
+            .as("ndcg"))
     }),
 
     // C4-style span-level dedup report: 8-word spans (distinct within a
@@ -3330,6 +3415,37 @@ object PipelineQueries {
           sum(col("support")).as("total_support"))
     }),
 
+    // BLEU-2 between consecutive-doc pairs (Papineni et al. 2002):
+    // modified (clipped) n-gram precisions p1/p2 of the candidate
+    // (id_b) against the reference (id_a), brevity penalty when the
+    // candidate is shorter, geometric mean via sqrt — BLEU = 0 when
+    // either clipped overlap is empty (the unsmoothed sentence
+    // definition). Reuses the rouge pair machinery verbatim
+    // (gramPairJoin: per-doc MAP<fnv64,count> gram maps folded by the
+    // native GramCountsExpr, pairs reduced by MapClipSumExpr — no
+    // gram-level exchange anywhere); the single transcendental (the
+    // BP exp) is floor-rounded at 6 places like every float output.
+    "q_bleu_pairs" -> ((s, d) => {
+      import graft.functions.GramExprs
+      val j = gramPairJoin(s, d)
+        .select(col("id_a"), col("id_b"),
+          GramExprs.mapClipSum(col("m1a"), col("m1b")).as("ov1"),
+          GramExprs.mapClipSum(col("m2a"), col("m2b")).as("ov2"),
+          col("na"), col("nb"))
+      val p1 = when(col("nb") > 0,
+        col("ov1").cast("double") / col("nb")).otherwise(lit(0.0))
+      val p2 = when(col("nb") - 1 > 0,
+        col("ov2").cast("double") / (col("nb") - 1)).otherwise(lit(0.0))
+      val bp = when(col("nb") >= col("na"), lit(1.0))
+        .otherwise(exp(lit(1.0) -
+          col("na").cast("double") / col("nb").cast("double")))
+      val bleu = when(col("ov1") > 0 && col("ov2") > 0,
+        bp * sqrt(p1 * p2)).otherwise(lit(0.0))
+      j.select(col("id_a"), col("id_b"),
+        r(p1, 6).as("p1"), r(p2, 6).as("p2"),
+        r(bp, 6).as("bp"), r(bleu, 6).as("bleu"))
+    }),
+
     // ROUGE-1/ROUGE-2 between consecutive-doc pairs: CLIPPED n-gram
     // overlap (multiset min of per-gram counts — the eval-metric
     // semantics, distinct from q_jaccard_pairs' set semantics), with
@@ -3348,16 +3464,7 @@ object PipelineQueries {
     // rounded by the shared floor recipe.
     "q_rouge_pairs" -> ((s, d) => {
       import graft.functions.GramExprs
-      val side = parallelize(documents(s, d))
-        .select(col("doc_id"),
-          GramExprs.gramCounts(col("text"), 1).as("m1"),
-          GramExprs.gramCounts(col("text"), 2).as("m2"),
-          size(split(col("text"), " ")).cast("long").as("n"))
-      val x = side.select(col("doc_id").as("id_a"), col("m1").as("m1a"),
-        col("m2").as("m2a"), col("n").as("na"))
-      val y = side.select(col("doc_id").as("id_b"), col("m1").as("m1b"),
-        col("m2").as("m2b"), col("n").as("nb"))
-      val j = x.join(y, col("id_b") === col("id_a") + 1)
+      val j = gramPairJoin(s, d)
         .select(col("id_a"), col("id_b"), explode(array(
           struct(lit("rouge1").as("metric"),
             GramExprs.mapClipSum(col("m1a"), col("m1b")).as("ov"),
@@ -3946,6 +4053,52 @@ object PipelineQueries {
          |  cast(coalesce(r_sem, 0) AS bigint) AS r_sem
          |FROM lex FULL OUTER JOIN sem USING (doc_id)
          |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Same tf/df/dl/stats chain as bm25CteSql but kept per (doc, term)
+    // (the aggregate form would lose the per-term scores NDCG ranks
+    // by); identical floor-integerized term score, identical
+    // micro-integerized rel/log2(rank+1) gains.
+    "q_ndcg" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val score =
+        """cast(floor(
+          |      ln((cast(n_docs - df AS double) + 0.5)
+          |        / (cast(df AS double) + 0.5) + 1.0)
+          |      * (cast(tf AS double) * 2.2)
+          |      / (cast(tf AS double) + 1.2 * (0.25
+          |          + 0.75 * cast(dl AS double)
+          |            / (cast(tot AS double) / n_docs)))
+          |      * 1000000.0 + 0.5) AS bigint)""".stripMargin
+      val gain = "cast(floor(cast(tf AS double) " +
+        "/ log2(cast(rk AS double) + 1.0) * 1000000.0 + 0.5) AS bigint)"
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |            FROM documents),
+         |dl AS (SELECT doc_id, cast(len(tk) AS bigint) AS dl FROM tk),
+         |st AS (SELECT cast(count(*) AS bigint) AS n_docs,
+         |         cast(sum(dl) AS bigint) AS tot FROM dl),
+         |tf AS (SELECT doc_id, t, cast(count(*) AS bigint) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+         |       WHERE t IN ($terms) GROUP BY 1, 2),
+         |df AS (SELECT t, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t, tf.doc_id, tf, $score AS sm
+         |       FROM tf JOIN dl USING (doc_id) JOIN df USING (t)
+         |       CROSS JOIN st),
+         |sysr AS (SELECT t, tf, cast(row_number() OVER
+         |             (PARTITION BY t ORDER BY sm DESC, doc_id)
+         |           AS bigint) AS rk
+         |         FROM sc),
+         |dcg AS (SELECT t, cast(sum($gain) AS bigint) AS dcg_micro
+         |        FROM sysr WHERE rk <= 10 GROUP BY 1),
+         |idr AS (SELECT t, tf, cast(row_number() OVER
+         |            (PARTITION BY t ORDER BY tf DESC, doc_id)
+         |          AS bigint) AS rk
+         |        FROM sc),
+         |idcg AS (SELECT t, cast(sum($gain) AS bigint) AS idcg_micro
+         |         FROM idr WHERE rk <= 10 GROUP BY 1)
+         |SELECT dcg.t AS term, dcg_micro, idcg_micro,
+         |  ${rs("cast(dcg_micro AS double)/idcg_micro", 6)} AS ndcg
+         |FROM dcg JOIN idcg USING (t)""".stripMargin
+    },
 
     // multi-probe SRP-LSH ANN: probe buckets re-derived in SQL (see
     // annProbeCtes), exact-cosine re-rank on the probed subset; ordered
@@ -5646,6 +5799,52 @@ object PipelineQueries {
          |  ${rs("jaro_winkler_similarity(a.nm, b.nm)", 6)} AS jw
          |FROM n a JOIN n b ON a.blk = b.blk AND a.nm < b.nm
          |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.8""").stripMargin,
+
+    // Clipped n-gram precisions over exact BIGINT counts; the BP exp
+    // and the sqrt geometric mean written as the identical double
+    // expression trees the Spark side evaluates.
+    "q_bleu_pairs" -> {
+      val p1 = "CASE WHEN nb > 0 THEN cast(ov1 AS double)/nb ELSE 0.0 END"
+      val p2 = "CASE WHEN nb - 1 > 0 THEN cast(ov2 AS double)/(nb - 1) " +
+        "ELSE 0.0 END"
+      val bp = "CASE WHEN nb >= na THEN 1.0 ELSE " +
+        "exp(1.0 - cast(na AS double)/cast(nb AS double)) END"
+      val bleu = s"CASE WHEN ov1 > 0 AND ov2 > 0 THEN ($bp) " +
+        s"* sqrt(($p1) * ($p2)) ELSE 0.0 END"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+         |           FROM documents),
+         |u AS (SELECT doc_id, 1 AS n, unnest(t) AS g FROM t),
+         |b AS (SELECT doc_id, 2 AS n,
+         |        unnest(list_transform(generate_series(0, len(t) - 2),
+         |          i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')))
+         |          AS g
+         |      FROM t WHERE len(t) >= 2),
+         |g AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+         |c AS (SELECT doc_id, n, g, cast(count(*) AS bigint) AS c
+         |      FROM g GROUP BY 1, 2, 3),
+         |ovl AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.n,
+         |          cast(sum(least(a.c, b2.c)) AS bigint) AS ov
+         |        FROM c a JOIN c b2 ON b2.g = a.g AND b2.n = a.n
+         |          AND b2.doc_id = a.doc_id + 1
+         |        GROUP BY 1, 2, 3),
+         |lens AS (SELECT doc_id, cast(len(t) AS bigint) AS n FROM t),
+         |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |            lx.n AS na, ly.n AS nb
+         |          FROM documents x
+         |          JOIN documents y ON y.doc_id = x.doc_id + 1
+         |          JOIN lens lx ON lx.doc_id = x.doc_id
+         |          JOIN lens ly ON ly.doc_id = y.doc_id),
+         |j AS (SELECT p.id_a, p.id_b, p.na, p.nb,
+         |        coalesce(o1.ov, 0) AS ov1, coalesce(o2.ov, 0) AS ov2
+         |      FROM pairs p
+         |      LEFT JOIN ovl o1 ON o1.id_a = p.id_a AND o1.id_b = p.id_b
+         |        AND o1.n = 1
+         |      LEFT JOIN ovl o2 ON o2.id_a = p.id_a AND o2.id_b = p.id_b
+         |        AND o2.n = 2)
+         |SELECT id_a, id_b, ${rs(p1, 6)} AS p1, ${rs(p2, 6)} AS p2,
+         |  ${rs(bp, 6)} AS bp, ${rs(bleu, 6)} AS bleu
+         |FROM j""".stripMargin
+    },
 
     // Clipped (multiset-min) n-gram overlap; P/R/F1 as the identical
     // double expression order over exact BIGINT counts.

@@ -470,6 +470,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("q_bleu_pairs: shares the rouge map-kernel shape — gram maps " +
+      "fold in the row, one doc_id+1 join, zero aggregations") {
+    val p = plan("q_bleu_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("gram_counts") && p.contains("map_clip_sum"),
+      s"map kernels not in the plan:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"gram-level aggregation crept back:\n$p")
+    assert("Join".r.findAllIn(p).size == 1, s"extra joins:\n$p")
+  }
+
+  test("q_ndcg: in-row tf (no corpus-wide exchange), ONE TopKPerKey " +
+      "prune for both rankings, rank window directly on the prune") {
+    val p = plan("q_ndcg")
+    // tf folds inside the row off the checkpointed base — the corpus
+    // never shuffles on (doc_id, t); the only hash exchanges are the
+    // 3-row df rollup, the (t, mode) prune, and the final per-term agg
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"corpus-wide tf exchange crept back:\n$p")
+    // both rankings ride one mode-exploded prune + one rank window,
+    // and the window reuses the prune's clustering (TopKPerKeyExec
+    // propagates child partitioning) — no exchange between them
+    val topk = "TopKPerKey 10".r.findAllMatchIn(p).map(_.start).toList
+    val win = "Window \\[row_number".r.findAllMatchIn(p).map(_.start).toList
+    assert(topk.size == 1 && win.size == 1,
+      s"expected one prune + one rank window:\n$p")
+    assert(win.head < topk.head, s"rank window below the prune:\n$p")
+    val between = p.substring(win.head, topk.head)
+    assert(!between.contains("Exchange"),
+      s"survivors re-shuffled between prune and rank:\n$p")
+    // the only nested loop is the 1-row corpus-stats broadcast (the
+    // scalar st crossJoin this family shares with q_bm25)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("IdentityBroadcastMode"), p)
+  }
+
   test("q_skipgrams: top-3 via TakeOrderedAndProject; pair pass is " +
       "join-free, window-free, exchange-free") {
     // the stop-word pick is a per-partition top-3 + 3-row merge — the

@@ -94,6 +94,48 @@ class DocScaleSpec extends SparkSpec {
       "cross-replica pair with nonzero overlap — replica leak")
   }
 
+  test("bleu rows at the decade: exact pair count, zero precisions " +
+      "(replica vocabularies are disjoint), BP from lengths alone") {
+    requireCorpus()
+    // meaningfulness control: the base corpus has consecutive pairs
+    // with shared vocabulary, so the decade zero-law below is the
+    // replica construction at work, not a degenerate metric
+    val baseRows = SparkEntry.queries("q_bleu_pairs")(spark, base)
+    assert(baseRows.filter(col("p1") > 0).count() > 0,
+      "base corpus should have nonzero unigram precision")
+    // at xN every consecutive pair crosses replicas and replica token
+    // sets share nothing — one row per pair, every clipped precision
+    // exactly 0 (a candidate leak shows up as a nonzero precision)
+    val nd = spark.read.parquet(s"$sfx1/documents.parquet").count()
+    val big = SparkEntry.queries("q_bleu_pairs")(spark, sfx1)
+    assert(big.count() == nd - 1, s"expected ${nd - 1} rows")
+    assert(big.filter(col("p1") =!= 0.0 || col("p2") =!= 0.0 ||
+      col("bleu") =!= 0.0).count() == 0,
+      "cross-replica pair with nonzero precision — replica leak")
+    // the brevity penalty is computed from token counts alone, and
+    // replica prefixing preserves counts — pairs that cross a base-doc
+    // boundary keep base-like length contrast, so BP<1 rows survive
+    // the decade (an all-1 column would mean the length plumbing broke)
+    assert(big.filter(col("bp") < 1.0).count() > 0, "degenerate BP")
+  }
+
+  test("ndcg at the decade: per-term frame IDENTICAL to base — " +
+      "replicas never hit the query terms, idf growth rescales " +
+      "scores but not ranks, avgdl is replication-invariant") {
+    requireCorpus()
+    // replica r>0 prefixes every token, so only replica-0 docs contain
+    // the bare query terms: the hit set, tf values, dl values and
+    // avgdl (tot and n_docs both scale xN) are all base-identical,
+    // idf is a per-term positive constant at each scale — so both
+    // rankings, hence every gain and both DCG sums, must reproduce
+    // the base frame EXACTLY
+    val b = SparkEntry.queries("q_ndcg")(spark, base)
+      .collect().map(_.toSeq).toSet
+    val big = SparkEntry.queries("q_ndcg")(spark, sfx1)
+      .collect().map(_.toSeq).toSet
+    assert(b.nonEmpty && big == b, s"ndcg diverged: base=$b decade=$big")
+  }
+
   test("skipgram pairs at the decade: never mix replicas; total mass " +
       "equals the base-derived expectation") {
     val n = requireCorpus()
