@@ -175,6 +175,10 @@ object PipelineQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   private def embCount(s: SparkSession, d: String): Long =
     embCountCache.getOrElseUpdate((s, d), embeddings(s, d).count())
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def docCount(s: SparkSession, d: String): Long =
+    docCountCache.getOrElseUpdate((s, d), documents(s, d).count())
 
   // Iterative graph artifacts (PageRank ranks, BFS distances) memoized
   // per (session, dir) like span5Cache: the iteration runs once and
@@ -385,6 +389,49 @@ object PipelineQueries {
   // advice. Tiny: dl + ≤|terms| hits per doc.
   private val bm25BaseCache = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String), DataFrame]
+  /** The distributed half of q_source_divergence: ONE corpus token
+    * pass folded to (source, md5-bucket, count) — ≤ 256×|sources| rows
+    * at any corpus size. Two-level rollup: count (source, word) first
+    * so the md5 chain runs once per DISTINCT word per source (at
+    * 100 TB that is ~10⁵× fewer hashes than per-token), then fold
+    * words into buckets — same counts, the exchange is vocab-bounded
+    * per source like q_zipf_slope's. Exposed (package-private) so
+    * PlanAuditSpec can pin this plan shape.
+    */
+  private[graft] def sourceBucketCounts(s: SparkSession, d: String,
+      nb: Int): DataFrame =
+    parallelize(documents(s, d))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cw"))
+      .withColumn("b", (conv(substring(md5(col("w")), 1, 8), 16, 10)
+        .cast("long") % nb).cast("int"))
+      .groupBy(col("source"), col("b")).agg(sum(col("cw")).as("c"))
+
+  /** The distributed half of q_heaps_law: per-decile token mass (scan
+    * side — no explode, a 10-row map-side agg; deliberately NOT
+    * parallelize()d, the round-robin repartition would shuffle the
+    * whole text column for a 10-row rollup — measured 0.16 s vs 0.10 s
+    * at sf0.1) left-joined with per-decile first-occurrence vocabulary
+    * (min(doc_id) per word: the only corpus-sized exchange, the
+    * q_zipf_slope precedent, so this branch DOES get the explode
+    * parallelized). 10 rows by construction. Package-private for
+    * PlanAuditSpec.
+    */
+  private[graft] def heapsCurveInputs(s: SparkSession, d: String,
+      nd: Long): DataFrame = {
+    val decOf = (c: String) =>
+      expr(s"least(9, ($c * 10) div ${nd}L)").cast("long")
+    val toks = documents(s, d)
+      .groupBy(decOf("doc_id").as("decile"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tk"))
+    val vocab = parallelize(documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(decOf("fd").as("decile"))
+      .agg(count(lit(1)).as("nv"))
+    toks.join(vocab, Seq("decile"), "left")
+  }
+
   private def bm25Base(s: SparkSession, d: String): DataFrame =
     bm25BaseCache.getOrElseUpdate((s, d),
       parallelize(documents(s, d))
@@ -1378,6 +1425,59 @@ object PipelineQueries {
           col("imp_micro"))
     }),
 
+    // Pre-mixing source-divergence matrix: pairwise Jensen-Shannon
+    // divergence between per-source unigram distributions over the
+    // SAME 256 md5-hashed feature buckets DSIR uses — "which sources
+    // are interchangeable and which add diversity" is the
+    // mixture-design companion to q_dsir_select's importance scores
+    // and q_source_overlap's verbatim containment. ONE distributed
+    // token pass → (source, bucket) counts; that table is ≤ 256×
+    // |sources| rows AT ANY CORPUS SIZE (the buckets are fixed, the
+    // source list is the mixture design's hand-curated set), so the
+    // dense grid / Laplace smoothing / pairwise JSD run driver-side
+    // on the collected array (the k×dim centroid precedent) — at
+    // 100 TB the corpus pass is still the only distributed work and
+    // the collect is still ≤ a few thousand fixed-width rows.
+    // Arithmetic is the identical double tree the oracle runs
+    // (Laplace p, ln ratio, per-bucket term nano-floored to BIGINT
+    // before the pair sum) so the hash compare is exact. JSD is
+    // symmetric, bounded by ln 2 — emitted once per unordered pair.
+    "q_source_divergence" -> ((s, d) => {
+      val nb = 256
+      // bounded artifact: ≤ 256×|sources| (source, bucket, count) rows
+      val rows = sourceBucketCounts(s, d, nb).collect()
+      val bySrc = rows.groupBy(_.getString(0)).map { case (src, rs) =>
+        val c = new Array[Long](nb)
+        rs.foreach(r => c(r.getInt(1)) = r.getLong(2))
+        src -> c
+      }
+      val srcs = bySrc.keys.toArray.sorted
+      // smoothed P per source — same (c + 1) / (n + 256) doubles the
+      // distributed form produced
+      val p = srcs.map { src =>
+        val c = bySrc(src)
+        val n = c.sum
+        src -> c.map(ci => (ci + 1.0) / (n + nb.toDouble))
+      }.toMap
+      val out = for {
+        i <- srcs.indices; j <- (i + 1) until srcs.length
+      } yield {
+        val (pa, pb) = (p(srcs(i)), p(srcs(j)))
+        var jsdNano = 0L
+        var b = 0
+        while (b < nb) {
+          val m = (pa(b) + pb(b)) / 2.0
+          val term = 0.5 * pa(b) * math.log(pa(b) / m) +
+            0.5 * pb(b) * math.log(pb(b) / m)
+          jsdNano += math.floor(term * 1e9 + 0.5).toLong
+          b += 1
+        }
+        val jsd = math.floor(jsdNano.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+        (srcs(i), srcs(j), jsdNano, jsd)
+      }
+      s.createDataFrame(out).toDF("src_a", "src_b", "jsd_nano", "jsd")
+    }),
+
     "q_weighted_sample" -> ((s, d) => {
       val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
         16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)
@@ -1765,6 +1865,96 @@ object PipelineQueries {
             .as("ndcg"))
     }),
 
+    // MRR@10 retrieval eval: reciprocal rank of the first RELEVANT doc
+    // in each term's BM25 top-10, where relevant = "the doc contains
+    // ALL query terms" (answers the whole query — deliberately not a
+    // tf threshold, which BM25 trivially ranks first). Same shared
+    // bm25Base pass and in-row tf as q_ndcg; the all-terms flag folds
+    // IN the row off the hits array (zero extra exchanges), the top-10
+    // prunes through TopKPerKey, the rank window runs on ≤10 rows per
+    // term, and terms whose top-10 has no relevant doc report rr = 0.
+    "q_mrr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.plans.TopKPerKey
+      val base = bm25Base(s, d)
+      val st = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot"))
+      val tf = base.select(col("doc_id"), col("dl"),
+        size(array_distinct(col("hits"))).as("n_terms"),
+        explode(filter(transform(array(Bm25Terms.map(lit): _*),
+          t => struct(t.as("t"),
+            size(filter(col("hits"), h => h === t)).cast("long")
+              .as("tf"))),
+          e => e.getField("tf") > 0)).as("e"))
+        .select(col("doc_id"), col("dl"), col("n_terms"),
+          col("e.t").as("t"), col("e.tf").as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "t").crossJoin(broadcast(st))
+        .select(col("t"), col("doc_id"),
+          (col("n_terms") === Bm25Terms.length).as("rel"),
+          bm25TermMicro.as("sm"))
+      val ranked = TopKPerKey(scored, Seq("t"),
+          Seq(("sm", true), ("doc_id", false)), 10)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("t"))
+            .orderBy(col("sm").desc, col("doc_id"))))
+      ranked.groupBy(col("t"))
+        .agg(min(when(col("rel"), col("rk"))).cast("long")
+          .as("first_rel_rank"))
+        .select(col("t").as("term"),
+          coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+          coalesce(r(lit(1.0) / col("first_rel_rank").cast("double"), 6),
+            lit(0.0)).as("rr"))
+    }),
+
+    // Kendall rank correlation between the BM25 top-10 and the raw-tf
+    // ordering of the SAME docs — "does the dl-normalized score change
+    // the ranking" diagnostic for retrieval eval. The top-10 candidate
+    // frame prunes through TopKPerKey off the shared bm25Base pass and
+    // lands at a ≤|terms|×10-row localCheckpoint; the pairwise pass is
+    // a self-join of that bounded frame (≤45 pairs per term — never
+    // corpus-sized), ties excluded from both counts (tau-a on strict
+    // agreements over all k(k-1)/2 pairs).
+    "q_kendall_tau" -> ((s, d) => {
+      import graft.plans.TopKPerKey
+      val base = bm25Base(s, d)
+      val st = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot"))
+      val tf = base.select(col("doc_id"), col("dl"),
+        explode(filter(transform(array(Bm25Terms.map(lit): _*),
+          t => struct(t.as("t"),
+            size(filter(col("hits"), h => h === t)).cast("long")
+              .as("tf"))),
+          e => e.getField("tf") > 0)).as("e"))
+        .select(col("doc_id"), col("dl"),
+          col("e.t").as("t"), col("e.tf").as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "t").crossJoin(broadcast(st))
+        .select(col("t"), col("doc_id"), col("tf"), bm25TermMicro.as("sm"))
+      // bounded landing: ≤ |terms|×10 rows — the self-join below reads
+      // it twice, and without the barrier each side re-runs the corpus
+      // subtree (DataFrame DAGs don't share subplans)
+      val top = TopKPerKey(scored, Seq("t"),
+        Seq(("sm", true), ("doc_id", false)), 10).localCheckpoint(false)
+      val a = top.select(col("t"), col("doc_id").as("ida"),
+        col("tf").as("tfa"), col("sm").as("sma"))
+      val b = top.select(col("t"), col("doc_id").as("idb"),
+        col("tf").as("tfb"), col("sm").as("smb"))
+      a.join(b, Seq("t")).filter(col("ida") < col("idb"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("sma") > col("smb") && col("tfa") > col("tfb")) ||
+              (col("sma") < col("smb") && col("tfa") < col("tfb")), 1L)
+            .otherwise(0L)).as("n_conc"),
+          sum(when((col("sma") > col("smb") && col("tfa") < col("tfb")) ||
+              (col("sma") < col("smb") && col("tfa") > col("tfb")), 1L)
+            .otherwise(0L)).as("n_disc"))
+        .select(col("t").as("term"), col("n_pairs"), col("n_conc"),
+          col("n_disc"),
+          r((col("n_conc") - col("n_disc")).cast("double") /
+            col("n_pairs").cast("double"), 6).as("tau"))
+    }),
+
     // C4-style span-level dedup report: 8-word spans (distinct within a
     // doc), a span is "duplicated" when ≥2 docs contain it; per doc the
     // span count, duplicated-span count, and ratio. The raw span text is
@@ -2013,6 +2203,31 @@ object PipelineQueries {
           col("n_bpe_tokens"),
           r(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
             .as("chars_per_token"))
+    }),
+
+    // Tokenizer fertility per SOURCE — the "how expensive is this
+    // source to tokenize" mixture diagnostic (fertility = BPE tokens
+    // per word; compression = chars per BPE token): the q_bpe_apply
+    // broadcast-vocab join rolled up to the source level, so adding
+    // the report costs no new corpus machinery — one explode, one
+    // broadcast join, one |sources|-row aggregate.
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = parallelize(documents(s, d))
+      val (_, vocab) = bpeTrained(s, d)
+      val wlen = vocab.select(col("w"), size(col("syms")).as("n_syms"))
+      docs.select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .join(broadcast(wlen), "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")).cast("long")).as("n_chars"),
+          sum(col("n_syms").cast("long")).as("n_bpe_tokens"))
+        .select(col("source"), col("n_words"), col("n_chars"),
+          col("n_bpe_tokens"),
+          r(col("n_bpe_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility"),
+          r(col("n_chars").cast("double") /
+            col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
     }),
 
     // END-TO-END curation pipeline — the ops composed the way a real
@@ -2616,6 +2831,53 @@ object PipelineQueries {
             .as("slope"))
     }),
 
+    // Heaps'-law vocabulary-growth curve: cumulative distinct-token
+    // count vs cumulative token count over 10 doc_id-prefix deciles,
+    // plus the fitted Heaps exponent beta (V ≈ K·n^β; log-log least
+    // squares over the 10 points, the q_zipf_slope fit recipe) — the
+    // "is more data still adding vocabulary" curation diagnostic.
+    // Token first-occurrence = min(doc_id) per word, so the
+    // vocabulary rollup is the only corpus-sized exchange (the
+    // q_zipf_slope precedent); per-decile token mass comes from the
+    // SCAN side (size(split), no second explode), the cumsums run on
+    // the 10-row decile frame, and the 1-row fit attaches by
+    // broadcast.
+    "q_heaps_law" -> ((s, d) => {
+      // doc_ids are 0..nd-1; the row count is a bounded scalar (the
+      // BPE/centroid collect precedent) — inlining it as a literal
+      // spares two scan jobs + two 1-row broadcasts
+      val nd = docCount(s, d)
+      // the curve is 10 rows BY CONSTRUCTION (deciles) at any corpus
+      // size — collect it and run the cumsums + OLS fit driver-side
+      // (the centroid/BPE bounded-artifact precedent) instead of
+      // paying checkpoint + broadcast-fit + attach jobs on a 10-row
+      // frame. Arithmetic mirrors the oracle exactly: ln micro-floored
+      // to BIGINT points, integer sums, one double division, r(...,6).
+      val curve = heapsCurveInputs(s, d, nd)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2)))
+        .sortBy(_._1)
+      var (ct, cv) = (0L, 0L)
+      val cum = curve.map { case (dec, tk, nv) =>
+        ct += tk; cv += nv; (dec, ct, cv)
+      }
+      val pts = cum.map { case (_, t, v) =>
+        (math.floor(math.log(t.toDouble) * 1e6 + 0.5).toLong,
+          math.floor(math.log(v.toDouble) * 1e6 + 0.5).toLong)
+      }
+      val np = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val beta0 = (np.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (np.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+      val beta = math.floor(beta0 * 1e6 + 0.5) / 1e6
+      s.createDataFrame(cum.toSeq.map { case (dec, t, v) =>
+        (dec, t, v, beta)
+      }).toDF("decile", "cum_tokens", "cum_vocab", "beta")
+    }),
+
     // Moving-average type-token ratio (MATTR, Covington & McFall): the
     // length-independent lexical-diversity score — 20-token windows on a
     // 10-token stride, per-window distinct/size integerized BEFORE the
@@ -2841,6 +3103,33 @@ object PipelineQueries {
       Dedup.contaminationRatioFromSpans(
         spans.filter(col("doc_id") % 20 =!= 0),
         spans.filter(col("doc_id") % 20 === 0))
+    }),
+
+    // SoftDeDup-style duplication-aware training weights (He et al.,
+    // arXiv 2024): instead of dropping near-duplicates, downweight —
+    // per doc, "commonness" = mean corpus-wide document frequency of
+    // its distinct 5-gram spans, and sampling weight = 1/commonness
+    // (micro-integerized: weight_micro = floor(n_spans·10⁶/Σocc+0.5),
+    // exact from two longs). Rides the SAME persisted docSpans5 index
+    // the decontamination family probes (a real pipeline lands that
+    // index once), distinct()ed per doc; the occurrence side is
+    // corpus-sized so the join-back is pinned shuffle-hash on the
+    // 128-bit digest, exactly the q_span_dedup discipline. Disposition
+    // (r10): a window-over-g variant (one fewer exchange) measured
+    // 0.99 s vs 1.07 s at sf0.1 — inside noise, and the window adds a
+    // per-group sort the join-back form doesn't carry at scale; KEEP,
+    // same rationale as q_span_dedup (the family inverts to faster
+    // than the oracle at the ×10 decade).
+    "q_softdedup_weights" -> ((s, d) => {
+      val spans = docSpans5(s, d).distinct()
+      val occ = spans.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      spans.join(occ.hint("shuffle_hash"), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("occ")).as("sum_occ"))
+        .select(col("doc_id"), col("n_spans"), col("sum_occ"),
+          floor(col("n_spans").cast("double") * lit(1e6) /
+            col("sum_occ").cast("double") + lit(0.5)).cast("long")
+            .as("weight_micro"))
     }),
 
     // PII scrub: emails and long digit runs redacted with typed
@@ -3837,6 +4126,38 @@ object PipelineQueries {
          |SELECT source, doc_id, n_tokens, imp_micro
          |FROM rk WHERE rn <= 25""").stripMargin,
 
+    // Same 256-bucket hash as the DSIR oracle; dense grid so empty
+    // buckets smooth to rows; the JSD term is the identical double
+    // expression tree the Spark side nano-integerizes.
+    "q_source_divergence" ->
+      (s"""WITH tok AS (SELECT source,
+         |    cast(('0x' || substr(md5(w), 1, 8)) AS bigint) % 256 AS b
+         |  FROM (SELECT source,
+         |          unnest(string_split(text, ' ')) AS w FROM documents)),
+         |cnt AS (SELECT source, b, cast(count(*) AS bigint) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |grid AS (SELECT source, gs.b
+         |  FROM (SELECT DISTINCT source FROM documents)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) gs),
+         |dense AS (SELECT g.source, g.b, coalesce(c.c, 0) AS c
+         |  FROM grid g LEFT JOIN cnt c
+         |    ON c.source = g.source AND c.b = g.b),
+         |tot AS (SELECT source, cast(sum(c) AS bigint) AS n
+         |  FROM dense GROUP BY 1),
+         |p AS (SELECT d2.source, d2.b, (d2.c + 1.0) / (t.n + 256.0) AS p
+         |  FROM dense d2 JOIN tot t USING (source)),
+         |terms AS (SELECT a.source AS src_a, b2.source AS src_b,
+         |    cast(floor((0.5 * a.p * ln(a.p / ((a.p + b2.p) / 2.0))
+         |        + 0.5 * b2.p * ln(b2.p / ((a.p + b2.p) / 2.0)))
+         |      * 1000000000.0 + 0.5) AS bigint) AS t_nano
+         |  FROM p a JOIN p b2 ON a.b = b2.b AND a.source < b2.source),
+         |j AS (SELECT src_a, src_b, cast(sum(t_nano) AS bigint)
+         |    AS jsd_nano
+         |  FROM terms GROUP BY 1, 2)
+         |SELECT src_a, src_b, jsd_nano,
+         |  ${rs("cast(jsd_nano AS double) / 1000000000.0", 6)} AS jsd
+         |FROM j""").stripMargin,
+
     "q_weighted_sample" ->
       ("""SELECT doc_id, n_chars,
          |  cast(floor(ln((cast(cast(('0x' ||
@@ -4098,6 +4419,90 @@ object PipelineQueries {
          |SELECT dcg.t AS term, dcg_micro, idcg_micro,
          |  ${rs("cast(dcg_micro AS double)/idcg_micro", 6)} AS ndcg
          |FROM dcg JOIN idcg USING (t)""".stripMargin
+    },
+
+    // MRR@10: relevant = the doc contains ALL query terms; identical
+    // score chain, rank window mirror, rr = 1/first relevant rank
+    "q_mrr" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val score =
+        """cast(floor(
+          |      ln((cast(n_docs - df AS double) + 0.5)
+          |        / (cast(df AS double) + 0.5) + 1.0)
+          |      * (cast(tf AS double) * 2.2)
+          |      / (cast(tf AS double) + 1.2 * (0.25
+          |          + 0.75 * cast(dl AS double)
+          |            / (cast(tot AS double) / n_docs)))
+          |      * 1000000.0 + 0.5) AS bigint)""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |            FROM documents),
+         |dl AS (SELECT doc_id, cast(len(tk) AS bigint) AS dl FROM tk),
+         |st AS (SELECT cast(count(*) AS bigint) AS n_docs,
+         |         cast(sum(dl) AS bigint) AS tot FROM dl),
+         |tf AS (SELECT doc_id, t, cast(count(*) AS bigint) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+         |       WHERE t IN ($terms) GROUP BY 1, 2),
+         |rel AS (SELECT doc_id, count(*) = ${Bm25Terms.length} AS rel
+         |        FROM tf GROUP BY 1),
+         |df AS (SELECT t, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t, tf.doc_id, rel, $score AS sm
+         |       FROM tf JOIN dl USING (doc_id) JOIN df USING (t)
+         |       JOIN rel USING (doc_id) CROSS JOIN st),
+         |rk AS (SELECT t, rel, cast(row_number() OVER
+         |           (PARTITION BY t ORDER BY sm DESC, doc_id)
+         |         AS bigint) AS rk
+         |       FROM sc),
+         |fr AS (SELECT t, min(CASE WHEN rel THEN rk END) AS frr
+         |       FROM rk WHERE rk <= 10 GROUP BY 1)
+         |SELECT t AS term, coalesce(frr, 0) AS first_rel_rank,
+         |  coalesce(${rs("1.0 / cast(frr AS double)", 6)}, 0.0) AS rr
+         |FROM fr""".stripMargin
+    },
+
+    // Kendall tau-a between BM25 top-10 order and raw-tf order over
+    // the same docs: identical prune, self-join on unordered pairs,
+    // strict agreements only
+    "q_kendall_tau" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val score =
+        """cast(floor(
+          |      ln((cast(n_docs - df AS double) + 0.5)
+          |        / (cast(df AS double) + 0.5) + 1.0)
+          |      * (cast(tf AS double) * 2.2)
+          |      / (cast(tf AS double) + 1.2 * (0.25
+          |          + 0.75 * cast(dl AS double)
+          |            / (cast(tot AS double) / n_docs)))
+          |      * 1000000.0 + 0.5) AS bigint)""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |            FROM documents),
+         |dl AS (SELECT doc_id, cast(len(tk) AS bigint) AS dl FROM tk),
+         |st AS (SELECT cast(count(*) AS bigint) AS n_docs,
+         |         cast(sum(dl) AS bigint) AS tot FROM dl),
+         |tf AS (SELECT doc_id, t, cast(count(*) AS bigint) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+         |       WHERE t IN ($terms) GROUP BY 1, 2),
+         |df AS (SELECT t, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t, tf.doc_id, tf, $score AS sm
+         |       FROM tf JOIN dl USING (doc_id) JOIN df USING (t)
+         |       CROSS JOIN st),
+         |top AS (SELECT t, doc_id, tf, sm FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY t ORDER BY sm DESC, doc_id) AS rk FROM sc)
+         |  WHERE rk <= 10)
+         |SELECT a.t AS term, cast(count(*) AS bigint) AS n_pairs,
+         |  cast(sum(CASE WHEN (a.sm > b.sm AND a.tf > b.tf)
+         |             OR (a.sm < b.sm AND a.tf < b.tf)
+         |           THEN 1 ELSE 0 END) AS bigint) AS n_conc,
+         |  cast(sum(CASE WHEN (a.sm > b.sm AND a.tf < b.tf)
+         |             OR (a.sm < b.sm AND a.tf > b.tf)
+         |           THEN 1 ELSE 0 END) AS bigint) AS n_disc,
+         |  ${rs("cast(sum(CASE WHEN (a.sm > b.sm AND a.tf > b.tf) " +
+             "OR (a.sm < b.sm AND a.tf < b.tf) THEN 1 ELSE 0 END) " +
+             "- sum(CASE WHEN (a.sm > b.sm AND a.tf < b.tf) " +
+             "OR (a.sm < b.sm AND a.tf > b.tf) THEN 1 ELSE 0 END) " +
+             "AS double) / cast(count(*) AS double)", 6)} AS tau
+         |FROM top a JOIN top b ON a.t = b.t AND a.doc_id < b.doc_id
+         |GROUP BY 1""".stripMargin
     },
 
     // multi-probe SRP-LSH ANN: probe buckets re-derived in SQL (see
@@ -4392,6 +4797,23 @@ object PipelineQueries {
            |      FROM documents) t
            |JOIN wl USING (w)
            |GROUP BY doc_id""".stripMargin),
+
+    // BPE fertility per source: the q_bpe_apply derivation grouped by
+    // source (documents carries source directly on the word stream)
+    "q_bpe_fertility" ->
+      (s"WITH ${bpeTrainSql(3)},\n" +
+        s"""wl AS (SELECT w, cast(len(syms) AS int) AS n_syms FROM v3)
+           |SELECT source, count(*) AS n_words,
+           |  cast(sum(length(w)) AS bigint) AS n_chars,
+           |  cast(sum(n_syms) AS bigint) AS n_bpe_tokens,
+           |  ${rs("cast(sum(n_syms) AS double)/count(*)", 6)}
+           |    AS fertility,
+           |  ${rs("cast(sum(length(w)) AS double)/sum(n_syms)", 6)}
+           |    AS chars_per_token
+           |FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+           |      FROM documents) t
+           |JOIN wl USING (w)
+           |GROUP BY source""".stripMargin),
 
     // deterministic per-group reservoir: smallest-md5 rows per source
     "q_reservoir" ->
@@ -5189,6 +5611,49 @@ object PipelineQueries {
          |    * 1000000 + 0.5) / 1000000 AS slope
          |FROM a""").stripMargin,
 
+    // Decile = least(9, (id*10) div n) on BIGINTs both sides; x/y are
+    // the zipf-recipe ln micro-integerizations; the fit is the same
+    // least-squares expression tree as q_zipf_slope's.
+    "q_heaps_law" -> {
+      val fitExpr =
+        """(cast(np AS double) * cast(sxy AS double)
+          |      - cast(sx AS double) * cast(sy AS double))
+          |    / (cast(np AS double) * cast(sxx AS double)
+          |      - cast(sx AS double) * cast(sx AS double))""".stripMargin
+      s"""WITH nd AS (SELECT cast(count(*) AS bigint) AS nd
+         |  FROM documents),
+         |toks AS (SELECT
+         |    cast(least(9, (doc_id * 10) // nd.nd) AS bigint) AS decile,
+         |    cast(sum(len(string_split(text, ' '))) AS bigint) AS tk
+         |  FROM documents, nd GROUP BY 1),
+         |fo AS (SELECT w, min(doc_id) AS fd
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) GROUP BY 1),
+         |vocab AS (SELECT
+         |    cast(least(9, (fd * 10) // nd.nd) AS bigint) AS decile,
+         |    cast(count(*) AS bigint) AS nv
+         |  FROM fo, nd GROUP BY 1),
+         |curve AS (SELECT t.decile,
+         |    cast(sum(t.tk) OVER (ORDER BY t.decile) AS bigint)
+         |      AS cum_tokens,
+         |    cast(sum(coalesce(v.nv, 0)) OVER (ORDER BY t.decile)
+         |      AS bigint) AS cum_vocab
+         |  FROM toks t LEFT JOIN vocab v USING (decile)),
+         |pts AS (SELECT
+         |    cast(floor(ln(cast(cum_tokens AS double)) * 1000000 + 0.5)
+         |      AS bigint) AS x,
+         |    cast(floor(ln(cast(cum_vocab AS double)) * 1000000 + 0.5)
+         |      AS bigint) AS y
+         |  FROM curve),
+         |fit AS (SELECT cast(count(*) AS bigint) AS np,
+         |    cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+         |    cast(sum(x * x) AS bigint) AS sxx,
+         |    cast(sum(x * y) AS bigint) AS sxy FROM pts)
+         |SELECT decile, cum_tokens, cum_vocab,
+         |  ${rs(fitExpr, 6)} AS beta
+         |FROM curve CROSS JOIN fit""".stripMargin
+    },
+
     "q_mattr" ->
       ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
          |           FROM documents),
@@ -5364,6 +5829,27 @@ object PipelineQueries {
          |FROM g c LEFT JOIN b ON c.g = b.g
          |WHERE c.doc_id % 20 <> 0
          |GROUP BY c.doc_id""".stripMargin,
+
+    // SoftDeDup weights: same distinct 5-gram digest index; occ = docs
+    // per span; weight_micro = floor(n·10⁶/Σocc + 0.5) from two longs
+    "q_softdedup_weights" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(
+         |      generate_series(0, greatest(len(toks) - 5, 0)),
+         |      i -> md5(array_to_string(list_slice(toks, i+1, i+5), ' '))))
+         |      AS g
+         |  FROM t),
+         |occ AS (SELECT g, cast(count(*) AS bigint) AS occ
+         |        FROM g GROUP BY 1)
+         |SELECT doc_id, cast(count(*) AS bigint) AS n_spans,
+         |  cast(sum(occ) AS bigint) AS sum_occ,
+         |  cast(floor(cast(count(*) AS double) * 1000000.0
+         |    / cast(sum(occ) AS double) + 0.5) AS bigint) AS weight_micro
+         |FROM g JOIN occ USING (g)
+         |GROUP BY doc_id""".stripMargin,
 
     // Bloom decontamination: the Bloom filter is an exact-preserving
     // optimization, so the oracle is the plain span anti-join

@@ -606,6 +606,90 @@ class PlanAuditSpec extends SparkSpec {
     assert(bAgg == 1, s"bucket agg ran $bAgg times:\n$p")
   }
 
+  test("q_source_divergence: one vocab-bounded corpus rollup feeding a " +
+      "≤256×|sources| collect; result is a local relation") {
+    // the distributed half: exactly two exchanges — the (source, word)
+    // count and the (source, bucket) fold — no joins, no windows, and
+    // the md5 chain sits ABOVE the word-level aggregate (once per
+    // distinct (source, word), never per token)
+    val cp = queries.PipelineQueries.sourceBucketCounts(spark, d, 256)
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("Join") && !cp.contains("Window"), cp)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(cp).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$cp")
+    // the bucket fold (partial_sum) sits ABOVE the word-level count
+    // (partial_count), which sits ABOVE the explode: the md5 bucket is
+    // computed in the word-agg's result projection — once per distinct
+    // (source, word), never per token
+    val bucketIdx = cp.indexOf("partial_sum")
+    val wordAggIdx = cp.indexOf("partial_count")
+    val explodeIdx = cp.indexOf("Generate explode")
+    assert(bucketIdx >= 0 && wordAggIdx > bucketIdx &&
+      explodeIdx > wordAggIdx,
+      s"rollup levels out of order:\n$cp")
+    // the pairwise JSD runs driver-side on the bounded collect — the
+    // query result must be a pure local relation (no distributed work
+    // re-runs when the result is consumed)
+    val p = plan("q_source_divergence")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("parquet"),
+      s"value-domain work leaked back into the result plan:\n$p")
+  }
+
+  test("q_heaps_law: scan-side token mass + one corpus vocab exchange " +
+      "into a 10-row collect; result is a local relation") {
+    val cp = queries.PipelineQueries.heapsCurveInputs(spark, d, 100L)
+      .queryExecution.executedPlan.toString
+    // the token-mass branch must NOT explode (size(split()) on the scan
+    // side) and the vocabulary branch is the only explode in the plan
+    val generates = "Generate explode".r.findAllIn(cp).length
+    assert(generates == 1, s"expected 1 explode, got $generates:\n$cp")
+    assert(!cp.contains("CartesianProduct") &&
+      !cp.contains("BroadcastNestedLoop"), cp)
+    assert(!cp.contains("Window"), s"window sort crept in:\n$cp")
+    // cumsums + OLS fit run driver-side on the 10-row collect
+    val p = plan("q_heaps_law")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("parquet"),
+      s"fit work leaked back into the result plan:\n$p")
+  }
+
+  test("q_mrr: TopKPerKey prune, broadcast df, rank window only after " +
+      "the prune") {
+    val p = plan("q_mrr")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop is the 1-row stats attach
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1, s"corpus-side nested loop:\n$p")
+    // the rank window must sit ABOVE the prune (earlier in the tree
+    // print): a window below it would sort corpus-sized partitions
+    val wIdx = p.indexOf("Window")
+    val tkIdx = p.indexOf("TopKPerKey")
+    assert(wIdx >= 0 && wIdx < tkIdx, s"window below the prune:\n$p")
+  }
+
+  test("q_kendall_tau: pairwise pass reads the bounded top-k " +
+      "checkpoint, never re-runs the corpus subtree") {
+    val p = plan("q_kendall_tau")
+    // both self-join sides must read the ≤|terms|×10 landed frame
+    assert(p.contains("Scan ExistingRDD"), s"lost the top-k barrier:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"re-runs the corpus subtree around the barrier:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_softdedup_weights: occurrence join-back pinned shuffle-hash " +
+      "on the digest — the corpus-sized side is never broadcast") {
+    val p = plan("q_softdedup_weights")
+    assert(p.contains("ShuffledHashJoin"), s"join-back not shuffle-hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-sized side broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q_ewma: one user_id exchange, join-free") {
     val p = plan("q_ewma")
     assert(!p.contains("Join"), s"unexpected join:\n$p")

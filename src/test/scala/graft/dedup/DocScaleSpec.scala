@@ -209,6 +209,55 @@ class DocScaleSpec extends SparkSpec {
     }
   }
 
+  test("heaps curve at the decade: end-point token mass and vocabulary " +
+      "scale exactly xN (replica vocabularies are disjoint), curve " +
+      "stays 10 monotone rows") {
+    val n = requireCorpus()
+    val b = SparkEntry.queries("q_heaps_law")(spark, base)
+      .orderBy(col("decile")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val big = SparkEntry.queries("q_heaps_law")(spark, sfx1)
+      .orderBy(col("decile")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(b.length == 10 && big.length == 10)
+    // replica prefixing preserves per-doc token counts, so total mass
+    // is exactly xN; replica vocabularies share nothing (r>0 prefixes
+    // every word), so total distinct vocabulary is exactly xN too — a
+    // dedup across replicas or a lost decile shows up here
+    assert(big.last._2 == n * b.last._2,
+      s"decade token mass ${big.last._2} != ${n}x${b.last._2}")
+    assert(big.last._3 == n * b.last._3,
+      s"decade vocabulary ${big.last._3} != ${n}x${b.last._3}")
+    // cumulative curves are strictly monotone at both scales
+    for (c <- Seq(b, big); i <- 1 until c.length) {
+      assert(c(i)._2 > c(i - 1)._2 && c(i)._3 >= c(i - 1)._3,
+        s"non-monotone curve at decile ${c(i)._1}")
+    }
+  }
+
+  test("source-divergence matrix at the decade: same source-pair frame, " +
+      "every JSD inside the [0, ln 2] band") {
+    requireCorpus()
+    // meaningfulness control: the base matrix has a strictly positive
+    // divergence somewhere (sources differ)
+    val b = SparkEntry.queries("q_source_divergence")(spark, base)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(b.exists(_._3 > 0), "degenerate base matrix")
+    // replicas preserve the source column, so the decade emits exactly
+    // the same unordered source pairs; per-bucket nano terms can be
+    // individually negative (the floor errs by <=0.5 nano on each of
+    // the 256 buckets) but the sum must stay inside the JSD bound
+    val big = SparkEntry.queries("q_source_divergence")(spark, sfx1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(big.map(t => (t._1, t._2)).toSet ==
+      b.map(t => (t._1, t._2)).toSet, "source-pair frame changed")
+    val ln2Nano = (math.log(2.0) * 1e9).toLong
+    big.foreach { case (a, c, j) =>
+      assert(j >= -256L && j <= ln2Nano + 256L,
+        s"JSD($a,$c)=$j outside the [0, ln 2] nano band")
+    }
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
