@@ -1187,6 +1187,59 @@ object PipelineQueries {
             - col("punct_count").cast("double") * lit(0.01)
             + col("avg_token_len") * lit(0.1)))), 6).as("q_score"))),
 
+    // Calibration report for the quality scorer: is a 0.8-scoring doc
+    // actually kept 80% of the time? "Gold" = the Gopher gate outcome
+    // (the rule-based reference the model-based scorer approximates),
+    // 10 confidence buckets, per-bucket mean confidence vs empirical
+    // keep rate, and the Expected Calibration Error
+    // ECE = Σ_b (n_b/N)·|acc_b − conf_b|. Both the score and the gate
+    // fold in the SAME scan row (no join — one corpus pass to a 10-row
+    // aggregate); conf sums are exact BIGINT micro (the score is
+    // 6-rounded, so ×10⁶ is integral), the per-bucket gap
+    // |n_pos·10⁶ − Σq_micro| is an exact long, and the bucket frame is
+    // 10 rows BY CONSTRUCTION — the rate/ECE arithmetic runs
+    // driver-side on the collect (the heaps-curve precedent).
+    "q_ece_calibration" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("long")
+      val wordChars = (length(col("text")) - (nTok - 1)).cast("long")
+      val stopHits = graft.functions.TextExprs
+        .tokenSetCount(col("text"), TextAnalysis.Stopwords).cast("long")
+      val nDistinct = size(array_distinct(toks)).cast("long")
+      val keep = !(nTok < 20 || nTok > 1000) &&
+        !(wordChars < nTok * 3 || wordChars > nTok * 10) &&
+        stopHits >= 2 && nDistinct * 10 >= nTok * 3
+      val q = r(lit(1.0) / (lit(1.0) + exp(-(lit(-1.5)
+        + col("n_tokens").cast("double") * lit(0.002)
+        + col("stopword_ratio") * lit(2.0)
+        - col("punct_count").cast("double") * lit(0.01)
+        + col("avg_token_len") * lit(0.1)))), 6)
+      val buckets = TextAnalysis
+        .withQuality(parallelize(documents(s, d)), col("text"))
+        .select(least(lit(9), floor(q * 10).cast("int")).as("bucket"),
+          floor(q * 1e6 + lit(0.5)).cast("long").as("qm"),
+          when(keep, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("qm")).as("sum_q"),
+          sum(col("pos")).as("n_pos"))
+        .collect()
+        .map(rr => (rr.getInt(0), rr.getLong(1), rr.getLong(2),
+          rr.getLong(3)))
+        .sortBy(_._1)
+      val nn = buckets.map(_._2).sum
+      val num = buckets.map { case (_, _, sq, np) =>
+        math.abs(np * 1000000L - sq)
+      }.sum
+      val ece = math.floor(
+        num.toDouble / nn.toDouble / 1e6 * 1e6 + 0.5) / 1e6
+      s.createDataFrame(buckets.toSeq.map { case (b, n, sq, np) =>
+        (b, n, np,
+          math.floor(sq.toDouble / n.toDouble / 1e6 * 1e6 + 0.5) / 1e6,
+          math.floor(np.toDouble / n.toDouble * 1e6 + 0.5) / 1e6,
+          ece)
+      }).toDF("bucket", "n", "n_pos", "conf", "acc", "ece")
+    }),
+
     // Feature-hashing document embedder (the hashing trick): every
     // token hashes into one of 64 dims via md5 with a ±1 sign from the
     // next hex nibble — the classic sparse-featurization bridge from
@@ -2912,6 +2965,12 @@ object PipelineQueries {
     // representable), outliers = |x − med| > 3·MAD. Exact percentiles:
     // Spark's percentile buffers value→count, bounded by distinct
     // values. The per-type medians broadcast back onto the stream.
+    // Disposition (r10): the three passes are DEPENDENT by definition
+    // (median → deviations → fence), so the toy-scale cost is a stage
+    // floor; a localCheckpoint + driver-literal-medians variant
+    // measured 0.53 s vs 0.59 s at sf0.1 (inside noise) and was
+    // rejected — KEEP the broadcast-join form, which carries no
+    // bounded-collect assumption on |event_type|.
     "q_mad_outliers" -> ((s, d) => {
       val base = events(s, d).select(col("event_type"),
         (floor(col("value") * 1e6 + lit(0.5)) * 2).cast("long").as("v2"))
@@ -2929,6 +2988,46 @@ object PipelineQueries {
           r(max(col("mad2")) / lit(2e6), 6).as("mad_value"),
           sum(when(col("dev2") > lit(3.0) * col("mad2"), 1L).otherwise(0L))
             .as("n_outliers"))
+    }),
+
+    // PCA top-component projection via power iteration — the
+    // dimensionality-reduction pass an embedding pipeline runs before
+    // ANN indexing. The uncentered second-moment matrix accumulates in
+    // ONE native aggregate ([[graft.functions.CovSumMicroExpr]]: d²
+    // exact micro longs per partition partial, map-side combined — the
+    // corpus never shuffles), the 64×64 matrix collects (bounded at
+    // any corpus size), and 8 power iterations run driver-side in
+    // EXACT long arithmetic — the matrix-vector products are integer
+    // multiply-adds; the only doubles are the n-division and the
+    // per-step max-abs rescale, each a single mirrored
+    // operation — so the oracle's unrolled 8-CTE chain reproduces the
+    // eigenvector bit for bit. Sign fixes to first-nonzero-positive;
+    // the projection broadcasts back as a per-row in-order fold (the
+    // q_ewma list_reduce seed identity).
+    "q_pca_project" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val n = embCount(s, d)
+      val cs = emb.agg(graft.functions.CovSumMicroExpr
+        .covSumMicro(col("v")).as("cs")).head.getSeq[Long](0).toArray
+      val dim = math.sqrt(cs.length.toDouble).toInt
+      val c = cs.map(s0 => math.floor(s0.toDouble / n + 0.5).toLong)
+      var v = Array.fill(dim)(1000000L)
+      for (_ <- 0 until 8) {
+        val w = Array.tabulate(dim) { i =>
+          var acc = 0L; var j = 0
+          while (j < dim) { acc += c(i * dim + j) * v(j); j += 1 }
+          acc
+        }
+        val mx = w.map(math.abs).max
+        v = w.map(wi =>
+          math.floor(wi.toDouble / mx.toDouble * 1e6 + 0.5).toLong)
+      }
+      if (v.find(_ != 0L).exists(_ < 0L)) v = v.map(x => -x)
+      val vLit = array(v.map(x => lit(x.toDouble)): _*)
+      emb.select(col("vec_id"),
+        r(aggregate(zip_with(col("v"), vLit, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / lit(1e6), 4).as("proj"))
     }),
 
     // Product-quantization ANN (Jégou et al., TPAMI 2011): 64-dim
@@ -4700,6 +4799,47 @@ object PipelineQueries {
         "FROM documents"
     },
 
+    // ECE calibration: identical score chain + Gopher keep rule, exact
+    // BIGINT bucket sums, the same two-division double trees
+    "q_ece_calibration" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      val atl = rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)
+      val swr = rs(s"cast($stop AS double) / $nTok", 6)
+      val punct = "(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+      val z = s"CAST(-1.5 AS DOUBLE) + cast($nTok AS int) * " +
+        s"CAST(0.002 AS DOUBLE) + ($swr) * CAST(2.0 AS DOUBLE) - " +
+        s"$punct * CAST(0.01 AS DOUBLE) + ($atl) * CAST(0.1 AS DOUBLE)"
+      val q = rs(s"1.0 / (1.0 + exp(-($z)))", 6)
+      val keep = s"(NOT ($nTok < 20 OR $nTok > 1000) " +
+        s"AND NOT (length(text) - ($nTok - 1) < $nTok * 3 " +
+        s"OR length(text) - ($nTok - 1) > $nTok * 10) " +
+        s"AND $stop >= 2 " +
+        s"AND len(list_distinct(string_split(text,' '))) * 10 " +
+        s">= $nTok * 3)"
+      s"""WITH sc AS (SELECT $q AS q, $keep AS keep FROM documents),
+         |b AS (SELECT least(9, cast(floor(q * 10) AS int)) AS bucket,
+         |        cast(floor(q * 1000000.0 + 0.5) AS bigint) AS qm,
+         |        CASE WHEN keep THEN 1 ELSE 0 END AS pos
+         |      FROM sc),
+         |a AS (SELECT bucket, cast(count(*) AS bigint) AS n,
+         |        cast(sum(qm) AS bigint) AS sum_q,
+         |        cast(sum(pos) AS bigint) AS n_pos
+         |      FROM b GROUP BY 1),
+         |t AS (SELECT cast(sum(n) AS bigint) AS nn,
+         |        cast(sum(abs(n_pos * 1000000 - sum_q)) AS bigint) AS num
+         |      FROM a)
+         |SELECT bucket, n, n_pos,
+         |  ${rs("cast(sum_q AS double) / cast(n AS double) / 1000000.0", 6)}
+         |    AS conf,
+         |  ${rs("cast(n_pos AS double) / cast(n AS double)", 6)} AS acc,
+         |  ${rs("cast(num AS double) / cast(nn AS double) / 1000000.0", 6)}
+         |    AS ece
+         |FROM a CROSS JOIN t""".stripMargin
+    },
+
     // feature-hashing embedder: md5-derived dim + sign, integer
     // components, summary facts (component 0, nnz, L2)
     "q_hash_embed" ->
@@ -5670,6 +5810,44 @@ object PipelineQueries {
          |  floor(cast(sum(ttr_micro) AS double) / count(*) / 1000000
          |    * 1000000 + 0.5) / 1000000 AS mattr
          |FROM m GROUP BY 1""").stripMargin,
+
+    // PCA power iteration: covariance sums rebuilt relationally (the
+    // identical per-row floor micro products), 8 unrolled CTE
+    // iterations in BIGINT with the same single-double rescale step,
+    // same sign rule, same in-order projection fold
+    "q_pca_project" -> {
+      val iters = (1 to 8).map { k =>
+        val pv = if (k == 1) "v0" else s"v${k - 1}"
+        s"""w$k AS (SELECT c.i AS i, cast(sum(c.c * $pv.v) AS bigint) AS w
+           |  FROM c JOIN $pv ON c.j = $pv.i GROUP BY 1),
+           |m$k AS (SELECT max(abs(w)) AS mx FROM w$k),
+           |v$k AS (SELECT i, cast(floor(cast(w AS double)
+           |    / cast(mx AS double) * 1000000.0 + 0.5) AS bigint) AS v
+           |  FROM w$k, m$k)""".stripMargin
+      }.mkString(",\n")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n" +
+        "           FROM embeddings),\n" +
+        "n AS (SELECT cast(count(*) AS bigint) AS n FROM e),\n" +
+        "idx AS (SELECT unnest(generate_series(0, 63)) AS i),\n" +
+        "cells AS (SELECT ii.i AS i, jj.i AS j,\n" +
+        "    cast(sum(cast(floor(e.v[ii.i + 1] * e.v[jj.i + 1]\n" +
+        "      * 1000000.0 + 0.5) AS bigint)) AS bigint) AS s\n" +
+        "  FROM e, idx ii, idx jj GROUP BY 1, 2),\n" +
+        "c AS (SELECT i, j,\n" +
+        "    cast(floor(cast(s AS double) / cast(n.n AS double) + 0.5)\n" +
+        "      AS bigint) AS c\n" +
+        "  FROM cells, n),\n" +
+        "v0 AS (SELECT i, cast(1000000 AS bigint) AS v FROM idx),\n" +
+        iters + ",\n" +
+        "sg AS (SELECT CASE WHEN (SELECT v FROM v8 WHERE v <> 0\n" +
+        "    ORDER BY i LIMIT 1) < 0 THEN -1 ELSE 1 END AS s),\n" +
+        "vf AS (SELECT list(v * sg.s ORDER BY i) AS vl FROM v8, sg)\n" +
+        "SELECT vec_id,\n" +
+        s"  ${rs("list_reduce(list_transform(generate_series(1, 64), " +
+          "k -> e.v[k] * cast(vf.vl[k] AS double)), " +
+          "(a, b) -> a + b) / 1000000.0", 4)} AS proj\n" +
+        "FROM e, vf"
+    },
 
     "q_pq_ann" -> {
       val m = 4; val sub = 16; val ks = 8

@@ -690,6 +690,35 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q_pca_project: covariance via ONE native map-side-combined " +
+      "aggregate; projection plan is scan+fold with no exchange") {
+    // the covariance pass: partial cov_sum_micro must sit BELOW the
+    // single exchange (one d²-long partial per partition crosses)
+    val emb = graft.util.Tables.embeddings(spark, d)
+      .select(org.apache.spark.sql.functions.col("embedding")
+        .cast("array<double>").as("v"))
+    val cp = emb.agg(graft.functions.CovSumMicroExpr
+        .covSumMicro(org.apache.spark.sql.functions.col("v")))
+      .queryExecution.executedPlan.toString
+    val partialIdx = cp.indexOf("partial_cov_sum_micro")
+    val exchangeIdx = cp.indexOf("Exchange SinglePartition")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial agg not below the exchange:\n$cp")
+    // the projection result: per-row fold against the literal
+    // eigenvector — a pure scan+project, nothing shuffles
+    val p = plan("q_pca_project")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"projection plan shuffles:\n$p")
+  }
+
+  test("q_ece_calibration: one corpus pass to a 10-row aggregate; " +
+      "result is a local relation") {
+    val p = plan("q_ece_calibration")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("parquet"),
+      s"bucket work leaked back into the result plan:\n$p")
+  }
+
   test("q_ewma: one user_id exchange, join-free") {
     val p = plan("q_ewma")
     assert(!p.contains("Join"), s"unexpected join:\n$p")

@@ -95,6 +95,45 @@ object Scratch {
             .as("weight_micro"))
     }
 
+    tc("mad_current") {
+      force(SparkEntry.queries("q_mad_outliers")(spark, d))
+    }
+    tc("mad_cp_literal") {
+      import graft.util.Tables.events
+      val base = events(spark, d).select(col("event_type"),
+        (floor(col("value") * 1e6 + lit(0.5)) * 2).cast("long").as("v2"))
+        .localCheckpoint(false)
+      val med = base.groupBy(col("event_type"))
+        .agg(expr("percentile(v2, 0.5)").as("med2"),
+          count(lit(1)).as("n_events"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      val medCase = med.foldLeft(lit(null).cast("double")) {
+        case (acc, (t, m, _)) =>
+          when(col("event_type") === t, lit(m)).otherwise(acc)
+      }
+      val dev = base.withColumn("dev2",
+        abs(col("v2").cast("double") - medCase))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(dev2, 0.5)").as("mad2"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val madCase = mad.foldLeft(lit(null).cast("double")) {
+        case (acc, (t, m)) =>
+          when(col("event_type") === t, lit(m)).otherwise(acc)
+      }
+      val nMap = med.map(t => t._1 -> t._3).toMap
+      val medMap = med.map(t => t._1 -> t._2).toMap
+      val out = dev.groupBy(col("event_type"))
+        .agg(sum(when(col("dev2") > lit(3.0) * madCase, 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .collect().map { r =>
+          val t = r.getString(0)
+          (t, nMap(t), math.floor(medMap(t) / 2e6 * 1e6 + 0.5) / 1e6,
+            math.floor(mad(t) / 2e6 * 1e6 + 0.5) / 1e6, r.getLong(1))
+        }
+      force(spark.createDataFrame(out.toSeq).toDF("event_type",
+        "n_events", "median_value", "mad_value", "n_outliers"))
+    }
+
     // --- heaps stages ---
     val nd = documents(spark, d).count()
     def decOf(c: String) =
