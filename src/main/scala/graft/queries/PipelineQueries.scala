@@ -5814,26 +5814,30 @@ object PipelineQueries {
     // PCA power iteration: covariance sums rebuilt relationally (the
     // identical per-row floor micro products), 8 unrolled CTE
     // iterations in BIGINT with the same single-double rescale step,
-    // same sign rule, same in-order projection fold
+    // same sign rule, same in-order projection fold. Every chained CTE
+    // is MATERIALIZED: inlined, each v_k re-evaluates w_k twice (via
+    // m_k) and w_k re-evaluates c, so the 8-deep chain explodes to
+    // ~2^8 covariance rebuilds (measured 95 s at sf0.01 vs 0.24 s
+    // hinted — results bit-identical).
     "q_pca_project" -> {
       val iters = (1 to 8).map { k =>
         val pv = if (k == 1) "v0" else s"v${k - 1}"
-        s"""w$k AS (SELECT c.i AS i, cast(sum(c.c * $pv.v) AS bigint) AS w
+        s"""w$k AS MATERIALIZED (SELECT c.i AS i, cast(sum(c.c * $pv.v) AS bigint) AS w
            |  FROM c JOIN $pv ON c.j = $pv.i GROUP BY 1),
-           |m$k AS (SELECT max(abs(w)) AS mx FROM w$k),
-           |v$k AS (SELECT i, cast(floor(cast(w AS double)
+           |m$k AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w$k),
+           |v$k AS MATERIALIZED (SELECT i, cast(floor(cast(w AS double)
            |    / cast(mx AS double) * 1000000.0 + 0.5) AS bigint) AS v
            |  FROM w$k, m$k)""".stripMargin
       }.mkString(",\n")
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n" +
+      "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n" +
         "           FROM embeddings),\n" +
         "n AS (SELECT cast(count(*) AS bigint) AS n FROM e),\n" +
         "idx AS (SELECT unnest(generate_series(0, 63)) AS i),\n" +
-        "cells AS (SELECT ii.i AS i, jj.i AS j,\n" +
+        "cells AS MATERIALIZED (SELECT ii.i AS i, jj.i AS j,\n" +
         "    cast(sum(cast(floor(e.v[ii.i + 1] * e.v[jj.i + 1]\n" +
         "      * 1000000.0 + 0.5) AS bigint)) AS bigint) AS s\n" +
         "  FROM e, idx ii, idx jj GROUP BY 1, 2),\n" +
-        "c AS (SELECT i, j,\n" +
+        "c AS MATERIALIZED (SELECT i, j,\n" +
         "    cast(floor(cast(s AS double) / cast(n.n AS double) + 0.5)\n" +
         "      AS bigint) AS c\n" +
         "  FROM cells, n),\n" +
