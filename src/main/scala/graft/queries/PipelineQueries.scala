@@ -432,6 +432,47 @@ object PipelineQueries {
     toks.join(vocab, Seq("decile"), "left")
   }
 
+  /** Shared scan for the classifier-evaluation family (q_auc,
+    * q_pr_curve, q_welch_ttest): every document scored by the fixed
+    * logistic quality model (micro-integerized, the q_quality_score
+    * column) and labeled by the Gopher rule gate (the q_gopher_filter
+    * outcome) in the SAME scan row — no join between score and label,
+    * one corpus pass. Mirrors q_ece_calibration's per-row block
+    * exactly; the eval metrics differ only in what they fold the
+    * (source, qm, pos) rows into.
+    */
+  private val scoredDocsCache = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), DataFrame]
+  private def scoredLabeledDocs(s: SparkSession, d: String): DataFrame =
+    // cache(), NOT localCheckpoint: the memo must recompute through
+    // retained lineage when its blocks are lost (evicted executor,
+    // another suite's wipe) — a checkpoint's truncated lineage turns
+    // any block loss into CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND for every
+    // downstream eval query of the session (the round-6 flake
+    // BlockLossRecoverySpec pins, re-observed here in round 10)
+    scoredDocsCache.getOrElseUpdate((s, d),
+      scoredLabeledDocsPlan(s, d).cache())
+  private def scoredLabeledDocsPlan(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val wordChars = (length(col("text")) - (nTok - 1)).cast("long")
+    val stopHits = graft.functions.TextExprs
+      .tokenSetCount(col("text"), TextAnalysis.Stopwords).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val keep = !(nTok < 20 || nTok > 1000) &&
+      !(wordChars < nTok * 3 || wordChars > nTok * 10) &&
+      stopHits >= 2 && nDistinct * 10 >= nTok * 3
+    val q = r(lit(1.0) / (lit(1.0) + exp(-(lit(-1.5)
+      + col("n_tokens").cast("double") * lit(0.002)
+      + col("stopword_ratio") * lit(2.0)
+      - col("punct_count").cast("double") * lit(0.01)
+      + col("avg_token_len") * lit(0.1)))), 6)
+    TextAnalysis.withQuality(parallelize(documents(s, d)), col("text"))
+      .select(col("source"),
+        floor(q * 1e6 + lit(0.5)).cast("long").as("qm"),
+        when(keep, 1L).otherwise(0L).as("pos"))
+  }
+
   private def bm25Base(s: SparkSession, d: String): DataFrame =
     bm25BaseCache.getOrElseUpdate((s, d),
       parallelize(documents(s, d))
@@ -1238,6 +1279,132 @@ object PipelineQueries {
           math.floor(np.toDouble / n.toDouble * 1e6 + 0.5) / 1e6,
           ece)
       }).toDF("bucket", "n", "n_pos", "conf", "acc", "ece")
+    }),
+
+    // Ranking power of the quality scorer per source: tie-aware
+    // Mann–Whitney AUC against the Gopher gate ("does the model rank
+    // kept docs above dropped ones, source by source" — the
+    // threshold-free companion to q_ece_calibration's calibration
+    // view). Exact throughout: rows fold to (source, distinct-score)
+    // groups first (≤10⁶+1 groups per source by construction — the
+    // score is 6-rounded), the negatives-below prefix runs as a window
+    // PARTITIONED BY source (never a global single-partition sort),
+    // and 2·U accumulates in BIGINT: 2U = Σ_g [2·p_g·negBelow_g +
+    // p_g·neg_g] (whole wins count double, ties count once). The
+    // final AUC = U/(P·N) is integer-rounded to micros as
+    // (2U·10⁶ + P·N) div (2·P·N) — no float enters until the last
+    // cast, so the compare is exact at any corpus size. A source with
+    // only one class present has undefined AUC → 0.5 by convention
+    // (both engines, same CASE).
+    "q_auc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = scoredLabeledDocs(s, d)
+        .groupBy(col("source"), col("qm"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      val w = Window.partitionBy(col("source")).orderBy(col("qm"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perSrc = g
+        .withColumn("nb",
+          coalesce(sum(col("n") - col("p")).over(w), lit(0L)))
+        .groupBy(col("source"))
+        .agg(sum(col("p")).as("n_pos"),
+          sum(col("n") - col("p")).as("n_neg"),
+          sum(col("p") * 2L * col("nb")
+            + col("p") * (col("n") - col("p"))).as("u2"))
+      perSrc.select(col("source"), col("n_pos"), col("n_neg"), col("u2"),
+        (when(col("n_pos") === 0L || col("n_neg") === 0L, lit(500000L))
+          .otherwise(expr(
+            "(u2 * 1000000 + n_pos * n_neg) div (2 * n_pos * n_neg)"))
+          .cast("double") / lit(1e6)).as("auc"))
+    }),
+
+    // Precision/recall/F1 sweep of the quality scorer over the nine
+    // decile thresholds — the operating-point companion to q_auc. One
+    // corpus pass: each (qm, pos) row fans out to the 9 fixed
+    // thresholds (a bounded 9× map-side explode whose partial
+    // aggregates collapse to 9 rows BEFORE the exchange — the only
+    // shuffle is 9 rows of counters per partition at any corpus
+    // size). All counts are exact longs; each ratio is
+    // integer-rounded to micros as (2·num·10⁶ + den) div (2·den)
+    // with a den=0 guard (empty predicted-positive or gold-positive
+    // set → 0 by convention on both engines).
+    "q_pr_curve" -> ((s, d) => {
+      val pred = col("qm") >= col("t") * 100000L
+      val cnt = scoredLabeledDocs(s, d)
+        .select(col("qm"), col("pos"),
+          explode(sequence(lit(1L), lit(9L))).as("t"))
+        .groupBy(col("t"))
+        .agg(sum(when(pred && col("pos") === 1L, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(pred && col("pos") === 0L, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!pred && col("pos") === 1L, 1L).otherwise(0L))
+            .as("fn"))
+      def ratioMicro(num: String, den: String): Column =
+        when(expr(den) === 0L, lit(0L))
+          .otherwise(expr(s"(2 * ($num) * 1000000 + ($den)) " +
+            s"div (2 * ($den))"))
+          .cast("double") / lit(1e6)
+      cnt.select(col("t"), col("tp"), col("fp"), col("fn"),
+        ratioMicro("tp", "tp + fp").as("prec"),
+        ratioMicro("tp", "tp + fn").as("recall"),
+        ratioMicro("2 * tp", "2 * tp + fp + fn").as("f1"))
+    }),
+
+    // Welch two-sample t-test on the quality score between every
+    // source pair — "are these two sources drawn from the same
+    // quality distribution" (the parametric companion to
+    // q_source_divergence's distributional JSD). The corpus folds to
+    // ONE |sources|-row moment table (n, Σqm, Σqm² — map-side
+    // combinable exact longs; Σqm² ≤ 10¹²·n so the sum is overflow-
+    // safe past the ×100 decade); that table is ≤|sources| rows AT
+    // ANY CORPUS SIZE (the source list is the mixture design's
+    // hand-curated set), so the pair expansion runs driver-side on
+    // the bounded collect (the q_source_divergence precedent — a
+    // self-join formulation was measured and replaced: it either
+    // re-scans the corpus on both sides or needs a checkpoint whose
+    // truncated lineage dies on block loss). Mean/variance/t/df
+    // compute in doubles FROM exact integers with the identical IEEE
+    // expression tree as the oracle (+,−,×,÷,sqrt are all correctly-
+    // rounded IEEE ops, so the bits agree engine-to-engine; n·Σqm²
+    // and (Σqm)² go through double BEFORE multiplying — the long
+    // product would overflow at ~3·10⁵ rows per source). Sources
+    // with n<2 have no sample variance and are excluded; zero pooled
+    // variance → t=0, df=0 by convention on both engines.
+    "q_welch_ttest" -> ((s, d) => {
+      val stats = scoredLabeledDocs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("qm")).as("s1"),
+          sum(col("qm") * col("qm")).as("s2"))
+        .filter(col("n") >= 2L)
+        .collect() // bounded: one row per curated source
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          x.getLong(3)))
+        .sortBy(_._1)
+      def rd(x: Double, p: Int): Double = {
+        val m = math.pow(10, p); math.floor(x * m + 0.5) / m
+      }
+      val out = for {
+        i <- stats.indices; j <- (i + 1) until stats.length
+      } yield {
+        val (srcA, na, s1a, s2a) = stats(i)
+        val (srcB, nb, s1b, s2b) = stats(j)
+        val (nad, nbd) = (na.toDouble, nb.toDouble)
+        val va = (nad * s2a.toDouble - s1a.toDouble * s1a.toDouble) /
+          (nad * (nad - 1.0))
+        val vb = (nbd * s2b.toDouble - s1b.toDouble * s1b.toDouble) /
+          (nbd * (nbd - 1.0))
+        val se2 = va / nad + vb / nbd
+        val md = s1a.toDouble / nad - s1b.toDouble / nbd
+        val t = if (se2 <= 0.0) 0.0 else md / math.sqrt(se2)
+        val df = if (se2 <= 0.0) 0.0
+          else se2 * se2 / ((va / nad) * (va / nad) / (nad - 1.0) +
+            (vb / nbd) * (vb / nbd) / (nbd - 1.0))
+        (srcA, srcB, na, nb, rd(s1a.toDouble / nad / 1e6, 6),
+          rd(s1b.toDouble / nbd / 1e6, 6), rd(t, 6), rd(df, 4))
+      }
+      s.createDataFrame(out).toDF("src_a", "src_b", "n_a", "n_b",
+        "mean_a", "mean_b", "t_stat", "df")
     }),
 
     // Feature-hashing document embedder (the hashing trick): every
@@ -4838,6 +5005,147 @@ object PipelineQueries {
          |  ${rs("cast(num AS double) / cast(nn AS double) / 1000000.0", 6)}
          |    AS ece
          |FROM a CROSS JOIN t""".stripMargin
+    },
+
+    // tie-aware Mann–Whitney AUC per source: same score/label row,
+    // same distinct-score grouping, same negatives-below window
+    // (partitioned by source), same integer micro rounding
+    "q_auc" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      val atl = rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)
+      val swr = rs(s"cast($stop AS double) / $nTok", 6)
+      val punct = "(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+      val z = s"CAST(-1.5 AS DOUBLE) + cast($nTok AS int) * " +
+        s"CAST(0.002 AS DOUBLE) + ($swr) * CAST(2.0 AS DOUBLE) - " +
+        s"$punct * CAST(0.01 AS DOUBLE) + ($atl) * CAST(0.1 AS DOUBLE)"
+      val q = rs(s"1.0 / (1.0 + exp(-($z)))", 6)
+      val keep = s"(NOT ($nTok < 20 OR $nTok > 1000) " +
+        s"AND NOT (length(text) - ($nTok - 1) < $nTok * 3 " +
+        s"OR length(text) - ($nTok - 1) > $nTok * 10) " +
+        s"AND $stop >= 2 " +
+        s"AND len(list_distinct(string_split(text,' '))) * 10 " +
+        s">= $nTok * 3)"
+      s"""WITH sc AS (SELECT source,
+         |        cast(floor(($q) * 1000000.0 + 0.5) AS bigint) AS qm,
+         |        CASE WHEN $keep THEN 1 ELSE 0 END AS pos
+         |      FROM documents),
+         |g AS (SELECT source, qm, cast(count(*) AS bigint) AS n,
+         |        cast(sum(pos) AS bigint) AS p
+         |      FROM sc GROUP BY 1, 2),
+         |wv AS (SELECT source, n, p,
+         |        cast(coalesce(sum(n - p) OVER (PARTITION BY source
+         |          ORDER BY qm ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS bigint) AS nb
+         |      FROM g),
+         |a AS (SELECT source, cast(sum(p) AS bigint) AS n_pos,
+         |        cast(sum(n - p) AS bigint) AS n_neg,
+         |        cast(sum(2 * p * nb + p * (n - p)) AS bigint) AS u2
+         |      FROM wv GROUP BY 1)
+         |SELECT source, n_pos, n_neg, u2,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5
+         |       ELSE cast((u2 * 1000000 + n_pos * n_neg)
+         |         // (2 * n_pos * n_neg) AS double) / 1000000.0
+         |  END AS auc
+         |FROM a""".stripMargin
+    },
+
+    // precision/recall/F1 threshold sweep: same 9-threshold fan-out,
+    // same exact counters, same (2·num·10⁶ + den) // (2·den) rounding
+    "q_pr_curve" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      val atl = rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)
+      val swr = rs(s"cast($stop AS double) / $nTok", 6)
+      val punct = "(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+      val z = s"CAST(-1.5 AS DOUBLE) + cast($nTok AS int) * " +
+        s"CAST(0.002 AS DOUBLE) + ($swr) * CAST(2.0 AS DOUBLE) - " +
+        s"$punct * CAST(0.01 AS DOUBLE) + ($atl) * CAST(0.1 AS DOUBLE)"
+      val q = rs(s"1.0 / (1.0 + exp(-($z)))", 6)
+      val keep = s"(NOT ($nTok < 20 OR $nTok > 1000) " +
+        s"AND NOT (length(text) - ($nTok - 1) < $nTok * 3 " +
+        s"OR length(text) - ($nTok - 1) > $nTok * 10) " +
+        s"AND $stop >= 2 " +
+        s"AND len(list_distinct(string_split(text,' '))) * 10 " +
+        s">= $nTok * 3)"
+      def ratio(num: String, den: String): String =
+        s"CASE WHEN ($den) = 0 THEN 0.0 ELSE " +
+          s"cast((2 * ($num) * 1000000 + ($den)) // (2 * ($den)) " +
+          s"AS double) / 1000000.0 END"
+      s"""WITH sc AS (SELECT
+         |        cast(floor(($q) * 1000000.0 + 0.5) AS bigint) AS qm,
+         |        CASE WHEN $keep THEN 1 ELSE 0 END AS pos
+         |      FROM documents),
+         |th AS (SELECT unnest(generate_series(1, 9)) AS t),
+         |c AS (SELECT t,
+         |        cast(sum(CASE WHEN qm >= t * 100000 AND pos = 1
+         |          THEN 1 ELSE 0 END) AS bigint) AS tp,
+         |        cast(sum(CASE WHEN qm >= t * 100000 AND pos = 0
+         |          THEN 1 ELSE 0 END) AS bigint) AS fp,
+         |        cast(sum(CASE WHEN qm < t * 100000 AND pos = 1
+         |          THEN 1 ELSE 0 END) AS bigint) AS fn
+         |      FROM sc, th GROUP BY 1)
+         |SELECT t, tp, fp, fn,
+         |  ${ratio("tp", "tp + fp")} AS prec,
+         |  ${ratio("tp", "tp + fn")} AS recall,
+         |  ${ratio("2 * tp", "2 * tp + fp + fn")} AS f1
+         |FROM c""".stripMargin
+    },
+
+    // Welch t-test source pairs: same exact moment table, the
+    // IDENTICAL double expression tree (cast points, operand order,
+    // sqrt) so the IEEE bits agree before the floor-round
+    "q_welch_ttest" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      val atl = rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)
+      val swr = rs(s"cast($stop AS double) / $nTok", 6)
+      val punct = "(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+      val z = s"CAST(-1.5 AS DOUBLE) + cast($nTok AS int) * " +
+        s"CAST(0.002 AS DOUBLE) + ($swr) * CAST(2.0 AS DOUBLE) - " +
+        s"$punct * CAST(0.01 AS DOUBLE) + ($atl) * CAST(0.1 AS DOUBLE)"
+      val q = rs(s"1.0 / (1.0 + exp(-($z)))", 6)
+      val va = "(cast(n_a AS double) * cast(s2_a AS double) " +
+        "- cast(s1_a AS double) * cast(s1_a AS double)) " +
+        "/ (cast(n_a AS double) * (cast(n_a AS double) - 1.0))"
+      val vb = "(cast(n_b AS double) * cast(s2_b AS double) " +
+        "- cast(s1_b AS double) * cast(s1_b AS double)) " +
+        "/ (cast(n_b AS double) * (cast(n_b AS double) - 1.0))"
+      val se2 = s"($va) / cast(n_a AS double) + ($vb) / cast(n_b AS double)"
+      val md = "cast(s1_a AS double) / cast(n_a AS double) " +
+        "- cast(s1_b AS double) / cast(n_b AS double)"
+      val dfE = s"($se2) * ($se2) / " +
+        s"((($va) / cast(n_a AS double)) * (($va) / cast(n_a AS double)) " +
+        s"/ (cast(n_a AS double) - 1.0) " +
+        s"+ (($vb) / cast(n_b AS double)) * (($vb) / cast(n_b AS double)) " +
+        s"/ (cast(n_b AS double) - 1.0))"
+      s"""WITH sc AS (SELECT source,
+         |        cast(floor(($q) * 1000000.0 + 0.5) AS bigint) AS qm
+         |      FROM documents),
+         |st AS (SELECT source, cast(count(*) AS bigint) AS n,
+         |        cast(sum(qm) AS bigint) AS s1,
+         |        cast(sum(qm * qm) AS bigint) AS s2
+         |      FROM sc GROUP BY 1 HAVING count(*) >= 2),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        a.n AS n_a, b.n AS n_b, a.s1 AS s1_a, b.s1 AS s1_b,
+         |        a.s2 AS s2_a, b.s2 AS s2_b
+         |      FROM st a JOIN st b ON a.source < b.source)
+         |SELECT src_a, src_b, n_a, n_b,
+         |  ${rs("cast(s1_a AS double) / cast(n_a AS double) / 1000000.0",
+              6)} AS mean_a,
+         |  ${rs("cast(s1_b AS double) / cast(n_b AS double) / 1000000.0",
+              6)} AS mean_b,
+         |  ${rs(s"CASE WHEN ($se2) <= 0.0 THEN 0.0 " +
+              s"ELSE ($md) / sqrt($se2) END", 6)} AS t_stat,
+         |  ${rs(s"CASE WHEN ($se2) <= 0.0 THEN 0.0 ELSE $dfE END", 4)}
+         |    AS df
+         |FROM p""".stripMargin
     },
 
     // feature-hashing embedder: md5-derived dim + sign, integer

@@ -22,8 +22,12 @@ class BlockLossRecoverySpec extends SparkSpec {
     // tree, trained BPE vocab, and the iterative graph memos (whose
     // persisted levels must recompute through lineage — a checkpoint
     // formulation here dies exactly like the round-6 flake)
+    // q_auc / q_welch_ttest exercise the cached scored-and-labeled
+    // corpus memo the eval family shares (round 10) — the memo that
+    // re-observed this flake when first written as a localCheckpoint
     val qs = Seq("q_bloom_decontam", "q_ngram_lm", "q_bpe_apply",
-      "q_pagerank", "q_bfs_hops", "q_dup_survivors")
+      "q_pagerank", "q_bfs_hops", "q_dup_survivors", "q_auc",
+      "q_welch_ttest")
     val before = qs.map(q => q -> run(q)).toMap // materializes the caches
     // simulate total executor-storage loss
     spark.sparkContext.getPersistentRDDs.values

@@ -719,6 +719,43 @@ class PlanAuditSpec extends SparkSpec {
       s"bucket work leaked back into the result plan:\n$p")
   }
 
+  test("q_auc: negatives-below window is PARTITIONED BY source (never " +
+      "a global single-partition sort); per-source finish reuses the " +
+      "window's partitioning") {
+    val p = plan("q_auc")
+    assert(p.contains("windowspecdefinition(source#"),
+      s"window not partitioned by source:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global window detected:\n$p")
+    // (source, qm) group exchange + source window exchange — and the
+    // final groupBy(source) must NOT add a third (the window already
+    // hash-partitioned by source)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("q_pr_curve: 9-threshold fan-out folds map-side — partial " +
+      "aggregation sits below the single 9-key exchange") {
+    val p = plan("q_pr_curve")
+    val partialIdx = p.indexOf("partial_sum")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(t#")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"threshold counters not folded before the exchange:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("q_welch_ttest: pair expansion runs driver-side on the bounded " +
+      "|sources|-row moment collect — the result is a local relation " +
+      "(no join, no corpus re-scan)") {
+    val p = plan("q_welch_ttest")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("parquet"),
+      s"pair work leaked back into the result plan:\n$p")
+  }
+
   test("q_ewma: one user_id exchange, join-free") {
     val p = plan("q_ewma")
     assert(!p.contains("Join"), s"unexpected join:\n$p")

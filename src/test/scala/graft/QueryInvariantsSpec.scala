@@ -403,6 +403,113 @@ class QueryInvariantsSpec extends SparkSpec {
       == 1500.0 + x.getAs[Int]("point_idx") * 0.8))
   }
 
+  /** Scored/labeled doc set the eval-metric family (q_auc, q_pr_curve,
+    * q_welch_ttest) is defined over, rebuilt from the PUBLIC queries:
+    * score = q_quality_score, label = q_gopher_filter's keep — also
+    * proving the family is consistent with those two surfaces.
+    */
+  private lazy val scoredDocs: Seq[(String, Long, Boolean)] = {
+    val score = rows("q_quality_score").map(x => x.getAs[Long]("doc_id") ->
+      math.floor(x.getAs[Double]("q_score") * 1e6 + 0.5).toLong).toMap
+    val keep = rows("q_gopher_filter").map(x => x.getAs[Long]("doc_id") ->
+      x.getAs[Boolean]("keep")).toMap
+    val src = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    score.keys.toSeq.sorted.map(id => (src(id), score(id), keep(id)))
+  }
+
+  test("q_auc ≡ brute-force pairwise Mann–Whitney over the public " +
+      "score/label queries (wins + half-ties)") {
+    val got = rows("q_auc").map(x => x.getAs[String]("source") ->
+      (x.getAs[Long]("n_pos"), x.getAs[Long]("n_neg"),
+        x.getAs[Long]("u2"), x.getAs[Double]("auc"))).toMap
+    val bySrc = scoredDocs.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (srcName, docs) =>
+      val posQ = docs.filter(_._3).map(_._2)
+      val negQ = docs.filterNot(_._3).map(_._2)
+      var u2 = 0L
+      for (p <- posQ; n <- negQ)
+        u2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+      val (gp, gn, gu2, gauc) = got(srcName)
+      assert(gp == posQ.size && gn == negQ.size && gu2 == u2,
+        s"$srcName: counters disagree with brute force")
+      val pn = posQ.size.toLong * negQ.size
+      val want = if (pn == 0) 0.5
+        else ((u2 * 1000000L + pn) / (2 * pn)).toDouble / 1e6
+      assert(gauc == want, s"$srcName: auc $gauc != brute $want")
+    }
+  }
+
+  test("q_pr_curve: counters are the brute-force confusion matrix; " +
+      "tp+fn is the gold-positive count at every threshold; ratios " +
+      "recompute from the counters") {
+    val r = rows("q_pr_curve")
+    assert(r.map(_.getAs[Long]("t")).sorted == (1L to 9L))
+    val nPos = scoredDocs.count(_._3).toLong
+    r.foreach { x =>
+      val t = x.getAs[Long]("t")
+      val (tp, fp, fn) = (x.getAs[Long]("tp"), x.getAs[Long]("fp"),
+        x.getAs[Long]("fn"))
+      val wantTp = scoredDocs.count(dd => dd._2 >= t * 100000L && dd._3)
+      val wantFp = scoredDocs.count(dd => dd._2 >= t * 100000L && !dd._3)
+      assert(tp == wantTp && fp == wantFp && tp + fn == nPos,
+        s"t=$t: counters disagree with brute force")
+      def ratio(num: Long, den: Long): Double =
+        if (den == 0) 0.0
+        else ((2 * num * 1000000L + den) / (2 * den)).toDouble / 1e6
+      assert(x.getAs[Double]("prec") == ratio(tp, tp + fp))
+      assert(x.getAs[Double]("recall") == ratio(tp, tp + fn))
+      assert(x.getAs[Double]("f1") == ratio(2 * tp, 2 * tp + fp + fn))
+    }
+    // recall is monotone non-increasing in the threshold
+    val rec = r.sortBy(_.getAs[Long]("t")).map(_.getAs[Double]("recall"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_welch_ttest ≡ brute-force Welch over the public score query; " +
+      "df within the classical bounds; t sign matches the mean order") {
+    val stats = scoredDocs.groupBy(_._1).map { case (srcName, docs) =>
+      val n = docs.size.toLong
+      val s1 = docs.map(_._2).sum
+      val s2 = docs.map(dd => dd._2 * dd._2).sum
+      srcName -> ((n, s1, s2))
+    }.filter(_._2._1 >= 2)
+    def rd(x: Double, p: Int): Double = {
+      val m = math.pow(10, p); math.floor(x * m + 0.5) / m
+    }
+    rows("q_welch_ttest").foreach { x =>
+      val (na, s1a, s2a) = stats(x.getAs[String]("src_a"))
+      val (nb, s1b, s2b) = stats(x.getAs[String]("src_b"))
+      assert(x.getAs[Long]("n_a") == na && x.getAs[Long]("n_b") == nb)
+      // the IDENTICAL IEEE tree the query (and oracle) evaluate
+      val (nad, nbd) = (na.toDouble, nb.toDouble)
+      val va = (nad * s2a.toDouble - s1a.toDouble * s1a.toDouble) /
+        (nad * (nad - 1.0))
+      val vb = (nbd * s2b.toDouble - s1b.toDouble * s1b.toDouble) /
+        (nbd * (nbd - 1.0))
+      val se2 = va / nad + vb / nbd
+      val md = s1a.toDouble / nad - s1b.toDouble / nbd
+      val t = if (se2 <= 0.0) 0.0 else md / math.sqrt(se2)
+      val df = if (se2 <= 0.0) 0.0
+        else se2 * se2 / ((va / nad) * (va / nad) / (nad - 1.0) +
+          (vb / nbd) * (vb / nbd) / (nbd - 1.0))
+      assert(x.getAs[Double]("t_stat") == rd(t, 6), s"t mismatch")
+      assert(x.getAs[Double]("df") == rd(df, 4), s"df mismatch")
+      assert(x.getAs[Double]("mean_a") == rd(s1a.toDouble / nad / 1e6, 6))
+      // classical Welch bounds: min(na,nb)-1 <= df <= na+nb-2
+      if (se2 > 0.0) {
+        val gdf = x.getAs[Double]("df")
+        assert(gdf >= math.min(na, nb) - 1.0 && gdf <= na + nb - 2.0,
+          s"df $gdf outside [min-1, na+nb-2]")
+        // t's sign follows the micro-mean order
+        assert(math.signum(x.getAs[Double]("t_stat")) ==
+          math.signum(rd(md, 6)) || x.getAs[Double]("t_stat") == 0.0)
+      }
+    }
+  }
+
   test("q_peak_offsets: wire-decoded delays equal the physics formula") {
     val r = rows("q_peak_offsets")
     assert(r.size == (1 to 8).map(ch => math.min(ch, 3)).sum)

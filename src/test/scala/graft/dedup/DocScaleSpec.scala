@@ -258,6 +258,59 @@ class DocScaleSpec extends SparkSpec {
     }
   }
 
+  test("welch pair frame at the decade: same source pairs, sample " +
+      "sizes scale exactly xN (sources repeat verbatim across replicas)") {
+    val n = requireCorpus()
+    val b = SparkEntry.queries("q_welch_ttest")(spark, base)
+      .select("src_a", "src_b", "n_a", "n_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val big = SparkEntry.queries("q_welch_ttest")(spark, sfx1)
+      .select("src_a", "src_b", "n_a", "n_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(b.nonEmpty && big.keySet == b.keySet,
+      "source-pair frame changed at the decade")
+    b.foreach { case (k, (na, nb)) =>
+      assert(big(k) == (na * n, nb * n),
+        s"$k: sample sizes did not scale xN — source rows lost or leaked")
+    }
+  }
+
+  test("pr-curve confusion counters at the decade: replica 0 carries " +
+      "the base corpus verbatim, so every counter is monotone >= base") {
+    requireCorpus()
+    val b = SparkEntry.queries("q_pr_curve")(spark, base).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val big = SparkEntry.queries("q_pr_curve")(spark, sfx1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(big.keySet == b.keySet && b.keySet == (1L to 9L).toSet)
+    b.foreach { case (t, (tp, fp, fn)) =>
+      val (btp, bfp, bfn) = big(t)
+      assert(btp >= tp && bfp >= fp && bfn >= fn,
+        s"t=$t: a decade counter shrank — replica-0 rows were lost")
+    }
+  }
+
+  test("auc at the decade: same per-source frame, class counts " +
+      "monotone >= base, auc in [0,1]") {
+    requireCorpus()
+    val b = SparkEntry.queries("q_auc")(spark, base).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val big = SparkEntry.queries("q_auc")(spark, sfx1).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(big.keySet == b.keySet, "source frame changed at the decade")
+    b.foreach { case (srcName, (p, ng)) =>
+      val (bp, bn, auc) = big(srcName)
+      assert(bp >= p && bn >= ng,
+        s"$srcName: class counts shrank at the decade")
+      assert(auc >= 0.0 && auc <= 1.0, s"$srcName: auc $auc out of range")
+    }
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
