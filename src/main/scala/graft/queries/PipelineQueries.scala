@@ -386,7 +386,16 @@ object PipelineQueries {
   // per-doc (token count, query-term hits) table — ONE tokenize pass
   // per session serves both rankers and every within-query branch
   // (dl stats, tf, df, score join), the r8 "share the BM25 subtree"
-  // advice. Tiny: dl + ≤|terms| hits per doc.
+  // advice. Tiny: dl + ≤|terms| hits per doc. cache(), NOT
+  // localCheckpoint: the original checkpoint memo had the round-6
+  // failure mode — checkpoint blocks die with their executor AND
+  // truncate lineage, so one lost executor poisoned BM25/RRF for the
+  // rest of the session; the cache recomputes through retained
+  // lineage instead (BlockLossRecoverySpec wipes and re-runs q_bm25).
+  // A parquet memoPath landing was measured as the alternative and
+  // rejected for this artifact: every consumer query re-opened the
+  // artifact (driver-side file-index + footer per call), costing
+  // ~0.3 s per bm25-family query at sf0.1 vs the in-memory blocks.
   private val bm25BaseCache = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String), DataFrame]
   /** The distributed half of q_source_divergence: ONE corpus token
@@ -474,12 +483,16 @@ object PipelineQueries {
   }
 
   private def bm25Base(s: SparkSession, d: String): DataFrame =
-    bm25BaseCache.getOrElseUpdate((s, d),
-      parallelize(documents(s, d))
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-          filter(col("tk"), t => t.isin(Bm25Terms: _*)).as("hits"))
-        .localCheckpoint(false))
+    bm25BaseCache.getOrElseUpdate((s, d), bm25BasePlan(s, d).cache())
+
+  /** Test hook: the un-memoized tokenize pass, so PlanAuditSpec can
+    * audit the one-corpus-pass plan the memo lands.
+    */
+  private[graft] def bm25BasePlan(s: SparkSession, d: String): DataFrame =
+    parallelize(documents(s, d))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        filter(col("tk"), t => t.isin(Bm25Terms: _*)).as("hits"))
 
   /** Per-(doc, term) BM25 contribution in exact micro units, over
     * columns (tf, df, dl, n_docs, tot): idf · tf(k1+1) / (tf + k1(1−b +
@@ -1279,6 +1292,91 @@ object PipelineQueries {
           math.floor(np.toDouble / n.toDouble * 1e6 + 0.5) / 1e6,
           ece)
       }).toDF("bucket", "n", "n_pos", "conf", "acc", "ece")
+    }),
+
+    // Chi-square term selection against the Gopher gate: which
+    // vocabulary terms discriminate kept from dropped documents (the
+    // classic feature-selection pass before training a quality/lang
+    // classifier). One tokenize pass: per doc the DISTINCT terms
+    // explode with the doc's label, fold to a vocabulary-sized
+    // (term → df, kept-df) table (the zipf/tfidf exchange shape — the
+    // corpus token stream never shuffles), rare terms (df<5) drop,
+    // and χ² computes in doubles FROM exact longs with the identical
+    // IEEE tree as the oracle (totals arrive via the 1-row broadcast
+    // scalar join; zero denominator → 0 by convention). Top-20 by
+    // (χ², term) plans as TakeOrderedAndProject — never a global
+    // sort of the vocabulary.
+    "q_chi2_terms" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("long")
+      val wordChars = (length(col("text")) - (nTok - 1)).cast("long")
+      val stopHits = graft.functions.TextExprs
+        .tokenSetCount(col("text"), TextAnalysis.Stopwords).cast("long")
+      val nDistinct = size(array_distinct(toks)).cast("long")
+      val keep = !(nTok < 20 || nTok > 1000) &&
+        !(wordChars < nTok * 3 || wordChars > nTok * 10) &&
+        stopHits >= 2 && nDistinct * 10 >= nTok * 3
+      val counts = parallelize(documents(s, d))
+        .select(when(keep, 1L).otherwise(0L).as("pos"),
+          explode(array_distinct(toks)).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("dfc"), sum(col("pos")).as("n1"))
+        .filter(col("dfc") >= 5L)
+      // totals ride the eval family's cached scored scan — no second
+      // corpus pass for two scalars
+      val totals = scoredLabeledDocs(s, d)
+        .agg(count(lit(1)).as("nn"), sum(col("pos")).as("pp"))
+      def d2(c: Column) = c.cast("double")
+      val a = d2(col("n1"))
+      val b = d2(col("dfc") - col("n1"))
+      val c0 = d2(col("pp")) - a
+      val e = d2(col("nn") - col("pp")) - b
+      val den = (a + b) * (c0 + e) * (a + c0) * (b + e)
+      val num = d2(col("nn")) * (a * e - b * c0) * (a * e - b * c0)
+      counts.crossJoin(broadcast(totals))
+        .select(col("term"), col("n1").as("n11"),
+          (col("dfc") - col("n1")).as("n10"),
+          when(den === lit(0.0), lit(0.0))
+            .otherwise(r(num / den, 4)).as("chi2"))
+        .orderBy(col("chi2").desc, col("term")).limit(20)
+    }),
+
+    // Isotonic (PAV) calibration of the quality scorer over the ECE
+    // report's 10 confidence buckets: the monotone-regression map
+    // production rankers apply on top of a miscalibrated score. The
+    // corpus folds to the SAME 10-row bucket aggregate as
+    // q_ece_calibration (one pass over the eval family's cached
+    // scored scan); the pool-adjacent-violators fit then runs
+    // driver-side on the bounded collect via the exact minimax
+    // characterization fitted_i = max_{j≤i} min_{k≥i} rate(j..k),
+    // with every interval rate integer-rounded to micros BEFORE the
+    // min/max — the whole fit is Long arithmetic, bit-equal to the
+    // oracle's triple-join SQL form of the same formula at any
+    // corpus size.
+    "q_isotonic_calibration" -> ((s, d) => {
+      val buckets = scoredLabeledDocs(s, d)
+        .groupBy(expr("least(9L, qm div 100000)").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .sortBy(_._1)
+      def ratioMicro(num: Long, den: Long): Long =
+        (2 * num * 1000000L + den) / (2 * den)
+      val m = buckets.length
+      val cn = buckets.scanLeft(0L)(_ + _._2).tail
+      val cp = buckets.scanLeft(0L)(_ + _._3).tail
+      def rate(j: Int, k: Int): Long = // inclusive bucket positions
+        ratioMicro(cp(k) - (if (j == 0) 0L else cp(j - 1)),
+          cn(k) - (if (j == 0) 0L else cn(j - 1)))
+      val out = buckets.indices.map { i =>
+        val (b, n, np) = buckets(i)
+        val fitted = (0 to i).map { j =>
+          (i until m).map(k => rate(j, k)).min
+        }.max
+        (b, n, np, ratioMicro(np, n).toDouble / 1e6,
+          fitted.toDouble / 1e6)
+      }
+      s.createDataFrame(out).toDF("bucket", "n", "n_pos", "raw", "fitted")
     }),
 
     // Ranking power of the quality scorer per source: tie-aware
@@ -5005,6 +5103,100 @@ object PipelineQueries {
          |  ${rs("cast(num AS double) / cast(nn AS double) / 1000000.0", 6)}
          |    AS ece
          |FROM a CROSS JOIN t""".stripMargin
+    },
+
+    // chi-square term selection: same distinct-term fan-out, same
+    // exact df counts, the identical double χ² tree, same top-20 order
+    "q_chi2_terms" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      val keep = s"(NOT ($nTok < 20 OR $nTok > 1000) " +
+        s"AND NOT (length(text) - ($nTok - 1) < $nTok * 3 " +
+        s"OR length(text) - ($nTok - 1) > $nTok * 10) " +
+        s"AND $stop >= 2 " +
+        s"AND len(list_distinct(string_split(text,' '))) * 10 " +
+        s">= $nTok * 3)"
+      val chi2 = "cast(nn AS double) * " +
+        "((a * e - b * c0) * (a * e - b * c0)) / " +
+        "((a + b) * (c0 + e) * (a + c0) * (b + e))"
+      s"""WITH lab AS (SELECT CASE WHEN $keep THEN 1 ELSE 0 END AS pos,
+         |        text FROM documents),
+         |tot AS (SELECT cast(count(*) AS bigint) AS nn,
+         |        cast(sum(pos) AS bigint) AS pp FROM lab),
+         |td AS (SELECT pos,
+         |        unnest(list_distinct(string_split(text, ' '))) AS term
+         |      FROM lab),
+         |c AS (SELECT term, cast(count(*) AS bigint) AS dfc,
+         |        cast(sum(pos) AS bigint) AS n1
+         |      FROM td GROUP BY 1 HAVING count(*) >= 5),
+         |f AS (SELECT term, n1, dfc - n1 AS n10,
+         |        cast(n1 AS double) AS a,
+         |        cast(dfc - n1 AS double) AS b,
+         |        cast(pp AS double) - cast(n1 AS double) AS c0,
+         |        cast(nn - pp AS double) - cast(dfc - n1 AS double) AS e,
+         |        nn
+         |      FROM c, tot)
+         |SELECT term, n1 AS n11, n10,
+         |  CASE WHEN (a + b) * (c0 + e) * (a + c0) * (b + e) = 0.0
+         |       THEN 0.0 ELSE ${rs(chi2, 4)} END AS chi2
+         |FROM f ORDER BY chi2 DESC, term LIMIT 20""".stripMargin
+    },
+
+    // isotonic PAV fit: the same 10-row bucket rollup, the same
+    // integer micro interval rates, the minimax characterization as a
+    // bounded triple join — bit-equal to the driver-side fit
+    "q_isotonic_calibration" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      val atl = rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)
+      val swr = rs(s"cast($stop AS double) / $nTok", 6)
+      val punct = "(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+      val z = s"CAST(-1.5 AS DOUBLE) + cast($nTok AS int) * " +
+        s"CAST(0.002 AS DOUBLE) + ($swr) * CAST(2.0 AS DOUBLE) - " +
+        s"$punct * CAST(0.01 AS DOUBLE) + ($atl) * CAST(0.1 AS DOUBLE)"
+      val q = rs(s"1.0 / (1.0 + exp(-($z)))", 6)
+      val keep = s"(NOT ($nTok < 20 OR $nTok > 1000) " +
+        s"AND NOT (length(text) - ($nTok - 1) < $nTok * 3 " +
+        s"OR length(text) - ($nTok - 1) > $nTok * 10) " +
+        s"AND $stop >= 2 " +
+        s"AND len(list_distinct(string_split(text,' '))) * 10 " +
+        s">= $nTok * 3)"
+      s"""WITH sc AS (SELECT
+         |        least(9, cast(floor(($q) * 1000000.0 + 0.5) AS bigint)
+         |          // 100000) AS bucket,
+         |        CASE WHEN $keep THEN 1 ELSE 0 END AS pos
+         |      FROM documents),
+         |a AS (SELECT bucket, cast(count(*) AS bigint) AS n,
+         |        cast(sum(pos) AS bigint) AS np
+         |      FROM sc GROUP BY 1),
+         |cum AS (SELECT bucket, n, np,
+         |        cast(sum(n) OVER (ORDER BY bucket) AS bigint) AS cn,
+         |        cast(sum(np) OVER (ORDER BY bucket) AS bigint) AS cp
+         |      FROM a),
+         |lo AS (SELECT bucket,
+         |        cast(coalesce(lag(cn) OVER (ORDER BY bucket), 0)
+         |          AS bigint) AS cn0,
+         |        cast(coalesce(lag(cp) OVER (ORDER BY bucket), 0)
+         |          AS bigint) AS cp0
+         |      FROM cum),
+         |rt AS (SELECT lo.bucket AS jb, cum.bucket AS kb,
+         |        (2 * (cum.cp - lo.cp0) * 1000000 + (cum.cn - lo.cn0))
+         |          // (2 * (cum.cn - lo.cn0)) AS rm
+         |      FROM lo, cum WHERE lo.bucket <= cum.bucket),
+         |mn AS (SELECT rt.jb, i.bucket AS ib, cast(min(rm) AS bigint) AS m
+         |      FROM rt, (SELECT bucket FROM a) i
+         |      WHERE rt.jb <= i.bucket AND rt.kb >= i.bucket
+         |      GROUP BY 1, 2),
+         |fit AS (SELECT ib AS bucket, cast(max(m) AS bigint) AS fm
+         |      FROM mn GROUP BY 1)
+         |SELECT a.bucket, a.n, a.np AS n_pos,
+         |  cast((2 * a.np * 1000000 + a.n) // (2 * a.n) AS double)
+         |    / 1000000.0 AS raw,
+         |  cast(fm AS double) / 1000000.0 AS fitted
+         |FROM a JOIN fit ON a.bucket = fit.bucket""".stripMargin
     },
 
     // tie-aware Mann–Whitney AUC per source: same score/label row,

@@ -25,9 +25,11 @@ class BlockLossRecoverySpec extends SparkSpec {
     // q_auc / q_welch_ttest exercise the cached scored-and-labeled
     // corpus memo the eval family shares (round 10) — the memo that
     // re-observed this flake when first written as a localCheckpoint
+    // q_bm25 exercises the bm25_base memo — a parquet landing since
+    // round 10 (its original localCheckpoint form died exactly here)
     val qs = Seq("q_bloom_decontam", "q_ngram_lm", "q_bpe_apply",
       "q_pagerank", "q_bfs_hops", "q_dup_survivors", "q_auc",
-      "q_welch_ttest")
+      "q_welch_ttest", "q_bm25")
     val before = qs.map(q => q -> run(q)).toMap // materializes the caches
     // simulate total executor-storage loss
     spark.sparkContext.getPersistentRDDs.values

@@ -384,19 +384,33 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("r9 barrier queries: one corpus pass behind the stage barrier") {
-    // q_rrf_fusion tokenizes documents once, q_rfm rolls events up
-    // once, q_concurrency sessionizes events once — each behind a lazy
-    // localCheckpoint whose consumers all read the barrier. A
-    // regression that drops the barrier re-introduces parquet scans of
-    // the base table into the final plan and fails here.
-    for ((q, tbl) <- Seq(("q_rrf_fusion", "documents"),
-        ("q_rfm", "events"), ("q_concurrency", "events"))) {
+    // q_rfm rolls events up once, q_concurrency sessionizes events
+    // once — each behind a lazy localCheckpoint whose consumers all
+    // read the barrier. A regression that drops the barrier
+    // re-introduces parquet scans of the base table into the final
+    // plan and fails here.
+    for ((q, tbl) <- Seq(("q_rfm", "events"), ("q_concurrency", "events"))) {
       val p = plan(q)
       assert(p.contains("Scan ExistingRDD"),
         s"$q lost its stage barrier:\n$p")
       assert(!p.contains(s"$tbl.parquet"),
         s"$q re-scans $tbl around the barrier:\n$p")
     }
+    // q_rrf_fusion's barrier is the bm25_base SESSION memo — since
+    // round 10 a cache() with retained lineage (storage-loss-proof,
+    // unlike the localCheckpoint it replaced: blocks lost → the
+    // tokenize pass recomputes instead of killing the session), so
+    // its four consumers read InMemoryTableScan; the only
+    // documents.parquet occurrences are the cached plan's own subtree
+    // printed INSIDE each InMemoryRelation, never a live re-scan
+    val p = plan("q_rrf_fusion")
+    assert(p.contains("InMemoryTableScan"),
+      s"q_rrf_fusion lost the bm25_base cache:\n$p")
+    // the cached plan itself: one documents pass, tokenize + project
+    val inner = graft.queries.PipelineQueries.bm25BasePlan(spark, d)
+      .queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(inner).length == 1,
+      s"bm25 base is not one corpus pass:\n$inner")
   }
 
   test("q_prefix_join: equi-joined candidates off one shingle barrier, " +
@@ -754,6 +768,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join") &&
       !p.contains("parquet"),
       s"pair work leaked back into the result plan:\n$p")
+  }
+
+  test("q_chi2_terms: vocabulary-sized exchange, scalar totals " +
+      "broadcast, top-20 as TakeOrderedAndProject") {
+    val p = plan("q_chi2_terms")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary globally sorted:\n$p")
+    // term counts fold map-side to one vocab exchange; the token
+    // stream itself never shuffles
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(term#"), p)
+    // the only join is the 1-row totals broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      "Join".r.findAllIn(p).length ==
+        "BroadcastNestedLoopJoin".r.findAllIn(p).length,
+      s"unexpected non-scalar join:\n$p")
+  }
+
+  test("q_isotonic_calibration: one bucket rollup, result is a local " +
+      "relation (the ECE pattern)") {
+    val p = plan("q_isotonic_calibration")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("parquet"),
+      s"fit work leaked back into the result plan:\n$p")
   }
 
   test("q_ewma: one user_id exchange, join-free") {

@@ -510,6 +510,77 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_isotonic_calibration ≡ the pool-adjacent-violators ALGORITHM " +
+      "(independent of the query's minimax formula); fitted is monotone " +
+      "and fixes raw only where violations exist") {
+    val r = rows("q_isotonic_calibration")
+      .sortBy(_.getAs[Long]("bucket"))
+    def rm(num: Long, den: Long): Long = (2 * num * 1000000L + den) / (2 * den)
+    val fit = r.map(_.getAs[Double]("fitted"))
+    val raw = r.map(_.getAs[Double]("raw"))
+    // monotone
+    assert(fit.zip(fit.tail).forall { case (a, b) => a <= b },
+      s"fitted not monotone: $fit")
+    // brute force: classic PAV pooling on the (n, np) buckets with the
+    // same pre-rounded micro rates — a genuinely different derivation
+    // from the max-min minimax loop the query runs
+    val blocks2 = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long)] // (n_buckets, n, np)
+    r.foreach { x =>
+      blocks2 += ((1, x.getAs[Long]("n"), x.getAs[Long]("n_pos")))
+      while (blocks2.length >= 2 &&
+          rm(blocks2(blocks2.length - 2)._3, blocks2(blocks2.length - 2)._2) >
+          rm(blocks2.last._3, blocks2.last._2)) {
+        val a = blocks2.remove(blocks2.length - 1)
+        val b = blocks2.remove(blocks2.length - 1)
+        blocks2 += ((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      }
+    }
+    val bruteFit = blocks2.flatMap { case (k, n, np) =>
+      Seq.fill(k)(rm(np, n).toDouble / 1e6)
+    }
+    assert(fit == bruteFit.toSeq,
+      s"minimax fit $fit != PAV-algorithm fit $bruteFit")
+    // where raw is already isotone the fit is the identity
+    if (raw.zip(raw.tail).forall { case (a, b) => a <= b })
+      assert(fit == raw)
+  }
+
+  test("q_chi2_terms ≡ brute-force contingency recomputation over the " +
+      "corpus; counts bounded, ranking consistent") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val keepById = rows("q_gopher_filter").map(x =>
+      x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
+    val nn = docs.size.toLong
+    val pp = keepById.values.count(identity).toLong
+    val termCounts = scala.collection.mutable.Map
+      .empty[String, (Long, Long)]
+    docs.foreach { case (id, text) =>
+      val pos = if (keepById(id)) 1L else 0L
+      text.split(" ").distinct.foreach { t =>
+        val (dfc, n1) = termCounts.getOrElse(t, (0L, 0L))
+        termCounts(t) = (dfc + 1, n1 + pos)
+      }
+    }
+    def chi2Of(dfc: Long, n1: Long): Double = {
+      val a = n1.toDouble; val b = (dfc - n1).toDouble
+      val c0 = pp.toDouble - a; val e = (nn - pp).toDouble - b
+      val den = (a + b) * (c0 + e) * (a + c0) * (b + e)
+      if (den == 0.0) 0.0
+      else math.floor(nn.toDouble * (a * e - b * c0) * (a * e - b * c0)
+        / den * 1e4 + 0.5) / 1e4
+    }
+    val brute = termCounts.toSeq.collect {
+      case (t, (dfc, n1)) if dfc >= 5 => (t, n1, dfc - n1, chi2Of(dfc, n1))
+    }.sortBy { case (t, _, _, c) => (-c, t) }.take(20)
+    val got = rows("q_chi2_terms").map(x => (x.getAs[String]("term"),
+      x.getAs[Long]("n11"), x.getAs[Long]("n10"),
+      x.getAs[Double]("chi2")))
+    assert(got == brute, s"top-20 disagrees:\ngot   $got\nbrute $brute")
+  }
+
   test("q_peak_offsets: wire-decoded delays equal the physics formula") {
     val r = rows("q_peak_offsets")
     assert(r.size == (1 to 8).map(ch => math.min(ch, 3)).sum)

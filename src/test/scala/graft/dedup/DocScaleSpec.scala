@@ -277,8 +277,10 @@ class DocScaleSpec extends SparkSpec {
     }
   }
 
-  test("pr-curve confusion counters at the decade: replica 0 carries " +
-      "the base corpus verbatim, so every counter is monotone >= base") {
+  test("pr-curve confusion counters at the decade: gold positives are " +
+      "EXACTLY the base corpus's (prefixed replicas hit no stopwords, " +
+      "so the Gopher gate drops every r>0 doc) — tp/fn preserved " +
+      "verbatim, fp monotone >= base") {
     requireCorpus()
     val b = SparkEntry.queries("q_pr_curve")(spark, base).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -289,9 +291,53 @@ class DocScaleSpec extends SparkSpec {
     assert(big.keySet == b.keySet && b.keySet == (1L to 9L).toSet)
     b.foreach { case (t, (tp, fp, fn)) =>
       val (btp, bfp, bfn) = big(t)
-      assert(btp >= tp && bfp >= fp && bfn >= fn,
-        s"t=$t: a decade counter shrank — replica-0 rows were lost")
+      // replica-0 docs are base verbatim (same score, same label) and
+      // no other replica passes the gate: the positive side of the
+      // confusion matrix cannot move at ALL
+      assert(btp == tp && bfn == fn,
+        s"t=$t: positive-side counters moved at the decade")
+      assert(bfp >= fp, s"t=$t: fp shrank — replica-0 rows were lost")
     }
+  }
+
+  test("chi2 terms at the decade: unprefixed survivors keep their " +
+      "exact contingency counts (they occur only in replica 0)") {
+    requireCorpus()
+    val b = SparkEntry.queries("q_chi2_terms")(spark, base).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val big = SparkEntry.queries("q_chi2_terms")(spark, sfx1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(big.length == 20)
+    val unprefixed = big.filterNot(_._1.matches("^r\\d+_.*"))
+    // the discriminating stopword-ish terms stay at the top at the
+    // decade (their n11 is unchanged while the corpus grows, so their
+    // significance only sharpens) — require a real overlap, then exact
+    // count preservation on it
+    val shared = unprefixed.filter(t => b.contains(t._1))
+    assert(shared.nonEmpty,
+      s"no base top-20 term survived at the decade: ${big.map(_._1)}")
+    shared.foreach { case (t, n11, n10) =>
+      assert((n11, n10) == b(t),
+        s"$t: contingency counts moved at the decade")
+    }
+  }
+
+  test("isotonic calibration at the decade: fitted stays monotone, " +
+      "the doc mass scales xN, the positive mass is EXACTLY base's") {
+    val n = requireCorpus()
+    val b = SparkEntry.queries("q_isotonic_calibration")(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    val big = SparkEntry.queries("q_isotonic_calibration")(spark, sfx1)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(big.map(_._2).sum == n * b.map(_._2).sum,
+      "bucketed doc mass did not scale xN")
+    assert(big.map(_._3).sum == b.map(_._3).sum,
+      "positive mass moved — a prefixed replica passed the Gopher gate")
+    val fit = big.map(_._4)
+    assert(fit.zip(fit.tail).forall { case (x, y) => x <= y },
+      s"decade fit not monotone: ${fit.toSeq}")
   }
 
   test("auc at the decade: same per-source frame, class counts " +
