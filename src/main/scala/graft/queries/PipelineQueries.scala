@@ -485,6 +485,39 @@ object PipelineQueries {
   private def bm25Base(s: SparkSession, d: String): DataFrame =
     bm25BaseCache.getOrElseUpdate((s, d), bm25BasePlan(s, d).cache())
 
+  /** q_knn_graph's cell assignment, materialized once per invocation
+    * (the q_semdedup pattern) so the within-cell pair join's two sides
+    * and the in-degree base all read the barrier.
+    */
+  private def knnAssignment(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", Similarity.ivfAssign(col("v"),
+        Similarity.ivfCentroids(64, ivfCells(embCount(s, d)))))
+      .localCheckpoint(false)
+
+  /** q_knn_graph's directed edge selection over a cell assignment —
+    * package-private so PlanAuditSpec can pin the TopKPerKey + equi
+    * join shape (the query itself consumes it behind a stage barrier).
+    */
+  private[graft] def knnEdgesPlan(mat: DataFrame): DataFrame = {
+    val a = mat.select(col("cell"), col("vec_id").as("ia"),
+      col("v").as("va"))
+    val b = mat.select(col("cell").as("cb"), col("vec_id").as("ib"),
+      col("v").as("vb"))
+    val pairs = a.join(b, col("cell") === col("cb") &&
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        r(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))
+    graft.plans.TopKPerKey(pairs, keys = Seq("ia"),
+      order = Seq(("sim", true), ("ib", false)), k = 3)
+      .select(col("ia"), col("ib"))
+  }
+
+  /** Test hook: assignment for a dir (for auditing knnEdgesPlan). */
+  private[graft] def knnAssignmentForAudit(s: SparkSession,
+      d: String): DataFrame = knnAssignment(s, d)
+
   /** Test hook: the un-memoized tokenize pass, so PlanAuditSpec can
     * audit the one-corpus-pass plan the memo lands.
     */
@@ -1377,6 +1410,81 @@ object PipelineQueries {
           fitted.toDouble / 1e6)
       }
       s.createDataFrame(out).toDF("bucket", "n", "n_pos", "raw", "fitted")
+    }),
+
+    // Rocchio pseudo-relevance-feedback query expansion: run the
+    // shared BM25 ranker for the fixed query, take its top-10 as the
+    // pseudo-relevant set, and rank the terms of those docs by
+    // tf·idf mass (the relevance-feedback centroid, |R| constant
+    // dropped) minus the original query terms — the classic
+    // recall-widening step in a retrieval-driven curation loop. The
+    // rel set is 10 ids (broadcast); its term table is a few hundred
+    // rows; the only corpus-sized work is the document-frequency
+    // rollup (vocabulary-sized exchange, the zipf/tfidf shape) that
+    // the weight join probes with the broadcast rel-term side. idf is
+    // the SAME BM25 idf (micro-integerized before the exact long
+    // product) so expansion and ranker agree on term rarity.
+    "q_rocchio_expand" -> ((s, d) => {
+      val base = bm25Base(s, d)
+      val dl = base.select(col("doc_id"), col("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      val tfq = base.select(col("doc_id"), explode(col("hits")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dfq = tfq.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val rel = tfq.join(dl, "doc_id").join(broadcast(dfq), "t")
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"), bm25TermMicro.as("sm"))
+        .groupBy(col("doc_id")).agg(sum(col("sm")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"))
+      val relTf = parallelize(documents(s, d))
+        .join(broadcast(rel), "doc_id")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("rtf"))
+        .filter(!col("t").isin(Bm25Terms: _*))
+      val dfAll = parallelize(documents(s, d))
+        .select(explode(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      dfAll.join(broadcast(relTf), "t").crossJoin(broadcast(st))
+        .select(col("t").as("term"), col("rtf"), col("df"),
+          (floor(idf * 1e6 + lit(0.5)).cast("long") * col("rtf"))
+            .as("w_micro"))
+        .orderBy(col("w_micro").desc, col("term")).limit(15)
+    }),
+
+    // k-NN graph diagnostics over the embedding corpus: assign every
+    // vector to its IVF cell (the q_ann_ivf coarse quantizer — cells
+    // ∝ n, never all-pairs), draw each vector's top-3 cosine
+    // neighbors WITHIN its cell through the TopKPerKey bounded-heap
+    // operator, and report the in-degree histogram plus the mutual
+    // (reciprocated) edge count — the hub/asymmetry diagnostics read
+    // before SemDeDup-style graph pruning. The within-cell pair join
+    // is the q_semdedup shape (cell-equi join off one materialized
+    // assignment — O(Σ cell²), bounded by the quantizer); in-degrees
+    // fold vector-wise; the mutual count is an edge-table self-join
+    // on the reversed key. Similarities are 4-rounded before ranking
+    // (both engines rank identical doubles; ties break by neighbor
+    // id).
+    "q_knn_graph" -> ((s, d) => {
+      val mat = knnAssignment(s, d)
+      // the edge table feeds three consumers (in-degree rollup and
+      // both sides of the mutual self-join): a per-execution stage
+      // barrier computes TopKPerKey once, not three times
+      val edges = knnEdgesPlan(mat).localCheckpoint(false)
+      val inDeg = mat.select(col("vec_id"))
+        .join(edges.groupBy(col("ib")).agg(count(lit(1)).as("ind")),
+          col("vec_id") === col("ib"), "left")
+        .select(coalesce(col("ind"), lit(0L)).as("in_deg"))
+        .groupBy(col("in_deg")).agg(count(lit(1)).as("n_vecs"))
+      val mutual = edges.as("x")
+        .join(edges.as("y"), col("x.ia") === col("y.ib") &&
+          col("x.ib") === col("y.ia"))
+        .filter(col("x.ia") < col("x.ib"))
+        .agg(count(lit(1)).as("mutual_pairs"))
+      inDeg.crossJoin(broadcast(mutual))
     }),
 
     // Ranking power of the quality scorer per source: tie-aware
@@ -5103,6 +5211,65 @@ object PipelineQueries {
          |  ${rs("cast(num AS double) / cast(nn AS double) / 1000000.0", 6)}
          |    AS ece
          |FROM a CROSS JOIN t""".stripMargin
+    },
+
+    // Rocchio expansion: the shared bm25 CTE chain picks the same
+    // top-10 rel set; tf over rel docs, corpus df, the identical
+    // micro-integerized idf, the same top-15 order
+    "q_rocchio_expand" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH ${bm25CteSql()},
+         |rel AS (SELECT doc_id FROM sc
+         |        ORDER BY score_micro DESC, doc_id LIMIT 10),
+         |rt AS (SELECT t, cast(count(*) AS bigint) AS rtf
+         |      FROM (SELECT unnest(tk) AS t
+         |            FROM tk JOIN rel USING (doc_id))
+         |      WHERE t NOT IN ($terms) GROUP BY 1),
+         |dfa AS (SELECT t, cast(count(*) AS bigint) AS df
+         |      FROM (SELECT unnest(list_distinct(tk)) AS t FROM tk)
+         |      GROUP BY 1)
+         |SELECT rt.t AS term, rtf, df,
+         |  cast(floor(ln((cast(n_docs - df AS double) + 0.5)
+         |      / (cast(df AS double) + 0.5) + 1.0)
+         |    * 1000000.0 + 0.5) AS bigint) * rtf AS w_micro
+         |FROM rt JOIN dfa ON rt.t = dfa.t CROSS JOIN st
+         |ORDER BY w_micro DESC, term LIMIT 15""".stripMargin
+    },
+
+    // k-NN graph: the q_ann_ivf cell argmax from the same centroid
+    // literals, within-cell rank-3 edges, in-degree histogram +
+    // mutual-pair self-join — all exact integers past the 4-rounded
+    // similarity
+    "q_knn_graph" -> {
+      def dots(vecExpr: String) =
+        s"""list_transform(generate_series(1, cells),
+           |          __j -> list_dot_product($vecExpr, cs[__j]))""".stripMargin
+      s"""WITH $annParamCte,
+         |$ivfCentCte,
+         |cl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_position(ds, list_max(ds)) - 1 AS cell
+         |  FROM (SELECT vec_id, embedding,
+         |          ${dots("CAST(embedding AS DOUBLE[])")} AS ds
+         |        FROM embeddings, ann_p, ivf_cs)),
+         |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    ${rs("list_cosine_similarity(a.v, b.v)", 4)} AS sim
+         |  FROM cl a JOIN cl b
+         |  ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |rk AS (SELECT ia, ib, row_number() OVER (PARTITION BY ia
+         |    ORDER BY sim DESC, ib) AS rn FROM pr),
+         |e AS (SELECT ia, ib FROM rk WHERE rn <= 3),
+         |ind AS (SELECT ib, cast(count(*) AS bigint) AS ind
+         |      FROM e GROUP BY 1),
+         |d0 AS (SELECT emb0.vec_id, coalesce(ind.ind, 0) AS ind
+         |      FROM (SELECT vec_id FROM embeddings) emb0
+         |      LEFT JOIN ind ON emb0.vec_id = ind.ib),
+         |h AS (SELECT cast(ind AS bigint) AS in_deg,
+         |        cast(count(*) AS bigint) AS n_vecs
+         |      FROM d0 GROUP BY 1),
+         |m AS (SELECT cast(count(*) AS bigint) AS mutual_pairs
+         |      FROM e x JOIN e y ON x.ia = y.ib AND x.ib = y.ia
+         |      WHERE x.ia < x.ib)
+         |SELECT in_deg, n_vecs, mutual_pairs FROM h, m""".stripMargin
     },
 
     // chi-square term selection: same distinct-term fan-out, same

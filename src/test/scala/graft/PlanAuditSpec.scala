@@ -406,11 +406,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_rrf_fusion")
     assert(p.contains("InMemoryTableScan"),
       s"q_rrf_fusion lost the bm25_base cache:\n$p")
-    // the cached plan itself: one documents pass, tokenize + project
+    // the cached plan itself: one documents pass, tokenize + project.
+    // When another suite already warmed the memo, the cache manager
+    // substitutes the InMemoryRelation into this fresh plan too (its
+    // AQE recipe prints the scan once per plan section) — the cache
+    // serving IS the one-pass property in that case.
     val inner = graft.queries.PipelineQueries.bm25BasePlan(spark, d)
       .queryExecution.executedPlan.toString
-    assert("documents\\.parquet".r.findAllIn(inner).length == 1,
-      s"bm25 base is not one corpus pass:\n$inner")
+    if (inner.contains("InMemoryTableScan"))
+      assert("InMemoryTableScan".r.findAllIn(inner).length == 1, inner)
+    else
+      assert("documents\\.parquet".r.findAllIn(inner).length == 1,
+        s"bm25 base is not one corpus pass:\n$inner")
   }
 
   test("q_prefix_join: equi-joined candidates off one shingle barrier, " +
@@ -785,6 +792,42 @@ class PlanAuditSpec extends SparkSpec {
       "Join".r.findAllIn(p).length ==
         "BroadcastNestedLoopJoin".r.findAllIn(p).length,
       s"unexpected non-scalar join:\n$p")
+  }
+
+  test("q_rocchio_expand: rel-term side broadcasts onto the vocabulary " +
+      "rollup; top-15 as TakeOrderedAndProject; no cartesian beyond " +
+      "the scalar stats row") {
+    val p = plan("q_rocchio_expand")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary globally sorted:\n$p")
+    // the corpus-df side is the big side: the few-hundred-row rel-term
+    // table must arrive broadcast, never shuffle the vocabulary twice
+    assert(p.contains("BroadcastHashJoin"), s"rel terms not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_knn_graph: within-cell equi join off one materialized " +
+      "assignment; edges through TopKPerKey; only the 1-row mutual " +
+      "scalar joins nested-loop") {
+    // the edge computation (behind the query's stage barrier): cell
+    // equi join off the materialized assignment, TopKPerKey bounded
+    // heaps — never a window sort or a cartesian
+    val inner = graft.queries.PipelineQueries.knnEdgesPlan(
+        graft.queries.PipelineQueries.knnAssignmentForAudit(spark, d))
+      .queryExecution.executedPlan.toString
+    assert(inner.contains("TopKPerKey"),
+      s"edge selection not bounded-heap:\n$inner")
+    assert(!inner.contains("CartesianProduct") &&
+      !inner.contains("BroadcastNestedLoop") &&
+      !inner.contains("Window"), s"edge plan degenerate:\n$inner")
+    assert(inner.contains("Scan ExistingRDD"),
+      s"assignment recomputed per side:\n$inner")
+    // the published result: the ONLY nested-loop is the final 1-row
+    // mutual_pairs broadcast scalar
+    val p = plan("q_knn_graph")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"unexpected nested-loop beyond the scalar join:\n$p")
   }
 
   test("q_isotonic_calibration: one bucket rollup, result is a local " +

@@ -581,6 +581,82 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(got == brute, s"top-20 disagrees:\ngot   $got\nbrute $brute")
   }
 
+  test("q_rocchio_expand: rel set is q_bm25's top-10 prefix; weights " +
+      "recompute from rtf x idf; query terms excluded") {
+    val got = rows("q_rocchio_expand")
+    assert(got.size <= 15 && got.nonEmpty)
+    val qTerms = Set("hash", "join", "vector")
+    assert(got.forall(x => !qTerms.contains(x.getAs[String]("term"))),
+      "a query term leaked into its own expansion")
+    // recompute weight from the row's own counts + corpus scalars
+    val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+    got.foreach { x =>
+      val df = x.getAs[Long]("df")
+      val idfMicro = math.floor(math.log(
+        ((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+        * 1e6 + 0.5).toLong
+      assert(x.getAs[Long]("w_micro") == idfMicro * x.getAs[Long]("rtf"),
+        s"${x.getAs[String]("term")}: weight != rtf x idf")
+    }
+    // weights arrive ranked
+    val w = got.map(_.getAs[Long]("w_micro"))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_knn_graph ≡ brute-force within-cell kNN; degree conservation " +
+      "laws hold") {
+    // widen float→double in BINARY (the query's array<double> cast),
+    // never via toString (shortest-repr parse gives a different double)
+    val emb = spark.read.parquet(s"$d/embeddings.parquet").collect()
+      .map(x => x.getLong(0) -> (x.get(1) match {
+        case s: scala.collection.Seq[_] => s.map {
+          case f: Float => f.toDouble
+          case dd: Double => dd
+        }.toArray
+      })).toMap
+    val n = emb.size
+    val cells = math.min(1 << 20, math.max(4, (n + 63) / 64))
+    val cents = graft.sim.Similarity.ivfCentroids(64, cells)
+    def cellOf(v: Array[Double]): Int = {
+      val ds = cents.take(cells).map(c =>
+        c.zip(v).map { case (a, b) => a * b }.sum)
+      ds.indexOf(ds.max)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(dot / (na * nb) * 1e4 + 0.5) / 1e4
+    }
+    val byCell = emb.toSeq.groupBy { case (_, v) => cellOf(v) }
+    val edges = byCell.values.flatMap { ms =>
+      ms.flatMap { case (ia, va) =>
+        ms.filter(_._1 != ia)
+          .map { case (ib, vb) => (ib, cos(va, vb)) }
+          .sortBy { case (ib, sim) => (-sim, ib) }
+          .take(3).map { case (ib, _) => (ia, ib) }
+      }
+    }.toSet
+    val got = rows("q_knn_graph")
+    val mutual = got.head.getAs[Long]("mutual_pairs")
+    val hist = got.map(x =>
+      x.getAs[Long]("in_deg") -> x.getAs[Long]("n_vecs")).toMap
+    // histogram covers every vector exactly once
+    assert(hist.values.sum == n.toLong)
+    // total in-degree mass == |edges| (each edge lands on one dst)
+    assert(hist.map { case (d0, c) => d0 * c }.sum == edges.size.toLong)
+    // brute in-degree histogram matches
+    val inDeg = emb.keys.toSeq.map(id =>
+      edges.count(_._2 == id).toLong)
+    val bruteHist = inDeg.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    assert(hist == bruteHist, s"got $hist brute $bruteHist")
+    // brute mutual count matches
+    val bruteMutual = edges.count { case (a, b) =>
+      a < b && edges.contains((b, a)) }.toLong
+    assert(mutual == bruteMutual)
+  }
+
   test("q_peak_offsets: wire-decoded delays equal the physics formula") {
     val r = rows("q_peak_offsets")
     assert(r.size == (1 to 8).map(ch => math.min(ch, 3)).sum)

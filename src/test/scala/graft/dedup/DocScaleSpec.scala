@@ -357,6 +357,25 @@ class DocScaleSpec extends SparkSpec {
     }
   }
 
+  test("rocchio expansion at the decade: the rel set is replica-0 only " +
+      "(prefixed replicas contain no query term), so every expansion " +
+      "term is unprefixed with base-exact rtf and df") {
+    requireCorpus()
+    val b = SparkEntry.queries("q_rocchio_expand")(spark, base).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val big = SparkEntry.queries("q_rocchio_expand")(spark, sfx1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(big.nonEmpty)
+    assert(big.forall(t => !t._1.matches("^r\\d+_.*")),
+      s"a prefixed replica term entered the expansion: ${big.map(_._1)}")
+    val shared = big.filter(t => b.contains(t._1))
+    assert(shared.nonEmpty, "no term shared with the base expansion")
+    shared.foreach { case (t, rtf, df) =>
+      assert((rtf, df) == b(t),
+        s"$t: rel-tf/df moved at the decade — rel set leaked replicas")
+    }
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
