@@ -830,6 +830,24 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected nested-loop beyond the scalar join:\n$p")
   }
 
+  test("q_psi_drift: event counters fold map-side to the 10-bucket " +
+      "exchange; the published result is a local relation") {
+    // the distributed rollup (what the driver-side finish collects)
+    val inner = graft.queries.PipelineQueries.psiBucketCounts(spark, d)
+      .queryExecution.executedPlan.toString
+    val partialIdx = inner.indexOf("partial_sum")
+    val exchangeIdx = inner.indexOf("Exchange hashpartitioning(bucket#")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"bucket counters not folded before the exchange:\n$inner")
+    assert(!inner.contains("CartesianProduct") &&
+      !inner.contains("SortMergeJoin"), s"scalar join degenerated:\n$inner")
+    // the published frame: bounded driver-side finish (ECE pattern)
+    val p = plan("q_psi_drift")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("parquet"),
+      s"PSI arithmetic leaked back into the result plan:\n$p")
+  }
+
   test("q_isotonic_calibration: one bucket rollup, result is a local " +
       "relation (the ECE pattern)") {
     val p = plan("q_isotonic_calibration")

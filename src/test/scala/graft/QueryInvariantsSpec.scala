@@ -657,6 +657,43 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(mutual == bruteMutual)
   }
 
+  test("q_psi_drift ≡ brute-force PSI recomputation; terms nonnegative, " +
+      "spine complete, total self-consistent") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = graft.util.Tables.events(spark, d)
+      .select(col("value"), unix_micros(col("ts")).as("e")).collect()
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    val cents = ev.map { case (v, _) => math.floor(v * 100 + 0.5).toLong }
+    val (cmin, cmax) = (cents.min, cents.max)
+    val (emin, emax) = (ev.map(_._2).min, ev.map(_._2).max)
+    val counts = Array.fill(10, 2)(0L)
+    ev.zip(cents).foreach { case ((_, e), c) =>
+      val era = if (e * 2 >= emin + emax) 1 else 0
+      val b = math.min(9L, (c - cmin) * 10 / (cmax - cmin + 1)).toInt
+      counts(b)(era) += 1
+    }
+    val ta = counts.map(_(0)).sum; val tb = counts.map(_(1)).sum
+    val terms = (0 until 10).map { b =>
+      val pa = (counts(b)(0).toDouble + 1.0) / (ta.toDouble + 10.0)
+      val pb = (counts(b)(1).toDouble + 1.0) / (tb.toDouble + 10.0)
+      math.floor((pa - pb) * math.log(pa / pb) * 1e9 + 0.5).toLong
+    }
+    val psi = math.floor(terms.sum.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+    val got = rows("q_psi_drift").sortBy(_.getAs[Long]("bucket"))
+    assert(got.map(_.getAs[Long]("bucket")) == (0L to 9L),
+      "bucket spine incomplete")
+    got.foreach { x =>
+      val b = x.getAs[Long]("bucket").toInt
+      assert(x.getAs[Long]("n_a") == counts(b)(0) &&
+        x.getAs[Long]("n_b") == counts(b)(1), s"bucket $b counts")
+      assert(x.getAs[Long]("psi_nano") == terms(b), s"bucket $b term")
+      assert(x.getAs[Long]("psi_nano") >= 0L,
+        s"bucket $b: negative PSI term")
+      assert(x.getAs[Double]("psi") == psi)
+    }
+    assert(ta + tb == ev.length.toLong)
+  }
+
   test("q_peak_offsets: wire-decoded delays equal the physics formula") {
     val r = rows("q_peak_offsets")
     assert(r.size == (1 to 8).map(ch => math.min(ch, 3)).sum)

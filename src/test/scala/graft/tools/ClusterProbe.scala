@@ -37,7 +37,11 @@ object ClusterProbe {
     "q_rouge_pairs",     // GramCounts/MapClipSum map-valued exprs (r10):
                          // MapData results cross the shuffle + the
                          // kernels' reference objects ship to executors
-    "q_jaro_link")       // JaroWinklerExpr codegen + grid-blocked join
+    "q_jaro_link",       // JaroWinklerExpr codegen + grid-blocked join
+    "q_pca_project")     // CovSumMicroExpr (r10): d² exact-long
+                         // covariance partials serialized and merged
+                         // across the real process boundary, then the
+                         // driver-side power iteration off the merge
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
