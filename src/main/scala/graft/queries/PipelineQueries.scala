@@ -543,6 +543,20 @@ object PipelineQueries {
         sum(when(col("era") === 1L, 1L).otherwise(0L)).as("cb"))
   }
 
+  /** The distributed half of q_benford: one orders pass folded to the
+    * ≤9-row (leading digit → count) table. The digit comes off the
+    * decimal string of the floored total — exact on both engines (no
+    * log10 at runtime). Package-private so PlanAuditSpec can pin the
+    * rollup shape.
+    */
+  private[graft] def benfordDigitCounts(s: SparkSession,
+      d: String): DataFrame =
+    orders(s, d)
+      .select(expr("cast(substring(cast(cast(floor(o_totalprice) " +
+        "AS bigint) AS string), 1, 1) AS bigint)").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+
   /** Test hook: the un-memoized tokenize pass, so PlanAuditSpec can
     * audit the one-corpus-pass plan the memo lands.
     */
@@ -1471,6 +1485,116 @@ object PipelineQueries {
       s.createDataFrame((0 until 10).map(b =>
         (b.toLong, nA(b), nB(b), terms(b), psi)))
         .toDF("bucket", "n_a", "n_b", "psi_nano", "psi")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift test between the same two
+    // event eras as q_psi_drift — the binning-free companion (PSI
+    // depends on the 10-bin choice; KS is the sup-norm of the ECDF
+    // gap over the raw value domain). One event pass folds to the
+    // per-cents (value → era counts) table — bounded by the VALUE
+    // DOMAIN (cents of a bounded sensor reading), not the event
+    // count, so the cumulative window over distinct cents is a
+    // bounded single-partition frame of the q_shuffle_order class at
+    // any event volume. D is kept exact: per-cents ECDF gap in
+    // integer micro units via integral division (cum·10⁶ div total,
+    // overflow-safe to ~9·10¹² events per era), argmax via
+    // TakeOrderedAndProject with the min-cents tie-break.
+    "q_ks_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+        .select(col("value"), unix_micros(col("ts")).as("e"))
+      val cts = ev.agg(min(col("e")).as("emin"), max(col("e")).as("emax"))
+      val counts = ev.crossJoin(broadcast(cts))
+        .select(
+          when(col("e") * 2 >= col("emin") + col("emax"), 1L)
+            .otherwise(0L).as("era"),
+          cents(col("value")).as("c"))
+        .groupBy(col("c"))
+        .agg(sum(when(col("era") === 0L, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("era") === 1L, 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      counts
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("c"), abs(
+          expr("cuma * 1000000 div greatest(ta, 1L)") -
+            expr("cumb * 1000000 div greatest(tb, 1L)")).as("ks_micro"),
+          col("ta"), col("tb"))
+        .orderBy(col("ks_micro").desc, col("c")).limit(1)
+        .select(col("c").as("at_cents"), col("ks_micro"),
+          col("ta").as("n_a"), col("tb").as("n_b"))
+    }),
+
+    // Benford first-digit conformance test over order totals — the
+    // classic synthetic-/corrupted-batch detector a DQ suite runs on
+    // money columns. Leading digit read off the DECIMAL STRING of the
+    // floored total (exact on both engines; no runtime log10 — the
+    // Benford probabilities are nano-integer literals shared with the
+    // oracle verbatim). One orders pass folds map-side to the ≤9-row
+    // digit table; the spine fill, expected masses and χ² terms
+    // finish driver-side on the bounded collect (ECE/PSI pattern),
+    // each term micro-floored from the identical IEEE tree before
+    // the exact long total. n.toDouble is exact to 2⁵³ rows.
+    "q_benford" -> ((s, d) => {
+      val pNano = Array(301029996L, 176091259L, 124938737L, 96910013L,
+        79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
+      val got = benfordDigitCounts(s, d).collect()
+        .map(x => x.getLong(0).toInt -> x.getLong(1)).toMap
+      val n = (1 to 9).map(dg => got.getOrElse(dg, 0L))
+      val t = n.sum
+      val rows = (0 until 9).map { i =>
+        val e = t.toDouble * (pNano(i).toDouble / 1e9)
+        val diff = n(i).toDouble - e
+        ((i + 1).toLong, n(i),
+          math.floor(e * 1e6 + 0.5).toLong,
+          math.floor(diff * diff / e * 1e6 + 0.5).toLong)
+      }
+      val chi2 = math.floor(
+        rows.map(_._4).sum.toDouble / 1e6 * 1e4 + 0.5) / 1e4
+      s.createDataFrame(rows.map(x => (x._1, x._2, x._3, x._4, chi2)))
+        .toDF("digit", "n_obs", "exp_micro", "chi2_micro", "chi2")
+    }),
+
+    // One-sided CUSUM change-point detection per event series — the
+    // WHEN companion to the PSI/KS drift pair (those say whether the
+    // distribution moved; CUSUM locates the shift). The textbook
+    // recursion C_k = max(0, C_{k-1} + x_k − μ) has the closed form
+    // C_k = S_k − min_{0≤j≤k} S_j with S the prefix sum of (x − μ)
+    // and the virtual S_0 = 0 folded in via least(0, running min), so
+    // it is TWO stock window passes (cumsum + running min) over one
+    // sort — no driver recursion, exact integer cents end-to-end
+    // (μ per series as integral division, both engines floor on the
+    // nonnegative sums). Windows partition by event_type: the
+    // per-series history class every time-series op here uses
+    // (q_ewma/q_trend_slope disposition); one exchange + one sort,
+    // then the per-series argmax folds in the SAME partitioning as a
+    // lexicographic struct max — (cusum, −e) picks the peak with the
+    // earliest-timestamp tie-break in one partial-aggregable pass, no
+    // join-back (the join-back form re-ran the whole window chain:
+    // 4 exchanges and two event scans vs 2 and one).
+    "q_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("e"), col("event_id"),
+        cents(col("value")).as("c"))
+      val mu = ev.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("tc"), count(lit(1)).as("n"))
+        .select(col("event_type"), expr("tc div n").as("mu"), col("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("e"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cus = ev.join(broadcast(mu), "event_type")
+        .withColumn("s", sum(col("c") - col("mu")).over(w))
+        .withColumn("cusum",
+          col("s") - least(lit(0L), min(col("s")).over(w)))
+      cus.groupBy(col("event_type"))
+        .agg(max(struct(col("cusum"), (-col("e")).as("neg_e"))).as("m"),
+          max(col("n")).as("n"))
+        .select(col("event_type"), (-col("m.neg_e")).as("at_us"),
+          col("m.cusum").as("max_cusum"), col("n"))
     }),
 
     // Rocchio pseudo-relevance-feedback query expansion: run the
@@ -5310,6 +5434,99 @@ object PipelineQueries {
          |SELECT bucket, n_a, n_b, psi_nano,
          |  ${rs("cast(tn AS double) / 1000000000.0", 6)} AS psi
          |FROM w, tt""".stripMargin
+    },
+
+    // KS test: identical midpoint split and cents integerization;
+    // ECDF gap in the same integer-micro units (integral division
+    // both sides), same DESC/min-cents tie-broken argmax
+    "q_ks_test" ->
+      """WITH ev AS (SELECT value, epoch_us(ts) AS e FROM events),
+        |st AS (SELECT min(e) AS emin, max(e) AS emax FROM ev),
+        |b AS (SELECT CASE WHEN e * 2 >= emin + emax THEN 1 ELSE 0 END
+        |        AS era,
+        |        cast(floor(value * 100 + 0.5) AS bigint) AS c
+        |      FROM ev, st),
+        |g AS (SELECT c,
+        |        cast(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END)
+        |          AS bigint) AS ca,
+        |        cast(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END)
+        |          AS bigint) AS cb
+        |      FROM b GROUP BY 1),
+        |cu AS (SELECT c,
+        |        cast(sum(ca) OVER (ORDER BY c) AS bigint) AS cuma,
+        |        cast(sum(cb) OVER (ORDER BY c) AS bigint) AS cumb
+        |       FROM g),
+        |t AS (SELECT cast(sum(ca) AS bigint) AS ta,
+        |        cast(sum(cb) AS bigint) AS tb FROM g)
+        |SELECT c AS at_cents,
+        |  cast(abs(cuma * 1000000 // greatest(ta, 1)
+        |    - cumb * 1000000 // greatest(tb, 1)) AS bigint) AS ks_micro,
+        |  ta AS n_a, tb AS n_b
+        |FROM cu, t
+        |ORDER BY ks_micro DESC, at_cents LIMIT 1""".stripMargin,
+
+    // Benford: identical string-leading-digit extraction, the same
+    // nano-integer probability literals, the identical expected/χ²
+    // IEEE trees micro-floored per digit before the exact total
+    "q_benford" -> {
+      val nObs = "cast(n_obs AS double)"
+      s"""WITH o AS (SELECT cast(substring(cast(cast(floor(o_totalprice)
+         |        AS bigint) AS varchar), 1, 1) AS bigint) AS digit
+         |      FROM orders),
+         |g AS (SELECT digit, cast(count(*) AS bigint) AS n_obs
+         |      FROM o WHERE digit >= 1 GROUP BY 1),
+         |p(digit, p_nano) AS (VALUES (1, 301029996), (2, 176091259),
+         |  (3, 124938737), (4, 96910013), (5, 79181246), (6, 66946790),
+         |  (7, 57991947), (8, 51152522), (9, 45757491)),
+         |f AS (SELECT cast(p.digit AS bigint) AS digit,
+         |        cast(p.p_nano AS bigint) AS p_nano,
+         |        cast(coalesce(g.n_obs, 0) AS bigint) AS n_obs
+         |      FROM p LEFT JOIN g ON p.digit = g.digit),
+         |t AS (SELECT cast(sum(n_obs) AS bigint) AS t FROM f),
+         |w AS (SELECT digit, n_obs, cast(t AS double)
+         |        * (cast(p_nano AS double) / 1000000000.0) AS e
+         |      FROM f, t),
+         |w2 AS (SELECT digit, n_obs,
+         |        cast(floor(e * 1000000.0 + 0.5) AS bigint) AS exp_micro,
+         |        cast(floor(($nObs - e) * ($nObs - e) / e * 1000000.0
+         |          + 0.5) AS bigint) AS chi2_micro
+         |      FROM w),
+         |tt AS (SELECT cast(sum(chi2_micro) AS bigint) AS s FROM w2)
+         |SELECT digit, n_obs, exp_micro, chi2_micro,
+         |  ${rs("cast(s AS double) / 1000000.0", 4)} AS chi2
+         |FROM w2, tt""".stripMargin
+    },
+
+    // CUSUM: the same closed form S_k − min(0, min_{j≤k} S_j) on the
+    // same integer cents, μ as the identical integral division,
+    // explicit ROWS frames, the same max/min-timestamp argmax
+    "q_cusum" -> {
+      val frame = "PARTITION BY event_type ORDER BY e, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS e, event_id,
+         |        cast(floor(value * 100 + 0.5) AS bigint) AS c
+         |      FROM events),
+         |mu AS (SELECT event_type,
+         |        cast(sum(c) AS bigint) // cast(count(*) AS bigint) AS mu,
+         |        cast(count(*) AS bigint) AS n
+         |      FROM ev GROUP BY 1),
+         |j AS (SELECT ev.event_type, e, event_id, c - mu AS x, n
+         |      FROM ev JOIN mu USING (event_type)),
+         |cs AS (SELECT event_type, e, event_id, n,
+         |        cast(sum(x) OVER ($frame) AS bigint) AS s
+         |      FROM j),
+         |cu AS (SELECT event_type, e, n,
+         |        s - least(0, cast(min(s) OVER ($frame) AS bigint))
+         |          AS cusum
+         |      FROM cs),
+         |mx AS (SELECT event_type, cast(max(cusum) AS bigint)
+         |        AS max_cusum FROM cu GROUP BY 1)
+         |SELECT cu.event_type, cast(min(e) AS bigint) AS at_us,
+         |  cast(max(cusum) AS bigint) AS max_cusum,
+         |  cast(max(n) AS bigint) AS n
+         |FROM cu JOIN mx ON cu.event_type = mx.event_type
+         |  AND cu.cusum = mx.max_cusum
+         |GROUP BY 1""".stripMargin
     },
 
     // Rocchio expansion: the shared bm25 CTE chain picks the same

@@ -848,6 +848,47 @@ class PlanAuditSpec extends SparkSpec {
       s"PSI arithmetic leaked back into the result plan:\n$p")
   }
 
+  test("q_ks_test: per-cents counters fold map-side; argmax is " +
+      "TakeOrderedAndProject; no join degeneration") {
+    val p = plan("q_ks_test")
+    val partialIdx = p.indexOf("partial_sum")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(c#")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"cents counters not folded before the exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"argmax is not a top-1 TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"scalar join degenerated:\n$p")
+  }
+
+  test("q_benford: order totals fold map-side to the 9-digit " +
+      "exchange; the published result is a local relation") {
+    val inner = graft.queries.PipelineQueries
+      .benfordDigitCounts(spark, d)
+      .queryExecution.executedPlan.toString
+    val partialIdx = inner.indexOf("partial_count")
+    val exchangeIdx = inner.indexOf("Exchange hashpartitioning(digit#")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"digit counters not folded before the exchange:\n$inner")
+    val p = plan("q_benford")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("parquet"),
+      s"Benford arithmetic leaked back into the result plan:\n$p")
+  }
+
+  test("q_cusum: windows are PARTITIONED per series, small sides " +
+      "broadcast, partitioning reused across window/agg stages") {
+    val p = plan("q_cusum")
+    assert(p.contains("windowspecdefinition(event_type#"),
+      s"cusum window not partitioned by series:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"per-series join degenerated:\n$p")
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(p).size
+    assert(nExchanges <= 2,
+      s"event_type partitioning not reused ($nExchanges exchanges):\n$p")
+  }
+
   test("q_isotonic_calibration: one bucket rollup, result is a local " +
       "relation (the ECE pattern)") {
     val p = plan("q_isotonic_calibration")

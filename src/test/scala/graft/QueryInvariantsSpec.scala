@@ -694,6 +694,104 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(ta + tb == ev.length.toLong)
   }
 
+  test("q_ks_test ≡ brute-force ECDF sup-norm; D bounded, argmax is " +
+      "the earliest cent, era totals conserve") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = graft.util.Tables.events(spark, d)
+      .select(col("value"), unix_micros(col("ts")).as("e")).collect()
+      .map(x => (math.floor(x.getDouble(0) * 100 + 0.5).toLong,
+        x.getLong(1)))
+    val (emin, emax) = (ev.map(_._2).min, ev.map(_._2).max)
+    val byEra = ev.map { case (c, e) =>
+      (c, if (e * 2 >= emin + emax) 1 else 0) }
+    val ta = byEra.count(_._2 == 0).toLong
+    val tb = byEra.count(_._2 == 1).toLong
+    val cents = byEra.map(_._1).distinct.sorted
+    var (cuma, cumb) = (0L, 0L)
+    var best = (Long.MinValue, Long.MaxValue) // (d_micro, at_cents)
+    cents.foreach { c =>
+      cuma += byEra.count(x => x._1 == c && x._2 == 0)
+      cumb += byEra.count(x => x._1 == c && x._2 == 1)
+      val dm = math.abs(cuma * 1000000L / math.max(ta, 1L) -
+        cumb * 1000000L / math.max(tb, 1L))
+      if (dm > best._1) best = (dm, c)
+    }
+    val got = rows("q_ks_test")
+    assert(got.size == 1)
+    val r0 = got.head
+    assert(r0.getAs[Long]("ks_micro") == best._1 &&
+      r0.getAs[Long]("at_cents") == best._2)
+    assert(r0.getAs[Long]("ks_micro") >= 0L &&
+      r0.getAs[Long]("ks_micro") <= 1000000L)
+    assert(r0.getAs[Long]("n_a") == ta && r0.getAs[Long]("n_b") == tb)
+    assert(ta + tb == ev.length.toLong)
+  }
+
+  test("q_benford ≡ brute-force first-digit χ²; spine complete, counts " +
+      "conserve, expected masses sum to the total") {
+    import org.apache.spark.sql.functions.col
+    val pNano = Array(301029996L, 176091259L, 124938737L, 96910013L,
+      79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
+    val digits = graft.util.Tables.orders(spark, d)
+      .select(col("o_totalprice")).collect()
+      .map(x => math.floor(x.getDouble(0)).toLong.toString.charAt(0) - '0')
+      .filter(_ >= 1)
+    val n = (1 to 9).map(dg => digits.count(_ == dg).toLong)
+    val t = n.sum
+    val got = rows("q_benford").sortBy(_.getAs[Long]("digit"))
+    assert(got.map(_.getAs[Long]("digit")) == (1L to 9L),
+      "digit spine incomplete")
+    var chiMicroSum = 0L
+    (0 until 9).foreach { i =>
+      val e = t.toDouble * (pNano(i).toDouble / 1e9)
+      val diff = n(i).toDouble - e
+      val r0 = got(i)
+      assert(r0.getAs[Long]("n_obs") == n(i), s"digit ${i + 1} count")
+      assert(r0.getAs[Long]("exp_micro") ==
+        math.floor(e * 1e6 + 0.5).toLong)
+      assert(r0.getAs[Long]("chi2_micro") ==
+        math.floor(diff * diff / e * 1e6 + 0.5).toLong)
+      assert(r0.getAs[Long]("chi2_micro") >= 0L)
+      chiMicroSum += r0.getAs[Long]("chi2_micro")
+    }
+    val chi2 = math.floor(chiMicroSum.toDouble / 1e6 * 1e4 + 0.5) / 1e4
+    got.foreach(r0 => assert(r0.getAs[Double]("chi2") == chi2))
+    assert(got.map(_.getAs[Long]("n_obs")).sum == t)
+    // Benford probabilities are a distribution: expected masses
+    // reconstruct the total to within 9 half-ulp micro roundings
+    assert(math.abs(got.map(_.getAs[Long]("exp_micro")).sum -
+      t * 1000000L) <= 9L)
+  }
+
+  test("q_cusum: closed form S_k − min S_j ≡ the textbook recursion " +
+      "C_k = max(0, C_{k-1} + x_k − μ); argmax is the earliest peak") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = graft.util.Tables.events(spark, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("e"),
+        col("event_id"), col("value")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        math.floor(x.getDouble(3) * 100 + 0.5).toLong))
+    val got = rows("q_cusum").map(x => x.getAs[String]("event_type") ->
+      (x.getAs[Long]("at_us"), x.getAs[Long]("max_cusum"),
+        x.getAs[Long]("n"))).toMap
+    val series = ev.groupBy(_._1)
+    assert(got.keySet == series.keySet)
+    series.foreach { case (et, xs) =>
+      val ordered = xs.sortBy(x => (x._2, x._3))
+      val mu = ordered.map(_._4).sum / ordered.length // both nonneg
+      var c = 0L
+      var best = (Long.MinValue, Long.MaxValue) // (cusum, at_us)
+      ordered.foreach { x =>
+        c = math.max(0L, c + (x._4 - mu))
+        if (c > best._1) best = (c, x._2)
+      }
+      val (atUs, maxCusum, n) = got(et)
+      assert(maxCusum == best._1, s"$et: max cusum")
+      assert(atUs == best._2, s"$et: argmax position")
+      assert(n == ordered.length.toLong, s"$et: series length")
+    }
+  }
+
   test("q_peak_offsets: wire-decoded delays equal the physics formula") {
     val r = rows("q_peak_offsets")
     assert(r.size == (1 to 8).map(ch => math.min(ch, 3)).sum)
