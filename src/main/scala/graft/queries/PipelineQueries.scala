@@ -1475,13 +1475,10 @@ object PipelineQueries {
         .toMap
       val nA = (0 until 10).map(b => got.get(b).map(_._1).getOrElse(0L))
       val nB = (0 until 10).map(b => got.get(b).map(_._2).getOrElse(0L))
-      val (ta, tb) = (nA.sum, nB.sum)
-      val terms = (0 until 10).map { b =>
-        val pa = (nA(b).toDouble + 1.0) / (ta.toDouble + 10.0)
-        val pb = (nB(b).toDouble + 1.0) / (tb.toDouble + 10.0)
-        math.floor((pa - pb) * math.log(pa / pb) * 1e9 + 0.5).toLong
-      }
-      val psi = math.floor(terms.sum.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+      // the smoothing/ln arithmetic is SHARED with the streaming
+      // drift monitor (ops.Drift) — batch report ≡ drained monitor
+      // is pinned by DriftMonitorSpec
+      val (terms, psi) = graft.ops.Drift.psiNanoTerms(nA, nB)
       s.createDataFrame((0 until 10).map(b =>
         (b.toLong, nA(b), nB(b), terms(b), psi)))
         .toDF("bucket", "n_a", "n_b", "psi_nano", "psi")
