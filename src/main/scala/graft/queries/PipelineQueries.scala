@@ -299,6 +299,62 @@ object PipelineQueries {
       out
     })
 
+  /** HITS hubs/authorities (Kleinberg 1999) over the DIRECTED word
+    * bigram graph (a → b when a immediately precedes b — the same
+    * token pass PageRank symmetrizes, kept directed here so hubs and
+    * authorities genuinely differ: hubs precede important words,
+    * authorities follow important ones). Three synchronous
+    * a ← Aᵀh / h ← A·a rounds; each step is one dst- (resp. src-)
+    * keyed contribution shuffle — the PageRank superstep shape, graph
+    * size vocabulary², never corpus-sized. ALL arithmetic is exact
+    * integer micro-units with L∞ normalization per step
+    * (score·10⁶ div max — integral division, so chained iterations
+    * stay bit-identical across engines; overflow-safe while the
+    * contribution mass Σh stays under ~9·10¹², i.e. vocabularies to
+    * ~10⁶ nodes at full micro scores — beyond that, widen the scale).
+    * The oracle unrolls the same three rounds as MATERIALIZED CTEs
+    * (the q_pca_project lesson: each round references its
+    * predecessor more than once, so an un-hinted chain re-inlines
+    * exponentially). Landed via Materialize.memo like the other
+    * graph artifacts.
+    */
+  private def hitsScores(s: SparkSession, d: String): DataFrame =
+    graphCache.getOrElseUpdate((s, d, "hits"), {
+      val edges = cooccurPairs(s, d)
+        .select(col("a").as("src"), col("b").as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      var scores = nodes
+        .select(col("node"), lit(1000000L).as("h"), lit(1000000L).as("a"))
+      val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to 3) {
+        val aRaw = edges
+          .join(scores.select(col("node"), col("h")),
+            col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+        val aNew = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
+          .select(col("dst").as("node"), expr("ar * 1000000 div am").as("a2"))
+        val hRaw = edges
+          .join(aNew.withColumnRenamed("node", "anode"),
+            col("dst") === col("anode"))
+          .groupBy(col("src")).agg(sum(col("a2")).as("hr"))
+        val hNew = hRaw.crossJoin(broadcast(hRaw.agg(max(col("hr")).as("hm"))))
+          .select(col("src").as("node"), expr("hr * 1000000 div hm").as("h2"))
+        scores = nodes
+          .join(aNew, Seq("node"), "left")
+          .join(hNew, Seq("node"), "left")
+          .select(col("node"), coalesce(col("h2"), lit(0L)).as("h"),
+            coalesce(col("a2"), lit(0L)).as("a"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        inter += scores
+      }
+      val out = graft.util.Materialize.memo(scores, "hits_scores")
+      inter.foreach(_.unpersist(false))
+      edges.unpersist(false)
+      out
+    })
+
   /** Cluster assignment over the deterministic chain-edge dedup graph —
     * shared by q_dedup_clusters (the assignment itself) and
     * q_dup_survivors (the survivorship rollup over it). Memoized in
@@ -2104,6 +2160,16 @@ object PipelineQueries {
       pagerankRanks(s, d)
         .select(col("node"), col("r").as("rank_pico"))
         .orderBy(col("rank_pico").desc, col("node"))
+        .limit(10)),
+
+    // HITS hubs/authorities over the DIRECTED bigram graph — see
+    // hitsScores for the iteration/normalization design. Top-10
+    // authorities with their hub scores.
+    "q_hits" -> ((s, d) =>
+      hitsScores(s, d)
+        .select(col("node"), col("a").as("auth_micro"),
+          col("h").as("hub_micro"))
+        .orderBy(col("auth_micro").desc, col("node"))
         .limit(10)),
 
     // 4-hop BFS shortest distances over the co-occurrence graph — the
@@ -4981,6 +5047,49 @@ object PipelineQueries {
          |$iterCtes
          |SELECT node, r AS rank_pico FROM r5
          |ORDER BY rank_pico DESC, node LIMIT 10""".stripMargin
+    },
+
+    // HITS: the same directed bigram edges, the same three unrolled
+    // a←Aᵀh / h←A·a rounds in exact integer micro units with the
+    // identical L∞ integral-division normalization; MATERIALIZED per
+    // round (each round is referenced twice downstream — the
+    // q_pca_project re-inlining lesson)
+    "q_hits" -> {
+      val iterCtes = (1 to 3).map { k =>
+        s"""ar$k AS MATERIALIZED (SELECT e.dst AS node,
+           |    cast(sum(p.h) AS bigint) AS ar
+           |  FROM edges e JOIN r${k - 1} p ON e.src = p.node GROUP BY 1),
+           |an$k AS MATERIALIZED (SELECT node,
+           |    cast(ar * 1000000 // am AS bigint) AS a2
+           |  FROM ar$k, (SELECT max(ar) AS am FROM ar$k)),
+           |hr$k AS MATERIALIZED (SELECT e.src AS node,
+           |    cast(sum(x.a2) AS bigint) AS hr
+           |  FROM edges e JOIN an$k x ON e.dst = x.node GROUP BY 1),
+           |hn$k AS MATERIALIZED (SELECT node,
+           |    cast(hr * 1000000 // hm AS bigint) AS h2
+           |  FROM hr$k, (SELECT max(hr) AS hm FROM hr$k)),
+           |r$k AS MATERIALIZED (SELECT n.node,
+           |    cast(coalesce(hn.h2, 0) AS bigint) AS h,
+           |    cast(coalesce(an.a2, 0) AS bigint) AS a
+           |  FROM nodes n LEFT JOIN an$k an ON n.node = an.node
+           |  LEFT JOIN hn$k hn ON n.node = hn.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 2),
+         |pr AS (SELECT tk[i] AS a, tk[i+1] AS b
+         |       FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+         |             FROM t)
+         |       WHERE tk[i] <> tk[i+1]),
+         |edges AS MATERIALIZED (SELECT DISTINCT a AS src, b AS dst
+         |       FROM pr),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+         |        SELECT src AS node FROM edges
+         |        UNION ALL SELECT dst FROM edges)),
+         |r0 AS (SELECT node, cast(1000000 AS bigint) AS h,
+         |        cast(1000000 AS bigint) AS a FROM nodes),
+         |$iterCtes
+         |SELECT node, a AS auth_micro, h AS hub_micro FROM r3
+         |ORDER BY auth_micro DESC, node LIMIT 10""".stripMargin
     },
 
     // BM25: identical double expression inside floor() (bm25CteSql),

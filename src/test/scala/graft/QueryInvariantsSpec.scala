@@ -694,6 +694,45 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(ta + tb == ev.length.toLong)
   }
 
+  test("q_hits ≡ brute-force 3-round HITS recomputation; scores " +
+      "bounded by the micro cap, the top authority saturates it") {
+    import org.apache.spark.sql.functions.{col, explode, sequence, size,
+      split, element_at, lit}
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(element_at(col("t"), col("i")).as("a"),
+        element_at(col("t"), col("i") + 1).as("b"))
+      .filter(col("a") =!= col("b"))
+      .collect().map(x => (x.getString(0), x.getString(1))).distinct
+    val nodes = (docs.map(_._1) ++ docs.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = nodes.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val ar = docs.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => h(e._1)).sum }
+      val am = ar.values.max
+      val a2 = ar.map { case (n, v) => n -> v * 1000000L / am }
+      val hr = docs.groupBy(_._1).map { case (src, es) =>
+        src -> es.map(e => a2.getOrElse(e._2, 0L)).sum }
+      val hm = hr.values.max
+      val h2 = hr.map { case (n, v) => n -> v * 1000000L / hm }
+      a = nodes.map(n => n -> a2.getOrElse(n, 0L)).toMap
+      h = nodes.map(n => n -> h2.getOrElse(n, 0L)).toMap
+    }
+    val expected = nodes.map(n => (n, a(n), h(n)))
+      .sortBy(x => (-x._2, x._1)).take(10)
+    val got = rows("q_hits").map(x => (x.getAs[String]("node"),
+      x.getAs[Long]("auth_micro"), x.getAs[Long]("hub_micro")))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.forall(x => x._2 >= 0L && x._2 <= 1000000L &&
+      x._3 >= 0L && x._3 <= 1000000L))
+    // L∞ normalization: the argmax authority sits exactly at the cap
+    assert(got.head._2 == 1000000L)
+  }
+
   test("q_ks_test ≡ brute-force ECDF sup-norm; D bounded, argmax is " +
       "the earliest cent, era totals conserve") {
     import org.apache.spark.sql.functions.{col, unix_micros}
