@@ -1878,6 +1878,58 @@ object PipelineQueries {
           r(sqrt(col("ss").cast("double")), 6).as("l2"))
     }),
 
+    // Johnson–Lindenstrauss random projection of the embedding table
+    // to k=4 dims with a deterministic ±1 matrix (sign = md5 parity
+    // of the (dim, out-dim) pair — seedless, replay-stable on task
+    // retry), plus the distortion report that validates it: pairwise
+    // squared distances among a fixed 24-vector sample, original vs
+    // projected/k, as micro ratios (JL: E‖y‖² = k·‖x‖² for ±1
+    // matrices). Components integerized to exact micro longs BEFORE
+    // any arithmetic, so projections and distances are exact integers
+    // at every scale; the corpus-wide projection is pinned into the
+    // hash via the (n_vecs, Σy²) checksum columns — energy
+    // accumulates in DECIMAL(38,0) so the checksum cannot overflow at
+    // any corpus size. Scale: the whole projection is PER-ROW array
+    // arithmetic (zip_with/aggregate HOFs against an inline
+    // md5-parity sign vector — the explode→(vec_id,j) rollup form
+    // paid a corpus-sized shuffle and re-ran the hash per component
+    // copy: 0.79 s vs 0.30 s at sf0.1); the checksum folds map-side
+    // to one row and the pair frame is sample²-bounded behind a
+    // pushed vec_id filter.
+    "q_jl_project" -> ((s, d) => {
+      val embA = embeddings(s, d).select(col("vec_id"),
+        expr("transform(cast(embedding AS array<double>), " +
+          "x -> cast(floor(x * 1000000.0 + 0.5) AS bigint))").as("xm"))
+      def yExpr(j: Int) = expr(
+        s"""aggregate(zip_with(xm, transform(sequence(0, size(xm) - 1),
+           |  i -> CASE WHEN cast(conv(substring(md5(concat(i, '_', $j)),
+           |    1, 4), 16, 10) AS int) % 2 = 0 THEN 1L ELSE -1L END),
+           |  (x, s) -> x * s), 0L, (acc, x) -> acc + x)""".stripMargin)
+      val proj = embA.select(col("vec_id"), col("xm"),
+        yExpr(0).as("y0"), yExpr(1).as("y1"),
+        yExpr(2).as("y2"), yExpr(3).as("y3"))
+      val chk = proj.agg(count(lit(1)).as("n_vecs"),
+        sum((col("y0") * col("y0") + col("y1") * col("y1") +
+          col("y2") * col("y2") + col("y3") * col("y3"))
+          .cast("decimal(38,0)")).as("energy"))
+      val sv = proj.filter(col("vec_id") < 24)
+      def sq(a: Column, b: Column) = (a - b) * (a - b)
+      sv.as("a").join(sv.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          expr("aggregate(zip_with(a.xm, b.xm, " +
+            "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)")
+            .as("d2_orig"),
+          (sq(col("a.y0"), col("b.y0")) + sq(col("a.y1"), col("b.y1")) +
+            sq(col("a.y2"), col("b.y2")) + sq(col("a.y3"), col("b.y3")))
+            .as("d2_proj"))
+        .crossJoin(broadcast(chk))
+        .select(col("va"), col("vb"), col("d2_orig"), col("d2_proj"),
+          floor(col("d2_proj").cast("double") /
+            (greatest(col("d2_orig"), lit(1L)).cast("double") * lit(4.0)) *
+            lit(1e6) + lit(0.5)).cast("long").as("dist_micro"),
+          col("n_vecs"), col("energy"))
+    }),
+
     "q_rolling_fp" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text")).as("rfp"))),
@@ -5948,6 +6000,41 @@ object PipelineQueries {
          |    AS nnz,
          |  ${rs("sqrt(cast(sum(comp*comp) AS double))", 6)} AS l2
          |FROM c GROUP BY doc_id""".stripMargin,
+
+    // JL projection: identical micro integerization, the same md5
+    // parity signs, exact integer distances, the identical
+    // ratio/checksum trees (energy in DECIMAL(38,0) on both engines)
+    "q_jl_project" ->
+      """WITH em AS (SELECT vec_id, i,
+        |        cast(floor(v[i+1] * 1000000.0 + 0.5) AS bigint) AS xm
+        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |              unnest(generate_series(0, len(embedding)-1)) AS i
+        |            FROM embeddings)),
+        |pj AS (SELECT vec_id, j, cast(sum(CASE WHEN
+        |          cast(('0x' || substr(md5(i || '_' || j), 1, 4)) AS int)
+        |          % 2 = 0 THEN xm ELSE -xm END) AS bigint) AS y
+        |      FROM em, (SELECT unnest(generate_series(0, 3)) AS j)
+        |      GROUP BY 1, 2),
+        |chk AS (SELECT cast(count(*) // 4 AS bigint) AS n_vecs,
+        |        cast(sum(y * y) AS decimal(38,0)) AS energy FROM pj),
+        |sa AS (SELECT vec_id AS v, i, xm FROM em WHERE vec_id < 24),
+        |do2 AS (SELECT a.v AS va, b.v AS vb,
+        |        cast(sum((a.xm - b.xm) * (a.xm - b.xm)) AS bigint)
+        |          AS d2_orig
+        |      FROM sa a JOIN sa b ON a.i = b.i AND a.v < b.v
+        |      GROUP BY 1, 2),
+        |pv AS (SELECT vec_id AS v, j, y FROM pj WHERE vec_id < 24),
+        |dp AS (SELECT a.v AS va, b.v AS vb,
+        |        cast(sum((a.y - b.y) * (a.y - b.y)) AS bigint) AS d2_proj
+        |      FROM pv a JOIN pv b ON a.j = b.j AND a.v < b.v
+        |      GROUP BY 1, 2)
+        |SELECT do2.va, do2.vb, d2_orig, d2_proj,
+        |  cast(floor(cast(d2_proj AS double)
+        |    / (cast(greatest(d2_orig, 1) AS double) * 4.0)
+        |    * 1000000.0 + 0.5) AS bigint) AS dist_micro,
+        |  n_vecs, energy
+        |FROM do2 JOIN dp ON do2.va = dp.va AND do2.vb = dp.vb,
+        |  chk""".stripMargin,
 
     // grid resample: same union + two-directional IGNORE NULLS window
     // walk, same bracketing ties, same interpolation operand order

@@ -848,6 +848,24 @@ class PlanAuditSpec extends SparkSpec {
       s"PSI arithmetic leaked back into the result plan:\n$p")
   }
 
+  test("q_jl_project: sample filter reaches the parquet scan; both " +
+      "nested-loops are bounded; checksum folds map-side") {
+    val p = plan("q_jl_project")
+    // the pair self-join's BNLJ is bounded BECAUSE this filter is
+    // pushed below it — 24 rows per side, not the corpus
+    assert(p.contains("LessThan(vec_id,24)"),
+      s"sample filter not pushed to the scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly two nested-loops are legitimate: the inequality pair
+    // self-join over the 24-row sample, and the 1-row checksum join
+    val bnl = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnl <= 2,
+      s"unexpected nested-loop beyond sample-pair + checksum:\n$p")
+    // corpus-wide energy checksum: map-side partial_sum, one-row final
+    assert(p.contains("partial_sum") && p.contains("SinglePartition"),
+      s"checksum not a map-side partial fold:\n$p")
+  }
+
   test("q_ks_test: per-cents counters fold map-side; argmax is " +
       "TakeOrderedAndProject; no join degeneration") {
     val p = plan("q_ks_test")

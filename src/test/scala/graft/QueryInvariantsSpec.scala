@@ -733,6 +733,54 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(got.head._2 == 1000000L)
   }
 
+  test("q_jl_project: projection ≡ brute-force md5-sign recompute; " +
+      "pair frame complete; energy checksum consistent; distortion " +
+      "centered") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.util.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(x => x.getLong(0) -> x.getSeq[Double](1).toArray)
+    val micro = emb.map { case (v, xs) =>
+      v -> xs.map(x => math.floor(x * 1e6 + 0.5).toLong) }.toMap
+    def sgn(i: Int, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      if (java.lang.Integer.parseInt(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val proj = micro.map { case (v, xs) =>
+      v -> (0 until 4).map(j =>
+        xs.indices.map(i => sgn(i, j) * xs(i)).sum).toArray }
+    val energy = proj.values.flatMap(_.map(y => BigInt(y) * BigInt(y)))
+      .sum
+    val got = rows("q_jl_project")
+    val sample = micro.keys.filter(_ < 24).toSeq.sorted
+    assert(got.size == sample.size * (sample.size - 1) / 2,
+      "pair frame incomplete")
+    got.foreach { r0 =>
+      val (va, vb) = (r0.getAs[Long]("va"), r0.getAs[Long]("vb"))
+      val d2o = micro(va).zip(micro(vb))
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      val d2p = proj(va).zip(proj(vb))
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(r0.getAs[Long]("d2_orig") == d2o &&
+        r0.getAs[Long]("d2_proj") == d2p, s"pair ($va,$vb)")
+      assert(r0.getAs[Long]("dist_micro") ==
+        math.floor(d2p.toDouble / (math.max(d2o, 1L).toDouble * 4.0) *
+          1e6 + 0.5).toLong)
+      assert(r0.getAs[Long]("n_vecs") == emb.length.toLong)
+      assert(BigInt(r0.getAs[java.math.BigDecimal]("energy")
+        .toBigInteger) == energy)
+    }
+    // JL unbiasedness (E d2_proj = k·d2_orig): the mean ratio over the
+    // 276-pair frame sits in a broad band around 1 — k=4 is noisy per
+    // pair, but the average over 276 pairs concentrates
+    val mean = got.map(_.getAs[Long]("dist_micro")).sum.toDouble /
+      got.size / 1e6
+    assert(mean > 0.3 && mean < 3.0, s"distortion mean off: $mean")
+  }
+
   test("q_ks_test ≡ brute-force ECDF sup-norm; D bounded, argmax is " +
       "the earliest cent, era totals conserve") {
     import org.apache.spark.sql.functions.{col, unix_micros}

@@ -119,6 +119,48 @@ class AnnTriScaleSpec extends SparkSpec {
     assert(sims2 == sims2.sorted.reverse, s"$sf: unordered: $sims2")
   }
 
+  test("q_jl_project laws hold at every embedding decade incl. ×16: " +
+      "energy checksum ≡ brute force, pair frame exact, n_vecs = corpus") {
+    // The JL projection's signs are seedless (md5 parity of (i,j)), so
+    // a driver-side recompute is exact at ANY scale. The sign table is
+    // precomputed once per (dim, 4) — the naive per-sample digest would
+    // cost 8M md5s at the 32k decade.
+    requireScales()
+    for ((sf, p) <- sfs) {
+      val emb = spark.read.parquet(s"$p/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) emb")
+        .collect()
+        .map(x => x.getLong(0) ->
+          x.getSeq[Double](1).map(v => math.floor(v * 1e6 + 0.5).toLong)
+            .toArray)
+      val dim = emb.head._2.length
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sgn = Array.tabulate(dim, 4) { (i, j) =>
+        val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        if (java.lang.Integer.parseInt(hex, 16) % 2 == 0) 1L else -1L
+      }
+      val proj = emb.map { case (v, xs) =>
+        v -> Array.tabulate(4)(j =>
+          xs.indices.foldLeft(0L)((a, i) => a + sgn(i)(j) * xs(i))) }
+      val energy = proj.iterator
+        .flatMap(_._2.iterator.map(y => BigInt(y) * BigInt(y))).sum
+      val got = SparkEntry.queries("q_jl_project")(spark, p).collect()
+      val sample = proj.filter(_._1 < 24).toMap
+      assert(got.length == sample.size * (sample.size - 1) / 2,
+        s"$sf: pair frame incomplete (${got.length})")
+      got.foreach { r0 =>
+        assert(r0.getAs[Long]("n_vecs") == emb.length.toLong, sf)
+        assert(BigInt(r0.getAs[java.math.BigDecimal]("energy")
+          .toBigInteger) == energy, s"$sf: energy checksum drifted")
+        val (va, vb) = (r0.getAs[Long]("va"), r0.getAs[Long]("vb"))
+        val d2p = sample(va).zip(sample(vb))
+          .map { case (x, y) => (x - y) * (x - y) }.sum
+        assert(r0.getAs[Long]("d2_proj") == d2p, s"$sf: pair ($va,$vb)")
+      }
+    }
+  }
+
   test("knn-graph degree conservation holds at the largest embedding " +
       "decade (past the oracle's centroid-literal envelope)") {
     requireScales()
