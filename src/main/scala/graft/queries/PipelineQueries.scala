@@ -355,6 +355,51 @@ object PipelineQueries {
       out
     })
 
+  /** 4-round Bellman–Ford single-source shortest distances over the
+    * WEIGHTED directed bigram graph — the weighted sibling of bfsDists
+    * (BFS relaxes hop counts; this relaxes additive costs, the shape
+    * that carries every "most probable Markov path" question). Edge
+    * weight = −ln(c_ab / Σ_b c_ab) in exact micro-nats — the bigram
+    * transition surprisal, micro-integerized per EDGE before any sum
+    * (the q_ngram_lm ln recipe), so a path cost is a sum of ≤4 longs
+    * and min() over equal-cost paths is deterministic on both engines.
+    * Each round is one src-keyed join + one node-keyed min — the
+    * Pregel superstep as two shuffles, frontier-sized output, with the
+    * edge table cached pre-partitioned on src so all four joins reuse
+    * one layout (the pagerankRanks discipline). Four rounds bound the
+    * work to 4-hop reachability, not transitive closure; the oracle
+    * unrolls the same rounds as MATERIALIZED CTEs (each references
+    * its predecessor twice — the q_pca_project re-inlining lesson).
+    */
+  private def ssspDists(s: SparkSession, d: String): DataFrame =
+    graphCache.getOrElseUpdate((s, d, "sssp"), {
+      val cnt = cooccurPairs(s, d)
+        .groupBy(col("a").as("src"), col("b").as("dst"))
+        .agg(count(lit(1)).as("cab"))
+      val outm = cnt.groupBy(col("src")).agg(sum(col("cab")).as("outc"))
+      val edges = cnt.join(outm, "src")
+        .select(col("src"), col("dst"),
+          floor(-log(col("cab").cast("double") / col("outc").cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long").as("w"))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var dists = edges.agg(min(col("src")).as("node"))
+        .select(col("node"), lit(0L).as("dist"))
+      val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to 4) {
+        dists = dists.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+          .unionByName(dists.select(col("node"), col("dist")))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        inter += dists
+      }
+      val out = graft.util.Materialize.memo(dists, "sssp_dists")
+      inter.foreach(_.unpersist(false))
+      edges.unpersist(false)
+      out
+    })
+
   /** Cluster assignment over the deterministic chain-edge dedup graph —
     * shared by q_dedup_clusters (the assignment itself) and
     * q_dup_survivors (the survivorship rollup over it). Memoized in
@@ -664,6 +709,35 @@ object PipelineQueries {
        |    * 1000000.0 + 0.5) AS bigint)) AS bigint) AS score_micro
        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (t) CROSS JOIN st
        |  $scFilter GROUP BY 1)""".stripMargin
+  }
+
+  /** The scored/labeled document CTE `sc(source, qm, pos)` — the SQL
+    * mirror of scoredLabeledDocsPlan (identical double tree inside the
+    * floor, identical Gopher gate), shared by the eval-family oracles
+    * added after the q_auc/q_pr_curve copies were already in place.
+    */
+  private def scoredSrcCteSql: String = {
+    val nTok = "len(string_split(text,' '))"
+    val stop = "len(list_filter(string_split(text,' '), " +
+      "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+    val atl = rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)
+    val swr = rs(s"cast($stop AS double) / $nTok", 6)
+    val punct = "(length(text) - " +
+      "length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+    val z = s"CAST(-1.5 AS DOUBLE) + cast($nTok AS int) * " +
+      s"CAST(0.002 AS DOUBLE) + ($swr) * CAST(2.0 AS DOUBLE) - " +
+      s"$punct * CAST(0.01 AS DOUBLE) + ($atl) * CAST(0.1 AS DOUBLE)"
+    val q = rs(s"1.0 / (1.0 + exp(-($z)))", 6)
+    val keep = s"(NOT ($nTok < 20 OR $nTok > 1000) " +
+      s"AND NOT (length(text) - ($nTok - 1) < $nTok * 3 " +
+      s"OR length(text) - ($nTok - 1) > $nTok * 10) " +
+      s"AND $stop >= 2 " +
+      s"AND len(list_distinct(string_split(text,' '))) * 10 " +
+      s">= $nTok * 3)"
+    s"""sc AS (SELECT source,
+       |        cast(floor(($q) * 1000000.0 + 0.5) AS bigint) AS qm,
+       |        CASE WHEN $keep THEN 1 ELSE 0 END AS pos
+       |      FROM documents)""".stripMargin
   }
 
   /** Consecutive-doc pair table carrying each side's unigram/bigram
@@ -1650,6 +1724,127 @@ object PipelineQueries {
           col("m.cusum").as("max_cusum"), col("n"))
     }),
 
+    // Autocorrelation function at lags 1..5 per event series — the
+    // serial-dependence companion to q_cusum (CUSUM locates a level
+    // shift; the ACF says whether the series is white or sticky).
+    // Residuals use the SAME integral-division mean as q_cusum
+    // (mu = Σc div n, exact cents), so every residual, product, and
+    // sum is an exact long on both engines: dc ≤ 5·10⁴ cents ⇒
+    // dc² ≤ 2.5·10⁹ and per-series sums stay under 10¹⁴ through
+    // ~10⁹-row series — far past any test scale. One exchange + one
+    // sort (the per-series window class of q_ewma/q_cusum) carries
+    // all five lead() columns; the lag products then fold map-side in
+    // the same pass (sum() skips the null tail rows, which is exactly
+    // the i ≤ n−l summation bound). The final ratio is one IEEE
+    // double division of two exact longs, micro-floored — identical
+    // on both engines; a zero denominator (constant series) yields
+    // NULL symmetrically.
+    "q_acf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("e"), col("event_id"),
+        cents(col("value")).as("c"))
+      val mu = ev.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("tc"), count(lit(1)).as("n"))
+        .select(col("event_type"), expr("tc div n").as("mu"), col("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("e"), col("event_id"))
+      val base = ev.join(broadcast(mu), "event_type")
+        .withColumn("dc", col("c") - col("mu"))
+      val withLeads = (1 to 5).foldLeft(base)((df, l) =>
+        df.withColumn(s"d$l", lead(col("dc"), l).over(w)))
+      val aggs = sum(col("dc") * col("dc")).as("den") +:
+        (1 to 5).map(l => sum(col("dc") * col(s"d$l")).as(s"num$l"))
+      withLeads.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), aggs: _*)
+        .select(col("event_type") +: col("n") +: (1 to 5).map(l =>
+          when(col("den") > 0,
+            floor(col(s"num$l").cast("double") / col("den").cast("double")
+              * lit(1e6) + lit(0.5)).cast("long")).as(s"acf${l}_micro")): _*)
+    }),
+
+    // Cohen's kappa inter-labeler agreement per source: labeler A is
+    // the Gopher rule gate, labeler B thresholds the logistic quality
+    // model at 0.5 — the chance-corrected overlap a curation pipeline
+    // reads before swapping one gate for the other. One pass over the
+    // shared scoredLabeledDocs memo folds the 2×2 contingency map-side
+    // (four CASE counters, source-keyed — the q_auc aggregation
+    // class); kappa = (po − pe)/(1 − pe) is then pure arithmetic on
+    // exact long counts, with both engines building the identical
+    // IEEE double tree before the micro floor. Degenerate agreement
+    // (pe = 1: both labelers constant) yields NULL symmetrically.
+    "q_cohen_kappa" -> ((s, d) => {
+      val agg = scoredLabeledDocs(s, d).groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pos") === 1L && col("qm") >= 500000L, 1L)
+          .otherwise(0L)).as("n11"),
+        sum(when(col("pos") === 1L && col("qm") < 500000L, 1L)
+          .otherwise(0L)).as("n10"),
+        sum(when(col("pos") === 0L && col("qm") >= 500000L, 1L)
+          .otherwise(0L)).as("n01"),
+        sum(when(col("pos") === 0L && col("qm") < 500000L, 1L)
+          .otherwise(0L)).as("n00"))
+      def dbl(c: Column) = c.cast("double")
+      val po = dbl(col("n11") + col("n00")) / dbl(col("n"))
+      val pa = dbl(col("n11") + col("n10")) / dbl(col("n"))
+      val pb = dbl(col("n11") + col("n01")) / dbl(col("n"))
+      val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+      agg.select(col("source"), col("n"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        when(lit(1.0) - pe > 0,
+          floor((po - pe) / (lit(1.0) - pe) * lit(1e6) + lit(0.5))
+            .cast("long")).as("kappa_micro"))
+    }),
+
+    // Murphy (1973) Brier-score decomposition per source over the same
+    // 10 calibration bins as q_ece_calibration: total Brier plus its
+    // reliability / resolution / uncertainty parts — the diagnostic
+    // that says whether a bad Brier is miscalibration (reliability) or
+    // an undiscriminating model (low resolution). The corpus pass
+    // folds to ≤10 rows per source map-side (counts + qm/pos sums +
+    // the exact squared-error mass Σ(qm − pos·10⁶)², a long through
+    // ~10⁶ docs/source per the q_chi2 integerization discipline); the
+    // per-bin reliability/resolution terms nk·(p̄ₖ−ōₖ)² are computed
+    // as identical IEEE doubles from those longs and micro-floored
+    // BEFORE the cross-bin sum, so the ≤10-term addition is exact
+    // long arithmetic (the q_benford/q_chi2 recipe — never a
+    // float sum whose order could differ). Note the binned identity
+    // brier ≈ rel − res + unc holds only up to within-bin score
+    // spread; the invariants spec pins the band.
+    "q_brier" -> ((s, d) => {
+      val binAgg = scoredLabeledDocs(s, d)
+        .groupBy(col("source"),
+          least(lit(9L), expr("qm div 100000")).as("bin"))
+        .agg(count(lit(1)).as("nk"), sum(col("qm")).as("sp"),
+          sum(col("pos")).as("so"),
+          sum((col("qm") - col("pos") * lit(1000000L)) *
+            (col("qm") - col("pos") * lit(1000000L))).as("sq"))
+      val srcAgg = binAgg.groupBy(col("source"))
+        .agg(sum(col("nk")).as("n"), sum(col("so")).as("npos"),
+          sum(col("sq")).as("sqt"))
+      def dbl(c: Column) = c.cast("double")
+      val pbark = dbl(col("sp")) / (dbl(col("nk")) * lit(1e6))
+      val obark = dbl(col("so")) / dbl(col("nk"))
+      val obar = dbl(col("npos")) / dbl(col("n"))
+      val relK = floor(dbl(col("nk")) * (pbark - obark) * (pbark - obark)
+        * lit(1e6) + lit(0.5)).cast("long")
+      val resK = floor(dbl(col("nk")) * (obark - obar) * (obark - obar)
+        * lit(1e6) + lit(0.5)).cast("long")
+      binAgg.join(broadcast(srcAgg), "source")
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n"), max(col("npos")).as("npos"),
+          max(col("sqt")).as("sqt"),
+          sum(relK).as("rel_mass"), sum(resK).as("res_mass"))
+        .select(col("source"), col("n"),
+          floor(dbl(col("sqt")) / (dbl(col("n")) * lit(1e12)) * lit(1e6)
+            + lit(0.5)).cast("long").as("brier_micro"),
+          expr("rel_mass div n").as("reliability_micro"),
+          expr("res_mass div n").as("resolution_micro"),
+          floor((dbl(col("npos")) / dbl(col("n"))) *
+            (lit(1.0) - dbl(col("npos")) / dbl(col("n"))) * lit(1e6)
+            + lit(0.5)).cast("long").as("uncertainty_micro"))
+    }),
+
     // Rocchio pseudo-relevance-feedback query expansion: run the
     // shared BM25 ranker for the fixed query, take its top-10 as the
     // pseudo-relevant set, and rank the terms of those docs by
@@ -2228,6 +2423,12 @@ object PipelineQueries {
     // frontier-expansion iteration; see bfsDists for the superstep +
     // cache-lifecycle design.
     "q_bfs_hops" -> ((s, d) => bfsDists(s, d)),
+
+    // Weighted single-source shortest paths (4-round Bellman–Ford)
+    // over the directed bigram graph, weights = transition surprisal
+    // in micro-nats — see ssspDists for the relaxation + memo design.
+    "q_sssp" -> ((s, d) =>
+      ssspDists(s, d).select(col("node"), col("dist").as("dist_micro"))),
 
     // Triangle counting + global clustering coefficient over the word
     // co-occurrence graph — the degree-ordered MapReduce algorithm
@@ -5144,6 +5345,37 @@ object PipelineQueries {
          |ORDER BY auth_micro DESC, node LIMIT 10""".stripMargin
     },
 
+    // SSSP: the same bigram counts, the same micro-nat surprisal
+    // weights (ln integerized per edge), four unrolled Bellman–Ford
+    // rounds as MATERIALIZED CTEs (each referenced twice per round)
+    "q_sssp" -> {
+      val iterCtes = (1 to 4).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT node, cast(min(dist) AS bigint)
+           |    AS dist FROM (
+           |      SELECT e.dst AS node, p.dist + e.w AS dist
+           |      FROM d${k - 1} p JOIN e ON p.node = e.src
+           |      UNION ALL SELECT node, dist FROM d${k - 1})
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 2),
+         |pr AS (SELECT tk[i] AS a, tk[i+1] AS b
+         |       FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+         |             FROM t)
+         |       WHERE tk[i] <> tk[i+1]),
+         |cnt AS MATERIALIZED (SELECT a AS src, b AS dst,
+         |       cast(count(*) AS bigint) AS cab FROM pr GROUP BY 1, 2),
+         |om AS (SELECT src, cast(sum(cab) AS bigint) AS outc
+         |       FROM cnt GROUP BY 1),
+         |e AS MATERIALIZED (SELECT cnt.src, dst,
+         |       cast(floor(-ln(cast(cab AS double) / cast(outc AS double))
+         |         * 1000000.0 + 0.5) AS bigint) AS w
+         |       FROM cnt JOIN om USING (src)),
+         |d0 AS (SELECT min(src) AS node, cast(0 AS bigint) AS dist FROM e),
+         |$iterCtes
+         |SELECT node, dist AS dist_micro FROM d4""".stripMargin
+    },
+
     // BM25: identical double expression inside floor() (bm25CteSql),
     // per-term micro ints summed as longs
     "q_bm25" ->
@@ -5687,6 +5919,35 @@ object PipelineQueries {
          |GROUP BY 1""".stripMargin
     },
 
+    // ACF: the same integral-division mean, the same (e, event_id)
+    // window order carrying five leads, exact long lag-product sums,
+    // the identical double division inside floor
+    "q_acf" -> {
+      val leads = (1 to 5).map(l => s"lead(dc, $l) OVER w AS d$l")
+        .mkString(", ")
+      val cols = (1 to 5).map(l =>
+        s"""CASE WHEN cast(sum(dc * dc) AS bigint) > 0 THEN
+           |    cast(floor(cast(cast(sum(dc * d$l) AS bigint) AS double)
+           |      / cast(cast(sum(dc * dc) AS bigint) AS double)
+           |      * 1000000.0 + 0.5) AS bigint) END AS acf${l}_micro"""
+          .stripMargin).mkString(",\n")
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS e, event_id,
+         |        cast(floor(value * 100 + 0.5) AS bigint) AS c
+         |      FROM events),
+         |mu AS (SELECT event_type,
+         |        cast(sum(c) AS bigint) // cast(count(*) AS bigint) AS mu,
+         |        cast(count(*) AS bigint) AS n
+         |      FROM ev GROUP BY 1),
+         |b AS (SELECT ev.event_type, e, event_id, c - mu AS dc, n
+         |      FROM ev JOIN mu USING (event_type)),
+         |ld AS (SELECT event_type, n, dc, $leads
+         |      FROM b WINDOW w AS (PARTITION BY event_type
+         |        ORDER BY e, event_id))
+         |SELECT event_type, cast(max(n) AS bigint) AS n,
+         |$cols
+         |FROM ld GROUP BY 1""".stripMargin
+    },
+
     // Rocchio expansion: the shared bm25 CTE chain picks the same
     // top-10 rel set; tf over rel docs, corpus df, the identical
     // micro-integerized idf, the same top-15 order
@@ -5884,6 +6145,80 @@ object PipelineQueries {
          |  END AS auc
          |FROM a""".stripMargin
     },
+
+    // Cohen's kappa: the shared scored CTE, the same four CASE
+    // counters, the identical (po − pe)/(1 − pe) double tree
+    "q_cohen_kappa" ->
+      s"""WITH $scoredSrcCteSql,
+         |a AS (SELECT source, cast(count(*) AS bigint) AS n,
+         |    cast(sum(CASE WHEN pos = 1 AND qm >= 500000 THEN 1 ELSE 0
+         |      END) AS bigint) AS n11,
+         |    cast(sum(CASE WHEN pos = 1 AND qm < 500000 THEN 1 ELSE 0
+         |      END) AS bigint) AS n10,
+         |    cast(sum(CASE WHEN pos = 0 AND qm >= 500000 THEN 1 ELSE 0
+         |      END) AS bigint) AS n01,
+         |    cast(sum(CASE WHEN pos = 0 AND qm < 500000 THEN 1 ELSE 0
+         |      END) AS bigint) AS n00
+         |  FROM sc GROUP BY 1)
+         |SELECT source, n, n11, n10, n01, n00,
+         |  CASE WHEN 1.0 - (cast(n11 + n10 AS double) / cast(n AS double)
+         |      * (cast(n11 + n01 AS double) / cast(n AS double))
+         |      + (1.0 - cast(n11 + n10 AS double) / cast(n AS double))
+         |      * (1.0 - cast(n11 + n01 AS double) / cast(n AS double))) > 0
+         |    THEN cast(floor((cast(n11 + n00 AS double) / cast(n AS double)
+         |      - (cast(n11 + n10 AS double) / cast(n AS double)
+         |        * (cast(n11 + n01 AS double) / cast(n AS double))
+         |        + (1.0 - cast(n11 + n10 AS double) / cast(n AS double))
+         |        * (1.0 - cast(n11 + n01 AS double) / cast(n AS double))))
+         |      / (1.0 - (cast(n11 + n10 AS double) / cast(n AS double)
+         |        * (cast(n11 + n01 AS double) / cast(n AS double))
+         |        + (1.0 - cast(n11 + n10 AS double) / cast(n AS double))
+         |        * (1.0 - cast(n11 + n01 AS double) / cast(n AS double))))
+         |      * 1000000.0 + 0.5) AS bigint) END AS kappa_micro
+         |FROM a""".stripMargin,
+
+    // Brier decomposition: the shared scored CTE, the same 10-bin
+    // rollup with exact squared-error mass, per-bin terms floored to
+    // micro longs BEFORE the cross-bin sum, integral // n division
+    "q_brier" ->
+      s"""WITH $scoredSrcCteSql,
+         |ba AS (SELECT source, least(9, qm // 100000) AS bin,
+         |    cast(count(*) AS bigint) AS nk,
+         |    cast(sum(qm) AS bigint) AS sp,
+         |    cast(sum(pos) AS bigint) AS so,
+         |    cast(sum((qm - pos * 1000000) * (qm - pos * 1000000))
+         |      AS bigint) AS sq
+         |  FROM sc GROUP BY 1, 2),
+         |sa AS (SELECT source, cast(sum(nk) AS bigint) AS n,
+         |    cast(sum(so) AS bigint) AS npos,
+         |    cast(sum(sq) AS bigint) AS sqt
+         |  FROM ba GROUP BY 1),
+         |t AS (SELECT ba.source, n, npos, sqt,
+         |    cast(floor(cast(nk AS double)
+         |      * (cast(sp AS double) / (cast(nk AS double) * 1000000.0)
+         |        - cast(so AS double) / cast(nk AS double))
+         |      * (cast(sp AS double) / (cast(nk AS double) * 1000000.0)
+         |        - cast(so AS double) / cast(nk AS double))
+         |      * 1000000.0 + 0.5) AS bigint) AS rel_k,
+         |    cast(floor(cast(nk AS double)
+         |      * (cast(so AS double) / cast(nk AS double)
+         |        - cast(npos AS double) / cast(n AS double))
+         |      * (cast(so AS double) / cast(nk AS double)
+         |        - cast(npos AS double) / cast(n AS double))
+         |      * 1000000.0 + 0.5) AS bigint) AS res_k
+         |  FROM ba JOIN sa ON ba.source = sa.source)
+         |SELECT source, cast(max(n) AS bigint) AS n,
+         |  cast(floor(cast(max(sqt) AS double)
+         |    / (cast(max(n) AS double) * 1000000000000.0)
+         |    * 1000000.0 + 0.5) AS bigint) AS brier_micro,
+         |  cast(sum(rel_k) AS bigint) // cast(max(n) AS bigint)
+         |    AS reliability_micro,
+         |  cast(sum(res_k) AS bigint) // cast(max(n) AS bigint)
+         |    AS resolution_micro,
+         |  cast(floor((cast(max(npos) AS double) / cast(max(n) AS double))
+         |    * (1.0 - cast(max(npos) AS double) / cast(max(n) AS double))
+         |    * 1000000.0 + 0.5) AS bigint) AS uncertainty_micro
+         |FROM t GROUP BY 1""".stripMargin,
 
     // precision/recall/F1 threshold sweep: same 9-threshold fan-out,
     // same exact counters, same (2·num·10⁶ + den) // (2·den) rounding

@@ -907,6 +907,62 @@ class PlanAuditSpec extends SparkSpec {
       s"event_type partitioning not reused ($nExchanges exchanges):\n$p")
   }
 
+  test("q_acf: per-series window carries all five leads in ONE sort; " +
+      "mean side broadcast; no single-partition window") {
+    val p = plan("q_acf")
+    assert(p.contains("windowspecdefinition(event_type#"),
+      s"lead window not partitioned by series:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.indexOf("Exchange SinglePartition") >
+        p.indexOf("windowspecdefinition"),
+      s"global window detected:\n$p")
+    // exactly one WindowExec: the five lead() columns must share one
+    // (partition, sort) pass, not plan five window operators
+    assert("Window ".r.findAllMatchIn(p).size == 1,
+      s"lead columns split across window operators:\n$p")
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"per-series mean join degenerated:\n$p")
+    val nEx = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(nEx <= 2,
+      s"event_type partitioning not reused ($nEx exchanges):\n$p")
+  }
+
+  test("q_cohen_kappa: the 2x2 contingency folds map-side below one " +
+      "source exchange; join-free") {
+    val p = plan("q_cohen_kappa")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    val partialIdx = p.indexOf("partial_sum")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(source#")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"contingency counters not folded before the exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"expected 1 exchange:\n$p")
+  }
+
+  test("q_brier: bin rollups fold map-side, the source-totals side is " +
+      "broadcast, no join degeneration") {
+    val p = plan("q_brier")
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bin-to-totals join degenerated:\n$p")
+    val partialIdx = p.indexOf("partial_sum")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"bin counters not folded before the exchange:\n$p")
+    // every exchange is a <=50-row bin/source frame — the corpus pass
+    // itself lives in the shared memo (InMemoryTableScan)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 4,
+      s"unexpected exchange fan-out:\n$p")
+  }
+
+  test("q_sssp: the exposed query serves the memoized parquet landing " +
+      "(file scan), never a per-consumer recompute") {
+    val p = plan("q_sssp")
+    assert(p.contains("sssp_dists-") && !p.contains("documents.parquet"),
+      s"not serving the session memo:\n$p")
+  }
+
   test("q_isotonic_calibration: one bucket rollup, result is a local " +
       "relation (the ECE pattern)") {
     val p = plan("q_isotonic_calibration")

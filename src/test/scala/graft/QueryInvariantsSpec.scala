@@ -781,6 +781,128 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(mean > 0.3 && mean < 3.0, s"distortion mean off: $mean")
   }
 
+  test("q_acf ≡ brute-force lag products over the sorted series; " +
+      "coefficients bounded") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = graft.util.Tables.events(spark, d)
+      .select(col("event_type"), unix_micros(col("ts")),
+        col("event_id"),
+        org.apache.spark.sql.functions
+          .floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1), r0.getLong(2),
+        r0.getLong(3)))
+    val bySeries = ev.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.sortBy(x => (x._2, x._3)).map(_._4) }
+    val got = rows("q_acf")
+    assert(got.map(_.getString(0)).toSet == bySeries.keySet)
+    got.foreach { r0 =>
+      val cs = bySeries(r0.getString(0))
+      assert(r0.getAs[Long]("n") == cs.length.toLong)
+      val mu = cs.sum / cs.length // integral division, the query's mean
+      val dc = cs.map(_ - mu)
+      val den = dc.map(x => x * x).sum
+      for (l <- 1 to 5) {
+        val num = (0 until dc.length - l).map(i => dc(i) * dc(i + l)).sum
+        val exp = math.floor(num.toDouble / den.toDouble * 1e6 + 0.5)
+          .toLong
+        val gotL = r0.getAs[Long](s"acf${l}_micro")
+        assert(gotL == exp, s"${r0.getString(0)} lag $l: $gotL != $exp")
+        // an autocorrelation is a cosine — always within [-1, 1]
+        assert(math.abs(gotL) <= 1000000L)
+      }
+    }
+  }
+
+  test("q_cohen_kappa: contingency internally consistent, kappa " +
+      "recomputable from its own cells, class counts agree with q_auc") {
+    val got = rows("q_cohen_kappa")
+    val auc = rows("q_auc")
+      .map(r0 => r0.getString(0) ->
+        (r0.getAs[Long]("n_pos"), r0.getAs[Long]("n_neg"))).toMap
+    assert(got.nonEmpty && got.map(_.getString(0)).toSet == auc.keySet)
+    got.foreach { r0 =>
+      val (n, n11, n10, n01, n00) = (r0.getAs[Long]("n"),
+        r0.getAs[Long]("n11"), r0.getAs[Long]("n10"),
+        r0.getAs[Long]("n01"), r0.getAs[Long]("n00"))
+      assert(n == n11 + n10 + n01 + n00, "cells don't tile the corpus")
+      // the gopher-positive mass is the SAME labeler q_auc counts
+      val (np, ng) = auc(r0.getString(0))
+      assert(n11 + n10 == np && n01 + n00 == ng,
+        s"${r0.getString(0)}: labeler-A marginals disagree with q_auc")
+      val po = (n11 + n00).toDouble / n
+      val pa = (n11 + n10).toDouble / n
+      val pb = (n11 + n01).toDouble / n
+      val pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+      val exp = math.floor((po - pe) / (1.0 - pe) * 1e6 + 0.5).toLong
+      assert(r0.getAs[Long]("kappa_micro") == exp)
+      assert(math.abs(r0.getAs[Long]("kappa_micro")) <= 1000000L)
+    }
+  }
+
+  test("q_brier: decomposition parts nonnegative, resolution bounded " +
+      "by uncertainty (law of total variance), uncertainty follows the " +
+      "kappa contingency's base rate, Murphy identity within bin band") {
+    val got = rows("q_brier")
+    val kap = rows("q_cohen_kappa")
+      .map(r0 => r0.getString(0) ->
+        (r0.getAs[Long]("n"), r0.getAs[Long]("n11") +
+          r0.getAs[Long]("n10"))).toMap
+    assert(got.nonEmpty && got.map(_.getString(0)).toSet == kap.keySet)
+    got.foreach { r0 =>
+      val (brier, rel, res, unc) = (r0.getAs[Long]("brier_micro"),
+        r0.getAs[Long]("reliability_micro"),
+        r0.getAs[Long]("resolution_micro"),
+        r0.getAs[Long]("uncertainty_micro"))
+      assert(brier >= 0 && rel >= 0 && res >= 0 && unc >= 0)
+      assert(brier <= 1000000L && unc <= 250000L)
+      // Var(E[o|bin]) <= Var(o) exactly; integerization slop only
+      assert(res <= unc + 5, s"${r0.getString(0)}: resolution $res " +
+        s"exceeds uncertainty $unc")
+      val (n, npos) = kap(r0.getString(0))
+      assert(r0.getAs[Long]("n") == n)
+      val obar = npos.toDouble / n
+      assert(unc == math.floor(obar * (1.0 - obar) * 1e6 + 0.5).toLong,
+        s"${r0.getString(0)}: uncertainty drifted from the base rate")
+      assert(math.abs(brier - (rel - res + unc)) <= 10000,
+        s"${r0.getString(0)}: Murphy identity broke")
+    }
+  }
+
+  test("q_sssp ≡ brute-force 4-round Bellman-Ford over the surprisal-" +
+      "weighted bigram graph") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.util.Tables.documents(spark, d)
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      val tk = t.split(" ")
+      (1 until tk.length).foreach { i =>
+        if (tk(i - 1) != tk(i)) counts((tk(i - 1), tk(i))) += 1L
+      }
+    }
+    val outc = counts.toSeq.groupBy(_._1._1)
+      .map { case (s0, xs) => s0 -> xs.map(_._2).sum }
+    val w = counts.map { case ((a, b), c) =>
+      (a, b) -> math.floor(-math.log(c.toDouble / outc(a).toDouble)
+        * 1e6 + 0.5).toLong }
+    val src = counts.keys.map(_._1).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 4) {
+      val relax = dist.toSeq.flatMap { case (u, du) =>
+        w.collect { case ((a, b), wt) if a == u => b -> (du + wt) } }
+      dist = (dist.toSeq ++ relax).groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).min }
+    }
+    val got = rows("q_sssp")
+      .map(r0 => r0.getString(0) -> r0.getAs[Long]("dist_micro")).toMap
+    assert(got == dist,
+      s"extra=${(got.toSet -- dist.toSet).take(3)} " +
+        s"missing=${(dist.toSet -- got.toSet).take(3)}")
+    assert(got(src) == 0L)
+  }
+
   test("q_ks_test ≡ brute-force ECDF sup-norm; D bounded, argmax is " +
       "the earliest cent, era totals conserve") {
     import org.apache.spark.sql.functions.{col, unix_micros}

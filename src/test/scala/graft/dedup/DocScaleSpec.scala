@@ -376,6 +376,88 @@ class DocScaleSpec extends SparkSpec {
     }
   }
 
+  test("sssp at the decade is IDENTICAL to base: replica graphs are " +
+      "disjoint, the source is replica-0's min token, and replica-0 " +
+      "edge weights are base-exact") {
+    requireCorpus()
+    // bigrams never span replicas (no doc mixes prefixed and
+    // unprefixed tokens), so the ×N graph is a disjoint union of N
+    // replica graphs, each structurally ≡ base. The global min token
+    // is unprefixed (base has tokens < "r1_..."), so the search stays
+    // inside replica 0, whose transition counts — hence surprisal
+    // weights — are base-exact. Any cross-replica edge leak, count
+    // pollution, or scale-dependent weight breaks exact equality.
+    val b = SparkEntry.queries("q_sssp")(spark, base)
+      .collect().map(_.toSeq).toSet
+    val big = SparkEntry.queries("q_sssp")(spark, sfx1)
+      .collect().map(_.toSeq).toSet
+    assert(b.nonEmpty)
+    assert(big == b,
+      s"sssp moved at the decade: extra=${(big -- b).take(3)} " +
+        s"missing=${(b -- big).take(3)}")
+  }
+
+  test("cohen-kappa at the decade: positive-labeler cells are " +
+      "base-exact (only replica-0 passes the gopher gate), totals " +
+      "scale xN") {
+    val n = requireCorpus()
+    val b = SparkEntry.queries("q_cohen_kappa")(spark, base).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val big = SparkEntry.queries("q_cohen_kappa")(spark, sfx1).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(big.keySet == b.keySet, "source frame changed at the decade")
+    b.foreach { case (srcName, (bn, n11, n10)) =>
+      val (gn, g11, g10) = big(srcName)
+      assert(gn == n * bn, s"$srcName: total is not xN ($gn vs $n x $bn)")
+      // gopher pos mass is EXACTLY base (prefixed tokens hit no
+      // stopwords), and replica-0 docs keep their base qm — so both
+      // pos=1 cells are base-exact
+      assert(g11 == n11 && g10 == n10,
+        s"$srcName: positive cells moved at the decade")
+    }
+  }
+
+  test("brier at the decade: totals xN, uncertainty follows the " +
+      "diluted base rate exactly, Murphy identity within bin spread " +
+      "at both scales") {
+    val n = requireCorpus()
+    // base positive mass per source from the kappa contingency
+    val posMass = SparkEntry.queries("q_cohen_kappa")(spark, base)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2) + r.getLong(3))).toMap
+    def check(rows: Array[org.apache.spark.sql.Row]): Unit =
+      rows.foreach { r =>
+        val (brier, rel, res, unc) = (r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+        // Murphy: brier = reliability − resolution + uncertainty, up
+        // to the binning residual (within-bin variance of p MINUS
+        // twice the within-bin p–o covariance — the variance part is
+        // ≤ (0.1/2)² = 2500 micro for 0.1-wide bins, the covariance
+        // part is data-dependent; observed ≤ 3700 across scales).
+        // 10⁴ micro = 1% of the Brier scale keeps this a real law
+        // while honest about the residual's covariance term.
+        assert(math.abs(brier - (rel - res + unc)) <= 10000,
+          s"${r.getString(0)}: decomposition broke ($brier vs " +
+            s"$rel - $res + $unc)")
+      }
+    val b = SparkEntry.queries("q_brier")(spark, base).collect()
+    val big = SparkEntry.queries("q_brier")(spark, sfx1).collect()
+    check(b); check(big)
+    val bn = b.map(r => r.getString(0) -> r.getLong(1)).toMap
+    big.foreach { r =>
+      val srcName = r.getString(0)
+      assert(r.getLong(1) == n * bn(srcName), s"$srcName: total not xN")
+      // only replica-0 passes the gate, so the decade base rate is the
+      // base positive mass over N× the docs — uncertainty must follow
+      val obar = posMass(srcName).toDouble / (n * bn(srcName)).toDouble
+      val expUnc = math.floor(obar * (1.0 - obar) * 1e6 + 0.5).toLong
+      assert(r.getLong(5) == expUnc,
+        s"$srcName: uncertainty ${r.getLong(5)} != expected $expUnc")
+    }
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
