@@ -371,11 +371,22 @@ object PipelineQueries {
     * unrolls the same rounds as MATERIALIZED CTEs (each references
     * its predecessor twice — the q_pca_project re-inlining lesson).
     */
+  /** The directed bigram transition-count table (a, b, cab) landed
+    * once per (session, dir) via Materialize.memo — the ONE corpus
+    * pass behind the Markov-chain family (ssspDists' edge weights and
+    * q_entropy_rate's mass fold both read this parquet artifact, so
+    * the explode+rollup never runs twice in a session).
+    */
+  private def bigramCounts(s: SparkSession, d: String): DataFrame =
+    graphCache.getOrElseUpdate((s, d, "bigram_counts"),
+      graft.util.Materialize.memo(
+        cooccurPairs(s, d).groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("cab")), "bigram_counts"))
+
   private def ssspDists(s: SparkSession, d: String): DataFrame =
     graphCache.getOrElseUpdate((s, d, "sssp"), {
-      val cnt = cooccurPairs(s, d)
-        .groupBy(col("a").as("src"), col("b").as("dst"))
-        .agg(count(lit(1)).as("cab"))
+      val cnt = bigramCounts(s, d)
+        .select(col("a").as("src"), col("b").as("dst"), col("cab"))
       val outm = cnt.groupBy(col("src")).agg(sum(col("cab")).as("outc"))
       val edges = cnt.join(outm, "src")
         .select(col("src"), col("dst"),
@@ -1213,6 +1224,63 @@ object PipelineQueries {
           r((micro(log(col("n_tokens").cast("double"))) * col("n_tokens") -
               col("s_micro")).cast("double") /
             (col("n_tokens").cast("double") * 1e6), 6).as("entropy"))
+    }),
+
+    // Shannon entropy RATE of the corpus bigram Markov chain,
+    // H(X₂|X₁) = Σ_ab p(ab)·(−ln p(b|a)) — the conditional sibling of
+    // q_token_entropy's unigram H (conditioning can only reduce
+    // entropy: h_rate ≤ H₁, pinned by the invariants spec). The
+    // per-bigram surprisal is EXACTLY the q_sssp edge weight
+    // (micro-nats, integerized per edge before any sum — the
+    // q_ngram_lm ln recipe), so the entropy mass Σ c_ab·w_ab is one
+    // exact long fold over the vocabulary²-sized transition table;
+    // only the bigram extraction touches the corpus. The final rate
+    // is integral division by the bigram total.
+    "q_entropy_rate" -> ((s, d) => {
+      val cnt = bigramCounts(s, d)
+      val outm = cnt.groupBy(col("a")).agg(sum(col("cab")).as("outc"))
+      cnt.join(outm, "a")
+        .select(col("cab"),
+          (col("cab") * floor(-log(col("cab").cast("double") /
+            col("outc").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long")).as("hm"))
+        .agg(sum(col("cab")).as("n_bigrams"),
+          sum(col("hm")).as("h_mass_micro"))
+        .select(col("n_bigrams"), col("h_mass_micro"),
+          expr("h_mass_micro div n_bigrams").as("h_rate_micro"))
+    }),
+
+    // Gini coefficient of the token frequency distribution — the
+    // inequality summary beside q_zipf_slope's power-law fit. The
+    // classic formula needs every word's ascending frequency RANK —
+    // a global row_number (single-partition WindowExec, the exact
+    // shape the r9 verdict flagged on q_skipgrams). Instead the rank
+    // sum folds over the frequency-of-frequencies table: words with
+    // equal count c form a consecutive rank run (within-run order
+    // cancels for equal c), so Σ rank·c = Σ_c c·(a_c·m_c +
+    // m_c(m_c+1)/2) with a_c the words below — and the only window
+    // walks the DISTINCT-COUNT domain (hundreds of rows at any
+    // corpus size; the PSI/ppl-bucket class), never the vocabulary.
+    // All masses are exact longs; one double division at the end.
+    "q_gini_tokens" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wc = parallelize(documents(s, d))
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ff = wc.groupBy(col("c")).agg(count(lit(1)).as("m"))
+      val win = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ff.withColumn("a", coalesce(sum(col("m")).over(win), lit(0L)))
+        .select((col("c") * (col("a") * col("m") +
+          expr("m * (m + 1) div 2"))).as("term"), col("m"),
+          (col("c") * col("m")).as("mass"))
+        .agg(sum(col("term")).as("s"), sum(col("m")).as("n_vocab"),
+          sum(col("mass")).as("n_tokens"))
+        .select(col("n_vocab"), col("n_tokens"),
+          floor((lit(2L) * col("s") - (col("n_vocab") + lit(1L)) *
+            col("n_tokens")).cast("double") /
+            (col("n_vocab") * col("n_tokens")).cast("double") *
+            lit(1e6) + lit(0.5)).cast("long").as("gini_micro"))
     }),
 
     "q_text_stats" -> ((s, d) =>
@@ -5375,6 +5443,50 @@ object PipelineQueries {
          |$iterCtes
          |SELECT node, dist AS dist_micro FROM d4""".stripMargin
     },
+
+    // entropy rate: the same bigram counts, the same per-edge
+    // micro-nat surprisal (the sssp weight), exact long mass fold,
+    // integral division by the bigram total
+    "q_entropy_rate" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |pr AS (SELECT tk[i] AS a, tk[i+1] AS b
+        |       FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+        |             FROM t)
+        |       WHERE tk[i] <> tk[i+1]),
+        |cnt AS (SELECT a, b, cast(count(*) AS bigint) AS cab
+        |       FROM pr GROUP BY 1, 2),
+        |om AS (SELECT a, cast(sum(cab) AS bigint) AS outc
+        |       FROM cnt GROUP BY 1)
+        |SELECT cast(sum(cab) AS bigint) AS n_bigrams,
+        |  cast(sum(cab * cast(floor(
+        |      -ln(cast(cab AS double) / cast(outc AS double))
+        |      * 1000000.0 + 0.5) AS bigint)) AS bigint) AS h_mass_micro,
+        |  cast(sum(cab * cast(floor(
+        |      -ln(cast(cab AS double) / cast(outc AS double))
+        |      * 1000000.0 + 0.5) AS bigint)) AS bigint)
+        |    // cast(sum(cab) AS bigint) AS h_rate_micro
+        |FROM cnt JOIN om USING (a)""".stripMargin,
+
+    // Gini: the same frequency-of-frequencies rank-run fold, the
+    // distinct-count window, exact long masses, one double division
+    "q_gini_tokens" ->
+      """WITH wc AS (SELECT w, cast(count(*) AS bigint) AS c
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |            FROM documents) GROUP BY 1),
+        |ff AS (SELECT c, cast(count(*) AS bigint) AS m FROM wc GROUP BY 1),
+        |cum AS (SELECT c, m, cast(coalesce(sum(m) OVER (ORDER BY c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS bigint) AS a FROM ff),
+        |ag AS (SELECT cast(sum(c * (a * m + m * (m + 1) // 2))
+        |        AS bigint) AS s,
+        |      cast(sum(m) AS bigint) AS n_vocab,
+        |      cast(sum(c * m) AS bigint) AS n_tokens FROM cum)
+        |SELECT n_vocab, n_tokens,
+        |  cast(floor(cast(2 * s - (n_vocab + 1) * n_tokens AS double)
+        |    / cast(n_vocab * n_tokens AS double)
+        |    * 1000000.0 + 0.5) AS bigint) AS gini_micro
+        |FROM ag""".stripMargin,
 
     // BM25: identical double expression inside floor() (bm25CteSql),
     // per-term micro ints summed as longs

@@ -963,6 +963,35 @@ class PlanAuditSpec extends SparkSpec {
       s"not serving the session memo:\n$p")
   }
 
+  test("q_entropy_rate: reads the shared bigram-counts memo (no corpus " +
+      "re-scan); vocabulary-sized equi joins only; mass folds map-side") {
+    val p = plan("q_entropy_rate")
+    assert(p.contains("bigram_counts-") && !p.contains("documents.parquet"),
+      s"not serving the shared transition-table memo:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"transition-table join degenerated:\n$p")
+    assert(p.contains("partial_sum") && p.contains("SinglePartition"),
+      s"entropy mass not folded map-side:\n$p")
+  }
+
+  test("q_gini_tokens: the only single-partition window walks the " +
+      "DISTINCT-COUNT domain — above the vocab rollup, never the " +
+      "vocabulary itself") {
+    val p = plan("q_gini_tokens")
+    assert(p.contains("windowspecdefinition(c#"),
+      s"window not on the count domain:\n$p")
+    // vocab exchange (w) must sit BELOW the count-domain exchange (c),
+    // which sits below the bounded single-partition window walk
+    val wIdx = p.indexOf("hashpartitioning(w#")
+    val cIdx = p.indexOf("hashpartitioning(c#")
+    val spIdx = p.indexOf("Exchange SinglePartition")
+    assert(wIdx >= 0 && cIdx >= 0 && spIdx >= 0 &&
+      wIdx > cIdx && cIdx > spIdx,
+      s"window walks an unbounded domain (w=$wIdx c=$cIdx sp=$spIdx):\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
   test("q_isotonic_calibration: one bucket rollup, result is a local " +
       "relation (the ECE pattern)") {
     val p = plan("q_isotonic_calibration")

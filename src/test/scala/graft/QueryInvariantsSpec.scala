@@ -903,6 +903,65 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(got(src) == 0L)
   }
 
+  test("q_entropy_rate ≡ brute-force conditional entropy; conditioning " +
+      "bound h_rate <= second-token unigram entropy") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.util.Tables.documents(spark, d)
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      val tk = t.split(" ")
+      (1 until tk.length).foreach { i =>
+        if (tk(i - 1) != tk(i)) counts((tk(i - 1), tk(i))) += 1L
+      }
+    }
+    val outc = counts.toSeq.groupBy(_._1._1)
+      .map { case (a, xs) => a -> xs.map(_._2).sum }
+    val total = counts.values.sum
+    val mass = counts.map { case ((a, _), c) =>
+      c * math.floor(-math.log(c.toDouble / outc(a).toDouble) * 1e6
+        + 0.5).toLong }.sum
+    val got = rows("q_entropy_rate").head
+    assert(got.getAs[Long]("n_bigrams") == total)
+    assert(got.getAs[Long]("h_mass_micro") == mass)
+    assert(got.getAs[Long]("h_rate_micro") == mass / total)
+    // H(X2|X1) <= H(X2): the second-token marginal's unigram entropy
+    // (exact math; integerization slop is sub-micro per term)
+    val m2 = counts.toSeq.groupBy(_._1._2)
+      .map { case (_, xs) => xs.map(_._2).sum }
+    val h2 = m2.map { c =>
+      -c.toDouble / total * math.log(c.toDouble / total) }.sum
+    assert(got.getAs[Long]("h_rate_micro") <=
+      math.ceil(h2 * 1e6).toLong + 10,
+      s"conditioning bound violated: ${got.getAs[Long]("h_rate_micro")}" +
+        s" vs ${math.ceil(h2 * 1e6).toLong}")
+  }
+
+  test("q_gini_tokens ≡ brute-force ranked Lorenz sum; coefficient in " +
+      "[0, 1)") {
+    import org.apache.spark.sql.functions.col
+    val counts = graft.util.Tables.documents(spark, d)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split(" "))
+      .groupBy(identity).map { case (_, xs) => xs.length.toLong }
+      .toSeq.sorted
+    val n = counts.length.toLong
+    val t = counts.sum
+    val s0 = counts.zipWithIndex
+      .map { case (c, i) => (i + 1).toLong * c }.sum
+    val exp = math.floor((2L * s0 - (n + 1) * t).toDouble /
+      (n * t).toDouble * 1e6 + 0.5).toLong
+    val got = rows("q_gini_tokens").head
+    assert(got.getAs[Long]("n_vocab") == n)
+    assert(got.getAs[Long]("n_tokens") == t)
+    assert(got.getAs[Long]("gini_micro") == exp,
+      s"rank-run fold diverged from the brute-force rank sum: " +
+        s"${got.getAs[Long]("gini_micro")} != $exp")
+    assert(got.getAs[Long]("gini_micro") >= 0 &&
+      got.getAs[Long]("gini_micro") < 1000000L)
+  }
+
   test("q_ks_test ≡ brute-force ECDF sup-norm; D bounded, argmax is " +
       "the earliest cent, era totals conserve") {
     import org.apache.spark.sql.functions.{col, unix_micros}

@@ -458,6 +458,39 @@ class DocScaleSpec extends SparkSpec {
     }
   }
 
+  test("entropy rate at the decade: bigram mass scales exactly xN, " +
+      "the rate is IDENTICAL (replica chains are isomorphic)") {
+    val n = requireCorpus()
+    // each replica's transition table has the SAME counts as base
+    // (replica 0 verbatim, r>0 prefixed-isomorphic), so surprisal
+    // weights repeat per replica: mass and total both scale xN and
+    // floor(Nh/NT) = floor(h/T) exactly
+    val b = SparkEntry.queries("q_entropy_rate")(spark, base).head()
+    val big = SparkEntry.queries("q_entropy_rate")(spark, sfx1).head()
+    assert(big.getAs[Long]("n_bigrams") == n * b.getAs[Long]("n_bigrams"))
+    assert(big.getAs[Long]("h_mass_micro") ==
+      n * b.getAs[Long]("h_mass_micro"),
+      "entropy mass is not replica-additive — counts leaked across " +
+        "replicas")
+    assert(big.getAs[Long]("h_rate_micro") == b.getAs[Long]("h_rate_micro"))
+  }
+
+  test("gini at the decade: vocab and token masses scale exactly xN, " +
+      "the coefficient moves only by the O(1/n) rank-run correction") {
+    val n = requireCorpus()
+    val b = SparkEntry.queries("q_gini_tokens")(spark, base).head()
+    val big = SparkEntry.queries("q_gini_tokens")(spark, sfx1).head()
+    assert(big.getAs[Long]("n_vocab") == n * b.getAs[Long]("n_vocab"))
+    assert(big.getAs[Long]("n_tokens") == n * b.getAs[Long]("n_tokens"))
+    // replicating every frequency class xN preserves the Lorenz curve
+    // up to the within-run discretization term — sub-1000-micro at any
+    // realistic vocabulary
+    assert(math.abs(big.getAs[Long]("gini_micro") -
+        b.getAs[Long]("gini_micro")) <= 1000,
+      s"gini moved at the decade: ${b.getAs[Long]("gini_micro")} -> " +
+        s"${big.getAs[Long]("gini_micro")}")
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
