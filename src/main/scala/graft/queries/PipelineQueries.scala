@@ -1283,6 +1283,96 @@ object PipelineQueries {
             lit(1e6) + lit(0.5)).cast("long").as("gini_micro"))
     }),
 
+    // Good-Turing frequency estimation over the word-TRIGRAM table —
+    // the unseen-mass and smoothed-count numbers a Katz-backoff
+    // language model reads off its n-gram counts: p0 = N1/N
+    // (probability mass of never-seen trigrams) and the Turing-
+    // smoothed counts c* = (c+1)·m_{c+1}/m_c for the low frequencies
+    // (c ≤ 5) where smoothing matters. Trigrams, not unigrams: the
+    // corpus vocabulary is closed (31 words at every sf), so only the
+    // n-gram domain is sparse enough to HAVE low-frequency classes —
+    // exactly why GT smoothing targets n-gram tables in practice.
+    // Everything past the gram-count exchange is count-domain-sized:
+    // ff self-joins on c+1 (tiny equi join), the totals ride a 1-row
+    // broadcast scalar cross join, and all ratios are exact integral
+    // `div` in micro.
+    "q_good_turing" -> ((s, d) => {
+      val wc = parallelize(documents(s, d))
+        .select(split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(explode(expr("transform(sequence(0, size(tk) - 3), " +
+          "i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ff = wc.groupBy(col("c")).agg(count(lit(1)).as("m"))
+      val tot = ff.agg(
+        sum(col("c") * col("m")).as("n_tokens"),
+        sum(col("m")).as("n_vocab"),
+        coalesce(sum(when(col("c") === 1L, col("m"))), lit(0L))
+          .as("n1"))
+      ff.filter(col("c").between(1L, 5L))
+        .join(ff.select(col("c").as("cn"), col("m").as("mn")),
+          col("cn") === col("c") + lit(1L), "left")
+        .crossJoin(tot)
+        .select(col("c"), col("m").as("m_c"),
+          coalesce(col("mn"), lit(0L)).as("m_next"),
+          expr("((c + 1) * coalesce(mn, 0L) * 1000000L) div m")
+            .as("c_star_micro"),
+          expr("n1 * 1000000L div n_tokens").as("p0_micro"),
+          col("n_tokens"), col("n_vocab"))
+    }),
+
+    // Spearman rank correlation (tie-aware) between document length
+    // and distinct-token count — "does vocabulary breadth track
+    // length". Both variables live on the BOUNDED length domain, so
+    // every doc's average rank is a value-domain lookup: the corpus
+    // folds once to the joint (x, y) count grid (≤ |domain|² rows at
+    // any corpus size), marginal rank tables come from count-domain
+    // windows (the q_gini_tokens class — never the corpus), and all
+    // five moment sums Σc·f(rx,ry) are exact longs folded map-side
+    // over the grid. Doubled ranks (2r = 2·below + ties + 1) keep the
+    // tie-average integral; ρ is scale-invariant so the doubling
+    // cancels. The one-row result computes ρ in doubles FROM exact
+    // longs with the identical IEEE tree as the oracle.
+    "q_spearman" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val grid = documents(s, d)
+        .select(size(toks).cast("long").as("x"),
+          size(array_distinct(toks)).cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+      def rankTable(v: String): DataFrame = {
+        val win = Window.orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grid.groupBy(col(v)).agg(sum(col("cnt")).as("t"))
+          .withColumn("a", coalesce(sum(col("t")).over(win), lit(0L)))
+          .select(col(v), (lit(2L) * col("a") + col("t") + lit(1L))
+            .as(s"r$v"))
+      }
+      grid.join(rankTable("x"), "x").join(rankTable("y"), "y")
+        .agg(sum(col("cnt")).as("n_docs"),
+          sum(col("cnt") * col("rx")).as("sx"),
+          sum(col("cnt") * col("ry")).as("sy"),
+          sum(col("cnt") * col("rx") * col("ry")).as("sxy"),
+          sum(col("cnt") * col("rx") * col("rx")).as("sxx"),
+          sum(col("cnt") * col("ry") * col("ry")).as("syy"))
+        .select(col("n_docs"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("syy"),
+          when(expr("""(cast(n_docs as double) * cast(sxx as double)
+                - cast(sx as double) * cast(sx as double))
+              * (cast(n_docs as double) * cast(syy as double)
+                - cast(sy as double) * cast(sy as double))""")
+              <= lit(0.0), lit(0L))
+            .otherwise(floor(
+              expr("""(cast(n_docs as double) * cast(sxy as double)
+                  - cast(sx as double) * cast(sy as double))
+                / sqrt((cast(n_docs as double) * cast(sxx as double)
+                    - cast(sx as double) * cast(sx as double))
+                  * (cast(n_docs as double) * cast(syy as double)
+                    - cast(sy as double) * cast(sy as double)))""")
+                * lit(1e6) + lit(0.5)).cast("long"))
+            .as("rho_micro"))
+    }),
+
     "q_text_stats" -> ((s, d) =>
       TextAnalysis.withQuality(documents(s, d), col("text"))
         .select(col("doc_id"), col("n_tokens"),
@@ -2112,6 +2202,104 @@ object PipelineQueries {
       }
       s.createDataFrame(out).toDF("src_a", "src_b", "n_a", "n_b",
         "mean_a", "mean_b", "t_stat", "df")
+    }),
+
+    // 1-D Wasserstein (earth-mover) distance between every source
+    // pair's document-length distributions — the transport-metric
+    // companion to q_welch_ttest's parametric t and
+    // q_source_divergence's JSD: it sees SHAPE differences the moment
+    // tests miss and keeps metric structure JSD lacks. W₁ in 1-D is
+    // the exact integral of |F_a − F_b|: the corpus folds once to the
+    // (source, length, count) grid (≤ |sources|·|length domain| rows
+    // at any corpus size — document length is capped by construction),
+    // the pair sweep runs driver-side on the bounded collect (the
+    // q_welch_ttest precedent), and the CDF-difference mass
+    // Σ|cum_a·n_b − cum_b·n_a|·gap is exact BigInt, so w1_micro is a
+    // deterministic integral rounding (matching the oracle's HUGEINT
+    // arithmetic bit-for-bit).
+    "q_wasserstein" -> ((s, d) => {
+      val grid = documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("l"))
+        .groupBy(col("source"), col("l")).agg(count(lit(1)).as("c"))
+        .collect() // bounded: sources × capped length domain
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      val totals = grid.groupBy(_._1).map { case (src, xs) =>
+        src -> xs.map(_._3).sum }
+      val srcs = totals.keys.toSeq.sorted
+      val dom = grid.map(_._2).distinct.sorted
+      val gaps = dom.zip(dom.tail).map { case (l, nl) => l -> (nl - l) }
+      val cums: Map[String, Map[Long, Long]] = srcs.map { src =>
+        val byLen = grid.filter(_._1 == src)
+          .map(x => x._2 -> x._3).toMap.withDefaultValue(0L)
+        var acc = 0L
+        src -> dom.map { l => acc += byLen(l); l -> acc }.toMap
+      }.toMap
+      val out = for {
+        i <- srcs.indices; j <- (i + 1) until srcs.length
+      } yield {
+        val (sa, sb) = (srcs(i), srcs(j))
+        val (na, nb) = (totals(sa), totals(sb))
+        val mass = gaps.map { case (l, gap) =>
+          BigInt((cums(sa)(l) * nb - cums(sb)(l) * na).abs) * gap
+        }.sum
+        val nab = BigInt(na) * nb
+        val w1 = ((mass * 2000000 + nab) / (nab * 2)).toLong
+        (sa, sb, na, nb, w1)
+      }
+      s.createDataFrame(out)
+        .toDF("src_a", "src_b", "n_a", "n_b", "w1_micro")
+    }),
+
+    // Kruskal–Wallis rank test across ALL sources at once — "do any
+    // of the sources differ in length distribution" (the k-sample,
+    // rank-based sibling of the pairwise q_welch_ttest; valid without
+    // normality). Tie-aware average ranks come from the same bounded
+    // length-domain cumulative as q_spearman (doubled-rank integers;
+    // the corpus never sees a rank window), per-source rank sums are
+    // exact longs, and the H statistic folds driver-side over the
+    // ≤|sources| collected rows in sorted order (the q_welch_ttest
+    // bounded-collect precedent) with the identical IEEE tree as the
+    // oracle's ordered list_reduce. Tie correction
+    // C = 1 − Σ(t³−t)/(N³−N) from exact long tie masses; degenerate
+    // C=0 (all lengths equal) yields hc=0 by convention on both
+    // engines.
+    "q_kruskal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lc = documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("l"))
+        .groupBy(col("source"), col("l")).agg(count(lit(1)).as("c"))
+      val win = Window.orderBy(col("l"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lt = lc.groupBy(col("l")).agg(sum(col("c")).as("t"))
+        .withColumn("a", coalesce(sum(col("t")).over(win), lit(0L)))
+      val rg = lc.join(lt, "l")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_g"),
+          sum(col("c") * (lit(2L) * col("a") + col("t") + lit(1L)))
+            .as("r2"))
+        .collect() // bounded: one row per curated source
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+        .sortBy(_._1)
+      val tieSum = lt.agg(
+          sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+        .head().getLong(0)
+      val n = rg.map(_._2).sum
+      val nd = n.toDouble
+      val sFold = rg.foldLeft(0.0) { case (acc, (_, ng, r2)) =>
+        val half = r2.toDouble / 2.0
+        acc + half * half / ng.toDouble
+      }
+      val h = 12.0 * sFold / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+      val c = 1.0 - tieSum.toDouble / (nd * nd * nd - nd)
+      val hc = if (c == 0.0) 0.0 else h / c
+      def mic(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+      val out = rg.toSeq.map { case (src, ng, r2) =>
+        (src, ng, r2, n, (rg.length - 1).toLong, tieSum, mic(h), mic(hc))
+      }
+      s.createDataFrame(out).toDF("source", "n_g", "rank2_sum",
+        "n_total", "df", "tie_sum", "h_micro", "hc_micro")
     }),
 
     // Feature-hashing document embedder (the hashing trick): every
@@ -5488,6 +5676,74 @@ object PipelineQueries {
         |    * 1000000.0 + 0.5) AS bigint) AS gini_micro
         |FROM ag""".stripMargin,
 
+    // Good-Turing: the same trigram frequency-of-frequencies table,
+    // c+1 self-join, exact integral `//` micro ratios
+    "q_good_turing" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk
+        |      FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |wc AS (SELECT w, cast(count(*) AS bigint) AS c
+        |      FROM (SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS w
+        |            FROM (SELECT tk,
+        |                  unnest(generate_series(1, len(tk) - 2)) AS i
+        |                  FROM t)) GROUP BY 1),
+        |ff AS (SELECT c, cast(count(*) AS bigint) AS m FROM wc GROUP BY 1),
+        |tot AS (SELECT cast(sum(c * m) AS bigint) AS n_tokens,
+        |      cast(sum(m) AS bigint) AS n_vocab,
+        |      cast(coalesce(sum(CASE WHEN c = 1 THEN m END), 0)
+        |        AS bigint) AS n1 FROM ff)
+        |SELECT f.c, f.m AS m_c,
+        |  cast(coalesce(f2.m, 0) AS bigint) AS m_next,
+        |  cast(((f.c + 1) * coalesce(f2.m, 0) * 1000000) // f.m
+        |    AS bigint) AS c_star_micro,
+        |  cast(n1 * 1000000 // n_tokens AS bigint) AS p0_micro,
+        |  n_tokens, n_vocab
+        |FROM ff f LEFT JOIN ff f2 ON f2.c = f.c + 1 CROSS JOIN tot
+        |WHERE f.c BETWEEN 1 AND 5""".stripMargin,
+
+    // Spearman: the same joint grid + doubled tie-average ranks from
+    // count-domain windows, exact long moment sums, the IDENTICAL
+    // double tree (cast points, operand order, sqrt) before the
+    // floor-round
+    "q_spearman" ->
+      """WITH g AS (SELECT
+        |        cast(len(string_split(text, ' ')) AS bigint) AS x,
+        |        cast(len(list_distinct(string_split(text, ' ')))
+        |          AS bigint) AS y,
+        |        cast(count(*) AS bigint) AS cnt
+        |      FROM documents GROUP BY 1, 2),
+        |xr AS (SELECT x, cast(2 * coalesce(sum(t) OVER (ORDER BY x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        + t + 1 AS bigint) AS rx
+        |      FROM (SELECT x, cast(sum(cnt) AS bigint) AS t
+        |            FROM g GROUP BY 1)),
+        |yr AS (SELECT y, cast(2 * coalesce(sum(t) OVER (ORDER BY y
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        + t + 1 AS bigint) AS ry
+        |      FROM (SELECT y, cast(sum(cnt) AS bigint) AS t
+        |            FROM g GROUP BY 1)),
+        |ag AS (SELECT cast(sum(cnt) AS bigint) AS n_docs,
+        |      cast(sum(cnt * rx) AS bigint) AS sx,
+        |      cast(sum(cnt * ry) AS bigint) AS sy,
+        |      cast(sum(cnt * rx * ry) AS bigint) AS sxy,
+        |      cast(sum(cnt * rx * rx) AS bigint) AS sxx,
+        |      cast(sum(cnt * ry * ry) AS bigint) AS syy
+        |      FROM g JOIN xr USING (x) JOIN yr USING (y))
+        |SELECT n_docs, sx, sy, sxy, sxx, syy,
+        |  CASE WHEN (cast(n_docs AS double) * cast(sxx AS double)
+        |        - cast(sx AS double) * cast(sx AS double))
+        |      * (cast(n_docs AS double) * cast(syy AS double)
+        |        - cast(sy AS double) * cast(sy AS double)) <= 0.0
+        |    THEN cast(0 AS bigint)
+        |    ELSE cast(floor((cast(n_docs AS double)
+        |          * cast(sxy AS double)
+        |        - cast(sx AS double) * cast(sy AS double))
+        |      / sqrt((cast(n_docs AS double) * cast(sxx AS double)
+        |          - cast(sx AS double) * cast(sx AS double))
+        |        * (cast(n_docs AS double) * cast(syy AS double)
+        |          - cast(sy AS double) * cast(sy AS double)))
+        |      * 1000000.0 + 0.5) AS bigint) END AS rho_micro
+        |FROM ag""".stripMargin,
+
     // BM25: identical double expression inside floor() (bm25CteSql),
     // per-term micro ints summed as longs
     "q_bm25" ->
@@ -6427,6 +6683,77 @@ object PipelineQueries {
          |    AS df
          |FROM p""".stripMargin
     },
+
+    // Wasserstein-1 source pairs: the same (source, length, count)
+    // grid, CDF difference integrated over the shared length domain,
+    // HUGEINT mass and the identical round-half-up integral division
+    "q_wasserstein" ->
+      """WITH lc AS (SELECT source,
+        |        cast(len(string_split(text, ' ')) AS bigint) AS l,
+        |        cast(count(*) AS bigint) AS c
+        |      FROM documents GROUP BY 1, 2),
+        |src AS (SELECT source, cast(sum(c) AS bigint) AS n
+        |      FROM lc GROUP BY 1),
+        |xs AS (SELECT DISTINCT l FROM lc),
+        |gap AS (SELECT l, lead(l) OVER (ORDER BY l) - l AS g FROM xs),
+        |grid AS (SELECT s.source, s.n, x.l,
+        |        cast(coalesce(lc.c, 0) AS bigint) AS c
+        |      FROM src s CROSS JOIN xs x
+        |      LEFT JOIN lc ON lc.source = s.source AND lc.l = x.l),
+        |cum AS (SELECT source, n, l,
+        |        cast(sum(c) OVER (PARTITION BY source ORDER BY l)
+        |          AS bigint) AS cum
+        |      FROM grid)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  cast((2 * sum(cast(abs(a.cum * b.n - b.cum * a.n) AS hugeint)
+        |          * g.g) * 1000000
+        |      + cast(a.n AS hugeint) * b.n)
+        |    // (2 * cast(a.n AS hugeint) * b.n) AS bigint) AS w1_micro
+        |FROM cum a
+        |JOIN cum b ON a.l = b.l AND a.source < b.source
+        |JOIN gap g ON g.l = a.l AND g.g IS NOT NULL
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // Kruskal-Wallis: the same tie-average doubled ranks from the
+    // length-domain cumulative, exact long rank sums, H folded over
+    // sources in sorted order (list_reduce ≡ the driver's foldLeft,
+    // first element as seed: 0+x₁ = x₁) with the identical double
+    // tree before the floor-round
+    "q_kruskal" ->
+      """WITH lc AS (SELECT source,
+        |        cast(len(string_split(text, ' ')) AS bigint) AS l,
+        |        cast(count(*) AS bigint) AS c
+        |      FROM documents GROUP BY 1, 2),
+        |lt AS (SELECT l, cast(sum(c) AS bigint) AS t,
+        |        cast(coalesce(sum(sum(c)) OVER (ORDER BY l
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS bigint) AS a
+        |      FROM lc GROUP BY l),
+        |rg AS (SELECT source, cast(sum(c) AS bigint) AS n_g,
+        |        cast(sum(c * (2 * a + t + 1)) AS bigint) AS r2
+        |      FROM lc JOIN lt USING (l) GROUP BY 1),
+        |gl AS (SELECT cast(sum(n_g) AS bigint) AS n,
+        |        cast(count(*) AS bigint) AS k,
+        |        list_reduce(list((cast(r2 AS double) / 2.0)
+        |            * (cast(r2 AS double) / 2.0) / cast(n_g AS double)
+        |          ORDER BY source), (acc, v) -> acc + v) AS s
+        |      FROM rg),
+        |tie AS (SELECT cast(sum(t * t * t - t) AS bigint) AS tt
+        |      FROM lt),
+        |hs AS (SELECT n, k, tt,
+        |        12.0 * s / (cast(n AS double) * (cast(n AS double)
+        |          + 1.0)) - 3.0 * (cast(n AS double) + 1.0) AS h,
+        |        1.0 - cast(tt AS double) / (cast(n AS double)
+        |          * cast(n AS double) * cast(n AS double)
+        |          - cast(n AS double)) AS cc
+        |      FROM gl CROSS JOIN tie)
+        |SELECT source, n_g, r2 AS rank2_sum, n AS n_total,
+        |  cast(k - 1 AS bigint) AS df, tt AS tie_sum,
+        |  cast(floor(h * 1000000.0 + 0.5) AS bigint) AS h_micro,
+        |  cast(floor((CASE WHEN cc = 0.0 THEN 0.0 ELSE h / cc END)
+        |    * 1000000.0 + 0.5) AS bigint) AS hc_micro
+        |FROM rg CROSS JOIN hs""".stripMargin,
 
     // feature-hashing embedder: md5-derived dim + sign, integer
     // components, summary facts (component 0, nnz, L2)

@@ -992,6 +992,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"unexpected join:\n$p")
   }
 
+  test("q_good_turing: past the word-count exchange everything is " +
+      "count-domain-sized — c+1 equi join, 1-row scalar totals, no " +
+      "cartesian") {
+    val p = plan("q_good_turing")
+    assert(!p.contains("CartesianProduct"), p)
+    // the word rollup keeps its corpus-sized exchange; the ff
+    // self-join and totals ride broadcasts
+    assert(p.contains("hashpartitioning(w#"),
+      s"word rollup lost its exchange:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"expected exactly the 1-row totals combine:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), s"c+1 join not broadcast:\n$p")
+  }
+
+  test("q_spearman: rank windows walk the BOUNDED joint-grid domains " +
+      "(below the grid rollup), moment sums fold map-side, result is " +
+      "one row") {
+    val p = plan("q_spearman")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // both single-partition windows sit ABOVE the (x, y) grid exchange
+    // — they walk the bounded value domains, never documents
+    val gridIdx = p.indexOf("hashpartitioning(x#")
+    assert(gridIdx >= 0 || p.indexOf("hashpartitioning(y#") >= 0,
+      s"joint grid rollup missing:\n$p")
+    assert(p.contains("windowspecdefinition(x#") ||
+      p.contains("windowspecdefinition(y#") ||
+      "WindowExec".r.findAllIn(p).nonEmpty, s"rank windows missing:\n$p")
+    assert(p.contains("partial_sum"),
+      s"moment sums not folded map-side:\n$p")
+    assert(p.contains("SinglePartition"), p)
+  }
+
+  test("q_wasserstein / q_kruskal: pair sweep and H fold run " +
+      "driver-side on bounded collects — the result is a local " +
+      "relation (the welch pattern)") {
+    for (q <- Seq("q_wasserstein", "q_kruskal")) {
+      val p = plan(q)
+      assert(p.contains("LocalTableScan"), s"$q:\n$p")
+      assert(!p.contains("Exchange") && !p.contains("Join") &&
+        !p.contains("parquet"),
+        s"$q: bounded-domain work leaked back into the result plan:\n$p")
+    }
+  }
+
   test("q_isotonic_calibration: one bucket rollup, result is a local " +
       "relation (the ECE pattern)") {
     val p = plan("q_isotonic_calibration")

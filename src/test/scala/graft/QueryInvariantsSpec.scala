@@ -962,6 +962,157 @@ class QueryInvariantsSpec extends SparkSpec {
       got.getAs[Long]("gini_micro") < 1000000L)
   }
 
+  test("q_good_turing ≡ brute-force trigram frequency-of-frequencies; " +
+      "totals consistent, p0 is the hapax share") {
+    import org.apache.spark.sql.functions.col
+    val counts = graft.util.Tables.documents(spark, d)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap { t =>
+        val tk = t.split(" ")
+        if (tk.length < 3) Seq.empty
+        else tk.sliding(3).map(_.mkString(" ")).toSeq
+      }
+      .groupBy(identity).map { case (_, xs) => xs.length.toLong }
+    val ff = counts.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    val n = counts.sum
+    val v = counts.size.toLong
+    val n1 = ff.getOrElse(1L, 0L)
+    val got = rows("q_good_turing")
+    assert(got.nonEmpty && got.size == ff.keys.count(_ <= 5L))
+    got.foreach { x =>
+      val c = x.getAs[Long]("c")
+      val mNext = ff.getOrElse(c + 1, 0L)
+      assert(x.getAs[Long]("m_c") == ff(c))
+      assert(x.getAs[Long]("m_next") == mNext)
+      assert(x.getAs[Long]("c_star_micro") ==
+        (c + 1) * mNext * 1000000L / ff(c))
+      assert(x.getAs[Long]("p0_micro") == n1 * 1000000L / n)
+      assert(x.getAs[Long]("n_tokens") == n)
+      assert(x.getAs[Long]("n_vocab") == v)
+    }
+    // a natural corpus has hapaxes, so the unseen mass is real
+    assert(n1 > 0L && got.head.getAs[Long]("p0_micro") > 0L)
+  }
+
+  test("q_spearman ≡ brute-force tie-average ranks + Pearson on " +
+      "ranks; rho in [-1, 1] and positive for length vs distinct") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("text")).collect().map(_.getString(0))
+      .map { t =>
+        val tk = t.split(" ")
+        (tk.length.toLong, tk.distinct.length.toLong)
+      }
+    def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      sorted.distinct.map { v =>
+        val below = sorted.count(_ < v)
+        val ties = sorted.count(_ == v)
+        v -> (below + (ties + 1) / 2.0)
+      }.toMap
+    }
+    val rx = avgRanks(docs.map(_._1).toSeq)
+    val ry = avgRanks(docs.map(_._2).toSeq)
+    val n = docs.length.toDouble
+    val xs = docs.map(p => rx(p._1))
+    val ys = docs.map(p => ry(p._2))
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+      ys.map(b => (b - my) * (b - my)).sum)
+    val rho = num / den
+    val got = rows("q_spearman").head
+    assert(got.getAs[Long]("n_docs") == docs.length.toLong)
+    // doubled-rank sums identity: Σ2r = n(n+1) on both axes
+    assert(got.getAs[Long]("sx") == docs.length.toLong *
+      (docs.length + 1))
+    assert(got.getAs[Long]("sy") == docs.length.toLong *
+      (docs.length + 1))
+    val gotRho = got.getAs[Long]("rho_micro")
+    assert(math.abs(gotRho - rho * 1e6) <= 2,
+      s"rank-grid rho diverged from brute force: $gotRho vs ${rho * 1e6}")
+    assert(gotRho > 0L && gotRho <= 1000000L,
+      "length and vocabulary breadth should correlate positively")
+  }
+
+  test("q_wasserstein ≡ brute-force CDF-area integral per pair; " +
+      "metric properties hold (symmetry baked in, identity, " +
+      "triangle on micro values)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("source"), col("text")).collect()
+      .map(x => (x.getString(0), x.getString(1).split(" ").length.toLong))
+    val bySrc = docs.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> xs.map(_._2).sorted }
+    def w1(a: Seq[Long], b: Seq[Long]): Double = {
+      val dom = (a ++ b).distinct.sorted
+      dom.zip(dom.tail).map { case (l, nl) =>
+        val fa = a.count(_ <= l).toDouble / a.length
+        val fb = b.count(_ <= l).toDouble / b.length
+        math.abs(fa - fb) * (nl - l)
+      }.sum
+    }
+    val got = rows("q_wasserstein")
+    val bySrcSeq = bySrc.map { case (k, v) => k -> v.toSeq }
+    assert(got.size ==
+      bySrc.size * (bySrc.size - 1) / 2, "pair frame incomplete")
+    val m = got.map { x =>
+      (x.getAs[String]("src_a"), x.getAs[String]("src_b")) ->
+        x.getAs[Long]("w1_micro") }.toMap
+    got.foreach { x =>
+      val (sa, sb) = (x.getAs[String]("src_a"), x.getAs[String]("src_b"))
+      assert(x.getAs[Long]("n_a") == bySrcSeq(sa).size.toLong)
+      val exp = w1(bySrcSeq(sa), bySrcSeq(sb))
+      assert(math.abs(x.getAs[Long]("w1_micro") - exp * 1e6) <= 2,
+        s"($sa,$sb): ${x.getAs[Long]("w1_micro")} vs ${exp * 1e6}")
+    }
+    // identity of indiscernibles: a source vs itself would be 0 —
+    // approximate via triangle inequality over the reported pairs
+    def dist(a: String, b: String): Long =
+      if (a == b) 0L
+      else m.getOrElse((a, b), m((b, a)))
+    val srcs = bySrc.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs; c <- srcs if a < b && b < c)
+      assert(dist(a, c) <= dist(a, b) + dist(b, c) + 2,
+        s"triangle violated at ($a,$b,$c)")
+  }
+
+  test("q_kruskal ≡ brute-force average-rank H with tie correction; " +
+      "rank-sum identity holds") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("source"), col("text")).collect()
+      .map(x => (x.getString(0), x.getString(1).split(" ").length.toLong))
+    val all = docs.map(_._2).sorted
+    val n = all.length.toDouble
+    def avgRank(v: Long): Double =
+      all.count(_ < v) + (all.count(_ == v) + 1) / 2.0
+    val groups = docs.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> xs.map(p => avgRank(p._2)) }
+    val sTerm = groups.toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sum * rs.sum / rs.length }.sum
+    val h = 12.0 / (n * (n + 1.0)) * sTerm - 3.0 * (n + 1.0)
+    val tieSum = all.groupBy(identity)
+      .map { case (_, xs) => xs.length.toLong }
+      .map(t => t * t * t - t).sum
+    val c = 1.0 - tieSum.toDouble / (n * n * n - n)
+    val got = rows("q_kruskal")
+    assert(got.size == groups.size)
+    // Σ rank2_sum over groups = 2·Σranks = n(n+1)
+    assert(got.map(_.getAs[Long]("rank2_sum")).sum ==
+      all.length.toLong * (all.length + 1))
+    got.foreach { x =>
+      val src = x.getAs[String]("source")
+      assert(x.getAs[Long]("n_g") == groups(src).size.toLong)
+      assert(math.abs(x.getAs[Long]("h_micro") - h * 1e6) <= 2,
+        s"H diverged: ${x.getAs[Long]("h_micro")} vs ${h * 1e6}")
+      assert(math.abs(x.getAs[Long]("hc_micro") - h / c * 1e6) <= 2)
+      assert(x.getAs[Long]("tie_sum") == tieSum)
+      assert(x.getAs[Long]("df") == groups.size.toLong - 1)
+    }
+  }
+
   test("q_ks_test ≡ brute-force ECDF sup-norm; D bounded, argmax is " +
       "the earliest cent, era totals conserve") {
     import org.apache.spark.sql.functions.{col, unix_micros}

@@ -491,6 +491,120 @@ class DocScaleSpec extends SparkSpec {
         s"${big.getAs[Long]("gini_micro")}")
   }
 
+  test("good-turing at the decade: frequency-of-frequencies scales " +
+      "exactly xN, smoothed counts and unseen mass are IDENTICAL " +
+      "(floor(Na/Nb) = floor(a/b))") {
+    val n = requireCorpus()
+    val b = SparkEntry.queries("q_good_turing")(spark, base)
+      .collect().map(x => x.getAs[Long]("c") -> x).toMap
+    val big = SparkEntry.queries("q_good_turing")(spark, sfx1).collect()
+    assert(big.length == b.size)
+    big.foreach { x =>
+      val e = b(x.getAs[Long]("c"))
+      assert(x.getAs[Long]("m_c") == n * e.getAs[Long]("m_c"))
+      assert(x.getAs[Long]("m_next") == n * e.getAs[Long]("m_next"))
+      assert(x.getAs[Long]("n_tokens") == n * e.getAs[Long]("n_tokens"))
+      assert(x.getAs[Long]("n_vocab") == n * e.getAs[Long]("n_vocab"))
+      assert(x.getAs[Long]("c_star_micro") == e.getAs[Long]("c_star_micro"),
+        "smoothed count is not replica-invariant")
+      assert(x.getAs[Long]("p0_micro") == e.getAs[Long]("p0_micro"),
+        "unseen mass is not replica-invariant")
+    }
+  }
+
+  test("wasserstein at the decade: every source pair's distance is " +
+      "IDENTICAL (CDFs are replica-invariant, rounding cancels xN²)") {
+    val n = requireCorpus()
+    val key = (x: org.apache.spark.sql.Row) =>
+      (x.getAs[String]("src_a"), x.getAs[String]("src_b"))
+    val b = SparkEntry.queries("q_wasserstein")(spark, base)
+      .collect().map(x => key(x) -> x).toMap
+    val big = SparkEntry.queries("q_wasserstein")(spark, sfx1).collect()
+    assert(big.length == b.size, "pair frame changed at the decade")
+    big.foreach { x =>
+      val e = b(key(x))
+      assert(x.getAs[Long]("n_a") == n * e.getAs[Long]("n_a"))
+      assert(x.getAs[Long]("w1_micro") == e.getAs[Long]("w1_micro"),
+        s"${key(x)}: W1 moved at the decade — CDF leaked across replicas")
+    }
+  }
+
+  test("spearman + kruskal at the decade ≡ exact recomputation from " +
+      "the base grid scaled xN (rank structure is predictable, not " +
+      "invariant)") {
+    val n = requireCorpus()
+    // base joint (x=len, y=distinct) grid, collected once
+    val grid = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ")
+        (r.getString(0), tk.length.toLong, tk.distinct.length.toLong)
+      }
+    // ---- spearman: scale every (x, y) cell count xN and refold
+    val cells = grid.groupBy(g => (g._2, g._3))
+      .map { case (k, xs) => k -> n * xs.length.toLong }
+    def ranks(of: ((Long, Long)) => Long): Map[Long, Long] = {
+      val byV = cells.groupBy { case (k, _) => of(k) }
+        .map { case (v, m) => v -> m.values.sum }
+      val sortedV = byV.keys.toSeq.sorted
+      var acc = 0L
+      sortedV.map { v =>
+        val t = byV(v); val r2 = 2L * acc + t + 1L; acc += t; v -> r2
+      }.toMap
+    }
+    val rx = ranks(_._1); val ry = ranks(_._2)
+    var (nd, sx, sy, sxy, sxx, syy) = (0L, 0L, 0L, 0L, 0L, 0L)
+    cells.foreach { case ((x, y), c) =>
+      nd += c; sx += c * rx(x); sy += c * ry(y)
+      sxy += c * rx(x) * ry(y)
+      sxx += c * rx(x) * rx(x); syy += c * ry(y) * ry(y)
+    }
+    val num = nd.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val den = math.sqrt(
+      (nd.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+      (nd.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    val expRho = math.floor(num / den * 1e6 + 0.5).toLong
+    val gotS = SparkEntry.queries("q_spearman")(spark, sfx1).head()
+    assert(gotS.getAs[Long]("n_docs") == nd)
+    assert(gotS.getAs[Long]("sxy") == sxy,
+      "scaled-grid moment prediction missed — rank structure leaked")
+    assert(gotS.getAs[Long]("rho_micro") == expRho)
+    // ---- kruskal: same scaled grid, per-source rank sums + H
+    val lt = grid.groupBy(_._2).map { case (l, xs) =>
+      l -> n * xs.length.toLong }
+    val sortedL = lt.keys.toSeq.sorted
+    val below = {
+      var acc = 0L
+      sortedL.map { l => val r = l -> acc; acc += lt(l); r }.toMap
+    }
+    val rg = grid.groupBy(_._1).map { case (src, xs) =>
+      val r2 = xs.groupBy(_._2).map { case (l, ys) =>
+        n * ys.length.toLong * (2L * below(l) + lt(l) + 1L) }.sum
+      (src, n * xs.length.toLong, r2)
+    }.toSeq.sortBy(_._1)
+    val nTot = rg.map(_._2).sum
+    val sFold = rg.foldLeft(0.0) { case (acc, (_, ng, r2)) =>
+      val half = r2.toDouble / 2.0; acc + half * half / ng.toDouble }
+    val h = 12.0 * sFold / (nTot.toDouble * (nTot.toDouble + 1.0)) -
+      3.0 * (nTot.toDouble + 1.0)
+    val tie = lt.values.map(t => t * t * t - t).sum
+    val cc = 1.0 - tie.toDouble /
+      (nTot.toDouble * nTot.toDouble * nTot.toDouble - nTot.toDouble)
+    val gotK = SparkEntry.queries("q_kruskal")(spark, sfx1).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    rg.foreach { case (src, ng, r2) =>
+      val x = gotK(src)
+      assert(x.getAs[Long]("n_g") == ng)
+      assert(x.getAs[Long]("rank2_sum") == r2,
+        s"$src: scaled-grid rank-sum prediction missed")
+      assert(x.getAs[Long]("tie_sum") == tie)
+      assert(x.getAs[Long]("h_micro") ==
+        math.floor(h * 1e6 + 0.5).toLong)
+      assert(x.getAs[Long]("hc_micro") ==
+        math.floor(h / cc * 1e6 + 0.5).toLong)
+    }
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
