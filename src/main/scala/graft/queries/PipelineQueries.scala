@@ -2204,6 +2204,174 @@ object PipelineQueries {
         "mean_a", "mean_b", "t_stat", "df")
     }),
 
+    // Fleiss' kappa over the Gopher filter's four clauses treated as
+    // four binary raters — "do the quality gates agree beyond
+    // chance", the agreement diagnostic a curation pipeline runs
+    // before trusting a composite filter (near-zero kappa means the
+    // clauses fire independently; high kappa means they're redundant).
+    // One corpus pass folds each document to its keep-vote count
+    // x ∈ {0..4}; everything downstream is the 5-row histogram (exact
+    // long masses: T = Σx·n_x, S2 = Σn_x·(x² + (4−x)²)), the scalar
+    // totals ride the 1-row broadcast cross join, and kappa computes
+    // in doubles FROM exact longs with the identical IEEE tree as the
+    // oracle. Degenerate P_e = 1 (all votes unanimous one way) yields
+    // kappa 0 by convention on both engines.
+    "q_fleiss_kappa" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("long")
+      val wordChars = (length(col("text")) - (nTok - 1)).cast("long")
+      val stopHits = graft.functions.TextExprs
+        .tokenSetCount(col("text"), TextAnalysis.Stopwords).cast("long")
+      val nDistinct = size(array_distinct(toks)).cast("long")
+      val g1 = when(nTok < 20 || nTok > 1000, 0L).otherwise(1L)
+      val g2 = when(wordChars < nTok * 3 || wordChars > nTok * 10, 0L)
+        .otherwise(1L)
+      val g3 = when(stopHits < 2, 0L).otherwise(1L)
+      val g4 = when(nDistinct * 10 < nTok * 3, 0L).otherwise(1L)
+      val hist = parallelize(documents(s, d))
+        .select((g1 + g2 + g3 + g4).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+      val tot = hist.agg(sum(col("n_x")).as("n_docs"),
+        sum(col("x") * col("n_x")).as("t_keep"),
+        sum(col("n_x") * (col("x") * col("x")
+          + (lit(4L) - col("x")) * (lit(4L) - col("x")))).as("s2"))
+      hist.crossJoin(tot)
+        .select(col("x").as("keep_votes"), col("n_x"), col("n_docs"),
+          expr("t_keep * 1000000L div (4 * n_docs)").as("p_keep_micro"),
+          expr("""CASE WHEN 1.0 - (cast(t_keep as double)
+                  / (4.0 * cast(n_docs as double))
+                  * (cast(t_keep as double)
+                    / (4.0 * cast(n_docs as double)))
+                + (1.0 - cast(t_keep as double)
+                    / (4.0 * cast(n_docs as double)))
+                  * (1.0 - cast(t_keep as double)
+                    / (4.0 * cast(n_docs as double)))) <= 0.0
+              THEN 0L
+              ELSE cast(floor(
+                ((cast(s2 as double) - 4.0 * cast(n_docs as double))
+                    / (12.0 * cast(n_docs as double))
+                  - (cast(t_keep as double)
+                      / (4.0 * cast(n_docs as double))
+                      * (cast(t_keep as double)
+                        / (4.0 * cast(n_docs as double)))
+                    + (1.0 - cast(t_keep as double)
+                        / (4.0 * cast(n_docs as double)))
+                      * (1.0 - cast(t_keep as double)
+                        / (4.0 * cast(n_docs as double)))))
+                / (1.0 - (cast(t_keep as double)
+                    / (4.0 * cast(n_docs as double))
+                    * (cast(t_keep as double)
+                      / (4.0 * cast(n_docs as double)))
+                  + (1.0 - cast(t_keep as double)
+                      / (4.0 * cast(n_docs as double)))
+                    * (1.0 - cast(t_keep as double)
+                      / (4.0 * cast(n_docs as double)))))
+                * 1000000.0 + 0.5) as long) END""").as("kappa_micro"))
+    }),
+
+    // Cliff's delta between every source pair's length distributions
+    // — the ordinal effect size that goes with q_kruskal's "is there
+    // any difference" (how OFTEN is a longer than b, not by how
+    // much). Exact dominance masses from the same bounded
+    // (source, length, count) grid as q_wasserstein: wins =
+    // Σ c_a(x)·below_b(x), ties = Σ c_a(x)·c_b(x), losses the
+    // complement — all exact longs on the driver-side bounded collect
+    // (the q_welch_ttest precedent), conserving wins+ties+losses =
+    // n_a·n_b by construction. Only the final δ = (wins−losses)/n_an_b
+    // is a double (inputs < 2⁵³, so exact), micro-rounded with the
+    // identical tree as the oracle.
+    "q_cliffs_delta" -> ((s, d) => {
+      val grid = documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("l"))
+        .groupBy(col("source"), col("l")).agg(count(lit(1)).as("c"))
+        .collect() // bounded: sources × capped length domain
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      val srcs = grid.map(_._1).distinct.sorted
+      val dom = grid.map(_._2).distinct.sorted
+      val byLen: Map[String, Map[Long, Long]] = srcs.map { src =>
+        src -> grid.filter(_._1 == src).map(x => x._2 -> x._3).toMap
+          .withDefaultValue(0L)
+      }.toMap
+      val cums: Map[String, Map[Long, Long]] = srcs.map { src =>
+        var acc = 0L
+        src -> dom.map { l => acc += byLen(src)(l); l -> acc }.toMap
+      }.toMap
+      val totals = srcs.map(src => src -> cums(src)(dom.last)).toMap
+      val out = for {
+        i <- srcs.indices; j <- (i + 1) until srcs.length
+      } yield {
+        val (sa, sb) = (srcs(i), srcs(j))
+        val (na, nb) = (totals(sa), totals(sb))
+        var (wins, ties) = (0L, 0L)
+        dom.foreach { l =>
+          val ca = byLen(sa)(l)
+          wins += ca * (cums(sb)(l) - byLen(sb)(l))
+          ties += ca * byLen(sb)(l)
+        }
+        val losses = na * nb - wins - ties
+        val delta = (wins - losses).toDouble / (na.toDouble * nb.toDouble)
+        (sa, sb, na, nb, wins, ties, losses,
+          math.floor(delta * 1e6 + 0.5).toLong)
+      }
+      s.createDataFrame(out).toDF("src_a", "src_b", "n_a", "n_b",
+        "wins", "ties", "losses", "delta_micro")
+    }),
+
+    // Cross-perplexity matrix: every source's bigram stream scored
+    // under every OTHER source's add-1-smoothed bigram model —
+    // H(a‖b) = Σ_xy c_a(xy)·(−ln p_b(y|x))/N_a, the "which sources
+    // speak the same language" diagnostic behind mixture design (the
+    // model-based sibling of q_source_divergence's distributional
+    // JSD; rows where src_a = src_b are the self-entropy diagonal,
+    // which should be each row's minimum). ONE corpus pass folds to
+    // the per-source bigram grid (≤ |sources|·V² rows — the
+    // vocabulary is closed, and a real pipeline would cap V the same
+    // way); the source-pair expansion is an explode over the bounded
+    // collected source list (never a corpus-side cross join), the
+    // model lookups are grid-sized left equi joins, V rides the 1-row
+    // scalar cross join, and the per-bigram surprisal integerizes to
+    // micro-nats BEFORE the exact long mass fold (the q_ngram_lm
+    // recipe), so h_cross_micro is an integral division.
+    "q_cross_perplexity" -> ((s, d) => {
+      val sb = parallelize(documents(s, d))
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("source"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(col("source"), element_at(col("t"), col("i")).as("x"),
+          element_at(col("t"), col("i") + 1).as("y"))
+        .groupBy(col("source"), col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      val vres = sb.select(col("x").as("w"))
+        .union(sb.select(col("y").as("w")))
+        .agg(count_distinct(col("w")).as("v"))
+      val srcs = sb.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted // bounded: curated list
+      val bSide = sb.select(col("source").as("sb2"),
+        col("x").as("xb"), col("y").as("yb"), col("c").as("cb"))
+      val outm = sb.groupBy(col("source").as("so2"),
+        col("x").as("xo")).agg(sum(col("c")).as("outc"))
+      sb.select(col("source").as("src_a"), col("x"), col("y"),
+          col("c").as("ca"))
+        .withColumn("src_b", explode(typedLit(srcs.toSeq)))
+        .join(bSide, col("src_b") === col("sb2") &&
+          col("x") === col("xb") && col("y") === col("yb"), "left")
+        .join(outm, col("src_b") === col("so2") &&
+          col("x") === col("xo"), "left")
+        .crossJoin(vres)
+        .select(col("src_a"), col("src_b"), col("ca"),
+          (col("ca") * floor(-log(
+            (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("outc"), lit(0L)) + col("v")).cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long")).as("hm"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(col("ca")).as("n_bigrams"),
+          sum(col("hm")).as("h_mass_micro"))
+        .select(col("src_a"), col("src_b"), col("n_bigrams"),
+          expr("h_mass_micro div n_bigrams").as("h_cross_micro"))
+    }),
+
     // 1-D Wasserstein (earth-mover) distance between every source
     // pair's document-length distributions — the transport-metric
     // companion to q_welch_ttest's parametric t and
@@ -6754,6 +6922,112 @@ object PipelineQueries {
         |  cast(floor((CASE WHEN cc = 0.0 THEN 0.0 ELSE h / cc END)
         |    * 1000000.0 + 0.5) AS bigint) AS hc_micro
         |FROM rg CROSS JOIN hs""".stripMargin,
+
+    // Fleiss' kappa: the same four gate clauses as q_gopher_filter
+    // voting keep, 5-row histogram, exact long masses, identical
+    // double tree (every sub-expression spelled the same way)
+    "q_fleiss_kappa" -> {
+      val p = "cast(t_keep AS double) / (4.0 * cast(n_docs AS double))"
+      val pe = s"($p * $p + (1.0 - $p) * (1.0 - $p))"
+      val pb = "(cast(s2 AS double) - 4.0 * cast(n_docs AS double)) " +
+        "/ (12.0 * cast(n_docs AS double))"
+      s"""WITH m AS (SELECT
+         |    cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+         |    cast(length(text) - (len(string_split(text, ' ')) - 1)
+         |      AS bigint) AS word_chars,
+         |    cast(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the','a','an','of','to','in','and','is','it',
+         |                 'that'))) AS bigint) AS stop_hits,
+         |    cast(len(list_distinct(string_split(text, ' '))) AS bigint)
+         |      AS n_distinct
+         |  FROM documents),
+         |votes AS (SELECT
+         |    cast(CASE WHEN n_tokens < 20 OR n_tokens > 1000
+         |         THEN 0 ELSE 1 END
+         |     + CASE WHEN word_chars < n_tokens*3
+         |            OR word_chars > n_tokens*10 THEN 0 ELSE 1 END
+         |     + CASE WHEN stop_hits < 2 THEN 0 ELSE 1 END
+         |     + CASE WHEN n_distinct*10 < n_tokens*3 THEN 0 ELSE 1 END
+         |      AS bigint) AS x
+         |  FROM m),
+         |hist AS (SELECT x, cast(count(*) AS bigint) AS n_x
+         |  FROM votes GROUP BY 1),
+         |tot AS (SELECT cast(sum(n_x) AS bigint) AS n_docs,
+         |    cast(sum(x * n_x) AS bigint) AS t_keep,
+         |    cast(sum(n_x * (x * x + (4 - x) * (4 - x))) AS bigint) AS s2
+         |  FROM hist)
+         |SELECT x AS keep_votes, n_x, n_docs,
+         |  cast(t_keep * 1000000 // (4 * n_docs) AS bigint)
+         |    AS p_keep_micro,
+         |  CASE WHEN 1.0 - $pe <= 0.0 THEN cast(0 AS bigint)
+         |    ELSE cast(floor(($pb - $pe) / (1.0 - $pe)
+         |      * 1000000.0 + 0.5) AS bigint) END AS kappa_micro
+         |FROM hist CROSS JOIN tot""".stripMargin
+    },
+
+    // Cliff's delta: the same (source, length, count) grid, exact
+    // dominance masses over the shared domain, one double division
+    "q_cliffs_delta" ->
+      """WITH lc AS (SELECT source,
+        |        cast(len(string_split(text, ' ')) AS bigint) AS l,
+        |        cast(count(*) AS bigint) AS c
+        |      FROM documents GROUP BY 1, 2),
+        |src AS (SELECT source, cast(sum(c) AS bigint) AS n
+        |      FROM lc GROUP BY 1),
+        |xs AS (SELECT DISTINCT l FROM lc),
+        |grid AS (SELECT s.source, s.n, x.l,
+        |        cast(coalesce(lc.c, 0) AS bigint) AS c
+        |      FROM src s CROSS JOIN xs x
+        |      LEFT JOIN lc ON lc.source = s.source AND lc.l = x.l),
+        |cum AS (SELECT source, n, l, c,
+        |        cast(sum(c) OVER (PARTITION BY source ORDER BY l)
+        |          AS bigint) AS cum
+        |      FROM grid),
+        |pw AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        a.n AS n_a, b.n AS n_b,
+        |        cast(sum(a.c * (b.cum - b.c)) AS bigint) AS wins,
+        |        cast(sum(a.c * b.c) AS bigint) AS ties
+        |      FROM cum a JOIN cum b
+        |        ON a.l = b.l AND a.source < b.source
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT src_a, src_b, n_a, n_b, wins, ties,
+        |  cast(n_a * n_b - wins - ties AS bigint) AS losses,
+        |  cast(floor(cast(wins - (n_a * n_b - wins - ties) AS double)
+        |    / (cast(n_a AS double) * cast(n_b AS double))
+        |    * 1000000.0 + 0.5) AS bigint) AS delta_micro
+        |FROM pw""".stripMargin,
+
+    // cross-perplexity: the same per-source bigram grid, add-1
+    // model lookups as left joins, per-bigram micro-nat surprisal
+    // integerized before the exact mass fold, integral division
+    "q_cross_perplexity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tk
+        |      FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2),
+        |pr AS (SELECT source, tk[i] AS x, tk[i+1] AS y
+        |      FROM (SELECT source, tk,
+        |            unnest(generate_series(1, len(tk) - 1)) AS i
+        |            FROM t)),
+        |sb AS (SELECT source, x, y, cast(count(*) AS bigint) AS c
+        |      FROM pr GROUP BY 1, 2, 3),
+        |v AS (SELECT cast(count(DISTINCT w) AS bigint) AS v
+        |      FROM (SELECT x AS w FROM sb
+        |            UNION ALL SELECT y AS w FROM sb)),
+        |om AS (SELECT source, x, cast(sum(c) AS bigint) AS outc
+        |      FROM sb GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source AS src_b FROM sb)
+        |SELECT a.source AS src_a, s.src_b,
+        |  cast(sum(a.c) AS bigint) AS n_bigrams,
+        |  cast(cast(sum(a.c * cast(floor(-ln(
+        |        cast(coalesce(b.c, 0) + 1 AS double)
+        |        / cast(coalesce(o.outc, 0) + v.v AS double))
+        |      * 1000000.0 + 0.5) AS bigint)) AS bigint)
+        |    // cast(sum(a.c) AS bigint) AS bigint) AS h_cross_micro
+        |FROM sb a CROSS JOIN srcs s CROSS JOIN v
+        |LEFT JOIN sb b ON b.source = s.src_b
+        |  AND b.x = a.x AND b.y = a.y
+        |LEFT JOIN om o ON o.source = s.src_b AND o.x = a.x
+        |GROUP BY 1, 2""".stripMargin,
 
     // feature-hashing embedder: md5-derived dim + sign, integer
     // components, summary facts (component 0, nnz, L2)

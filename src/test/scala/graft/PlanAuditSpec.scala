@@ -1026,10 +1026,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SinglePartition"), p)
   }
 
-  test("q_wasserstein / q_kruskal: pair sweep and H fold run " +
-      "driver-side on bounded collects — the result is a local " +
-      "relation (the welch pattern)") {
-    for (q <- Seq("q_wasserstein", "q_kruskal")) {
+  test("q_fleiss_kappa: one corpus rollup to the 5-row vote histogram; " +
+      "the only nested loop is the 1-row totals combine") {
+    val p = plan("q_fleiss_kappa")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"expected exactly the 1-row totals combine:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"vote histogram not folded map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"histogram-sized work picked a shuffle join:\n$p")
+  }
+
+  test("q_cross_perplexity: pair expansion is an explode over the " +
+      "bounded source list — grid-sized equi joins, the 1-row V " +
+      "scalar, never a corpus-side cross join") {
+    val p = plan("q_cross_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode"),
+      s"source-list expansion missing:\n$p")
+    // the only nested loop is the 1-row vocabulary scalar
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"expected exactly the 1-row V combine:\n$p")
+    // the corpus folds to the per-source bigram grid exactly once
+    assert(p.contains("hashpartitioning(source#"),
+      s"bigram grid rollup missing:\n$p")
+  }
+
+  test("q_wasserstein / q_kruskal / q_cliffs_delta: pair sweep and " +
+      "fold run driver-side on bounded collects — the result is a " +
+      "local relation (the welch pattern)") {
+    for (q <- Seq("q_wasserstein", "q_kruskal", "q_cliffs_delta")) {
       val p = plan(q)
       assert(p.contains("LocalTableScan"), s"$q:\n$p")
       assert(!p.contains("Exchange") && !p.contains("Join") &&

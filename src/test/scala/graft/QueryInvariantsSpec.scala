@@ -1113,6 +1113,120 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_fleiss_kappa ≡ brute-force four-gate vote histogram and " +
+      "kappa; masses conserve") {
+    import org.apache.spark.sql.functions.col
+    val stop = Set("the", "a", "an", "of", "to", "in", "and", "is",
+      "it", "that")
+    val votes = graft.util.Tables.documents(spark, d)
+      .select(col("text")).collect().map(_.getString(0))
+      .map { t =>
+        val tk = t.split(" ")
+        val nTok = tk.length.toLong
+        val wordChars = t.length.toLong - (nTok - 1)
+        val stopHits = tk.count(stop.contains).toLong
+        val nDistinct = tk.distinct.length.toLong
+        val g1 = if (nTok < 20 || nTok > 1000) 0L else 1L
+        val g2 = if (wordChars < nTok * 3 || wordChars > nTok * 10) 0L
+          else 1L
+        val g3 = if (stopHits < 2) 0L else 1L
+        val g4 = if (nDistinct * 10 < nTok * 3) 0L else 1L
+        g1 + g2 + g3 + g4
+      }
+    val hist = votes.groupBy(identity)
+      .map { case (x, xs) => x -> xs.length.toLong }
+    val n = votes.length.toDouble
+    val t = votes.sum.toDouble
+    val s2 = votes.map(x => x * x + (4 - x) * (4 - x)).sum.toDouble
+    val pb = (s2 - 4.0 * n) / (12.0 * n)
+    val pq = t / (4.0 * n)
+    val pe = pq * pq + (1.0 - pq) * (1.0 - pq)
+    val kappa = (pb - pe) / (1.0 - pe)
+    val got = rows("q_fleiss_kappa")
+    assert(got.size == hist.size)
+    assert(got.map(_.getAs[Long]("n_x")).sum == votes.length.toLong)
+    got.foreach { x =>
+      assert(x.getAs[Long]("n_x") == hist(x.getAs[Long]("keep_votes")))
+      assert(x.getAs[Long]("n_docs") == votes.length.toLong)
+      assert(x.getAs[Long]("p_keep_micro") ==
+        votes.sum * 1000000L / (4L * votes.length))
+      assert(math.abs(x.getAs[Long]("kappa_micro") - kappa * 1e6) <= 2,
+        s"kappa diverged: ${x.getAs[Long]("kappa_micro")} vs ${kappa * 1e6}")
+      assert(x.getAs[Long]("kappa_micro") >= -1000000L &&
+        x.getAs[Long]("kappa_micro") <= 1000000L)
+    }
+  }
+
+  test("q_cliffs_delta ≡ brute-force O(n_a·n_b) dominance count; " +
+      "masses conserve and delta is consistent with wasserstein's " +
+      "pair frame") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("source"), col("text")).collect()
+      .map(x => (x.getString(0), x.getString(1).split(" ").length.toLong))
+    val bySrc = docs.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> xs.map(_._2).toSeq }
+    val got = rows("q_cliffs_delta")
+    assert(got.size == bySrc.size * (bySrc.size - 1) / 2)
+    got.foreach { x =>
+      val a = bySrc(x.getAs[String]("src_a"))
+      val b = bySrc(x.getAs[String]("src_b"))
+      var (w, t, l) = (0L, 0L, 0L)
+      for (va <- a; vb <- b) {
+        if (va > vb) w += 1 else if (va == vb) t += 1 else l += 1
+      }
+      assert(x.getAs[Long]("wins") == w)
+      assert(x.getAs[Long]("ties") == t)
+      assert(x.getAs[Long]("losses") == l)
+      assert(w + t + l == a.size.toLong * b.size)
+      val exp = math.floor((w - l).toDouble /
+        (a.size.toDouble * b.size.toDouble) * 1e6 + 0.5).toLong
+      assert(x.getAs[Long]("delta_micro") == exp)
+    }
+    // same pair frame as q_wasserstein (shared grid contract)
+    val wFrame = rows("q_wasserstein").map(x =>
+      (x.getAs[String]("src_a"), x.getAs[String]("src_b"))).toSet
+    assert(got.map(x => (x.getAs[String]("src_a"),
+      x.getAs[String]("src_b"))).toSet == wFrame)
+  }
+
+  test("q_cross_perplexity ≡ brute-force add-1 bigram scoring; " +
+      "n_bigrams constant per scored source") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("source"), col("text")).collect()
+      .map(x => (x.getString(0), x.getString(1).split(" ")))
+      .filter(_._2.length >= 2)
+    val grids: Map[String, Map[(String, String), Long]] =
+      docs.groupBy(_._1).map { case (src, xs) =>
+        src -> xs.flatMap(p => p._2.sliding(2).map(w => (w(0), w(1))))
+          .groupBy(identity).map { case (k, ys) => k -> ys.length.toLong }
+      }
+    val vocab = grids.values.flatMap(_.keys)
+      .flatMap(k => Seq(k._1, k._2)).toSet.size.toLong
+    val outc: Map[String, Map[String, Long]] =
+      grids.map { case (src, g) =>
+        src -> g.groupBy(_._1._1).map { case (x0, m) => x0 -> m.values.sum }
+      }
+    val got = rows("q_cross_perplexity")
+    assert(got.size == grids.size * grids.size, "pair matrix incomplete")
+    got.foreach { r =>
+      val (sa, sb) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val ga = grids(sa)
+      val na = ga.values.sum
+      val mass = ga.map { case ((x0, y0), ca) =>
+        val cb = grids(sb).getOrElse((x0, y0), 0L)
+        val oc = outc(sb).getOrElse(x0, 0L)
+        ca * math.floor(-math.log((cb + 1).toDouble /
+          (oc + vocab).toDouble) * 1e6 + 0.5).toLong
+      }.sum
+      assert(r.getAs[Long]("n_bigrams") == na)
+      assert(r.getAs[Long]("h_cross_micro") == mass / na,
+        s"($sa under $sb): ${r.getAs[Long]("h_cross_micro")} " +
+          s"vs ${mass / na}")
+    }
+  }
+
   test("q_ks_test ≡ brute-force ECDF sup-norm; D bounded, argmax is " +
       "the earliest cent, era totals conserve") {
     import org.apache.spark.sql.functions.{col, unix_micros}

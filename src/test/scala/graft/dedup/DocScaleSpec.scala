@@ -605,6 +605,110 @@ class DocScaleSpec extends SparkSpec {
     }
   }
 
+  test("cliffs delta at the decade: dominance masses scale exactly " +
+      "xN², delta is IDENTICAL (length grids are replica-invariant)") {
+    val n = requireCorpus()
+    val key = (x: org.apache.spark.sql.Row) =>
+      (x.getAs[String]("src_a"), x.getAs[String]("src_b"))
+    val b = SparkEntry.queries("q_cliffs_delta")(spark, base)
+      .collect().map(x => key(x) -> x).toMap
+    val big = SparkEntry.queries("q_cliffs_delta")(spark, sfx1).collect()
+    assert(big.length == b.size)
+    big.foreach { x =>
+      val e = b(key(x))
+      assert(x.getAs[Long]("wins") == n * n * e.getAs[Long]("wins"))
+      assert(x.getAs[Long]("ties") == n * n * e.getAs[Long]("ties"))
+      assert(x.getAs[Long]("losses") == n * n * e.getAs[Long]("losses"))
+      assert(x.getAs[Long]("delta_micro") == e.getAs[Long]("delta_micro"),
+        s"${key(x)}: delta moved at the decade")
+    }
+  }
+
+  test("fleiss kappa at the decade ≡ brute-force over the decade " +
+      "corpus (replica gates DIFFER from base: prefixed tokens hit " +
+      "no stopwords, so the histogram is NOT a clean xN)") {
+    requireCorpus()
+    val stop = Set("the", "a", "an", "of", "to", "in", "and", "is",
+      "it", "that")
+    val votes = spark.read.parquet(s"$sfx1/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+      .map { t =>
+        val tk = t.split(" ")
+        val nTok = tk.length.toLong
+        val wordChars = t.length.toLong - (nTok - 1)
+        val g1 = if (nTok < 20 || nTok > 1000) 0L else 1L
+        val g2 = if (wordChars < nTok * 3 || wordChars > nTok * 10) 0L
+          else 1L
+        val g3 = if (tk.count(stop.contains) < 2) 0L else 1L
+        val g4 = if (tk.distinct.length.toLong * 10 < nTok * 3) 0L
+          else 1L
+        g1 + g2 + g3 + g4
+      }
+    val hist = votes.groupBy(identity)
+      .map { case (x, xs) => x -> xs.length.toLong }
+    val nD = votes.length.toDouble
+    val t = votes.sum.toDouble
+    val s2 = votes.map(x => x * x + (4 - x) * (4 - x)).sum.toDouble
+    val pb = (s2 - 4.0 * nD) / (12.0 * nD)
+    val pq = t / (4.0 * nD)
+    val pe = pq * pq + (1.0 - pq) * (1.0 - pq)
+    val kap = math.floor((pb - pe) / (1.0 - pe) * 1e6 + 0.5).toLong
+    val got = SparkEntry.queries("q_fleiss_kappa")(spark, sfx1).collect()
+    assert(got.map(x => x.getAs[Long]("keep_votes") ->
+      x.getAs[Long]("n_x")).toMap == hist)
+    got.foreach { x =>
+      assert(x.getAs[Long]("kappa_micro") == kap)
+      assert(x.getAs[Long]("p_keep_micro") ==
+        votes.sum * 1000000L / (4L * votes.length))
+    }
+    // the decade histogram must show the replica signature: more
+    // mass at the stopword-failing vote levels than xN of base would
+    val baseN = spark.read.parquet(s"$base/documents.parquet").count()
+    assert(votes.length.toLong > baseN, "decade corpus not bigger")
+  }
+
+  test("cross-perplexity at the decade ≡ prediction from the base " +
+      "bigram grid with V' = N·V (replica models are isomorphic and " +
+      "vocabulary-disjoint; per-replica mass repeats)") {
+    val n = requireCorpus()
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(x => (x.getString(0), x.getString(1).split(" ")))
+      .filter(_._2.length >= 2)
+    val grids: Map[String, Map[(String, String), Long]] =
+      docs.groupBy(_._1).map { case (src, xs) =>
+        src -> xs.flatMap(p => p._2.sliding(2).map(w => (w(0), w(1))))
+          .groupBy(identity).map { case (k, ys) => k -> ys.length.toLong }
+      }
+    val vocabN = n * grids.values.flatMap(_.keys)
+      .flatMap(k => Seq(k._1, k._2)).toSet.size.toLong
+    val outc: Map[String, Map[String, Long]] =
+      grids.map { case (src, g) =>
+        src -> g.groupBy(_._1._1).map { case (x0, m) => x0 -> m.values.sum }
+      }
+    val got = SparkEntry.queries("q_cross_perplexity")(spark, sfx1)
+      .collect()
+    assert(got.length == grids.size * grids.size)
+    got.foreach { r =>
+      val (sa, sb) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val ga = grids(sa)
+      val na = ga.values.sum
+      // each replica contributes the identical mass: prefixed bigrams
+      // find prefixed model counts with the SAME (cb, outc) — only V
+      // is global and grows to N·V
+      val mass = ga.map { case ((x0, y0), ca) =>
+        val cb = grids(sb).getOrElse((x0, y0), 0L)
+        val oc = outc(sb).getOrElse(x0, 0L)
+        ca * math.floor(-math.log((cb + 1).toDouble /
+          (oc + vocabN).toDouble) * 1e6 + 0.5).toLong
+      }.sum
+      assert(r.getAs[Long]("n_bigrams") == n * na)
+      assert(r.getAs[Long]("h_cross_micro") == (n * mass) / (n * na),
+        s"($sa under $sb): replica-structure prediction missed — " +
+          "bigram counts leaked across replicas")
+    }
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
