@@ -4627,6 +4627,60 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // MMR (maximal-marginal-relevance) diversified re-ranking — the
+    // retrieval op between similarity search and the training batch:
+    // take the relevance top-k, then greedily swap redundancy for
+    // diversity (score = λ·rel − (1−λ)·max sim to the already-picked,
+    // λ = 0.7). The distributed half is exactly q_cosine_topk's scan →
+    // project(sim) → TakeOrderedAndProject shortlist (all vectors
+    // stream through map tasks; 20 survive); the greedy selection is
+    // O(k·|shortlist|) on the bounded collect — the production shape,
+    // where ANN prunes and MMR reranks the pool. Every comparison is
+    // INTEGER: cosines floor to deci-milli units (the r(·,4) gate
+    // convention), λ scales to 7/3, ties break on vec_id — so the
+    // pick sequence is engine-exact against the oracle's five chained
+    // MATERIALIZED CTEs.
+    "q_mmr_rerank" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val pool = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("v"),
+          floor(Similarity.cosine(col("v"), col("qv")) * lit(10000.0))
+            .cast("long").as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .collect() // bounded: the k-sized rerank shortlist
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+          r.getLong(2)))
+      def cosDm(a: Array[Double], b: Array[Double]): Long = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i); val y = b(i)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0)
+          .toLong
+      }
+      val selected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Array[Double], Long, Long, Long)]
+      val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+      for (rank <- 1L to math.min(5L, pool.length.toLong)) {
+        val scored = remaining.map { case (id, v, rel) =>
+          val ms = if (selected.isEmpty) 0L
+            else selected.map(sl => cosDm(v, sl._3)).max
+          (id, v, rel, ms, 7L * rel - 3L * ms)
+        }
+        val best = scored.minBy(x => (-x._5, x._1))
+        selected += ((rank, best._1, best._2, best._3, best._4, best._5))
+        val idx = remaining.indexWhere(_._1 == best._1)
+        remaining.remove(idx)
+      }
+      s.createDataFrame(selected.toSeq.map(x =>
+          (x._1, x._2, x._4, x._5, x._6)))
+        .toDF("rnk", "vec_id", "rel_dm", "maxsim_dm", "mmr_score")
+    }),
+
     // Top-PMI bigram association table — the collocation view (which
     // word pairs co-occur beyond chance) used for phrase mining and
     // tokenizer diagnostics. All counts are exact longs; the PMI is
@@ -8414,6 +8468,51 @@ object PipelineQueries {
         """ AS sim
           |FROM embeddings, q WHERE vec_id <> 0
           |ORDER BY sim DESC, vec_id LIMIT 10""").stripMargin,
+
+    // MMR: the same deci-milli integer scores, greedy selection as
+    // five chained MATERIALIZED CTEs (each references its
+    // predecessor's selected set — the q_pca_project re-inlining
+    // lesson), ties on vec_id
+    "q_mmr_rerank" -> {
+      val steps = (2 to 5).map { k =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT c.vec_id, c.v, c.rel,
+           |    cast(max(floor(list_cosine_similarity(c.v, s.v)
+           |      * 10000.0)) AS bigint) AS maxsim
+           |  FROM cand c, sel${k - 1} s
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+           |  GROUP BY c.vec_id, c.v, c.rel),
+           |s$k AS MATERIALIZED (
+           |  SELECT vec_id, v, rel, maxsim,
+           |    cast(7 * rel - 3 * maxsim AS bigint) AS score
+           |  FROM r$k ORDER BY 7 * rel - 3 * maxsim DESC, vec_id
+           |  LIMIT 1),
+           |sel$k AS MATERIALIZED (
+           |  SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      val fin = (1 to 5).map { k =>
+        s"SELECT cast($k AS bigint) AS rnk, vec_id, rel AS rel_dm, " +
+          s"maxsim AS maxsim_dm, score AS mmr_score FROM s$k"
+      }.mkString("\nUNION ALL ")
+      s"""WITH cand AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    cast(floor(list_cosine_similarity(
+         |      CAST(embedding AS DOUBLE[]), qv) * 10000.0) AS bigint)
+         |      AS rel
+         |  FROM embeddings,
+         |    (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |     FROM embeddings WHERE vec_id = 0) q
+         |  WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 20),
+         |s1 AS MATERIALIZED (
+         |  SELECT vec_id, v, rel, cast(0 AS bigint) AS maxsim,
+         |    cast(7 * rel AS bigint) AS score
+         |  FROM cand ORDER BY 7 * rel DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT * FROM s1),
+         |$steps
+         |$fin""".stripMargin
+    },
 
     "q_vec_norm" ->
       (s"SELECT vec_id, ${rs("sqrt(list_sum(list_transform(" +

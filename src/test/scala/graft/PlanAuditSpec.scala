@@ -1053,6 +1053,15 @@ class PlanAuditSpec extends SparkSpec {
       s"bigram grid rollup missing:\n$p")
   }
 
+  test("q_mmr_rerank: greedy rerank runs on the bounded shortlist " +
+      "collect — the result is a local relation; the shortlist scan " +
+      "itself is the audited q_cosine_topk TakeOrdered shape") {
+    val p = plan("q_mmr_rerank")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("parquet"),
+      s"rerank work leaked back into the result plan:\n$p")
+  }
+
   test("q_wasserstein / q_kruskal / q_cliffs_delta: pair sweep and " +
       "fold run driver-side on bounded collects — the result is a " +
       "local relation (the welch pattern)") {

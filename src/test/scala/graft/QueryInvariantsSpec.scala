@@ -1227,6 +1227,57 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_mmr_rerank ≡ brute-force greedy MMR from raw embeddings; " +
+      "rank 1 is pure relevance, scores non-increasing, picks " +
+      "distinct") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.util.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosDm(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0).toLong
+    }
+    val qv = vecs(0L)
+    val pool = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cosDm(v, qv)) }
+      .sortBy(x => (-x._3, x._1)).take(20)
+    var selected = Vector.empty[(Long, Long, Long, Long)]
+    var remaining = pool
+    (1L to 5L).foreach { rank =>
+      val scored = remaining.map { case (id, v, rel) =>
+        val ms = if (selected.isEmpty) 0L
+          else selected.map(sl => cosDm(v, vecs(sl._2))).max
+        (id, rel, ms, 7L * rel - 3L * ms)
+      }
+      val best = scored.minBy(x => (-x._4, x._1))
+      selected :+= ((rank, best._1, best._2, best._3))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    val got = rows("q_mmr_rerank").sortBy(_.getAs[Long]("rnk"))
+    assert(got.size == 5)
+    got.zip(selected).foreach { case (g, (rank, id, rel, ms)) =>
+      assert(g.getAs[Long]("rnk") == rank)
+      assert(g.getAs[Long]("vec_id") == id,
+        s"pick $rank diverged: ${g.getAs[Long]("vec_id")} vs $id")
+      assert(g.getAs[Long]("rel_dm") == rel)
+      assert(g.getAs[Long]("maxsim_dm") == ms)
+      assert(g.getAs[Long]("mmr_score") == 7L * rel - 3L * ms)
+    }
+    // structural properties: rank 1 is the relevance argmax; greedy
+    // scores can only fall; no repeats
+    assert(got.head.getAs[Long]("vec_id") == pool.head._1)
+    val scores = got.map(_.getAs[Long]("mmr_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"greedy MMR scores increased: $scores")
+    assert(got.map(_.getAs[Long]("vec_id")).distinct.size == 5)
+  }
+
   test("q_ks_test ≡ brute-force ECDF sup-norm; D bounded, argmax is " +
       "the earliest cent, era totals conserve") {
     import org.apache.spark.sql.functions.{col, unix_micros}
