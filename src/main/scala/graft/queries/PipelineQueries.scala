@@ -1292,30 +1292,46 @@ object PipelineQueries {
     // corpus vocabulary is closed (31 words at every sf), so only the
     // n-gram domain is sparse enough to HAVE low-frequency classes —
     // exactly why GT smoothing targets n-gram tables in practice.
-    // Everything past the gram-count exchange is count-domain-sized:
-    // ff self-joins on c+1 (tiny equi join), the totals ride a 1-row
-    // broadcast scalar cross join, and all ratios are exact integral
-    // `div` in micro.
+    // Everything past the gram-count exchange is count-domain-sized,
+    // and all ratios are exact integral `div` in micro.
+    // Perf disposition (measured): sf0.1 ~0.5 s vs DuckDB 0.10 s is
+    // the corpus-explode stage floor — the ratio INVERTS at the
+    // decades (×10: 1.19 s vs 1.19 s parity; ×100: 5.2 s vs 14.1 s,
+    // 2.7× FASTER) — the q_span_dedup KEEP pattern.
     "q_good_turing" -> ((s, d) => {
+      // gram stream never exists as string rows: the native
+      // GramCountsExpr emits each doc's MAP<fnv64, count> in one pass
+      // (per-doc map-side combine built in), so the corpus exchange
+      // carries (long, long) pairs, not 3-token strings — the
+      // q_rouge_pairs kernel. Counting by 64-bit digest ≡ counting by
+      // gram at any realistic corpus (the md5-digest-key precedent
+      // the span-dedup family pins); the oracle counts the strings.
       val wc = parallelize(documents(s, d))
-        .select(split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 3)
-        .select(explode(expr("transform(sequence(0, size(tk) - 3), " +
-          "i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .select(explode(graft.functions.GramExprs
+          .gramCounts(col("text"), 3)).as(Seq("g", "cnt")))
+        .groupBy(col("g")).agg(sum(col("cnt")).as("c"))
+      // join-free, barrier-free tail: ONE single-partition window
+      // over the count domain (the q_gini_tokens class — dozens of
+      // rows at any corpus size) provides both the c+1 neighbor
+      // (lead, guarded on adjacency) and the global totals
+      // (unbounded-frame sums) — the earlier ff-self-join +
+      // scalar-cross-join form paid a checkpoint plus two joins for
+      // the same rows (measured 0.55 s → 0.35 s at sf0.1)
+      import org.apache.spark.sql.expressions.Window
       val ff = wc.groupBy(col("c")).agg(count(lit(1)).as("m"))
-      val tot = ff.agg(
-        sum(col("c") * col("m")).as("n_tokens"),
-        sum(col("m")).as("n_vocab"),
-        coalesce(sum(when(col("c") === 1L, col("m"))), lit(0L))
-          .as("n1"))
-      ff.filter(col("c").between(1L, 5L))
-        .join(ff.select(col("c").as("cn"), col("m").as("mn")),
-          col("cn") === col("c") + lit(1L), "left")
-        .crossJoin(tot)
-        .select(col("c"), col("m").as("m_c"),
-          coalesce(col("mn"), lit(0L)).as("m_next"),
-          expr("((c + 1) * coalesce(mn, 0L) * 1000000L) div m")
+      val ord = Window.orderBy(col("c"))
+      val all = Window.orderBy(col("c")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      ff.withColumn("m_next",
+          when(lead(col("c"), 1).over(ord) === col("c") + lit(1L),
+            lead(col("m"), 1).over(ord)).otherwise(lit(0L)))
+        .withColumn("n_tokens", sum(col("c") * col("m")).over(all))
+        .withColumn("n_vocab", sum(col("m")).over(all))
+        .withColumn("n1", coalesce(
+          sum(when(col("c") === 1L, col("m"))).over(all), lit(0L)))
+        .filter(col("c").between(1L, 5L))
+        .select(col("c"), col("m").as("m_c"), col("m_next"),
+          expr("((c + 1) * m_next * 1000000L) div m")
             .as("c_star_micro"),
           expr("n1 * 1000000L div n_tokens").as("p0_micro"),
           col("n_tokens"), col("n_vocab"))
@@ -1340,6 +1356,8 @@ object PipelineQueries {
         .select(size(toks).cast("long").as("x"),
           size(array_distinct(toks)).cast("long").as("y"))
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // |domain|²-bounded; 3 consumers (two
+                                // rank tables + the moment fold)
       def rankTable(v: String): DataFrame = {
         val win = Window.orderBy(col(v))
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -2231,6 +2249,7 @@ object PipelineQueries {
       val hist = parallelize(documents(s, d))
         .select((g1 + g2 + g3 + g4).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+        .localCheckpoint(false) // 5 rows; 2 consumers (rows + totals)
       val tot = hist.agg(sum(col("n_x")).as("n_docs"),
         sum(col("x") * col("n_x")).as("t_keep"),
         sum(col("n_x") * (col("x") * col("x")
@@ -2325,16 +2344,21 @@ object PipelineQueries {
     // model-based sibling of q_source_divergence's distributional
     // JSD; rows where src_a = src_b are the self-entropy diagonal,
     // which should be each row's minimum). ONE corpus pass folds to
-    // the per-source bigram grid (≤ |sources|·V² rows — the
-    // vocabulary is closed, and a real pipeline would cap V the same
-    // way); the source-pair expansion is an explode over the bounded
-    // collected source list (never a corpus-side cross join), the
-    // model lookups are grid-sized left equi joins, V rides the 1-row
-    // scalar cross join, and the per-bigram surprisal integerizes to
-    // micro-nats BEFORE the exact long mass fold (the q_ngram_lm
-    // recipe), so h_cross_micro is an integral division.
+    // the per-source bigram grid — ≤ |sources|·V² rows AT ANY CORPUS
+    // SIZE (the vocabulary is closed; a real pipeline caps V the same
+    // way), so the |sources|² model sweep runs driver-side on the
+    // bounded collect (the q_welch_ttest precedent — a distributed
+    // explode×join formulation was measured at 1.1 s against this
+    // 0.35 s: the dense V²·|sources|² expansion pays several stage
+    // floors for a 400-row result). Per-bigram surprisal integerizes
+    // to micro-nats BEFORE the exact long mass fold (the q_ngram_lm
+    // recipe); h_cross_micro is an integral division.
+    // Perf disposition (measured): sf0.1 ~0.58 s vs DuckDB 0.13 s is
+    // the corpus-explode stage floor — the ratio INVERTS at the
+    // decades (×10: 2.5 s vs 1.16 s; ×100: 11.9 s vs 14.4 s, Spark
+    // FASTER) — the q_span_dedup KEEP pattern.
     "q_cross_perplexity" -> ((s, d) => {
-      val sb = parallelize(documents(s, d))
+      val grid = parallelize(documents(s, d))
         .select(col("source"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("source"), col("t"),
@@ -2343,33 +2367,48 @@ object PipelineQueries {
           element_at(col("t"), col("i") + 1).as("y"))
         .groupBy(col("source"), col("x"), col("y"))
         .agg(count(lit(1)).as("c"))
-      val vres = sb.select(col("x").as("w"))
-        .union(sb.select(col("y").as("w")))
-        .agg(count_distinct(col("w")).as("v"))
-      val srcs = sb.select(col("source")).distinct()
-        .collect().map(_.getString(0)).sorted // bounded: curated list
-      val bSide = sb.select(col("source").as("sb2"),
-        col("x").as("xb"), col("y").as("yb"), col("c").as("cb"))
-      val outm = sb.groupBy(col("source").as("so2"),
-        col("x").as("xo")).agg(sum(col("c")).as("outc"))
-      sb.select(col("source").as("src_a"), col("x"), col("y"),
-          col("c").as("ca"))
-        .withColumn("src_b", explode(typedLit(srcs.toSeq)))
-        .join(bSide, col("src_b") === col("sb2") &&
-          col("x") === col("xb") && col("y") === col("yb"), "left")
-        .join(outm, col("src_b") === col("so2") &&
-          col("x") === col("xo"), "left")
-        .crossJoin(vres)
-        .select(col("src_a"), col("src_b"), col("ca"),
-          (col("ca") * floor(-log(
-            (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
-            (coalesce(col("outc"), lit(0L)) + col("v")).cast("double"))
-            * lit(1e6) + lit(0.5)).cast("long")).as("hm"))
-        .groupBy(col("src_a"), col("src_b"))
-        .agg(sum(col("ca")).as("n_bigrams"),
-          sum(col("hm")).as("h_mass_micro"))
-        .select(col("src_a"), col("src_b"), col("n_bigrams"),
-          expr("h_mass_micro div n_bigrams").as("h_cross_micro"))
+        .collect() // bounded: |sources| × V² (closed vocabulary)
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+      val srcs = grid.map(_._1).distinct.sorted
+      // int-index the bigram and first-word domains once: the pair
+      // sweep then runs |sources|²·|support| pure array arithmetic
+      // (the boxed (String,String) map-lookup form cost ~0.2 s)
+      val bigramId = grid.map(g => (g._2, g._3)).distinct
+        .zipWithIndex.toMap
+      val firstId = grid.map(_._2).distinct.zipWithIndex.toMap
+      val vocab = (grid.map(_._2) ++ grid.map(_._3)).distinct.length
+        .toLong
+      val nBig = bigramId.size
+      val bySrc: Map[String, Array[(Int, Int, Long)]] =
+        grid.groupBy(_._1).map { case (src, xs) =>
+          src -> xs.map(g =>
+            (bigramId((g._2, g._3)), firstId(g._2), g._4)) }
+      // per-source surprisal tables over the UNION support, micro-nat
+      // integerized once: w[bigram] and the per-first-word counts
+      val wTab: Map[String, Array[Long]] = srcs.map { src =>
+        val cb = new Array[Long](nBig)
+        val oc = new Array[Long](firstId.size)
+        bySrc(src).foreach { case (bi, fi, c) =>
+          cb(bi) = c; oc(fi) += c }
+        val fiOf = new Array[Int](nBig)
+        bigramId.foreach { case ((x0, _), bi) => fiOf(bi) = firstId(x0) }
+        src -> Array.tabulate(nBig) { bi =>
+          math.floor(-math.log((cb(bi) + 1).toDouble /
+            (oc(fiOf(bi)) + vocab).toDouble) * 1e6 + 0.5).toLong }
+      }.toMap
+      val out = for (sa <- srcs; sb <- srcs) yield {
+        val ga = bySrc(sa)
+        val w = wTab(sb)
+        var na = 0L; var mass = 0L; var i = 0
+        while (i < ga.length) {
+          val (bi, _, ca) = ga(i)
+          na += ca; mass += ca * w(bi); i += 1
+        }
+        (sa, sb, na, mass / na)
+      }
+      s.createDataFrame(out)
+        .toDF("src_a", "src_b", "n_bigrams", "h_cross_micro")
     }),
 
     // 1-D Wasserstein (earth-mover) distance between every source
@@ -2433,26 +2472,31 @@ object PipelineQueries {
     // C=0 (all lengths equal) yields hc=0 by convention on both
     // engines.
     "q_kruskal" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val lc = documents(s, d)
+      // ONE corpus pass to the bounded (source, length, count) grid,
+      // then ranks, rank sums, ties, and H all fold driver-side on
+      // the collect (the q_welch_ttest / q_cliffs_delta precedent — a
+      // window+join+three-action formulation was measured ~0.15 s
+      // slower at sf0.1 purely in stage floors for the same rows)
+      val grid = documents(s, d)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("l"))
         .groupBy(col("source"), col("l")).agg(count(lit(1)).as("c"))
-      val win = Window.orderBy(col("l"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val lt = lc.groupBy(col("l")).agg(sum(col("c")).as("t"))
-        .withColumn("a", coalesce(sum(col("t")).over(win), lit(0L)))
-      val rg = lc.join(lt, "l")
-        .groupBy(col("source"))
-        .agg(sum(col("c")).as("n_g"),
-          sum(col("c") * (lit(2L) * col("a") + col("t") + lit(1L)))
-            .as("r2"))
-        .collect() // bounded: one row per curated source
+        .collect() // bounded: sources × capped length domain
         .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
-        .sortBy(_._1)
-      val tieSum = lt.agg(
-          sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
-        .head().getLong(0)
+      val lt: Map[Long, Long] = grid.groupBy(_._2)
+        .map { case (l, xs) => l -> xs.map(_._3).sum }
+      val sortedL = lt.keys.toSeq.sorted
+      val below: Map[Long, Long] = {
+        var acc = 0L
+        sortedL.map { l => val r = l -> acc; acc += lt(l); r }.toMap
+      }
+      val rg = grid.groupBy(_._1).map { case (src, xs) =>
+        val ng = xs.map(_._3).sum
+        val r2 = xs.map { case (_, l, c) =>
+          c * (2L * below(l) + lt(l) + 1L) }.sum
+        (src, ng, r2)
+      }.toSeq.sortBy(_._1)
+      val tieSum = lt.values.map(t => t * t * t - t).sum
       val n = rg.map(_._2).sum
       val nd = n.toDouble
       val sFold = rg.foldLeft(0.0) { case (acc, (_, ng, r2)) =>

@@ -992,19 +992,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"unexpected join:\n$p")
   }
 
-  test("q_good_turing: past the word-count exchange everything is " +
-      "count-domain-sized — c+1 equi join, 1-row scalar totals, no " +
-      "cartesian") {
+  test("q_good_turing: join-free — the c+1 neighbor and the totals " +
+      "both come from ONE single-partition window that walks the " +
+      "count domain above the digest-gram exchange") {
     val p = plan("q_good_turing")
-    assert(!p.contains("CartesianProduct"), p)
-    // the word rollup keeps its corpus-sized exchange; the ff
-    // self-join and totals ride broadcasts
-    assert(p.contains("hashpartitioning(w#"),
-      s"word rollup lost its exchange:\n$p")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
-      s"expected exactly the 1-row totals combine:\n$p")
-    assert(p.contains("BroadcastHashJoin") ||
-      p.contains("BroadcastExchange"), s"c+1 join not broadcast:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("windowspecdefinition(c#"),
+      s"window not on the count domain:\n$p")
+    // gram exchange (fnv64 digests, g) below the count-domain
+    // exchange (c), below the bounded single-partition window walk
+    val gIdx = p.indexOf("hashpartitioning(g#")
+    val cIdx = p.indexOf("hashpartitioning(c#")
+    val spIdx = p.indexOf("Exchange SinglePartition")
+    assert(gIdx >= 0 && cIdx >= 0 && spIdx >= 0 &&
+      gIdx > cIdx && cIdx > spIdx,
+      s"window walks an unbounded domain (g=$gIdx c=$cIdx sp=$spIdx):\n$p")
   }
 
   test("q_spearman: rank windows walk the BOUNDED joint-grid domains " +
@@ -1038,19 +1040,14 @@ class PlanAuditSpec extends SparkSpec {
       s"histogram-sized work picked a shuffle join:\n$p")
   }
 
-  test("q_cross_perplexity: pair expansion is an explode over the " +
-      "bounded source list — grid-sized equi joins, the 1-row V " +
-      "scalar, never a corpus-side cross join") {
+  test("q_cross_perplexity: the |sources|² model sweep runs " +
+      "driver-side on the bounded V²-grid collect — the result is a " +
+      "local relation (the welch pattern)") {
     val p = plan("q_cross_perplexity")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("Generate explode"),
-      s"source-list expansion missing:\n$p")
-    // the only nested loop is the 1-row vocabulary scalar
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
-      s"expected exactly the 1-row V combine:\n$p")
-    // the corpus folds to the per-source bigram grid exactly once
-    assert(p.contains("hashpartitioning(source#"),
-      s"bigram grid rollup missing:\n$p")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("parquet"),
+      s"model sweep leaked back into the result plan:\n$p")
   }
 
   test("q_mmr_rerank: greedy rerank runs on the bounded shortlist " +
