@@ -1610,6 +1610,82 @@ object PipelineQueries {
     // classifier's inference pass (training is out of scope; the weights
     // stand in for a trained model). Pure scan+project, no shuffle; the
     // features are pre-rounded so both engines score identical inputs.
+    // Rendezvous (highest-random-weight) shard assignment — the
+    // coordination-free placement a distributed ingest layer uses:
+    // every row independently hashes against each shard id and takes
+    // the argmax, so assignment needs no directory, survives any
+    // partitioning, and — the property that makes it the right tool —
+    // adding a shard moves ONLY the rows that rendezvous-prefer the
+    // new shard (expected 1/(n+1)), each moving TO it. Computed
+    // per-row as one array expression (48-bit md5 weights packed with
+    // the shard id, integer max — no explode, no shuffle before the
+    // per-shard rollup); the query reports the 16-shard census, the
+    // outflow under a 17th shard, and a `bad_moves` violation count
+    // the oracle hash PINS at zero (any row that moved anywhere but
+    // shard 16 would flip it).
+    "q_shard_assign" -> ((s, d) => {
+      def assign(n: Int) = expr(
+        s"""pmod(array_max(transform(sequence(0, ${n - 1},1),
+           |  s -> cast(conv(substring(md5(concat(
+           |    cast(doc_id as string), '#', cast(s as string))),
+           |    1, 12), 16, 10) as bigint) * 32L + s)), 32L)""".stripMargin)
+      documents(s, d)
+        .select(assign(16).as("shard"), assign(17).as("a17"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard") =!= col("a17"), 1L).otherwise(0L))
+            .as("moved_out"),
+          sum(when(col("shard") =!= col("a17") &&
+            col("a17") =!= 16L, 1L).otherwise(0L)).as("bad_moves"))
+    }),
+
+    // Curriculum ordering: rank documents by the quality score WITHIN
+    // each source and interleave the per-source heads round-robin —
+    // the "start training on the best of every source" batch order.
+    // The rank window partitions by source (corpus-distributed, never
+    // single-partition); the emitted head is rank ≤ 5 per source, a
+    // |sources|·5-row result whose (rank, source) pair IS the global
+    // curriculum position. Scores integerize to micro before ranking
+    // (float order ties are engine hazards); doc_id breaks ties.
+    "q_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = r(lit(1.0) / (lit(1.0) + exp(-(lit(-1.5)
+        + col("n_tokens").cast("double") * lit(0.002)
+        + col("stopword_ratio") * lit(2.0)
+        - col("punct_count").cast("double") * lit(0.01)
+        + col("avg_token_len") * lit(0.1)))), 6)
+      val win = Window.partitionBy(col("source"))
+        .orderBy(col("qm").desc, col("doc_id"))
+      TextAnalysis.withQuality(parallelize(documents(s, d)), col("text"))
+        .select(col("source"), col("doc_id"),
+          floor(q * 1e6 + lit(0.5)).cast("long").as("qm"))
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .filter(col("rk") <= 5L)
+        .select(col("rk"), col("source"), col("doc_id"), col("qm"))
+    }),
+
+    // Seeded token-dropout augmentation — the deterministic
+    // data-augmentation primitive (every engine and every retry must
+    // produce the SAME augmented corpus, so "random" is a hash of
+    // (doc_id, position), never rand()): drop every token whose
+    // 16-bit md5 draw lands in the 1/5 bucket. One pure per-row array
+    // expression (filter-with-index HOF — no explode, no shuffle, no
+    // state); the full augmented text is in the output, so the oracle
+    // hash certifies every kept token and separator.
+    "q_token_dropout" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long")
+          .as("n_tokens"),
+          expr("""filter(tk, (t, i) -> cast(conv(substring(md5(
+            concat(cast(doc_id as string), ':',
+              cast(i + 1 as string))), 1, 4), 16, 10) as int)
+            % 5 != 0)""").as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(col("kept"), " ").as("aug_text"))),
+
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.withQuality(documents(s, d), col("text"))
         .select(col("doc_id"),
@@ -6366,6 +6442,65 @@ object PipelineQueries {
 
     // fixed-weight logistic quality scorer over the q_text_stats
     // features (pre-rounded, so both engines score identical inputs)
+    // rendezvous sharding: same 48-bit packed weights, list_max per
+    // row, same census/outflow rollup; bad_moves pinned at 0
+    "q_shard_assign" -> {
+      def assign(n: Int) =
+        s"""list_max(list_transform(range(0, $n),
+           |    s -> cast(('0x' || substr(md5(
+           |      doc_id || '#' || s), 1, 12)) AS bigint) * 32 + s))
+           |  % 32""".stripMargin
+      s"""WITH a AS (SELECT
+         |    cast(${assign(16)} AS bigint) AS shard,
+         |    cast(${assign(17)} AS bigint) AS a17
+         |  FROM documents)
+         |SELECT shard, cast(count(*) AS bigint) AS n_docs,
+         |  cast(sum(CASE WHEN shard <> a17 THEN 1 ELSE 0 END)
+         |    AS bigint) AS moved_out,
+         |  cast(sum(CASE WHEN shard <> a17 AND a17 <> 16
+         |    THEN 1 ELSE 0 END) AS bigint) AS bad_moves
+         |FROM a GROUP BY 1""".stripMargin
+    },
+
+    // curriculum: identical micro score, source-partitioned rank
+    // window, per-source top-5
+    "q_curriculum" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      val atl = rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)
+      val swr = rs(s"cast($stop AS double) / $nTok", 6)
+      val punct = "(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+      val z = s"CAST(-1.5 AS DOUBLE) + cast($nTok AS int) * " +
+        s"CAST(0.002 AS DOUBLE) + ($swr) * CAST(2.0 AS DOUBLE) - " +
+        s"$punct * CAST(0.01 AS DOUBLE) + ($atl) * CAST(0.1 AS DOUBLE)"
+      s"""WITH sc AS (SELECT source, doc_id,
+         |    cast(floor((${rs(s"1.0 / (1.0 + exp(-($z)))", 6)})
+         |      * 1000000.0 + 0.5) AS bigint) AS qm
+         |  FROM documents),
+         |rk AS (SELECT source, doc_id, qm,
+         |    cast(row_number() OVER (PARTITION BY source
+         |      ORDER BY qm DESC, doc_id) AS bigint) AS rk
+         |  FROM sc)
+         |SELECT rk, source, doc_id, qm FROM rk WHERE rk <= 5""".stripMargin
+    },
+
+    // dropout: identical (doc_id, 1-based position) 16-bit md5 draw,
+    // list_filter's index lambda is 1-based where Spark's is 0-based
+    "q_token_dropout" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents),
+        |k AS (SELECT doc_id,
+        |    cast(len(tk) AS bigint) AS n_tokens,
+        |    list_filter(tk, (t, i) -> cast(('0x' || substr(md5(
+        |      doc_id || ':' || i), 1, 4)) AS int) % 5 != 0) AS kept
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  cast(len(kept) AS bigint) AS n_kept,
+        |  array_to_string(kept, ' ') AS aug_text
+        |FROM k""".stripMargin,
+
     "q_quality_score" -> {
       val nTok = "len(string_split(text,' '))"
       val stop = "len(list_filter(string_split(text,' '), " +

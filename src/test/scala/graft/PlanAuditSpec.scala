@@ -1050,6 +1050,35 @@ class PlanAuditSpec extends SparkSpec {
       s"model sweep leaked back into the result plan:\n$p")
   }
 
+  test("q_shard_assign: per-row array argmax — no explode, no join; " +
+      "the only exchange is the 16-row shard rollup") {
+    val p = plan("q_shard_assign")
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      s"shard sweep left the row:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the shard-census exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"census not folded map-side:\n$p")
+  }
+
+  test("q_curriculum: the rank window is PARTITIONED by source " +
+      "(corpus-distributed) — never a single-partition window") {
+    val p = plan("q_curriculum")
+    assert(p.contains("windowspecdefinition(source#"),
+      s"window lost its source partitioning:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition stage appeared:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("q_token_dropout: pure per-row map — no exchange, no " +
+      "generate, no join anywhere in the plan") {
+    val p = plan("q_token_dropout")
+    assert(!p.contains("Exchange") && !p.contains("Generate") &&
+      !p.contains("Join"),
+      s"augmentation is not a pure map:\n$p")
+  }
+
   test("q_mmr_rerank: greedy rerank runs on the bounded shortlist " +
       "collect — the result is a local relation; the shortlist scan " +
       "itself is the audited q_cosine_topk TakeOrdered shape") {

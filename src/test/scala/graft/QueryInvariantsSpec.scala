@@ -1278,6 +1278,93 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("vec_id")).distinct.size == 5)
   }
 
+  private def md5hex(s0: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q_shard_assign ≡ brute-force rendezvous argmax; minimal " +
+      "movement holds exactly (every mover lands on the new shard)") {
+    import org.apache.spark.sql.functions.col
+    val ids = graft.util.Tables.documents(spark, d)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def assign(id: Long, n: Int): Long =
+      (0 until n).map { sh =>
+        java.lang.Long.parseLong(md5hex(s"$id#$sh").take(12), 16) *
+          32L + sh
+      }.max % 32L
+    val a16 = ids.map(id => id -> assign(id, 16)).toMap
+    val a17 = ids.map(id => id -> assign(id, 17)).toMap
+    // the rendezvous property itself, from first principles
+    ids.foreach { id =>
+      if (a16(id) != a17(id)) assert(a17(id) == 16L,
+        s"doc $id moved to ${a17(id)} — not minimal movement")
+    }
+    val census = ids.groupBy(a16).map { case (sh, xs) =>
+      sh -> (xs.length.toLong,
+        xs.count(id => a16(id) != a17(id)).toLong) }
+    val got = rows("q_shard_assign")
+    assert(got.map(_.getAs[Long]("n_docs")).sum == ids.length.toLong)
+    assert(got.forall(_.getAs[Long]("bad_moves") == 0L))
+    got.foreach { x =>
+      val (n, moved) = census(x.getAs[Long]("shard"))
+      assert(x.getAs[Long]("n_docs") == n)
+      assert(x.getAs[Long]("moved_out") == moved)
+    }
+  }
+
+  test("q_curriculum ≡ per-source top-5 of q_quality_score; ranks " +
+      "dense, scores non-increasing within source") {
+    import org.apache.spark.sql.functions.col
+    val srcOf = graft.util.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val qs = rows("q_quality_score").map { x =>
+      val id = x.getAs[Long]("doc_id")
+      (srcOf(id), id,
+        math.floor(x.getAs[Double]("q_score") * 1e6 + 0.5).toLong)
+    }
+    val expected = qs.groupBy(_._1).flatMap { case (src, xs) =>
+      xs.sortBy(x => (-x._3, x._2)).take(5).zipWithIndex.map {
+        case ((_, id, qm), i) => (i + 1L, src, id, qm) }
+    }.toSet
+    val got = rows("q_curriculum")
+    assert(got.map(x => (x.getAs[Long]("rk"), x.getAs[String]("source"),
+      x.getAs[Long]("doc_id"), x.getAs[Long]("qm"))).toSet == expected)
+    got.groupBy(_.getAs[String]("source")).foreach { case (_, xs) =>
+      val byRk = xs.sortBy(_.getAs[Long]("rk"))
+      assert(byRk.map(_.getAs[Long]("rk")) ==
+        (1L to byRk.size.toLong))
+      val q2 = byRk.map(_.getAs[Long]("qm"))
+      assert(q2.zip(q2.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q_token_dropout ≡ brute-force seeded md5 draws; drop " +
+      "fraction near 1/5, order and separators preserved") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val got = rows("q_token_dropout")
+    assert(got.size == docs.size)
+    var (kept, total) = (0L, 0L)
+    got.foreach { x =>
+      val id = x.getAs[Long]("doc_id")
+      val tk = docs(id).split(" ", -1)
+      val expKept = tk.zipWithIndex.collect { case (t, i)
+        if java.lang.Integer.parseInt(
+          md5hex(s"$id:${i + 1}").take(4), 16) % 5 != 0 => t }
+      assert(x.getAs[Long]("n_tokens") == tk.length.toLong)
+      assert(x.getAs[Long]("n_kept") == expKept.length.toLong)
+      assert(x.getAs[String]("aug_text") == expKept.mkString(" "),
+        s"doc $id: augmented text diverged from the seeded draws")
+      kept += expKept.length; total += tk.length
+    }
+    val frac = (total - kept).toDouble / total
+    assert(frac > 0.12 && frac < 0.28,
+      s"drop fraction $frac implausible for a 1/5 draw")
+  }
+
   test("q_ks_test ≡ brute-force ECDF sup-norm; D bounded, argmax is " +
       "the earliest cent, era totals conserve") {
     import org.apache.spark.sql.functions.{col, unix_micros}
