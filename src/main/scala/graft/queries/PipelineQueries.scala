@@ -1610,6 +1610,47 @@ object PipelineQueries {
     // classifier's inference pass (training is out of scope; the weights
     // stand in for a trained model). Pure scan+project, no shuffle; the
     // features are pre-rounded so both engines score identical inputs.
+    // Split-conformal prediction threshold — the distribution-free
+    // calibration step a filtering pipeline runs before trusting a
+    // score cutoff: over the calibration set (Gopher-kept documents),
+    // q̂ = the ⌈(n+1)(1−α)⌉-th smallest nonconformity score
+    // (α = 0.1), guaranteeing ≥ 90 % coverage with NO distribution
+    // assumption. The exact order statistic is found by two-level
+    // bucket refinement — the scale-true distributed pattern: one
+    // rollup to ≤1001 milli-buckets (bounded BY CONSTRUCTION: the
+    // score domain is [0, 10⁶] micro), locate the rank-k bucket
+    // driver-side, one filtered rollup of that bucket's ≤1000 exact
+    // values, then a final coverage count. Three cheap passes over
+    // the cached scoredLabeledDocs memo; no sort, no single-partition
+    // window, no corpus-sized collect at any corpus size.
+    "q_conformal" -> ((s, d) => {
+      val cal = scoredLabeledDocs(s, d).filter(col("pos") === 1L)
+        .select((lit(1000000L) - col("qm")).as("sc"))
+      val buckets = cal.groupBy(expr("sc div 1000").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect() // bounded: <= 1001 rows by score-domain construction
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val n = buckets.map(_._2).sum
+      val k = math.ceil((n + 1) * 0.9).toLong
+      var acc = 0L; var bSel = 0L; var before = 0L
+      buckets.foreach { case (b, c) =>
+        if (acc < k && acc + c >= k) { bSel = b; before = acc }
+        acc += c
+      }
+      val inB = cal.filter(expr(s"sc div 1000 = ${bSel}L"))
+        .groupBy(col("sc")).agg(count(lit(1)).as("c"))
+        .collect() // bounded: <= 1000 distinct micro values
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc2 = before; var qhat = 0L; var found = false
+      inB.foreach { case (v, c) =>
+        acc2 += c
+        if (!found && acc2 >= k) { qhat = v; found = true }
+      }
+      val nCov = cal.filter(col("sc") <= qhat).count()
+      s.createDataFrame(Seq((n, k, qhat, nCov, nCov * 1000000L / n)))
+        .toDF("n_cal", "k", "qhat_micro", "n_covered", "coverage_micro")
+    }),
+
     // Rendezvous (highest-random-weight) shard assignment — the
     // coordination-free placement a distributed ingest layer uses:
     // every row independently hashes against each shard id and takes
@@ -6442,6 +6483,46 @@ object PipelineQueries {
 
     // fixed-weight logistic quality scorer over the q_text_stats
     // features (pre-rounded, so both engines score identical inputs)
+    // conformal: the same scoring/gate CTE as q_auc, rank-k order
+    // statistic via a full-sort row_number (the oracle may sort; the
+    // engine refines buckets), same ceil((n+1)·0.9) and floor-div
+    // coverage
+    "q_conformal" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      val atl = rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)
+      val swr = rs(s"cast($stop AS double) / $nTok", 6)
+      val punct = "(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+      val z = s"CAST(-1.5 AS DOUBLE) + cast($nTok AS int) * " +
+        s"CAST(0.002 AS DOUBLE) + ($swr) * CAST(2.0 AS DOUBLE) - " +
+        s"$punct * CAST(0.01 AS DOUBLE) + ($atl) * CAST(0.1 AS DOUBLE)"
+      val q = rs(s"1.0 / (1.0 + exp(-($z)))", 6)
+      val keep = s"(NOT ($nTok < 20 OR $nTok > 1000) " +
+        s"AND NOT (length(text) - ($nTok - 1) < $nTok * 3 " +
+        s"OR length(text) - ($nTok - 1) > $nTok * 10) " +
+        s"AND $stop >= 2 " +
+        s"AND len(list_distinct(string_split(text,' '))) * 10 " +
+        s">= $nTok * 3)"
+      s"""WITH cal AS (SELECT 1000000 -
+         |        cast(floor(($q) * 1000000.0 + 0.5) AS bigint) AS sc
+         |      FROM documents WHERE $keep),
+         |g AS (SELECT cast(count(*) AS bigint) AS n,
+         |        cast(ceil((count(*) + 1) * 0.9) AS bigint) AS k
+         |      FROM cal),
+         |r AS (SELECT sc,
+         |        cast(row_number() OVER (ORDER BY sc) AS bigint) AS rn
+         |      FROM cal),
+         |qh AS (SELECT cast(min(sc) AS bigint) AS qhat
+         |      FROM r, g WHERE rn = k),
+         |cov AS (SELECT cast(count(*) AS bigint) AS n_covered
+         |      FROM cal, qh WHERE sc <= qhat)
+         |SELECT n AS n_cal, k, qhat AS qhat_micro, n_covered,
+         |  cast(n_covered * 1000000 // n AS bigint) AS coverage_micro
+         |FROM g CROSS JOIN qh CROSS JOIN cov""".stripMargin
+    },
+
     // rendezvous sharding: same 48-bit packed weights, list_max per
     // row, same census/outflow rollup; bad_moves pinned at 0
     "q_shard_assign" -> {

@@ -1050,6 +1050,16 @@ class PlanAuditSpec extends SparkSpec {
       s"model sweep leaked back into the result plan:\n$p")
   }
 
+  test("q_conformal: the rank-k search runs on bounded bucket " +
+      "collects off the cached memo — result is a local relation, " +
+      "no sort, no single-partition window anywhere") {
+    val p = plan("q_conformal")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("parquet") &&
+      !p.contains("Sort"),
+      s"order-statistic work leaked back into the result plan:\n$p")
+  }
+
   test("q_shard_assign: per-row array argmax — no explode, no join; " +
       "the only exchange is the 16-row shard rollup") {
     val p = plan("q_shard_assign")

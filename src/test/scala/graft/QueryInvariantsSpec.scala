@@ -1282,6 +1282,34 @@ class QueryInvariantsSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("q_conformal ≡ brute-force order statistic; the conformal " +
+      "coverage guarantee holds: coverage >= 1 - alpha") {
+    import org.apache.spark.sql.functions.col
+    val scores = rows("q_quality_score").map { x =>
+      x.getAs[Long]("doc_id") ->
+        (1000000L - math.floor(x.getAs[Double]("q_score") * 1e6 + 0.5)
+          .toLong) }.toMap
+    val gate = rows("q_gopher_filter")
+      .filter(_.getAs[Long]("fail_bits") == 0L)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val cal = scores.filter(x => gate(x._1)).values.toSeq.sorted
+    val n = cal.length.toLong
+    val k = math.ceil((n + 1) * 0.9).toLong
+    val qhat = cal((k - 1).toInt)
+    val nCov = cal.count(_ <= qhat).toLong
+    val got = rows("q_conformal").head
+    assert(got.getAs[Long]("n_cal") == n)
+    assert(got.getAs[Long]("k") == k)
+    assert(got.getAs[Long]("qhat_micro") == qhat,
+      s"bucket refinement missed the order statistic: " +
+        s"${got.getAs[Long]("qhat_micro")} vs $qhat")
+    assert(got.getAs[Long]("n_covered") == nCov)
+    assert(got.getAs[Long]("n_covered") >= k,
+      "order statistic must cover at least its own rank")
+    assert(got.getAs[Long]("coverage_micro") >= 900000L,
+      s"conformal guarantee violated: ${got.getAs[Long]("coverage_micro")}")
+  }
+
   test("q_shard_assign ≡ brute-force rendezvous argmax; minimal " +
       "movement holds exactly (every mover lands on the new shard)") {
     import org.apache.spark.sql.functions.col

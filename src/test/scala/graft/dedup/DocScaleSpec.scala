@@ -709,6 +709,20 @@ class DocScaleSpec extends SparkSpec {
     }
   }
 
+  test("conformal at the decade: the calibration set is EXACTLY the " +
+      "base corpus (prefixed replica tokens fail the stopword gate), " +
+      "so every output column is IDENTICAL") {
+    requireCorpus()
+    val b = SparkEntry.queries("q_conformal")(spark, base).head()
+    val big = SparkEntry.queries("q_conformal")(spark, sfx1).head()
+    Seq("n_cal", "k", "qhat_micro", "n_covered", "coverage_micro")
+      .foreach { c =>
+        assert(big.getAs[Long](c) == b.getAs[Long](c),
+          s"$c moved at the decade — replica docs leaked into the " +
+            "calibration set")
+      }
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
