@@ -191,6 +191,43 @@ object PipelineQueries {
   private val graphCache = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Engine-neutral unrolled inverse Poisson(1) CDF as SQL text over a
+    * column `u` — the bootstrap weight draw. The cutoffs are EXACT
+    * decimal literals (Double.toString shortest round-trip), not
+    * `exp(-1.0)·Σ1/j!` expressions: decimal→double literal parsing is
+    * correctly rounded and therefore identical on every engine,
+    * whereas Java's Math.exp and libm's exp may disagree by 1 ulp —
+    * at 5·10⁷ draws (the ×100 decade) a uniform landed inside that
+    * 1-ulp window and flipped one weight (observed live). The literal
+    * IS the spec; both the Spark expr and the DuckDB oracle embed
+    * this same string.
+    */
+  private[graft] lazy val poissonCuts: Seq[Double] = {
+    val fact = Array(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L, 40320L)
+    var s0 = 0.0
+    (0 to 8).map { k => s0 += 1.0 / fact(k); math.exp(-1.0) * s0 }
+  }
+  private[graft] def poissonCaseOn(u: String): String =
+    "CASE " + poissonCuts.zipWithIndex.map { case (c, k) =>
+      s"WHEN ($u) < ${java.lang.Double.toString(c)} THEN $k "
+    }.mkString + "ELSE 9 END"
+  private[graft] lazy val poissonCase: String = poissonCaseOn("u")
+
+  /** The SQL/HOF formulation of the bootstrap weight vector — the
+    * portable reference semantics [[graft.functions.BootstrapWeightsExpr]]
+    * is law-pinned against (and the shape the DuckDB oracle runs).
+    */
+  private[graft] lazy val bootstrapWeightsHof: Column = expr(
+    s"""transform(flatten(transform(
+       |    transform(sequence(0, 24), blk -> md5(concat(
+       |      cast(doc_id as string), '|', cast(blk as string)))),
+       |    h -> transform(
+       |      transform(sequence(0, 3), j ->
+       |        cast(conv(substring(h, 1 + 8 * j, 8), 16, 10)
+       |          as bigint) / 4294967296.0),
+       |      u -> ${poissonCaseOn("u")}))),
+       |  w -> cast(w as bigint))""".stripMargin)
+
   /** Adjacent-word co-occurrence pairs (a, b), both orders filtered to
     * a != b — the shared edge extraction for the graph-analytics
     * family. Only this step touches the corpus; everything downstream
@@ -1610,6 +1647,75 @@ object PipelineQueries {
     // classifier's inference pass (training is out of scope; the weights
     // stand in for a trained model). Pure scan+project, no shuffle; the
     // features are pre-rounded so both engines score identical inputs.
+    // Poisson-bootstrap confidence interval for the mean document
+    // length — THE distributed resampling pattern: a classical
+    // bootstrap resamples n rows WITH replacement per replicate
+    // (impossible to coordinate across executors); the Poisson
+    // approximation gives every row an independent Poisson(1) weight
+    // per replicate, which is embarrassingly parallel and what
+    // production systems actually run. Determinism discipline:
+    // "random" is the row's own md5((doc_id, replicate-block)) split
+    // into four 32-bit dyadic uniforms (exact in double) pushed
+    // through the unrolled inverse Poisson CDF — the threshold
+    // literals are the IDENTICAL text on both engines, so every draw
+    // bit-for-bit and every retry/engine reproduces the same CI. Per
+    // replicate the weighted sums are exact longs; the 100 replicate
+    // means collect (bounded by construction) and the percentile
+    // endpoints read driver-side.
+    "q_bootstrap_ci" -> ((s, d) => {
+      // the whole replicate fan-out stays INSIDE the row: 25 md5s per
+      // document (4 draws per 32-hex digest), the 100-weight array
+      // built by codegen'd HOFs, and the cross-row fold done by the
+      // native element-wise VecSumLong aggregate — a 100-long row per
+      // partition reaches the exchange, there is NO 100× row explode
+      // (measured: explode forms 0.88–1.3 s at sf0.1; this 0.35 s)
+      // weights via the native byte-level kernel (law-pinned ≡ the
+      // HOF form bootstrapWeightsHof, which the oracle mirrors): the
+      // interpreted HOF chain cost ~0.5 s of per-draw substring+conv
+      // at sf0.1; the kernel reads digest bytes directly
+      val row = documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("x"),
+          graft.functions.BootstrapWeightsExpr.bootstrapWeights(
+            col("doc_id"), 25, poissonCuts).as("w"))
+        .select(col("x"), col("w"),
+          expr("transform(w, v -> v * x)").as("wx"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          graft.functions.VecSumLongExpr.vecSumLong(col("w")).as("sw"),
+          graft.functions.VecSumLongExpr.vecSumLong(col("wx"))
+            .as("swx"))
+        .head() // bounded: one row of two 100-long arrays
+      val n = row.getLong(0); val sx = row.getLong(1)
+      val sw = row.getSeq[Long](2); val swx = row.getSeq[Long](3)
+      val means = sw.indices.map(i => swx(i) * 1000000L / sw(i)).sorted
+      s.createDataFrame(Seq((n, sx * 1000000L / n,
+          means(4), means(95), means.length.toLong)))
+        .toDF("n_docs", "mean_micro", "ci_lo_micro", "ci_hi_micro",
+          "n_replicates")
+    }),
+
+    // Differentially-private per-source counts (Laplace mechanism,
+    // ε = 1) with the same determinism discipline: the noise draw is
+    // the source's own md5 uniform through the inverse Laplace CDF
+    // (−sign(u−½)·ln(1−2|u−½|)), micro-integerized — every engine and
+    // retry releases the SAME noised counts, which is how a DP
+    // release pipeline is made testable. All on the bounded
+    // per-source rollup; the true count never leaves micro scale.
+    "q_dp_counts" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          (expr("""cast(conv(substring(md5(source), 1, 12), 16, 10)
+            as bigint)""").cast("double") /
+            lit(281474976710656.0)).as("u"))
+        .select(col("source"), col("n_docs"),
+          floor(expr("""CASE WHEN u < 0.5
+              THEN ln(1.0 - 2.0 * (0.5 - u))
+              ELSE -ln(1.0 - 2.0 * (u - 0.5)) END""")
+            * lit(1e6) + lit(0.5)).cast("long").as("lap_micro"))
+        .select(col("source"), col("n_docs"), col("lap_micro"),
+          (col("n_docs") * lit(1000000L) + col("lap_micro"))
+            .as("noisy_micro"))),
+
     // Split-conformal prediction threshold — the distribution-free
     // calibration step a filtering pipeline runs before trusting a
     // score cutoff: over the calibration set (Gopher-kept documents),
@@ -6483,6 +6589,54 @@ object PipelineQueries {
 
     // fixed-weight logistic quality scorer over the q_text_stats
     // features (pre-rounded, so both engines score identical inputs)
+    // Poisson bootstrap: identical 48-bit dyadic uniforms, the SAME
+    // inverse-CDF string (exact decimal-literal cutoffs — see
+    // poissonCase), exact long weighted sums, order statistics over
+    // the 100-row replicate table
+    "q_bootstrap_ci" -> {
+      val caseW = poissonCase
+      s"""WITH base AS (SELECT doc_id,
+         |    cast(len(string_split(text, ' ')) AS bigint) AS x
+         |  FROM documents),
+         |e AS (SELECT doc_id, x, unnest(generate_series(0, 99)) AS rep
+         |  FROM base),
+         |u AS (SELECT rep, x,
+         |    cast(('0x' || substr(md5(doc_id || '|' || (rep // 4)),
+         |      1 + 8 * (rep % 4), 8)) AS bigint) / 4294967296.0 AS u
+         |  FROM e),
+         |w AS (SELECT rep, x, $caseW AS w FROM u),
+         |m AS (SELECT rep, cast(sum(w) AS bigint) AS sw,
+         |    cast(sum(w * x) AS bigint) AS swx FROM w GROUP BY 1),
+         |mm AS (SELECT cast(swx * 1000000 // sw AS bigint) AS m,
+         |    row_number() OVER (ORDER BY swx * 1000000 // sw) AS rn
+         |  FROM m),
+         |f AS (SELECT cast(count(*) AS bigint) AS n,
+         |    cast(sum(x) AS bigint) AS sx FROM base)
+         |SELECT n AS n_docs,
+         |  cast(sx * 1000000 // n AS bigint) AS mean_micro,
+         |  (SELECT m FROM mm WHERE rn = 5) AS ci_lo_micro,
+         |  (SELECT m FROM mm WHERE rn = 96) AS ci_hi_micro,
+         |  cast(100 AS bigint) AS n_replicates
+         |FROM f""".stripMargin
+    },
+
+    // DP Laplace counts: identical md5 uniform, identical inverse-CDF
+    // text, micro-integerized noise
+    "q_dp_counts" ->
+      """WITH a AS (SELECT source, cast(count(*) AS bigint) AS n_docs,
+        |    cast(('0x' || substr(md5(source), 1, 12)) AS bigint)
+        |      / 281474976710656.0 AS u
+        |  FROM documents GROUP BY 1),
+        |l AS (SELECT source, n_docs,
+        |    cast(floor((CASE WHEN u < 0.5
+        |        THEN ln(1.0 - 2.0 * (0.5 - u))
+        |        ELSE -ln(1.0 - 2.0 * (u - 0.5)) END)
+        |      * 1000000.0 + 0.5) AS bigint) AS lap_micro
+        |  FROM a)
+        |SELECT source, n_docs, lap_micro,
+        |  cast(n_docs * 1000000 + lap_micro AS bigint) AS noisy_micro
+        |FROM l""".stripMargin,
+
     // conformal: the same scoring/gate CTE as q_auc, rank-k order
     // statistic via a full-sort row_number (the oracle may sort; the
     // engine refines buckets), same ceil((n+1)·0.9) and floor-div

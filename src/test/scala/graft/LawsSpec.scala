@@ -120,6 +120,38 @@ class LawsSpec extends SparkSpec {
     assert(bad == 0, "cms under-estimated some token")
   }
 
+  test("laws: native bootstrap_weights == the SQL/HOF md5-split form " +
+      "bit-for-bit; vec_sum_long == explode+groupBy sums") {
+    val ids = ((1 to 200).map(_ => math.abs(rnd.nextLong() % 1000000L))
+      ++ Seq(0L, 1L, 999999999999L)).distinct
+    val df = ids.toDF("doc_id")
+    val native = df.select(col("doc_id"),
+      graft.functions.BootstrapWeightsExpr.bootstrapWeights(
+        col("doc_id"), 25, graft.queries.PipelineQueries.poissonCuts)
+        .as("w"))
+    val hof = df.select(col("doc_id"),
+      graft.queries.PipelineQueries.bootstrapWeightsHof.as("w"))
+    val n = native.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val h = hof.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n.keySet == h.keySet)
+    n.foreach { case (id, w) =>
+      assert(w.length == 100)
+      assert(w == h(id), s"doc $id: native draws diverge from HOF")
+    }
+    // vec_sum_long vs the explode reference on the same arrays
+    val gotSums = native.agg(graft.functions.VecSumLongExpr
+      .vecSumLong(col("w"))).head().getSeq[Long](0)
+    val refSums = native.select(posexplode(col("w")))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotSums.length == 100)
+    gotSums.zipWithIndex.foreach { case (s0, i) =>
+      assert(s0 == refSums(i), s"replicate $i sum diverged")
+    }
+  }
+
   test("laws: hash_sample == bottom-k-by-(h,v) reference under any " +
       "partitioning") {
     val k = 16

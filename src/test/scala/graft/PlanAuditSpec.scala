@@ -1050,6 +1050,22 @@ class PlanAuditSpec extends SparkSpec {
       s"model sweep leaked back into the result plan:\n$p")
   }
 
+  test("q_bootstrap_ci: percentile endpoints read the bounded 100-row " +
+      "replicate collect — result is a local relation") {
+    val p = plan("q_bootstrap_ci")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange") && !p.contains("parquet"),
+      s"replicate work leaked back into the result plan:\n$p")
+  }
+
+  test("q_dp_counts: one source rollup, noise per-row on the bounded " +
+      "aggregate — no join, one exchange") {
+    val p = plan("q_dp_counts")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the source-census exchange:\n$p")
+  }
+
   test("q_conformal: the rank-k search runs on bounded bucket " +
       "collects off the cached memo — result is a local relation, " +
       "no sort, no single-partition window anywhere") {

@@ -1310,6 +1310,71 @@ class QueryInvariantsSpec extends SparkSpec {
       s"conformal guarantee violated: ${got.getAs[Long]("coverage_micro")}")
   }
 
+  test("q_bootstrap_ci ≡ brute-force Poisson draws; endpoints are " +
+      "exact order statistics and the interval is ordered") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1).split(" ", -1).length.toLong))
+    val cuts = {
+      val fact = Array(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L, 40320L)
+      var s0 = 0.0
+      (0 to 8).map { k => s0 += 1.0 / fact(k); math.exp(-1.0) * s0 }
+    }
+    def weight(id: Long, rep: Int): Long = {
+      // 4 draws per md5: 8 hex chars each, block-keyed on rep/4
+      val hex = md5hex(s"$id|${rep / 4}")
+        .substring(8 * (rep % 4), 8 * (rep % 4) + 8)
+      val u = java.lang.Long.parseLong(hex, 16) / 4294967296.0
+      cuts.indexWhere(u < _) match {
+        case -1 => 9L; case k => k.toLong
+      }
+    }
+    val means = (0 until 100).map { rep =>
+      var sw = 0L; var swx = 0L
+      docs.foreach { case (id, x) =>
+        val w = weight(id, rep); sw += w; swx += w * x }
+      swx * 1000000L / sw
+    }.sorted
+    val got = rows("q_bootstrap_ci").head
+    assert(got.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(got.getAs[Long]("mean_micro") ==
+      docs.map(_._2).sum * 1000000L / docs.length)
+    assert(got.getAs[Long]("ci_lo_micro") == means(4),
+      s"lo: ${got.getAs[Long]("ci_lo_micro")} vs ${means(4)}")
+    assert(got.getAs[Long]("ci_hi_micro") == means(95))
+    assert(got.getAs[Long]("ci_lo_micro") <=
+      got.getAs[Long]("ci_hi_micro"))
+    assert(got.getAs[Long]("n_replicates") == 100L)
+  }
+
+  test("q_dp_counts ≡ brute-force seeded Laplace; census conserves, " +
+      "noise bounded by the 48-bit uniform's tails") {
+    import org.apache.spark.sql.functions.col
+    val trueCounts = graft.util.Tables.documents(spark, d)
+      .select(col("source")).collect().map(_.getString(0))
+      .groupBy(identity).map { case (s0, xs) => s0 -> xs.length.toLong }
+    val got = rows("q_dp_counts")
+    assert(got.size == trueCounts.size)
+    assert(got.map(_.getAs[Long]("n_docs")).sum ==
+      trueCounts.values.sum)
+    got.foreach { x =>
+      val src = x.getAs[String]("source")
+      val u = java.lang.Long.parseLong(
+        md5hex(src).take(12), 16) / 281474976710656.0
+      val lap = if (u < 0.5) math.log(1.0 - 2.0 * (0.5 - u))
+        else -math.log(1.0 - 2.0 * (u - 0.5))
+      val lapM = math.floor(lap * 1e6 + 0.5).toLong
+      assert(x.getAs[Long]("n_docs") == trueCounts(src))
+      assert(x.getAs[Long]("lap_micro") == lapM,
+        s"$src: ${x.getAs[Long]("lap_micro")} vs $lapM")
+      assert(x.getAs[Long]("noisy_micro") ==
+        trueCounts(src) * 1000000L + lapM)
+      assert(math.abs(lapM) < 35000000L,
+        "Laplace draw outside the 48-bit uniform's possible range")
+    }
+  }
+
   test("q_shard_assign ≡ brute-force rendezvous argmax; minimal " +
       "movement holds exactly (every mover lands on the new shard)") {
     import org.apache.spark.sql.functions.col

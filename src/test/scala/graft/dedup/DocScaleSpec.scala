@@ -723,6 +723,44 @@ class DocScaleSpec extends SparkSpec {
       }
   }
 
+  test("dp counts at the decade: census scales exactly xN while the " +
+      "per-source Laplace draw is IDENTICAL (noise seeds on the " +
+      "source, not the rows)") {
+    val n = requireCorpus()
+    val b = SparkEntry.queries("q_dp_counts")(spark, base).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val big = SparkEntry.queries("q_dp_counts")(spark, sfx1).collect()
+    assert(big.length == b.size)
+    big.foreach { x =>
+      val e = b(x.getAs[String]("source"))
+      assert(x.getAs[Long]("n_docs") == n * e.getAs[Long]("n_docs"))
+      assert(x.getAs[Long]("lap_micro") == e.getAs[Long]("lap_micro"),
+        "noise draw moved at the decade — seeding leaked row state")
+      assert(x.getAs[Long]("noisy_micro") ==
+        n * e.getAs[Long]("n_docs") * 1000000L +
+          e.getAs[Long]("lap_micro"))
+    }
+  }
+
+  test("bootstrap at the decade: the full-sample mean is IDENTICAL " +
+      "(lengths replicate xN) and the interval tightens with n") {
+    requireCorpus()
+    val b = SparkEntry.queries("q_bootstrap_ci")(spark, base).head()
+    val big = SparkEntry.queries("q_bootstrap_ci")(spark, sfx1).head()
+    assert(big.getAs[Long]("mean_micro") == b.getAs[Long]("mean_micro"))
+    val wBase = b.getAs[Long]("ci_hi_micro") - b.getAs[Long]("ci_lo_micro")
+    val wBig = big.getAs[Long]("ci_hi_micro") -
+      big.getAs[Long]("ci_lo_micro")
+    assert(wBig >= 0 && wBase >= 0)
+    // ~1/sqrt(10) tightening; allow generous slack for 100 replicates
+    assert(wBig < wBase,
+      s"CI did not tighten at the decade: $wBig vs $wBase")
+    assert(big.getAs[Long]("ci_lo_micro") <=
+      big.getAs[Long]("mean_micro") &&
+      big.getAs[Long]("mean_micro") <= big.getAs[Long]("ci_hi_micro"),
+      "decade CI excludes the sample mean")
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
