@@ -38,10 +38,16 @@ object ClusterProbe {
                          // MapData results cross the shuffle + the
                          // kernels' reference objects ship to executors
     "q_jaro_link",       // JaroWinklerExpr codegen + grid-blocked join
-    "q_pca_project")     // CovSumMicroExpr (r10): d² exact-long
+    "q_pca_project",     // CovSumMicroExpr (r10): d² exact-long
                          // covariance partials serialized and merged
                          // across the real process boundary, then the
                          // driver-side power iteration off the merge
+    "q_bootstrap_ci")    // BootstrapWeightsExpr reference objects in
+                         // remote codegen + VecSumLongExpr buffers
+                         // (r10 s5): the 100-long partial arrays
+                         // serialize and merge across executor JVMs;
+                         // any buffer-serializer defect flips a CI
+                         // endpoint
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
