@@ -213,6 +213,23 @@ object PipelineQueries {
     }.mkString + "ELSE 9 END"
   private[graft] lazy val poissonCase: String = poissonCaseOn("u")
 
+  /** RBO@10 (p = 0.9) per-doc weight table W(m) = (1−p)·Σ_{d=m..10}
+    * p^{d−1}/d in integer micro, rendered as a CASE over the given
+    * max-rank expression — the same literal string feeds the Spark
+    * expr and the DuckDB oracle, so there is no transcendental or
+    * power function on either engine's hot path.
+    */
+  private[graft] lazy val rboWeightsMicro: IndexedSeq[Long] = {
+    val p = 0.9
+    (1 to 10).map { m =>
+      val w = (m to 10).map(dd => math.pow(p, dd - 1) / dd).sum * (1 - p)
+      math.floor(w * 1e6 + 0.5).toLong
+    }
+  }
+  private[graft] def rboWeightCaseOn(m: String): String =
+    "CASE " + rboWeightsMicro.zipWithIndex.map { case (w, i) =>
+      s"WHEN ($m) = ${i + 1} THEN ${w} " }.mkString + "ELSE 0 END"
+
   /** The SQL/HOF formulation of the bootstrap weight vector — the
     * portable reference semantics [[graft.functions.BootstrapWeightsExpr]]
     * is law-pinned against (and the shape the DuckDB oracle runs).
@@ -3573,6 +3590,76 @@ object PipelineQueries {
             col("n_pairs").cast("double"), 6).as("tau"))
     }),
 
+    // Rank-biased overlap (RBO@10, p = 0.9) between the BM25 and
+    // raw-tf orderings of each term's candidate set — the modern
+    // top-weighted IR agreement metric beside q_kendall_tau's pair
+    // counting. The prefix-intersection sum telescopes into a PER-DOC
+    // weight lookup: doc with ranks (ra, rb) joins every prefix depth
+    // d ≥ max(ra, rb), so RBO = Σ_docs W(max(ra, rb)) with
+    // W(m) = (1−p)·Σ_{d=m..10} p^{d−1}/d — TEN integer-micro literals
+    // shared with the oracle (the exp-literal lesson: constants on
+    // the wire, not transcendentals). No pair join exists; the rank
+    // windows partition by term over the bounded TopKPerKey landing.
+    "q_rbo_overlap" -> ((s, d) => {
+      import graft.plans.TopKPerKey
+      import org.apache.spark.sql.expressions.Window
+      val base = bm25Base(s, d)
+      val st = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot"))
+      val tf = base.select(col("doc_id"), col("dl"),
+        explode(filter(transform(array(Bm25Terms.map(lit): _*),
+          t => struct(t.as("t"),
+            size(filter(col("hits"), h => h === t)).cast("long")
+              .as("tf"))),
+          e => e.getField("tf") > 0)).as("e"))
+        .select(col("doc_id"), col("dl"),
+          col("e.t").as("t"), col("e.tf").as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "t").crossJoin(broadcast(st))
+        .select(col("t"), col("doc_id"), col("tf"), bm25TermMicro.as("sm"))
+      val top = TopKPerKey(scored, Seq("t"),
+        Seq(("sm", true), ("doc_id", false)), 10)
+      val wa = Window.partitionBy(col("t"))
+        .orderBy(col("sm").desc, col("doc_id"))
+      val wb = Window.partitionBy(col("t"))
+        .orderBy(col("tf").desc, col("doc_id"))
+      val wCase = rboWeightCaseOn("greatest(ra, rb)")
+      top.withColumn("ra", row_number().over(wa).cast("long"))
+        .withColumn("rb", row_number().over(wb).cast("long"))
+        .select(col("t"), expr(wCase).as("wm"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_cand"), sum(col("wm")).as("rbo_micro"))
+        .select(col("t").as("term"), col("n_cand"), col("rbo_micro"))
+    }),
+
+    // Hill tail-index estimator over the trigram frequency
+    // distribution — "how heavy is the n-gram tail" (the
+    // order-statistic companion to q_zipf_slope's OLS exponent and
+    // q_good_turing's low-count table): α̂ = k / Σ_{i≤k} ln(c_(i) /
+    // c_(k+1)) on the k = 50 largest counts. Only count VALUES enter,
+    // so the count-descending TakeOrdered(51) is hash-stable under
+    // gram ties; per-rank surprisals integerize to micro-nats before
+    // the exact sum (the q_ngram_lm recipe) and α̂ is an integral
+    // division. One corpus gram pass (the fnv64 count-map kernel),
+    // one bounded top-k, driver arithmetic on 51 longs.
+    "q_hill_tail" -> ((s, d) => {
+      val top = parallelize(documents(s, d))
+        .select(explode(graft.functions.GramExprs
+          .gramCounts(col("text"), 3)).as(Seq("g", "cnt")))
+        .groupBy(col("g")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc).limit(51)
+        .select(col("c")).collect().map(_.getLong(0)) // bounded: 51
+      val k = 50L
+      val ck1 = top.last
+      val sumLn = top.take(50).map { ci =>
+        math.floor(math.log(ci.toDouble / ck1.toDouble) * 1e6 + 0.5)
+          .toLong
+      }.sum
+      val alpha = if (sumLn == 0L) 0L else k * 1000000000000L / sumLn
+      s.createDataFrame(Seq((k, ck1, sumLn, alpha)))
+        .toDF("k", "c_k1", "sum_ln_micro", "alpha_micro")
+    }),
+
     // C4-style span-level dedup report: 8-word spans (distinct within a
     // doc), a span is "duplicated" when ≥2 docs contain it; per doc the
     // span count, duplicated-span count, and ratio. The raw span text is
@@ -6408,6 +6495,73 @@ object PipelineQueries {
          |FROM top a JOIN top b ON a.t = b.t AND a.doc_id < b.doc_id
          |GROUP BY 1""".stripMargin
     },
+
+    // RBO: the same candidate CTEs as q_kendall_tau, both rank
+    // windows, the shared micro weight-table CASE on greatest(ra, rb)
+    "q_rbo_overlap" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val score =
+        """cast(floor(
+          |      ln((cast(n_docs - df AS double) + 0.5)
+          |        / (cast(df AS double) + 0.5) + 1.0)
+          |      * (cast(tf AS double) * 2.2)
+          |      / (cast(tf AS double) + 1.2 * (0.25
+          |          + 0.75 * cast(dl AS double)
+          |            / (cast(tot AS double) / n_docs)))
+          |      * 1000000.0 + 0.5) AS bigint)""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |            FROM documents),
+         |dl AS (SELECT doc_id, cast(len(tk) AS bigint) AS dl FROM tk),
+         |st AS (SELECT cast(count(*) AS bigint) AS n_docs,
+         |         cast(sum(dl) AS bigint) AS tot FROM dl),
+         |tf AS (SELECT doc_id, t, cast(count(*) AS bigint) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+         |       WHERE t IN ($terms) GROUP BY 1, 2),
+         |df AS (SELECT t, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t, tf.doc_id, tf, $score AS sm
+         |       FROM tf JOIN dl USING (doc_id) JOIN df USING (t)
+         |       CROSS JOIN st),
+         |top AS (SELECT t, doc_id, tf, sm FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY t ORDER BY sm DESC, doc_id) AS rk FROM sc)
+         |  WHERE rk <= 10),
+         |r AS (SELECT t,
+         |    row_number() OVER (PARTITION BY t
+         |      ORDER BY sm DESC, doc_id) AS ra,
+         |    row_number() OVER (PARTITION BY t
+         |      ORDER BY tf DESC, doc_id) AS rb
+         |  FROM top)
+         |SELECT t AS term, cast(count(*) AS bigint) AS n_cand,
+         |  cast(sum(${rboWeightCaseOn("greatest(ra, rb)")}) AS bigint)
+         |    AS rbo_micro
+         |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // Hill: the same trigram counts, count-descending top-51 (only
+    // VALUES survive, so gram ties cannot flip the hash), micro-nat
+    // per-rank surprisals, integral division
+    "q_hill_tail" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk
+        |      FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |wc AS (SELECT w, cast(count(*) AS bigint) AS c
+        |      FROM (SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS w
+        |            FROM (SELECT tk,
+        |                  unnest(generate_series(1, len(tk) - 2)) AS i
+        |                  FROM t)) GROUP BY 1),
+        |top AS (SELECT c FROM wc ORDER BY c DESC LIMIT 51),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS rn
+        |      FROM top),
+        |k1 AS (SELECT cast(c AS bigint) AS ck1 FROM r WHERE rn = 51),
+        |s AS (SELECT cast(sum(cast(floor(
+        |        ln(cast(c AS double) / cast(ck1 AS double))
+        |        * 1000000.0 + 0.5) AS bigint)) AS bigint) AS sum_ln
+        |      FROM r, k1 WHERE rn <= 50)
+        |SELECT cast(50 AS bigint) AS k, ck1 AS c_k1,
+        |  sum_ln AS sum_ln_micro,
+        |  cast(CASE WHEN sum_ln = 0 THEN 0
+        |    ELSE 50 * 1000000000000 // sum_ln END AS bigint)
+        |    AS alpha_micro
+        |FROM k1 CROSS JOIN s""".stripMargin,
 
     // multi-probe SRP-LSH ANN: probe buckets re-derived in SQL (see
     // annProbeCtes), exact-cosine re-rank on the probed subset; ordered

@@ -1050,6 +1050,32 @@ class PlanAuditSpec extends SparkSpec {
       s"model sweep leaked back into the result plan:\n$p")
   }
 
+  test("q_rbo_overlap: rank windows partition by term over the " +
+      "TopKPerKey landing — no pair self-join, no single-partition " +
+      "window, no cartesian") {
+    val p = plan("q_rbo_overlap")
+    assert(p.contains("TopKPerKey"), s"candidate prune missing:\n$p")
+    assert(p.contains("windowspecdefinition(t#"),
+      s"rank windows lost their term partitioning:\n$p")
+    // every window is term-partitioned (the only SinglePartition
+    // exchange is the bm25 family's 1-row corpus-stats scalar)
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe") &&
+      "windowspecdefinition\\(".r.findAllIn(p)
+        .size == "windowspecdefinition\\(t#".r.findAllIn(p).size,
+      s"an unpartitioned window appeared:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the telescoped weight sum replaced kendall's pair self-join:
+    // no join above the TopKPerKey landing (broadcasts below feed it)
+    assert(!p.contains("SortMergeJoin"), s"pair join reappeared:\n$p")
+  }
+
+  test("q_hill_tail: count-descending TakeOrdered over the digest-gram " +
+      "rollup; result is a local relation") {
+    val p = plan("q_hill_tail")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("parquet"), p)
+  }
+
   test("q_bootstrap_ci: percentile endpoints read the bounded 100-row " +
       "replicate collect — result is a local relation") {
     val p = plan("q_bootstrap_ci")

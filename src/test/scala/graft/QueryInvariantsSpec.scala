@@ -1375,6 +1375,71 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_rbo_overlap ≡ brute-force BM25/tf rankings + telescoped " +
+      "weight sum; bounded by the full-agreement RBO") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1).split(" ", -1)))
+    val n = docs.length.toLong
+    val tot = docs.map(_._2.length.toLong).sum
+    val weights = graft.queries.PipelineQueries.rboWeightsMicro
+    val fullAgreement = weights.sum
+    val got = rows("q_rbo_overlap")
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val term = row.getAs[String]("term")
+      val cand = docs.map { case (id, tk) =>
+        (id, tk.length.toLong, tk.count(_ == term).toLong)
+      }.filter(_._3 > 0)
+      val df = cand.length.toLong
+      def sm(tf: Long, dl: Long): Long = math.floor(
+        math.log(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+          * (tf.toDouble * 2.2)
+          / (tf.toDouble + 1.2 * (0.25
+            + 0.75 * dl.toDouble / (tot.toDouble / n)))
+          * 1e6 + 0.5).toLong
+      val top = cand.map { case (id, dl, tf) => (id, tf, sm(tf, dl)) }
+        .sortBy(x => (-x._3, x._1)).take(10)
+      val ra = top.map(_._1)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      val rb = top.sortBy(x => (-x._2, x._1)).map(_._1)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      val exp = top.map(_._1)
+        .map(id => weights((math.max(ra(id), rb(id)) - 1).toInt)).sum
+      assert(row.getAs[Long]("n_cand") == top.length.toLong)
+      assert(row.getAs[Long]("rbo_micro") == exp,
+        s"$term: ${row.getAs[Long]("rbo_micro")} vs $exp")
+      assert(row.getAs[Long]("rbo_micro") <= fullAgreement &&
+        row.getAs[Long]("rbo_micro") >= 0L)
+    }
+  }
+
+  test("q_hill_tail ≡ brute-force top-51 trigram order statistics; " +
+      "alpha non-negative") {
+    import org.apache.spark.sql.functions.col
+    val counts = graft.util.Tables.documents(spark, d)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap { t =>
+        val tk = t.split(" ", -1)
+        if (tk.length < 3) Seq.empty
+        else tk.sliding(3).map(_.mkString(" ")).toSeq
+      }
+      .groupBy(identity).map { case (_, xs) => xs.length.toLong }
+      .toSeq.sorted.reverse.take(51)
+    val ck1 = counts.last
+    val sumLn = counts.take(50).map { ci =>
+      math.floor(math.log(ci.toDouble / ck1.toDouble) * 1e6 + 0.5)
+        .toLong }.sum
+    val alpha = if (sumLn == 0L) 0L else 50L * 1000000000000L / sumLn
+    val got = rows("q_hill_tail").head
+    assert(got.getAs[Long]("k") == 50L)
+    assert(got.getAs[Long]("c_k1") == ck1)
+    assert(got.getAs[Long]("sum_ln_micro") == sumLn)
+    assert(got.getAs[Long]("alpha_micro") == alpha)
+    assert(got.getAs[Long]("alpha_micro") >= 0L)
+  }
+
   test("q_shard_assign ≡ brute-force rendezvous argmax; minimal " +
       "movement holds exactly (every mover lands on the new shard)") {
     import org.apache.spark.sql.functions.col

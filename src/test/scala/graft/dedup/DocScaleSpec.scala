@@ -761,6 +761,52 @@ class DocScaleSpec extends SparkSpec {
       "decade CI excludes the sample mean")
   }
 
+  test("rbo at the decade: the entire output is IDENTICAL (prefixed " +
+      "replica tokens never contain the query terms, per-term idf is " +
+      "a positive common factor so both rankings are preserved)") {
+    requireCorpus()
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[String]("term")
+    val b = SparkEntry.queries("q_rbo_overlap")(spark, base)
+      .collect().map(r => key(r) -> r).toMap
+    val big = SparkEntry.queries("q_rbo_overlap")(spark, sfx1).collect()
+    assert(big.length == b.size, "term frame changed at the decade")
+    big.foreach { r =>
+      val e = b(key(r))
+      assert(r.getAs[Long]("n_cand") == e.getAs[Long]("n_cand"))
+      assert(r.getAs[Long]("rbo_micro") == e.getAs[Long]("rbo_micro"),
+        s"${key(r)}: RBO moved at the decade — replica docs leaked " +
+          "into the candidate set or a ranking flipped")
+    }
+  }
+
+  test("hill tail at the decade ≡ prediction from the base top-51 " +
+      "expanded xN (each base gram's count repeats in every replica)") {
+    val n = requireCorpus()
+    val baseTop = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap { t =>
+        val tk = t.split(" ", -1)
+        if (tk.length < 3) Seq.empty
+        else tk.sliding(3).map(_.mkString(" ")).toSeq
+      }
+      .groupBy(identity).map { case (_, xs) => xs.length.toLong }
+      .toSeq.sorted.reverse.take(51)
+    // decade multiset = every base count with multiplicity xN
+    val expTop = baseTop.flatMap(c => Seq.fill(n.toInt)(c))
+      .sorted.reverse.take(51)
+    val ck1 = expTop.last
+    val sumLn = expTop.take(50).map { ci =>
+      math.floor(math.log(ci.toDouble / ck1.toDouble) * 1e6 + 0.5)
+        .toLong }.sum
+    val alpha = if (sumLn == 0L) 0L else 50L * 1000000000000L / sumLn
+    val got = SparkEntry.queries("q_hill_tail")(spark, sfx1).head()
+    assert(got.getAs[Long]("c_k1") == ck1,
+      "decade order statistics diverge from the xN expansion — " +
+        "replica grams collided")
+    assert(got.getAs[Long]("sum_ln_micro") == sumLn)
+    assert(got.getAs[Long]("alpha_micro") == alpha)
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
