@@ -1664,6 +1664,69 @@ object PipelineQueries {
     // classifier's inference pass (training is out of scope; the weights
     // stand in for a trained model). Pure scan+project, no shuffle; the
     // features are pre-rounded so both engines score identical inputs.
+    // Matthews correlation coefficient at the 0.5 threshold — the
+    // single-number classifier summary that closes the eval battery
+    // (AUC ranks, PR sweeps, ECE calibrates, Brier decomposes, kappa
+    // agrees; MCC is the balanced ±1 correlation the others don't
+    // give). One pass over the cached scoredLabeledDocs memo folds
+    // the exact 2×2; MCC computes in doubles FROM exact longs with
+    // the oracle-identical tree (each factor cast before multiplying
+    // — the long product would overflow), zero-denominator → 0.
+    "q_mcc" -> ((s, d) => {
+      val pred = col("qm") >= 500000L
+      scoredLabeledDocs(s, d)
+        .agg(sum(when(pred && col("pos") === 1L, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(pred && col("pos") === 0L, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!pred && col("pos") === 1L, 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(!pred && col("pos") === 0L, 1L).otherwise(0L))
+            .as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("(tp + tn) * 1000000L div (tp + fp + fn + tn)")
+            .as("acc_micro"),
+          expr("""CASE WHEN (cast(tp + fp as double)
+                * cast(tp + fn as double) * cast(tn + fp as double)
+                * cast(tn + fn as double)) <= 0.0 THEN 0L
+              ELSE cast(floor((cast(tp as double) * cast(tn as double)
+                  - cast(fp as double) * cast(fn as double))
+                / sqrt(cast(tp + fp as double) * cast(tp + fn as double)
+                  * cast(tn + fp as double) * cast(tn + fn as double))
+                * 1000000.0 + 0.5) as long) END""").as("mcc_micro"))
+    }),
+
+    // Dunning log-likelihood-ratio (G²) collocations — the
+    // significance-weighted companion to q_pmi_bigrams (PMI over-
+    // rewards rare pairs; G² scales with evidence mass, which is why
+    // collocation pipelines rank by it). Everything reads the
+    // memoized bigram transition table: marginals are table-internal
+    // rollups, the 2×2 cell terms obs·ln(obs/exp) integerize to
+    // micro-nats per cell BEFORE the ×2 sum (the q_ngram_lm recipe;
+    // empty cells contribute exactly 0), top-20 via TakeOrdered.
+    "q_llr_colloc" -> ((s, d) => {
+      val cnt = bigramCounts(s, d)
+      val c1 = cnt.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+      val c2 = cnt.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+      val tot = cnt.agg(sum(col("cab")).as("n"))
+      def cell(obs: String, row: String, colm: String): String =
+        s"""CASE WHEN ($obs) > 0 THEN ($obs) * cast(floor(
+           |  ln(cast($obs as double) * cast(n as double)
+           |    / (cast($row as double) * cast($colm as double)))
+           |  * 1000000.0 + 0.5) as long) ELSE 0L END""".stripMargin
+      cnt.join(c1, "a").join(c2, "b").crossJoin(tot)
+        .select(col("a"), col("b"), col("cab"),
+          col("ca"), col("cb"), col("n"),
+          expr(s"2 * (${cell("cab", "ca", "cb")} + ${cell(
+              "ca - cab", "ca", "n - cb")} + ${cell(
+              "cb - cab", "n - ca", "cb")} + ${cell(
+              "n - ca - cb + cab", "n - ca", "n - cb")})")
+            .as("g2_micro"))
+        .orderBy(col("g2_micro").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), col("cab"), col("g2_micro"))
+    }),
+
     // Poisson-bootstrap confidence interval for the mean document
     // length — THE distributed resampling pattern: a classical
     // bootstrap resamples n rows WITH replacement per replicate
@@ -6743,6 +6806,85 @@ object PipelineQueries {
 
     // fixed-weight logistic quality scorer over the q_text_stats
     // features (pre-rounded, so both engines score identical inputs)
+    // MCC: the same scoring/gate CTE as q_auc, exact 2×2, identical
+    // cast-before-multiply double tree
+    "q_mcc" -> {
+      val nTok = "len(string_split(text,' '))"
+      val stop = "len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a','an','of','to','in','and','is','it','that')))"
+      val atl = rs(s"cast(length(text) - ($nTok - 1) AS double) / $nTok", 6)
+      val swr = rs(s"cast($stop AS double) / $nTok", 6)
+      val punct = "(length(text) - " +
+        "length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+      val z = s"CAST(-1.5 AS DOUBLE) + cast($nTok AS int) * " +
+        s"CAST(0.002 AS DOUBLE) + ($swr) * CAST(2.0 AS DOUBLE) - " +
+        s"$punct * CAST(0.01 AS DOUBLE) + ($atl) * CAST(0.1 AS DOUBLE)"
+      val q = rs(s"1.0 / (1.0 + exp(-($z)))", 6)
+      val keep = s"(NOT ($nTok < 20 OR $nTok > 1000) " +
+        s"AND NOT (length(text) - ($nTok - 1) < $nTok * 3 " +
+        s"OR length(text) - ($nTok - 1) > $nTok * 10) " +
+        s"AND $stop >= 2 " +
+        s"AND len(list_distinct(string_split(text,' '))) * 10 " +
+        s">= $nTok * 3)"
+      s"""WITH sc AS (SELECT
+         |    cast(floor(($q) * 1000000.0 + 0.5) AS bigint) AS qm,
+         |    CASE WHEN $keep THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |m AS (SELECT
+         |    cast(sum(CASE WHEN qm >= 500000 AND pos = 1
+         |      THEN 1 ELSE 0 END) AS bigint) AS tp,
+         |    cast(sum(CASE WHEN qm >= 500000 AND pos = 0
+         |      THEN 1 ELSE 0 END) AS bigint) AS fp,
+         |    cast(sum(CASE WHEN qm < 500000 AND pos = 1
+         |      THEN 1 ELSE 0 END) AS bigint) AS fn,
+         |    cast(sum(CASE WHEN qm < 500000 AND pos = 0
+         |      THEN 1 ELSE 0 END) AS bigint) AS tn
+         |  FROM sc)
+         |SELECT tp, fp, fn, tn,
+         |  cast((tp + tn) * 1000000 // (tp + fp + fn + tn) AS bigint)
+         |    AS acc_micro,
+         |  CASE WHEN (cast(tp + fp AS double) * cast(tp + fn AS double)
+         |      * cast(tn + fp AS double) * cast(tn + fn AS double))
+         |      <= 0.0 THEN cast(0 AS bigint)
+         |    ELSE cast(floor((cast(tp AS double) * cast(tn AS double)
+         |        - cast(fp AS double) * cast(fn AS double))
+         |      / sqrt(cast(tp + fp AS double) * cast(tp + fn AS double)
+         |        * cast(tn + fp AS double) * cast(tn + fn AS double))
+         |      * 1000000.0 + 0.5) AS bigint) END AS mcc_micro
+         |FROM m""".stripMargin
+    },
+
+    // G² collocations: the same loop-filtered bigram table, marginals
+    // from the table itself, identical per-cell micro-nat terms
+    "q_llr_colloc" -> {
+      def cell(obs: String, row: String, colm: String): String =
+        s"""CASE WHEN ($obs) > 0 THEN ($obs) * cast(floor(
+           |  ln(cast($obs AS double) * cast(n AS double)
+           |    / (cast($row AS double) * cast($colm AS double)))
+           |  * 1000000.0 + 0.5) AS bigint) ELSE 0 END""".stripMargin
+      s"""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 2),
+         |pr AS (SELECT tk[i] AS a, tk[i+1] AS b
+         |       FROM (SELECT tk, unnest(generate_series(1, len(tk)-1))
+         |             AS i FROM t)
+         |       WHERE tk[i] <> tk[i+1]),
+         |cnt AS (SELECT a, b, cast(count(*) AS bigint) AS cab
+         |       FROM pr GROUP BY 1, 2),
+         |c1 AS (SELECT a, cast(sum(cab) AS bigint) AS ca
+         |       FROM cnt GROUP BY 1),
+         |c2 AS (SELECT b, cast(sum(cab) AS bigint) AS cb
+         |       FROM cnt GROUP BY 1),
+         |tot AS (SELECT cast(sum(cab) AS bigint) AS n FROM cnt)
+         |SELECT a, b, cab,
+         |  cast(2 * (${cell("cab", "ca", "cb")}
+         |    + ${cell("ca - cab", "ca", "n - cb")}
+         |    + ${cell("cb - cab", "n - ca", "cb")}
+         |    + ${cell("n - ca - cb + cab", "n - ca", "n - cb")})
+         |    AS bigint) AS g2_micro
+         |FROM cnt JOIN c1 USING (a) JOIN c2 USING (b) CROSS JOIN tot
+         |ORDER BY g2_micro DESC, a, b LIMIT 20""".stripMargin
+    },
+
     // Poisson bootstrap: identical 48-bit dyadic uniforms, the SAME
     // inverse-CDF string (exact decimal-literal cutoffs — see
     // poissonCase), exact long weighted sums, order statistics over

@@ -1050,6 +1050,29 @@ class PlanAuditSpec extends SparkSpec {
       s"model sweep leaked back into the result plan:\n$p")
   }
 
+  test("q_mcc: one fold over the cached memo — no join, map-side " +
+      "partials, single row") {
+    val p = plan("q_mcc")
+    // assert on the plan ABOVE the memo (the InMemoryRelation prints
+    // its own build subtree, which legitimately scans parquet)
+    val above = p.split("InMemoryRelation").head
+    assert(above.contains("InMemoryTableScan"),
+      s"not serving the session memo:\n$p")
+    assert(!above.contains("Join"), s"unexpected join:\n$above")
+    assert(above.contains("partial_sum"),
+      s"2x2 not folded map-side:\n$above")
+  }
+
+  test("q_llr_colloc: reads the shared bigram-counts memo; " +
+      "vocabulary-sized joins only, top-20 as TakeOrdered") {
+    val p = plan("q_llr_colloc")
+    assert(p.contains("bigram_counts-") && !p.contains("documents.parquet"),
+      s"not serving the shared transition-table memo:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"collocation table globally sorted:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_rbo_overlap: rank windows partition by term over the " +
       "TopKPerKey landing — no pair self-join, no single-partition " +
       "window, no cartesian") {

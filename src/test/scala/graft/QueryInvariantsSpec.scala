@@ -1375,6 +1375,75 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_mcc ≡ brute-force 2x2 from the public score/gate queries; " +
+      "confusion mass conserves, mcc in [-1, 1]") {
+    val qm = rows("q_quality_score").map { x =>
+      x.getAs[Long]("doc_id") ->
+        math.floor(x.getAs[Double]("q_score") * 1e6 + 0.5).toLong }.toMap
+    val pos = rows("q_gopher_filter")
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("fail_bits") == 0L)).toMap
+    var (tp, fp, fn, tn) = (0L, 0L, 0L, 0L)
+    qm.foreach { case (id, q) =>
+      (q >= 500000L, pos(id)) match {
+        case (true, true) => tp += 1
+        case (true, false) => fp += 1
+        case (false, true) => fn += 1
+        case (false, false) => tn += 1
+      }
+    }
+    val den = math.sqrt((tp + fp).toDouble * (tp + fn).toDouble *
+      (tn + fp).toDouble * (tn + fn).toDouble)
+    val mcc = if (den <= 0.0) 0L
+      else math.floor((tp.toDouble * tn.toDouble -
+        fp.toDouble * fn.toDouble) / den * 1e6 + 0.5).toLong
+    val got = rows("q_mcc").head
+    assert(got.getAs[Long]("tp") == tp && got.getAs[Long]("fp") == fp)
+    assert(got.getAs[Long]("fn") == fn && got.getAs[Long]("tn") == tn)
+    assert(tp + fp + fn + tn == qm.size.toLong)
+    assert(got.getAs[Long]("acc_micro") ==
+      (tp + tn) * 1000000L / qm.size)
+    assert(got.getAs[Long]("mcc_micro") == mcc)
+    assert(math.abs(got.getAs[Long]("mcc_micro")) <= 1000000L)
+  }
+
+  test("q_llr_colloc ≡ brute-force Dunning G² over the loop-filtered " +
+      "bigram table; scores non-negative-dominant and ranked") {
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.util.Tables.documents(spark, d)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap { t =>
+        val tk = t.split(" ")
+        (1 until tk.length).collect {
+          case i if tk(i - 1) != tk(i) => (tk(i - 1), tk(i)) }
+      }
+    val cnt = pairs.groupBy(identity)
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val ca = cnt.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val cb = cnt.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val n = cnt.values.sum
+    def cell(obs: Long, row: Long, colm: Long): Long =
+      if (obs <= 0L) 0L
+      else obs * math.floor(math.log(obs.toDouble * n.toDouble /
+        (row.toDouble * colm.toDouble)) * 1e6 + 0.5).toLong
+    val g2 = cnt.map { case ((a, b), cab) =>
+      (a, b, cab, 2L * (cell(cab, ca(a), cb(b)) +
+        cell(ca(a) - cab, ca(a), n - cb(b)) +
+        cell(cb(b) - cab, n - ca(a), cb(b)) +
+        cell(n - ca(a) - cb(b) + cab, n - ca(a), n - cb(b))))
+    }.toSeq.sortBy(x => (-x._4, x._1, x._2)).take(20)
+    val got = rows("q_llr_colloc")
+    assert(got.size == math.min(20, g2.size))
+    got.zip(g2).foreach { case (r, (a, b, cab, s0)) =>
+      assert(r.getAs[String]("a") == a && r.getAs[String]("b") == b,
+        s"rank frame diverged at ($a,$b)")
+      assert(r.getAs[Long]("cab") == cab)
+      assert(r.getAs[Long]("g2_micro") == s0)
+    }
+    val s = got.map(_.getAs[Long]("g2_micro"))
+    assert(s.zip(s.tail).forall { case (x, y) => x >= y })
+  }
+
   test("q_rbo_overlap ≡ brute-force BM25/tf rankings + telescoped " +
       "weight sum; bounded by the full-agreement RBO") {
     import org.apache.spark.sql.functions.col

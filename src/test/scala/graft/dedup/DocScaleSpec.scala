@@ -807,6 +807,68 @@ class DocScaleSpec extends SparkSpec {
     assert(got.getAs[Long]("alpha_micro") == alpha)
   }
 
+  test("mcc at the decade: the positive column is EXACTLY base " +
+      "(replica tokens fail the stopword gate), negatives absorb " +
+      "the replicas, mcc recomputes from the decade's own 2x2") {
+    val n = requireCorpus()
+    val b = SparkEntry.queries("q_mcc")(spark, base).head()
+    val big = SparkEntry.queries("q_mcc")(spark, sfx1).head()
+    assert(big.getAs[Long]("tp") == b.getAs[Long]("tp"),
+      "replica docs leaked into the positive class")
+    assert(big.getAs[Long]("fn") == b.getAs[Long]("fn"))
+    val total = Seq("tp", "fp", "fn", "tn")
+      .map(big.getAs[Long](_)).sum
+    val baseTotal = Seq("tp", "fp", "fn", "tn")
+      .map(b.getAs[Long](_)).sum
+    assert(total == n * baseTotal)
+    val (tp, fp, fn, tn) = (big.getAs[Long]("tp"),
+      big.getAs[Long]("fp"), big.getAs[Long]("fn"),
+      big.getAs[Long]("tn"))
+    val den = math.sqrt((tp + fp).toDouble * (tp + fn).toDouble *
+      (tn + fp).toDouble * (tn + fn).toDouble)
+    val exp = if (den <= 0.0) 0L
+      else math.floor((tp.toDouble * tn.toDouble -
+        fp.toDouble * fn.toDouble) / den * 1e6 + 0.5).toLong
+    assert(big.getAs[Long]("mcc_micro") == exp)
+    assert(big.getAs[Long]("acc_micro") == (tp + tn) * 1000000L / total)
+  }
+
+  test("llr collocations at the decade ≡ prediction from the base " +
+      "bigram grid with n' = N·n (per-replica tables are isomorphic; " +
+      "compare the top-20 G² value multiset)") {
+    val n = requireCorpus()
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val pairs = docs.flatMap { t =>
+      val tk = t.split(" ")
+      (1 until tk.length).collect {
+        case i if tk(i - 1) != tk(i) => (tk(i - 1), tk(i)) }
+    }
+    val cnt = pairs.groupBy(identity)
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val ca = cnt.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val cb = cnt.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val nTot = n * cnt.values.sum // decade total; marginals stay base
+    def cell(obs: Long, row: Long, colm: Long): Long =
+      if (obs <= 0L) 0L
+      else obs * math.floor(math.log(obs.toDouble * nTot.toDouble /
+        (row.toDouble * colm.toDouble)) * 1e6 + 0.5).toLong
+    // every base bigram's predicted decade G², with multiplicity N
+    // (its prefixed replicas are isomorphic and score identically)
+    val predicted = cnt.toSeq.flatMap { case ((a, b), cab) =>
+      val g2 = 2L * (cell(cab, ca(a), cb(b)) +
+        cell(ca(a) - cab, ca(a), nTot - cb(b)) +
+        cell(cb(b) - cab, nTot - ca(a), cb(b)) +
+        cell(nTot - ca(a) - cb(b) + cab, nTot - ca(a), nTot - cb(b)))
+      Seq.fill(n.toInt)(g2)
+    }.sorted.reverse.take(20)
+    val got = SparkEntry.queries("q_llr_colloc")(spark, sfx1)
+      .collect().map(_.getAs[Long]("g2_micro")).sorted.reverse
+    assert(got.toSeq == predicted,
+      "decade G² multiset diverged from the base-grid prediction — " +
+        "replica bigrams collided or marginals leaked")
+  }
+
   test("the cross-source span matrix scales exactly xN per source pair") {
     val n = requireCorpus()
     // the matrix is source-pair-sized — collect once and compare sets,
