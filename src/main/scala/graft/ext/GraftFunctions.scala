@@ -112,7 +112,36 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Cast(c(1),
           org.apache.spark.sql.types.LongType),
         c(2).eval().asInstanceOf[Number].intValue())
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_vec_sum_long"),
+      new ExpressionInfo(
+        classOf[graft.functions.VecSumLongExpr].getCanonicalName,
+        "graft_vec_sum_long"),
+      (c: Seq[Expression]) => {
+        require(c.length == 1, "usage: graft_vec_sum_long(arr)")
+        graft.functions.VecSumLongExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(c.head,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType,
+              containsNull = false)))
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_bootstrap_weights"),
+      new ExpressionInfo(
+        classOf[graft.functions.BootstrapWeightsExpr].getCanonicalName,
+        "graft_bootstrap_weights"),
+      // blocks is a plan-time literal, like graft_kmv's k; the
+      // Poisson(1) cutoffs are the library's shared decimal literals
+      (c: Seq[Expression]) => {
+        require(c.length == 2 && c(1).foldable,
+          "usage: graft_bootstrap_weights(id, blocks) with literal " +
+            "blocks")
+        graft.functions.BootstrapWeightsExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(c(0),
+            org.apache.spark.sql.types.LongType),
+          c(1).eval().asInstanceOf[Number].intValue(),
+          graft.queries.PipelineQueries.poissonCuts)
+      }))
 
   def register(spark: SparkSession): Unit =
     descriptions.foreach { case (id, _, builder) =>

@@ -47,6 +47,32 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(mins == Seq(3L, 7L, 10L))
   }
 
+  test("graft_vec_sum_long SQL aggregate and graft_bootstrap_weights " +
+      "evaluate the native expressions") {
+    GraftFunctions.register(spark)
+    Seq(Seq(1L, 2L), Seq(10L, 20L), Seq(100L, 200L))
+      .toDF("w").createOrReplaceTempView("vsl_in")
+    val sums = spark.sql("SELECT graft_vec_sum_long(w) AS s FROM vsl_in")
+      .as[Seq[Long]].head()
+    assert(sums == Seq(111L, 222L))
+    // the SQL form produces the same draws as the Column-form kernel
+    val viaSql = spark.sql(
+      "SELECT graft_bootstrap_weights(42L, 2) AS w")
+      .as[Seq[Long]].head()
+    val viaCol = Seq(42L).toDF("doc_id")
+      .select(graft.functions.BootstrapWeightsExpr.bootstrapWeights(
+        org.apache.spark.sql.functions.col("doc_id"), 2,
+        graft.queries.PipelineQueries.poissonCuts).as("w"))
+      .as[Seq[Long]].head()
+    assert(viaSql.length == 8 && viaSql == viaCol)
+    assert(viaSql.forall(w => w >= 0L && w <= 9L))
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("SELECT graft_bootstrap_weights(42L, id) " +
+        "FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("graft_hash_sample SQL aggregate: bottom-k-by-hash values " +
       "sorted ascending") {
     GraftFunctions.register(spark)
@@ -100,7 +126,8 @@ class GraftFunctionsSpec extends SparkSpec {
       "graft_lang_id", "graft_rolling_fp", "graft_bpe_count",
       "graft_stopword_count", "graft_vec_mean", "graft_kmv",
       "graft_cms", "graft_jaro_winkler", "graft_cdc_chunks",
-      "graft_hash_sample"))
+      "graft_hash_sample", "graft_vec_sum_long",
+      "graft_bootstrap_weights"))
     assert(names.distinct.size == names.size)
     val ext = new GraftExtensions
     val se = new org.apache.spark.sql.SparkSessionExtensions
