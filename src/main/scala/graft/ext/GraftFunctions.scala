@@ -11,9 +11,10 @@ import graft.text.TextAnalysis
 /** SQL surface for the native expressions: `graft_dot`, `graft_cosine`,
   * `graft_norm`, `graft_lang_id`, `graft_rolling_fp`,
   * `graft_bpe_count`, `graft_stopword_count`, `graft_cdc_chunks`,
-  * `graft_jaro_winkler`, and
-  * the `graft_vec_mean`/`graft_kmv`/`graft_cms`/`graft_hash_sample`
-  * aggregates become callable from `spark.sql(...)`.
+  * `graft_jaro_winkler`, `graft_bootstrap_weights`, and
+  * the `graft_vec_mean`/`graft_kmv`/`graft_cms`/`graft_hash_sample`/
+  * `graft_vec_sum_long` aggregates become callable from
+  * `spark.sql(...)`.
   *
   * Two registration paths:
   *  - new sessions: `.config("spark.sql.extensions",

@@ -27,9 +27,15 @@ class BlockLossRecoverySpec extends SparkSpec {
     // re-observed this flake when first written as a localCheckpoint
     // q_bm25 exercises the bm25_base memo — a parquet landing since
     // round 10 (its original localCheckpoint form died exactly here)
+    // q_conformal runs THREE sequential actions over the scored memo
+    // (bucket rollup → one-bucket refinement → coverage count), so a
+    // block wipe between its passes is exactly the mid-query loss a
+    // shrinking cluster produces; q_mcc and q_llr_colloc cover the
+    // same memo's 2×2 fold and the bigram_counts parquet landing
     val qs = Seq("q_bloom_decontam", "q_ngram_lm", "q_bpe_apply",
       "q_pagerank", "q_bfs_hops", "q_dup_survivors", "q_auc",
-      "q_welch_ttest", "q_bm25")
+      "q_welch_ttest", "q_bm25", "q_conformal", "q_mcc",
+      "q_llr_colloc")
     val before = qs.map(q => q -> run(q)).toMap // materializes the caches
     // simulate total executor-storage loss
     spark.sparkContext.getPersistentRDDs.values
