@@ -83,11 +83,28 @@ case class CovSumMicroExpr(
   override def merge(x: CovSumBuffer, y: CovSumBuffer): CovSumBuffer = {
     if (x.dim == 0) y
     else if (y.dim == 0) x
-    else {
+    else if (x.dim == y.dim) {
       val s = x.sums
-      val m = math.min(s.length, y.sums.length)
       var i = 0
-      while (i < m) { s(i) += y.sums(i); i += 1 }
+      while (i < s.length) { s(i) += y.sums(i); i += 1 }
+      x
+    } else {
+      // Mixed-dimension partitions: a flat element-wise add of a
+      // d1×d1 and a d2×d2 row-major matrix would misalign rows and
+      // silently corrupt the second moments — remap by (row, col)
+      // over the common top-left block instead (the d×d analogue of
+      // the 1-D truncate-to-first contract).
+      val d = math.min(x.dim, y.dim)
+      val s = x.sums
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          s(i * x.dim + j) += y.sums(i * y.dim + j)
+          j += 1
+        }
+        i += 1
+      }
       x
     }
   }

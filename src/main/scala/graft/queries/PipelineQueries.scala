@@ -1766,20 +1766,29 @@ object PipelineQueries {
         .head() // bounded: one row of two 100-long arrays
       val n = row.getLong(0); val sx = row.getLong(1)
       val sw = row.getSeq[Long](2); val swx = row.getSeq[Long](3)
-      val means = sw.indices.map(i => swx(i) * 1000000L / sw(i)).sorted
+      // max(sw, 1): a replicate can draw all-zero Poisson weights with
+      // probability e^-n — vanishing on any real corpus but a /0 crash
+      // on a toy one; the guarded replicate degenerates to mean 0,
+      // mirrored by greatest(sw, 1) in the oracle SQL
+      val means =
+        sw.indices.map(i => swx(i) * 1000000L / math.max(sw(i), 1L)).sorted
       s.createDataFrame(Seq((n, sx * 1000000L / n,
           means(4), means(95), means.length.toLong)))
         .toDF("n_docs", "mean_micro", "ci_lo_micro", "ci_hi_micro",
           "n_replicates")
     }),
 
-    // Differentially-private per-source counts (Laplace mechanism,
-    // ε = 1) with the same determinism discipline: the noise draw is
-    // the source's own md5 uniform through the inverse Laplace CDF
-    // (−sign(u−½)·ln(1−2|u−½|)), micro-integerized — every engine and
-    // retry releases the SAME noised counts, which is how a DP
-    // release pipeline is made testable. All on the bounded
-    // per-source rollup; the true count never leaves micro scale.
+    // Laplace-noised per-source counts — a DETERMINISTIC seeded-noise
+    // release DEMO, NOT differential privacy: the noise is a pure
+    // function of the public source name (md5(source) uniform through
+    // the inverse Laplace CDF −sign(u−½)·ln(1−2|u−½|)), so adjacent
+    // datasets receive identical, fully predictable noise and the
+    // mechanism carries NO formal privacy guarantee (a real DP release
+    // would draw from a secret per-release seed — and forfeit the
+    // cross-engine testability this suite requires). What the query
+    // demonstrates is the noised-release PLUMBING: the inverse-CDF
+    // shape, micro integerization, and the bounded per-source rollup
+    // that keeps the release one row per source at any corpus size.
     "q_dp_counts" -> ((s, d) =>
       documents(s, d)
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -1817,7 +1826,12 @@ object PipelineQueries {
         .collect() // bounded: <= 1001 rows by score-domain construction
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val n = buckets.map(_._2).sum
-      val k = math.ceil((n + 1) * 0.9).toLong
+      // clamp k ≤ n: for a tiny calibration set ⌈(n+1)·0.9⌉ can exceed
+      // n, and the bucket scan would silently never satisfy acc+c ≥ k,
+      // reporting a bogus qhat = 0; clamping yields the rank-n (max
+      // score) threshold — the conformal keep-all convention — and the
+      // oracle mirrors with least(..., count(*))
+      val k = math.min(math.ceil((n + 1) * 0.9).toLong, n)
       var acc = 0L; var bSel = 0L; var before = 0L
       buckets.foreach { case (b, c) =>
         if (acc < k && acc + c >= k) { bSel = b; before = acc }
@@ -2854,8 +2868,15 @@ object PipelineQueries {
     // any arithmetic, so projections and distances are exact integers
     // at every scale; the corpus-wide projection is pinned into the
     // hash via the (n_vecs, Σy²) checksum columns — energy
-    // accumulates in DECIMAL(38,0) so the checksum cannot overflow at
-    // any corpus size. Scale: the whole projection is PER-ROW array
+    // accumulates in DECIMAL(38,0) internally so the sum cannot
+    // overflow at any corpus size, but is EMITTED as the BIGINT pair
+    // (energy_hi, energy_lo) = (Σ div 10⁹, Σ mod 10⁹): decimal was
+    // the suite's only decimal output column and the driver hasher
+    // canonicalizes decimal differently between the Spark parquet
+    // read and the DuckDB result (round-10 verdict — values were
+    // bit-identical, only the representation hashed apart). hi/lo
+    // longs stay exact up to 9.2·10²⁷ total energy, far beyond any
+    // corpus. Scale: the whole projection is PER-ROW array
     // arithmetic (zip_with/aggregate HOFs against an inline
     // md5-parity sign vector — the explode→(vec_id,j) rollup form
     // paid a corpus-sized shuffle and re-ran the hash per component
@@ -2893,7 +2914,10 @@ object PipelineQueries {
           floor(col("d2_proj").cast("double") /
             (greatest(col("d2_orig"), lit(1L)).cast("double") * lit(4.0)) *
             lit(1e6) + lit(0.5)).cast("long").as("dist_micro"),
-          col("n_vecs"), col("energy"))
+          col("n_vecs"),
+          expr("cast(energy div 1000000000 AS bigint)").as("energy_hi"),
+          expr("cast(energy % 1000000000 AS bigint)").as("energy_lo"))
+        .orderBy(col("va"), col("vb"))
     }),
 
     "q_rolling_fp" -> ((s, d) =>
@@ -6903,8 +6927,10 @@ object PipelineQueries {
          |w AS (SELECT rep, x, $caseW AS w FROM u),
          |m AS (SELECT rep, cast(sum(w) AS bigint) AS sw,
          |    cast(sum(w * x) AS bigint) AS swx FROM w GROUP BY 1),
-         |mm AS (SELECT cast(swx * 1000000 // sw AS bigint) AS m,
-         |    row_number() OVER (ORDER BY swx * 1000000 // sw) AS rn
+         |mm AS (SELECT
+         |    cast(swx * 1000000 // greatest(sw, 1) AS bigint) AS m,
+         |    row_number() OVER (ORDER BY swx * 1000000 // greatest(sw, 1))
+         |      AS rn
          |  FROM m),
          |f AS (SELECT cast(count(*) AS bigint) AS n,
          |    cast(sum(x) AS bigint) AS sx FROM base)
@@ -6916,8 +6942,9 @@ object PipelineQueries {
          |FROM f""".stripMargin
     },
 
-    // DP Laplace counts: identical md5 uniform, identical inverse-CDF
-    // text, micro-integerized noise
+    // seeded Laplace-noise demo (no DP guarantee — noise is a public
+    // function of the source name): identical md5 uniform, identical
+    // inverse-CDF text, micro-integerized noise
     "q_dp_counts" ->
       """WITH a AS (SELECT source, cast(count(*) AS bigint) AS n_docs,
         |    cast(('0x' || substr(md5(source), 1, 12)) AS bigint)
@@ -6959,7 +6986,8 @@ object PipelineQueries {
          |        cast(floor(($q) * 1000000.0 + 0.5) AS bigint) AS sc
          |      FROM documents WHERE $keep),
          |g AS (SELECT cast(count(*) AS bigint) AS n,
-         |        cast(ceil((count(*) + 1) * 0.9) AS bigint) AS k
+         |        cast(least(ceil((count(*) + 1) * 0.9), count(*))
+         |          AS bigint) AS k
          |      FROM cal),
          |r AS (SELECT sc,
          |        cast(row_number() OVER (ORDER BY sc) AS bigint) AS rn
@@ -7815,7 +7843,8 @@ object PipelineQueries {
 
     // JL projection: identical micro integerization, the same md5
     // parity signs, exact integer distances, the identical
-    // ratio/checksum trees (energy in DECIMAL(38,0) on both engines)
+    // ratio/checksum trees; energy accumulates in DECIMAL(38,0) on
+    // both engines but is emitted as hash-stable BIGINT hi/lo parts
     "q_jl_project" ->
       """WITH em AS (SELECT vec_id, i,
         |        cast(floor(v[i+1] * 1000000.0 + 0.5) AS bigint) AS xm
@@ -7844,9 +7873,12 @@ object PipelineQueries {
         |  cast(floor(cast(d2_proj AS double)
         |    / (cast(greatest(d2_orig, 1) AS double) * 4.0)
         |    * 1000000.0 + 0.5) AS bigint) AS dist_micro,
-        |  n_vecs, energy
+        |  n_vecs,
+        |  cast(energy // 1000000000 AS bigint) AS energy_hi,
+        |  cast(energy % 1000000000 AS bigint) AS energy_lo
         |FROM do2 JOIN dp ON do2.va = dp.va AND do2.vb = dp.vb,
-        |  chk""".stripMargin,
+        |  chk
+        |ORDER BY do2.va, do2.vb""".stripMargin,
 
     // grid resample: same union + two-directional IGNORE NULLS window
     // walk, same bracketing ties, same interpolation operand order

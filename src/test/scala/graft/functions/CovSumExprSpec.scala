@@ -53,6 +53,29 @@ class CovSumExprSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("merge aligns mixed-dimension partials by (row, col), never by " +
+      "flat offset") {
+    // a 2×2 partial merged with a 3×3 partial: the common top-left
+    // block must add cell-for-cell; a flat add would smear the 3×3
+    // buffer's row boundaries across the 2×2 layout
+    val agg = CovSumMicroExpr(org.apache.spark.sql.catalyst.expressions
+      .Literal.create(null, org.apache.spark.sql.types
+        .ArrayType(org.apache.spark.sql.types.DoubleType)))
+    val small = new CovSumBuffer(Array(1L, 2L, 3L, 4L), 2)
+    val big = new CovSumBuffer(
+      Array(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L), 3)
+    val m1 = agg.merge(
+      new CovSumBuffer(small.sums.clone(), 2),
+      new CovSumBuffer(big.sums.clone(), 3))
+    assert(m1.dim == 2 &&
+      m1.sums.toSeq == Seq(11L, 22L, 43L, 54L)) // +row0=(10,20), row1=(40,50)
+    val m2 = agg.merge(
+      new CovSumBuffer(big.sums.clone(), 3),
+      new CovSumBuffer(small.sums.clone(), 2))
+    assert(m2.dim == 3 && m2.sums.toSeq ==
+      Seq(11L, 22L, 30L, 43L, 54L, 60L, 70L, 80L, 90L))
+  }
+
   private def refCovOf(vs: Seq[Seq[Double]], d: Int): Seq[Long] = {
     val out = new Array[Long](d * d)
     vs.foreach { v =>
