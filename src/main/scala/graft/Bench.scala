@@ -199,7 +199,15 @@ object Bench {
       }
       val (sec, nBatches, stRows, ltRows) =
         Seq(drain(1), drain(2)).minBy(_._1)
-      s"""{"frames":$n,"elapsed_sec":$sec,"frames_per_sec":${(n / sec).toLong},""" +
+      val fps = (n / sec).toLong
+      // regression floor (warn-only): every round 8-11 reading on this
+      // host sits in 3,0xx-3,7xx f/s; a sub-2500 figure means the
+      // foreachBatch path regressed (or the host is heavily loaded) and
+      // must not hide inside round-to-round variance — see PERF.md
+      if (fps < 2500)
+        System.err.println(s"[bench] WARN streaming throughput $fps f/s " +
+          "below the 2500 f/s floor (rounds 8-11 range: 3030-3743)")
+      s"""{"frames":$n,"elapsed_sec":$sec,"frames_per_sec":$fps,""" +
         s""""n_batches":$nBatches,"st_rows":$stRows,"lt_rows":$ltRows}"""
     } catch {
       case e: Throwable =>

@@ -32,10 +32,14 @@ class BlockLossRecoverySpec extends SparkSpec {
     // block wipe between its passes is exactly the mid-query loss a
     // shrinking cluster produces; q_mcc and q_llr_colloc cover the
     // same memo's 2×2 fold and the bigram_counts parquet landing
+    // q_rbo_overlap consumes the bm25_base memo through TopKPerKey +
+    // two rank windows; q_hill_tail is a driver fold over a bounded
+    // top-51 collect whose corpus pass must replay cleanly after the
+    // wipe (round-10 verdict item 7 roster sweep)
     val qs = Seq("q_bloom_decontam", "q_ngram_lm", "q_bpe_apply",
       "q_pagerank", "q_bfs_hops", "q_dup_survivors", "q_auc",
       "q_welch_ttest", "q_bm25", "q_conformal", "q_mcc",
-      "q_llr_colloc")
+      "q_llr_colloc", "q_rbo_overlap", "q_hill_tail")
     val before = qs.map(q => q -> run(q)).toMap // materializes the caches
     // simulate total executor-storage loss
     spark.sparkContext.getPersistentRDDs.values
