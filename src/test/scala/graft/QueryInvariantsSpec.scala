@@ -770,8 +770,11 @@ class QueryInvariantsSpec extends SparkSpec {
         math.floor(d2p.toDouble / (math.max(d2o, 1L).toDouble * 4.0) *
           1e6 + 0.5).toLong)
       assert(r0.getAs[Long]("n_vecs") == emb.length.toLong)
-      assert(BigInt(r0.getAs[java.math.BigDecimal]("energy")
-        .toBigInteger) == energy)
+      // energy is emitted as hash-stable BIGINT hi/lo parts (div/mod
+      // 10⁹) since round 11 — reconstruct in BigInt, the total exceeds
+      // Long at the larger embedding decades
+      assert(BigInt(r0.getAs[Long]("energy_hi")) * BigInt(1000000000L) +
+        BigInt(r0.getAs[Long]("energy_lo")) == energy)
     }
     // JL unbiasedness (E d2_proj = k·d2_orig): the mean ratio over the
     // 276-pair frame sits in a broad band around 1 — k=4 is noisy per

@@ -151,8 +151,11 @@ class AnnTriScaleSpec extends SparkSpec {
         s"$sf: pair frame incomplete (${got.length})")
       got.foreach { r0 =>
         assert(r0.getAs[Long]("n_vecs") == emb.length.toLong, sf)
-        assert(BigInt(r0.getAs[java.math.BigDecimal]("energy")
-          .toBigInteger) == energy, s"$sf: energy checksum drifted")
+        // hi/lo BIGINT emission since round 11; reconstruct in BigInt
+        // (the ×16-decade total exceeds Long)
+        assert(BigInt(r0.getAs[Long]("energy_hi")) * BigInt(1000000000L) +
+          BigInt(r0.getAs[Long]("energy_lo")) == energy,
+          s"$sf: energy checksum drifted")
         val (va, vb) = (r0.getAs[Long]("va"), r0.getAs[Long]("vb"))
         val d2p = sample(va).zip(sample(vb))
           .map { case (x, y) => (x - y) * (x - y) }.sum
