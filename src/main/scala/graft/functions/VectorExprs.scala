@@ -55,6 +55,92 @@ object VectorExprs {
   def argmaxDot(vec: Column, centroids: Seq[Array[Double]]): Column =
     ColumnBridge.column(ArgMaxDot(ColumnBridge.expression(d(vec)),
       centroids.map(_.toSeq)))
+
+  /** Two-level coarse-quantized assignment (see [[ArgMaxDotGrouped]]);
+    * `groups` pairs each non-empty coarse vector with its fine-member
+    * global indexes, ascending on both levels.
+    */
+  def argmaxDotGrouped(vec: Column,
+                       groups: Seq[(Array[Double], Seq[Int])],
+                       centroids: Seq[Array[Double]]): Column =
+    ColumnBridge.column(ArgMaxDotGrouped(ColumnBridge.expression(d(vec)),
+      groups.map(_._1.toSeq), groups.map(_._2),
+      centroids.map(_.toSeq)))
+}
+
+/** Two-level (coarse-quantized) IVF cell assignment — the 100 TB form
+  * of [[ArgMaxDot]]. Flat assignment is n·cells dot products, and with
+  * cells ∝ n (the constant-occupancy rule) that is QUADRATIC in corpus
+  * size — measured ×11.8 wall clock for ×4 vectors at the 128k-vector
+  * decade. The classic fix (FAISS's coarse quantizer): group the
+  * `cells` fine centroids under ⌊√cells⌋ seeded coarse vectors; per row
+  * argmax over the coarse level first, then argmax over only that
+  * group's fine members — n·(√k + k/√k) dots, n^1.5 overall with
+  * constant per-cell occupancy preserved.
+  *
+  * Determinism contract (the DuckDB oracle mirrors every clause):
+  * dots accumulate in index order; ties break to the FIRST index at
+  * both levels; `groups` holds only NON-empty (coarseVec, ascending
+  * fine-member global indexes) pairs in ascending original coarse
+  * order, so a row can never land in a memberless group. Returns the
+  * GLOBAL fine-centroid index, identical domain to [[ArgMaxDot]].
+  */
+case class ArgMaxDotGrouped(
+    child: Expression,
+    coarse: Seq[Seq[Double]],
+    members: Seq[Seq[Int]],
+    centroids: Seq[Seq[Double]])
+    extends UnaryExpression with ArrayDoubleInputs {
+  require(coarse.length == members.length && members.forall(_.nonEmpty),
+    "coarse/members must be parallel and non-empty")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  @transient private lazy val co: Array[Array[Double]] =
+    coarse.map(_.toArray).toArray
+  @transient private lazy val me: Array[Array[Int]] =
+    members.map(_.toArray).toArray
+  @transient private lazy val ce: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  def compute(x: ArrayData): Int = {
+    val v = x.toDoubleArray()
+    def dot(c: Array[Double]): Double = {
+      val m = math.min(v.length, c.length)
+      var acc = 0.0; var i = 0
+      while (i < m) { acc += v(i) * c(i); i += 1 }
+      acc
+    }
+    var bg = 0; var bgd = Double.NegativeInfinity
+    var g = 0
+    while (g < co.length) {
+      val dg = dot(co(g))
+      if (dg > bgd) { bgd = dg; bg = g }
+      g += 1
+    }
+    val ms = me(bg)
+    var best = ms(0); var bd = Double.NegativeInfinity
+    var j = 0
+    while (j < ms.length) {
+      val dc = dot(ce(ms(j)))
+      if (dc > bd) { bd = dc; best = ms(j) }
+      j += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argmaxDotGrouped", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ArgMaxDotGrouped = copy(child = newChild)
+  override def prettyName: String = "argmax_dot_grouped"
 }
 
 case class ArgMaxDot(child: Expression, centroids: Seq[Seq[Double]])

@@ -506,17 +506,31 @@ object PipelineQueries {
     */
   private val MaxOracleBits = 12
   private val MaxOracleCells = 128
+  private val MaxOracleCoarse = 12 // ⌈√MaxOracleCells⌉ + margin
 
   /** Corpus-derived blocking parameters as a 1-row CTE — cross-join it
-    * wherever `bits` / `probes` / `cells` / `kk` appear. Integer-exact
-    * mirrors of srpBitsFor (length(bin(⌈n/8⌉−1)) = ⌈log2⌉),
-    * annProbes, ivfCellsFor and the k-means k rule.
+    * wherever `bits` / `probes` / `cells` / `kk` / `gcnt` appear.
+    * Integer-exact mirrors of srpBitsFor (length(bin(⌈n/8⌉−1)) =
+    * ⌈log2⌉), annProbes, ivfCellsFor, the k-means k rule, and
+    * ivfCoarseCount (⌊√cells⌋ via floor(sqrt())+the same guarded CASE
+    * corrections as Similarity.isqrt, exact at every n).
     */
   private def annParamCte: String =
     s"""ann_p AS (SELECT n, bits,
        |    cast(greatest(1, (1 << bits) // 4) AS int) AS probes,
-       |    cells, kk
-       |  FROM (SELECT n,
+       |    cells, kk,
+       |    cast(greatest(1,
+       |      CASE WHEN s0 * s0 > cells THEN s0 - 1
+       |           WHEN (s0 + 1) * (s0 + 1) <= cells THEN s0 + 1
+       |           ELSE s0 END) AS int) AS gcnt,
+       |    cast(greatest(1,
+       |      CASE WHEN s1 * s1 > kk THEN s1 - 1
+       |           WHEN (s1 + 1) * (s1 + 1) <= kk THEN s1 + 1
+       |           ELSE s1 END) AS int) AS gcnt_k
+       |  FROM (SELECT n, bits, cells, kk,
+       |      cast(floor(sqrt(cast(cells AS double))) AS bigint) AS s0,
+       |      cast(floor(sqrt(cast(kk AS double))) AS bigint) AS s1
+       |    FROM (SELECT n,
        |      cast(least(30, greatest(4,
        |        CASE WHEN (n + 7) // 8 <= 1 THEN 0
        |             ELSE length(bin((n + 7) // 8 - 1)) END)) AS int)
@@ -525,7 +539,7 @@ object PipelineQueries {
        |        AS cells,
        |      cast(greatest(4, n // 125) AS int) AS kk
        |    FROM (SELECT cast(count(*) AS bigint) AS n
-       |          FROM embeddings)))""".stripMargin
+       |          FROM embeddings))))""".stripMargin
 
   /** The MaxOracleBits seeded hyperplanes as one list-of-lists literal
     * CTE; bucket expressions slice `pl[1..bits]`.
@@ -543,6 +557,31 @@ object PipelineQueries {
     val cs = graft.sim.Similarity.ivfCentroids(64, MaxOracleCells)
       .map(_.mkString("[", ", ", "]")).mkString("[\n", ",\n", "]")
     s"ivf_cs AS (SELECT $cs AS cs)"
+  }
+
+  /** The MaxOracleCoarse seeded coarse-quantizer vectors (seed 13,
+    * prefix-stable) as one literal CTE; the two-level assignment
+    * slices `gs[1..gcnt]`.
+    */
+  private def ivfCoarseCte: String = {
+    val gs = graft.sim.Similarity.srpPlanes(64, MaxOracleCoarse, 13L)
+      .map(_.mkString("[", ", ", "]")).mkString("[\n", ",\n", "]")
+    s"ivf_gs AS (SELECT $gs AS gs)"
+  }
+
+  /** gl[c] = 0-based coarse group of fine cell c (1-based list
+    * position): first-max dot of each fine centroid against the coarse
+    * vectors — the oracle mirror of Similarity.ivfGroupOf, computed
+    * once over the cells×gcnt literal grid.
+    */
+  private def ivfGroupListCte: String = {
+    def gds(vec: String) =
+      s"""list_transform(generate_series(1, gcnt),
+         |        __g -> list_dot_product($vec, gs[__g]))""".stripMargin
+    s"""ivf_gl AS (SELECT list_transform(generate_series(1, cells),
+       |    __c -> list_position(${gds("cs[__c]")},
+       |      list_max(${gds("cs[__c]")})) - 1) AS gl
+       |  FROM ann_p, ivf_cs, ivf_gs)""".stripMargin
   }
 
   /** Fixed query-term set for the BM25 / RRF retrieval queries. */
@@ -655,12 +694,18 @@ object PipelineQueries {
     * (the q_semdedup pattern) so the within-cell pair join's two sides
     * and the in-degree base all read the barrier.
     */
-  private def knnAssignment(s: SparkSession, d: String): DataFrame =
+  private def knnAssignment(s: SparkSession, d: String): DataFrame = {
+    // two-level quantizer (round 11) — flat argmax over cells ∝ n was
+    // the quadratic term that dominated q_knn_graph at the 128k decade
+    val nCells = ivfCells(embCount(s, d))
+    val cents = Similarity.ivfCentroids(64, nCells)
+    val coarse = Similarity.ivfCoarse(64, nCells)
     embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("cell", Similarity.ivfAssign(col("v"),
-        Similarity.ivfCentroids(64, ivfCells(embCount(s, d)))))
+      .withColumn("cell",
+        Similarity.ivfAssignTwoLevel(col("v"), cents, coarse))
       .localCheckpoint(false)
+  }
 
   /** q_knn_graph's directed edge selection over a cell assignment —
     * package-private so PlanAuditSpec can pin the TopKPerKey + equi
@@ -5390,15 +5435,23 @@ object PipelineQueries {
     // literals, so this one IS hash-checked (unlike SRP multi-probe,
     // whose query-directed probe list is driver-side).
     "q_ann_ivf" -> ((s, d) => {
-      val cents = Similarity.ivfCentroids(64, ivfCells(embCount(s, d)))
+      // two-level (coarse-quantized) assignment since round 11: flat
+      // argmax over cells ∝ n centroids is n·cells dots — QUADRATIC in
+      // corpus size (measured ×11.8 wall for ×4 vectors at the
+      // 128k-vector decade); the ⌊√cells⌋ coarse level cuts it to
+      // n·2√cells with per-cell occupancy (probe cost) unchanged
+      val nCells = ivfCells(embCount(s, d))
+      val cents = Similarity.ivfCentroids(64, nCells)
+      val coarse = Similarity.ivfCoarse(64, nCells)
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val qv = emb.filter(col("vec_id") === 0)
         .head().getSeq[Double](1).toArray
-      val qCell = Similarity.ivfProbes(qv, cents, 1).head
+      val qCell = Similarity.ivfProbesTwoLevel(qv, cents, coarse, 1).head
       val qCol = array(qv.map(lit): _*)
       emb.filter(col("vec_id") =!= 0)
-        .withColumn("cell", Similarity.ivfAssign(col("v"), cents))
+        .withColumn("cell",
+          Similarity.ivfAssignTwoLevel(col("v"), cents, coarse))
         .filter(col("cell") === qCell)
         .select(col("vec_id"),
           r(Similarity.cosine(col("v"), qCol), 4).as("sim"))
@@ -5406,21 +5459,27 @@ object PipelineQueries {
         .limit(10)
     }),
 
-    // Multi-probe IVF (nprobe=2): the production recall/scan-cost knob —
-    // probe the two highest-dot cells, exact-cosine re-rank across both.
-    // Hash-checked like q_ann_ivf: the oracle re-derives the top-2 cell
-    // argmaxes from the same centroid literals (first-max tie-breaking in
-    // both engines).
+    // Multi-probe IVF (nprobe=2) under the two-level quantizer: probe
+    // the within-group best cell of the query's TWO best coarse groups,
+    // exact-cosine re-rank across both — the production recall/scan
+    // knob is "probe more coarse lists", never "re-scan the corpus".
+    // Hash-checked like q_ann_ivf: the oracle re-derives both coarse
+    // argmaxes (mask-the-winner second pass) and both within-group cell
+    // argmaxes from the same centroid/coarse literals (first-max
+    // tie-breaking at every level in both engines).
     "q_ann_ivf_probe" -> ((s, d) => {
-      val cents = Similarity.ivfCentroids(64, ivfCells(embCount(s, d)))
+      val nCells = ivfCells(embCount(s, d))
+      val cents = Similarity.ivfCentroids(64, nCells)
+      val coarse = Similarity.ivfCoarse(64, nCells)
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val qv = emb.filter(col("vec_id") === 0)
         .head().getSeq[Double](1).toArray
-      val probes = Similarity.ivfProbes(qv, cents, 2)
+      val probes = Similarity.ivfProbesTwoLevel(qv, cents, coarse, 2)
       val qCol = array(qv.map(lit): _*)
       emb.filter(col("vec_id") =!= 0)
-        .withColumn("cell", Similarity.ivfAssign(col("v"), cents))
+        .withColumn("cell",
+          Similarity.ivfAssignTwoLevel(col("v"), cents, coarse))
         .filter(col("cell").isin(probes: _*))
         .select(col("vec_id"), col("cell"),
           r(Similarity.cosine(col("v"), qCol), 4).as("sim"))
@@ -5801,22 +5860,42 @@ object PipelineQueries {
 
   /** Seeded-k-means CTE chain (k = max(4, n/125) derived in-SQL, 2
     * Lloyd iterations), shared by the q_kmeans_embed and q_semdedup
-    * oracles: e (typed vectors), c0 (first-k-ids seed), a1 (augmented
-    * -dot assignment), cm/c1 (1e-6-rounded element-wise means), a2
-    * (final assignment).
+    * oracles: e (typed vectors), c0 (first-k-ids seed), g0/g1 (coarse
+    * group of each centroid — the two-level quantizer mirror), a1
+    * (coarse-then-fine augmented-dot assignment), cm/c1 (1e-6-rounded
+    * element-wise means), a2 (final two-level assignment). Every
+    * argmax is ORDER BY dot DESC, index LIMIT 1 — the first-wins tie
+    * rule of ArgMaxDotGrouped — and the per-vector coarse pick is
+    * restricted to NON-empty groups exactly like the kernel's group
+    * table. Grouping dots read the raw 64 components (the +1 bias
+    * slot truncates away on the Spark side's min-length dot).
     */
   private def kmeansCtes: String =
     s"""$annParamCte,
+       |$ivfCoarseCte,
+       |gsr AS (SELECT cast(__g AS int) AS __g
+       |        FROM generate_series(1, $MaxOracleCoarse) t(__g), ann_p
+       |        WHERE __g <= gcnt_k),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |c0 AS (SELECT cast(rn - 1 AS int) AS j, v
        |       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
        |             FROM e) t, ann_p
        |       WHERE t.rn <= ann_p.kk),
+       |g0 AS (SELECT j, v,
+       |        (SELECT __g - 1 FROM gsr, ivf_gs
+       |         ORDER BY list_dot_product(c0.v, gs[__g]) DESC, __g
+       |         LIMIT 1) AS grp
+       |       FROM c0),
        |a1 AS (SELECT e.vec_id, e.v,
-       |        (SELECT c0.j FROM c0
-       |         ORDER BY list_dot_product(e.v, c0.v)
-       |           - list_dot_product(c0.v, c0.v)/2 DESC, c0.j
+       |        (SELECT g0.j FROM g0
+       |         WHERE g0.grp = (SELECT __g - 1 FROM gsr, ivf_gs
+       |                         WHERE (__g - 1) IN (SELECT grp FROM g0)
+       |                         ORDER BY list_dot_product(e.v, gs[__g])
+       |                           DESC, __g
+       |                         LIMIT 1)
+       |         ORDER BY list_dot_product(e.v, g0.v)
+       |           - list_dot_product(g0.v, g0.v)/2 DESC, g0.j
        |         LIMIT 1) AS cell
        |       FROM e),
        |cm AS (SELECT cell, i,
@@ -5824,10 +5903,20 @@ object PipelineQueries {
        |       FROM a1, generate_series(1, 64) t(i)
        |       GROUP BY cell, i),
        |c1 AS (SELECT cell, list(ci ORDER BY i) AS v FROM cm GROUP BY cell),
+       |g1 AS (SELECT cell, v,
+       |        (SELECT __g - 1 FROM gsr, ivf_gs
+       |         ORDER BY list_dot_product(c1.v, gs[__g]) DESC, __g
+       |         LIMIT 1) AS grp
+       |       FROM c1),
        |a2 AS (SELECT e.vec_id,
-       |        (SELECT c1.cell FROM c1
-       |         ORDER BY list_dot_product(e.v, c1.v)
-       |           - list_dot_product(c1.v, c1.v)/2 DESC, c1.cell
+       |        (SELECT g1.cell FROM g1
+       |         WHERE g1.grp = (SELECT __g - 1 FROM gsr, ivf_gs
+       |                         WHERE (__g - 1) IN (SELECT grp FROM g1)
+       |                         ORDER BY list_dot_product(e.v, gs[__g])
+       |                           DESC, __g
+       |                         LIMIT 1)
+       |         ORDER BY list_dot_product(e.v, g1.v)
+       |           - list_dot_product(g1.v, g1.v)/2 DESC, g1.cell
        |         LIMIT 1) AS cluster_id
        |       FROM e)""".stripMargin
 
@@ -7303,21 +7392,39 @@ object PipelineQueries {
          |ORDER BY w_micro DESC, term LIMIT 15""".stripMargin
     },
 
-    // k-NN graph: the q_ann_ivf cell argmax from the same centroid
-    // literals, within-cell rank-3 edges, in-degree histogram +
-    // mutual-pair self-join — all exact integers past the 4-rounded
-    // similarity
+    // k-NN graph: the q_ann_ivf TWO-LEVEL cell argmax from the same
+    // centroid/coarse literals, within-cell rank-3 edges, in-degree
+    // histogram + mutual-pair self-join — all exact integers past the
+    // 4-rounded similarity
     "q_knn_graph" -> {
       def dots(vecExpr: String) =
         s"""list_transform(generate_series(1, cells),
            |          __j -> list_dot_product($vecExpr, cs[__j]))""".stripMargin
+      def mgds(vecExpr: String) =
+        s"""list_transform(generate_series(1, gcnt), __g ->
+           |      CASE WHEN list_contains(gl, __g - 1)
+           |           THEN list_dot_product($vecExpr, gs[__g])
+           |           ELSE -1e308 END)""".stripMargin
       s"""WITH $annParamCte,
          |$ivfCentCte,
-         |cl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |    list_position(ds, list_max(ds)) - 1 AS cell
-         |  FROM (SELECT vec_id, embedding,
-         |          ${dots("CAST(embedding AS DOUBLE[])")} AS ds
-         |        FROM embeddings, ann_p, ivf_cs)),
+         |$ivfCoarseCte,
+         |$ivfGroupListCte,
+         |cl AS (
+         |  SELECT vec_id, v, list_position(mds, list_max(mds)) - 1 AS cell
+         |  FROM (
+         |    SELECT vec_id, v,
+         |      list_transform(generate_series(1, cells), __j ->
+         |        CASE WHEN gl[__j] = vg THEN ds[__j] ELSE -1e308 END)
+         |        AS mds
+         |    FROM (
+         |      SELECT vec_id, v, ds, gl,
+         |        list_position(mg, list_max(mg)) - 1 AS vg
+         |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |              ${dots("CAST(embedding AS DOUBLE[])")} AS ds,
+         |              ${mgds("CAST(embedding AS DOUBLE[])")} AS mg,
+         |              gl
+         |            FROM embeddings, ann_p, ivf_cs, ivf_gs, ivf_gl)),
+         |      ann_p)),
          |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
          |    ${rs("list_cosine_similarity(a.v, b.v)", 4)} AS sim
          |  FROM cl a JOIN cl b
@@ -9133,61 +9240,126 @@ object PipelineQueries {
          |WHERE ${rs("list_cosine_similarity(a.v, c.v)", 4)} >= 0.2""".stripMargin,
 
     "q_ann_ivf" -> {
-      // same seeded centroids as Similarity.ivfCentroids (the ivf_cs
-      // literal CTE, sliced to the corpus-derived cell count); cell =
-      // 0-based position of the first max dot (matching
-      // least(struct(-dot, cell)) tie-breaking)
+      // two-level mirror: same seeded fine centroids (ivf_cs) AND
+      // coarse vectors (ivf_gs), the per-cell group list (ivf_gl),
+      // then per vector: first-max over the coarse dots MASKED to
+      // non-empty groups, then first-max over the fine dots masked to
+      // that group — every clause replays Similarity.ivfAssignTwoLevel
+      // / ArgMaxDotGrouped (index-order dots, first-index ties)
       def dots(vecExpr: String) =
         s"""list_transform(generate_series(1, cells),
            |          __j -> list_dot_product($vecExpr, cs[__j]))""".stripMargin
+      def mgds(vecExpr: String) =
+        s"""list_transform(generate_series(1, gcnt), __g ->
+           |      CASE WHEN list_contains(gl, __g - 1)
+           |           THEN list_dot_product($vecExpr, gs[__g])
+           |           ELSE -1e308 END)""".stripMargin
       s"""WITH $annParamCte,
          |$ivfCentCte,
+         |$ivfCoarseCte,
+         |$ivfGroupListCte,
          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id = 0),
-         |cells AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |    list_position(ds, list_max(ds)) - 1 AS cell
-         |  FROM (SELECT vec_id, embedding,
-         |          ${dots("CAST(embedding AS DOUBLE[])")} AS ds
-         |        FROM embeddings, ann_p, ivf_cs)),
-         |qc AS (SELECT list_position(ds, list_max(ds)) - 1 AS cell
-         |       FROM (SELECT ${dots("qv")} AS ds
-         |             FROM q, ann_p, ivf_cs))
+         |asg AS (
+         |  SELECT vec_id, v, list_position(mds, list_max(mds)) - 1 AS cell
+         |  FROM (
+         |    SELECT vec_id, v,
+         |      list_transform(generate_series(1, cells), __j ->
+         |        CASE WHEN gl[__j] = vg THEN ds[__j] ELSE -1e308 END)
+         |        AS mds
+         |    FROM (
+         |      SELECT vec_id, v, ds, gl,
+         |        list_position(mg, list_max(mg)) - 1 AS vg
+         |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |              ${dots("CAST(embedding AS DOUBLE[])")} AS ds,
+         |              ${mgds("CAST(embedding AS DOUBLE[])")} AS mg,
+         |              gl
+         |            FROM embeddings, ann_p, ivf_cs, ivf_gs, ivf_gl)),
+         |      ann_p)),
+         |qc AS (
+         |  SELECT list_position(mds, list_max(mds)) - 1 AS cell
+         |  FROM (
+         |    SELECT list_transform(generate_series(1, cells), __j ->
+         |        CASE WHEN gl[__j] = vg THEN ds[__j] ELSE -1e308 END)
+         |        AS mds
+         |    FROM (
+         |      SELECT ds, gl, list_position(mg, list_max(mg)) - 1 AS vg
+         |      FROM (SELECT ${dots("qv")} AS ds, ${mgds("qv")} AS mg, gl
+         |            FROM q, ann_p, ivf_cs, ivf_gs, ivf_gl)),
+         |    ann_p))
          |SELECT vec_id, ${rs("list_cosine_similarity(v, qv)", 4)} AS sim
-         |FROM cells, q, qc
-         |WHERE cells.cell = qc.cell AND vec_id <> 0
+         |FROM asg, q, qc
+         |WHERE asg.cell = qc.cell AND vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
     },
 
-    // top-2 cells via first-max argmax twice (second pass masks the
-    // first winner), mirroring ivfProbes' (-dot, idx) ordering
+    // two-level multi-probe: top-2 NON-empty coarse groups via
+    // first-max argmax twice (second pass masks the winning group),
+    // then the within-group first-max cell of each — mirroring
+    // ivfProbesTwoLevel's (-dot, idx) ordering at both levels; when
+    // only one non-empty group exists the second probe collapses onto
+    // the first (ivfProbesTwoLevel returns one cell there)
     "q_ann_ivf_probe" -> {
       def dots(vecExpr: String) =
         s"""list_transform(generate_series(1, cells),
            |          __j -> list_dot_product($vecExpr, cs[__j]))""".stripMargin
+      def mgds(vecExpr: String) =
+        s"""list_transform(generate_series(1, gcnt), __g ->
+           |      CASE WHEN list_contains(gl, __g - 1)
+           |           THEN list_dot_product($vecExpr, gs[__g])
+           |           ELSE -1e308 END)""".stripMargin
+      def grpArgmax(grpVar: String) =
+        s"""list_position(
+           |    list_transform(generate_series(1, cells), __j ->
+           |      CASE WHEN gl[__j] = $grpVar THEN ds[__j]
+           |           ELSE -1e308 END),
+           |    list_max(
+           |      list_transform(generate_series(1, cells), __j ->
+           |        CASE WHEN gl[__j] = $grpVar THEN ds[__j]
+           |             ELSE -1e308 END))) - 1""".stripMargin
       s"""WITH $annParamCte,
          |$ivfCentCte,
+         |$ivfCoarseCte,
+         |$ivfGroupListCte,
          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id = 0),
-         |cells AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |    list_position(ds, list_max(ds)) - 1 AS cell
-         |  FROM (SELECT vec_id, embedding,
-         |          ${dots("CAST(embedding AS DOUBLE[])")} AS ds
-         |        FROM embeddings, ann_p, ivf_cs)),
-         |qd AS (SELECT ${dots("qv")} AS ds FROM q, ann_p, ivf_cs),
-         |qp AS (
-         |  SELECT c1, list_position(ds2, list_max(ds2)) - 1 AS c2
+         |asg AS (
+         |  SELECT vec_id, v, list_position(mds, list_max(mds)) - 1 AS cell
          |  FROM (
-         |    SELECT ds, list_position(ds, list_max(ds)) - 1 AS c1,
-         |      list_transform(generate_series(1, len(ds)),
-         |        j -> CASE WHEN j - 1 = list_position(ds, list_max(ds)) - 1
-         |             THEN -1e308 ELSE ds[j] END) AS ds2
-         |    FROM qd))
+         |    SELECT vec_id, v,
+         |      list_transform(generate_series(1, cells), __j ->
+         |        CASE WHEN gl[__j] = vg THEN ds[__j] ELSE -1e308 END)
+         |        AS mds
+         |    FROM (
+         |      SELECT vec_id, v, ds, gl,
+         |        list_position(mg, list_max(mg)) - 1 AS vg
+         |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |              ${dots("CAST(embedding AS DOUBLE[])")} AS ds,
+         |              ${mgds("CAST(embedding AS DOUBLE[])")} AS mg,
+         |              gl
+         |            FROM embeddings, ann_p, ivf_cs, ivf_gs, ivf_gl)),
+         |      ann_p)),
+         |qp AS (
+         |  SELECT ${grpArgmax("g1")} AS c1,
+         |    CASE WHEN list_contains(gl, g2)
+         |         THEN ${grpArgmax("g2")}
+         |         ELSE ${grpArgmax("g1")} END AS c2
+         |  FROM (
+         |    SELECT ds, gl, g1,
+         |      list_position(mg2, list_max(mg2)) - 1 AS g2
+         |    FROM (
+         |      SELECT ds, gl, mg,
+         |        list_position(mg, list_max(mg)) - 1 AS g1,
+         |        list_transform(generate_series(1, gcnt), __g ->
+         |          CASE WHEN __g - 1 = list_position(mg, list_max(mg)) - 1
+         |               THEN -1e308 ELSE mg[__g] END) AS mg2
+         |      FROM (SELECT ${dots("qv")} AS ds, ${mgds("qv")} AS mg, gl
+         |            FROM q, ann_p, ivf_cs, ivf_gs, ivf_gl), ann_p)),
+         |  ann_p)
          |SELECT vec_id, cast(cell AS int) AS cell,
          |  ${rs("list_cosine_similarity(v, qv)", 4)} AS sim
-         |FROM cells, q, qp
-         |WHERE (cells.cell = qp.c1 OR cells.cell = qp.c2) AND vec_id <> 0
+         |FROM asg, q, qp
+         |WHERE (asg.cell = qp.c1 OR asg.cell = qp.c2) AND vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
     },
 

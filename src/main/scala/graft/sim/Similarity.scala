@@ -84,6 +84,115 @@ object Similarity {
     math.min(maxCells,
       math.max(minCells, ((n + targetCellSize - 1) / targetCellSize).toInt))
 
+  /** Integer-exact ⌊√n⌋. floor(sqrt(double)) alone can land one off at
+    * boundaries (sqrt's correctly-rounded result may cross an integer);
+    * the two guarded corrections below are the same CASE tree the
+    * DuckDB oracle runs, so both engines agree at EVERY n — the
+    * srpBitsFor ⌈log2⌉ lesson applied to the square root.
+    */
+  def isqrt(n: Long): Long =
+    if (n <= 0) 0L
+    else {
+      val s0 = math.floor(math.sqrt(n.toDouble)).toLong
+      if (s0 * s0 > n) s0 - 1
+      else if ((s0 + 1) * (s0 + 1) <= n) s0 + 1
+      else s0
+    }
+
+  /** Coarse-quantizer size for a two-level IVF assignment: ⌊√cells⌋
+    * (min 1). Flat assignment is n·cells dots — QUADRATIC in corpus
+    * size once cells ∝ n — while two-level is n·(g + cells/g), minimized
+    * at g = √cells: n^1.5 total with the constant per-cell occupancy
+    * (and therefore constant probe cost) untouched.
+    */
+  def ivfCoarseCount(cells: Int): Int =
+    math.max(1, isqrt(cells.toLong).toInt)
+
+  /** Seeded coarse centroids (seed 13 — disjoint from the fine seed 7
+    * and the SRP seed 42; prefix-stable like every plane family, so the
+    * oracle slices one literal list at any corpus size).
+    */
+  def ivfCoarse(dim: Int, cells: Int, seed: Long = 13L): Seq[Array[Double]] =
+    srpPlanes(dim, ivfCoarseCount(cells), seed)
+
+  /** Group of each fine centroid: first-wins argmax dot against the
+    * coarse vectors, accumulation in index order — the exact clause
+    * tree the oracle's per-cell mask CTE replays.
+    */
+  def ivfGroupOf(cents: Seq[Array[Double]],
+                 coarse: Seq[Array[Double]]): Array[Int] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val m = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < m) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    cents.map { c =>
+      var best = 0; var bd = Double.NegativeInfinity
+      var g = 0
+      while (g < coarse.length) {
+        val dg = dot(c, coarse(g))
+        if (dg > bd) { bd = dg; best = g }
+        g += 1
+      }
+      best
+    }.toArray
+  }
+
+  /** Non-empty (coarseVec, ascending fine-member indexes) pairs in
+    * ascending coarse order — the [[ArgMaxDotGrouped]] group table
+    * shared by the column assignment and the driver-side probe
+    * derivation.
+    */
+  def ivfGroupTable(cents: Seq[Array[Double]],
+                    coarse: Seq[Array[Double]])
+      : Seq[(Array[Double], Seq[Int])] = {
+    val grp = ivfGroupOf(cents, coarse)
+    coarse.indices
+      .map(g => coarse(g) -> grp.indices.filter(grp(_) == g).toSeq)
+      .filter(_._2.nonEmpty)
+  }
+
+  /** Two-level IVF assignment column — one [[ArgMaxDotGrouped]] call
+    * per row, √cells + occupancy dots instead of `cells` dots.
+    */
+  def ivfAssignTwoLevel(vec: Column, cents: Seq[Array[Double]],
+                        coarse: Seq[Array[Double]]): Column =
+    graft.functions.VectorExprs.argmaxDotGrouped(
+      vec, ivfGroupTable(cents, coarse), cents)
+
+  /** Probe list for a query under the two-level quantizer: the within-
+    * group argmax cell of each of the query's `nGroups` best NON-empty
+    * coarse groups ((-dot, index) order — ties to the lower coarse
+    * index, exactly the oracle's mask-the-winner second pass). The
+    * production multi-probe knob: probing more coarse lists, never
+    * re-scanning the corpus.
+    */
+  def ivfProbesTwoLevel(query: Array[Double], cents: Seq[Array[Double]],
+                        coarse: Seq[Array[Double]],
+                        nGroups: Int): Seq[Int] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val m = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < m) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val groups = ivfGroupTable(cents, coarse)
+    groups.indices
+      .map(gi => (dot(groups(gi)._1, query), gi))
+      .sortBy { case (dg, gi) => (-dg, gi) }
+      .take(nGroups)
+      .map { case (_, gi) =>
+        val ms = groups(gi)._2
+        var best = ms.head; var bd = Double.NegativeInfinity
+        ms.foreach { c =>
+          val dc = dot(cents(c), query)
+          if (dc > bd) { bd = dc; best = c }
+        }
+        best
+      }
+  }
+
   /** Bucket-occupancy skew guard: per-bucket counts → (n_buckets,
     * max/p99/avg occupancy). Run it over any blocking column (SRP bucket,
     * IVF cell, LSH band key) BEFORE trusting a blocked self-join at a new
@@ -261,11 +370,21 @@ object Similarity {
     var cents: Seq[(Int, Array[Double])] = e.orderBy(col("__id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
       .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+    // two-level assignment in EVERY pass (round 11): flat argmax over
+    // k ∝ n centroids made each Lloyd pass n·k dots — quadratic in
+    // corpus size (q_semdedup measured ×7 wall for ×4 vectors at the
+    // 128k decade). The ⌊√k⌋ seeded coarse level (grouping dots read
+    // the raw first-dim components — the +1 bias slot truncates away
+    // on both engines) cuts every pass to n·2√k with identical
+    // first-wins determinism, oracle-mirrored clause for clause.
+    val dim = cents.head._2.length
+    val coarse = ivfCoarse(dim, k)
+    def assignCol: Column =
+      ivfAssignTwoLevel(vAug, cents.map(c => aug(c._2)), coarse)
     var it = 1
     while (it < iters) {
       val ids = cents.map(_._1)
-      cents = e.withColumn("__cell",
-          graft.functions.VectorExprs.argmaxDot(vAug, cents.map(c => aug(c._2))))
+      cents = e.withColumn("__cell", assignCol)
         .groupBy(col("__cell"))
         .agg(graft.ops.WindowMean.vecMean(col("__v")).as("c"))
         .collect()
@@ -274,8 +393,7 @@ object Similarity {
       it += 1
     }
     val ids = cents.map(_._1)
-    val assign = e.withColumn("__ci",
-        graft.functions.VectorExprs.argmaxDot(vAug, cents.map(c => aug(c._2))))
+    val assign = e.withColumn("__ci", assignCol)
       .select(col("__id").as("id"),
         element_at(array(ids.map(lit): _*), col("__ci") + 1).as("cluster_id"))
     (assign, cents)

@@ -617,10 +617,17 @@ class QueryInvariantsSpec extends SparkSpec {
     val n = emb.size
     val cells = math.min(1 << 20, math.max(4, (n + 63) / 64))
     val cents = graft.sim.Similarity.ivfCentroids(64, cells)
+    // two-level reference since round 11: best non-empty coarse group
+    // first, then the flat argmax restricted to that group's members
+    val coarse = graft.sim.Similarity.ivfCoarse(64, cells)
+    val grp = graft.sim.Similarity.ivfGroupOf(cents, coarse)
+    val nonEmpty = coarse.indices.filter(g => grp.contains(g))
+    def dotp(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
     def cellOf(v: Array[Double]): Int = {
-      val ds = cents.take(cells).map(c =>
-        c.zip(v).map { case (a, b) => a * b }.sum)
-      ds.indexOf(ds.max)
+      val g = nonEmpty.maxBy(gi => (dotp(v, coarse(gi)), -gi))
+      grp.indices.filter(grp(_) == g)
+        .maxBy(c => (dotp(v, cents(c)), -c))
     }
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum

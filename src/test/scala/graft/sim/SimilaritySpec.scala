@@ -221,6 +221,76 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == data.size)
   }
 
+  test("isqrt is exact across boundaries (squares, squares±1, random)") {
+    val ns = (0L to 200L) ++
+      (1 to 40).map(i => i.toLong * i * i) ++
+      Seq(1L << 20, (1L << 20) - 1, (1L << 20) + 1, 1048576L * 1048576L) ++
+      Seq.fill(200)(math.abs(new scala.util.Random(9).nextLong()) % (1L << 40))
+    ns.foreach { n =>
+      val s = Similarity.isqrt(n)
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s")
+    }
+  }
+
+  test("two-level assignment law: cell ∈ the vector's coarse group and " +
+      "equals the flat argmax RESTRICTED to that group; probes are the " +
+      "within-group argmaxes of the top coarse groups") {
+    val rnd = new scala.util.Random(11)
+    val k = 23
+    val cents = Seq.fill(k)(Array.fill(16)(rnd.nextGaussian()))
+    val coarse = Similarity.ivfCoarse(16, k)
+    assert(coarse.length == Similarity.ivfCoarseCount(k) &&
+      coarse.length == 4) // ⌊√23⌋
+    val grp = Similarity.ivfGroupOf(cents, coarse)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val data = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+    val df = data.toDF("vec_id", "v")
+    val got = df.select($"vec_id",
+        Similarity.ivfAssignTwoLevel($"v", cents, coarse).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val nonEmpty = coarse.indices.filter(g => grp.contains(g))
+    data.foreach { case (id, vs) =>
+      val v = vs.toArray
+      // reference two-level: best NON-empty coarse group (first-wins),
+      // then flat argmax restricted to that group's members
+      val g = nonEmpty.maxBy(gi => (dot(v, coarse(gi)), -gi))
+      val members = grp.indices.filter(grp(_) == g)
+      val expect = members.maxBy(c => (dot(v, cents(c)), -c))
+      assert(got(id) == expect, s"vec $id")
+      assert(grp(got(id)) == g, s"vec $id not in its coarse group")
+    }
+    // probes: within-group argmax of each of the top-2 coarse groups
+    val qv = Array.fill(16)(rnd.nextGaussian())
+    val ps = Similarity.ivfProbesTwoLevel(qv, cents, coarse, 2)
+    val ranked = nonEmpty.sortBy(gi => (-dot(qv, coarse(gi)), gi)).take(2)
+    val expectPs = ranked.map { g =>
+      grp.indices.filter(grp(_) == g).maxBy(c => (dot(qv, cents(c)), -c))
+    }
+    assert(ps == expectPs)
+    // degenerate single-group table → one probe, not a bogus second
+    val oneGroup = Seq(Array.fill(16)(1.0))
+    val g1 = Similarity.ivfGroupOf(cents, oneGroup)
+    assert(g1.forall(_ == 0) &&
+      Similarity.ivfProbesTwoLevel(qv, cents, oneGroup, 2).size == 1)
+  }
+
+  test("two-level degenerates to flat when one coarse group holds " +
+      "every centroid (the k ≤ 3 kmeans configuration)") {
+    val rnd = new scala.util.Random(5)
+    val cents = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian()))
+    val coarse = Similarity.ivfCoarse(8, 3)
+    assert(coarse.length == 1) // ⌊√3⌋
+    val df = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "v")
+    val cmp = df.select(
+        Similarity.ivfAssign($"v", cents).as("a"),
+        Similarity.ivfAssignTwoLevel($"v", cents, coarse).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(cmp == 0)
+  }
+
   test("native ivfAssign ≡ least(struct) column form, incl. ties") {
     val rnd = new scala.util.Random(3)
     val cents = Seq.fill(17)(Array.fill(16)(rnd.nextGaussian()))
