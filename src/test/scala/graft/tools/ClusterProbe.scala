@@ -42,12 +42,21 @@ object ClusterProbe {
                          // covariance partials serialized and merged
                          // across the real process boundary, then the
                          // driver-side power iteration off the merge
-    "q_bootstrap_ci")    // BootstrapWeightsExpr reference objects in
+    "q_bootstrap_ci",    // BootstrapWeightsExpr reference objects in
                          // remote codegen + VecSumLongExpr buffers
                          // (r10 s5): the 100-long partial arrays
                          // serialize and merge across executor JVMs;
                          // any buffer-serializer defect flips a CI
                          // endpoint
+    "q_ann_ivf",         // ArgMaxDotGrouped (r11): the two-level
+                         // quantizer's coarse/member/centroid tables
+                         // ride the expression tree to remote codegen
+                         // as one reference object — a serialization
+                         // defect reassigns cells and changes the row
+                         // set
+    "q_semdedup")        // kmeans two-level Lloyd passes + the
+                         // within-cell pair join across real shuffle
+                         // boundaries (r11)
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
