@@ -3806,27 +3806,46 @@ object PipelineQueries {
     // fixed-width-key property.
     "q_span_dedup" -> ((s, d) => {
       // spans deliberately NOT materialized: the scan→explode→md5
-      // pipeline runs on both the count side and the join-back side,
+      // pipeline runs on both the totals side and the span-count side,
       // and that is the cheaper plan — MEASURED at 10× (the sfx1
       // corpus) a localCheckpoint barrier here was 5× SLOWER (17 s vs
       // 3.5 s), because storing the exploded corpus-×8 span table
-      // costs far more than re-running the codegen'd digest scan
+      // costs far more than re-running the codegen'd digest scan.
+      // The r10 join-back of the full span stream against the count
+      // table is GONE (r11): spans are distinct within a doc, so a
+      // span seen once corpus-wide (nd = 1) is owned by exactly one
+      // doc and min(doc_id) attributes it — n_dup = n_spans − n_uniq.
+      // That turns the corpus-sized digest shuffle + corpus-sized
+      // shuffle-hash BUILD side + corpus probe into ONE digest shuffle
+      // plus doc-sized map-combined aggregates (sf0.1 min-of-4 under a
+      // loaded host: 0.96 s vs 1.02 s for the join-back form — parity
+      // at toy scale where the exchange was reused anyway; the removed
+      // corpus-sized hash build is the cost that grows with data).
       val spans = parallelize(documents(s, d))
         .select(col("doc_id"),
           explode(Dedup.shingles(col("text"), 8)).as("span"))
         .select(col("doc_id"), md5(col("span")).as("k"))
-      val counts = spans.groupBy(col("k"))
-        .agg(count(lit(1)).as("nd")) // spans distinct per doc -> #docs
-      // counts is corpus-sized (≈ one row per distinct span): force the
-      // shuffle-hash join — broadcasting it melts down at any real
-      // scale, and both sides co-partition on the 128-bit digest
-      spans.join(counts.hint("shuffle_hash"), "k")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
-        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
-          r(col("n_dup_spans").cast("double") / col("n_spans"), 6)
-            .as("dup_ratio"))
+      // shingles are array_distinct'd per doc, so the per-doc span
+      // count is just the array size — the totals side never explodes,
+      // hashes, or shuffles span rows at all
+      val totals = parallelize(documents(s, d))
+        .select(col("doc_id"),
+          size(Dedup.shingles(col("text"), 8)).cast("long").as("n_spans"))
+      val uniq = spans.groupBy(col("k"))
+        .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("d0"))
+        .filter(col("nd") === 1)
+        .groupBy(col("d0")).agg(count(lit(1)).as("n_uniq"))
+      // both sides are doc-keyed aggregates (≈ one row per doc, still
+      // corpus-proportional): co-partitioned shuffle-hash, never
+      // broadcast — and both arrive already partitioned on their join
+      // key, so the join adds no exchange
+      totals.join(uniq.hint("shuffle_hash"),
+          totals("doc_id") === uniq("d0"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          (col("n_spans") - coalesce(col("n_uniq"), lit(0L)))
+            .as("n_dup_spans"),
+          r((col("n_spans") - coalesce(col("n_uniq"), lit(0L)))
+            .cast("double") / col("n_spans"), 6).as("dup_ratio"))
     }),
 
     // C4-style line-level boilerplate REMOVAL (the rewrite, where
@@ -4921,52 +4940,56 @@ object PipelineQueries {
     // column under two layouts — natural arrival order (orderkey
     // ranges) vs. shipdate-sorted — and how many 4096-row files a Q1-
     // style date window could skip in each. The layout-quality number a
-    // table-format optimizer (clustering/compaction) is judged by. The
-    // sorted layout's global rank is assigned WITHOUT a corpus-scale
-    // single-partition sort: rows bucket by their leading sort key
-    // (the shipdate itself — ~2.5k distinct days, value-domain-sized),
-    // bucket counts prefix-sum on that small table, and each day ranks
-    // locally with its offset added — the q_shuffle_order two-level
-    // prefix decomposition, here on an ordered (not hashed) bucket key
-    // so the composed rank IS the exact global sort order.
+    // table-format optimizer (clustering/compaction) is judged by.
+    // The sorted layout's zone table never ranks a single row: in the
+    // (shipdate, orderkey, linenumber) sort, each day occupies the
+    // contiguous global-rank span [offset_d, offset_d + dn_d), so a
+    // file's row count, d_min and d_max are EXACT interval overlaps of
+    // day spans with [4096·f, 4096·(f+1)) — none of them depend on the
+    // within-day order. One day-level rollup (~2.5k keys, map-side
+    // partials), a prefix sum on that value-domain-sized table, a
+    // sequence() explode into ≤ days+files (day, file) overlap rows,
+    // and a tiny groupBy replace the r10 corpus-wide per-day
+    // row_number window + broadcast join-back + third corpus scan
+    // (measured 1.15 s → ~0.45 s at sf0.1; the window form re-shuffled
+    // every row just to throw the ranks away at the file rollup).
     "q_zonemap_prune" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // audited for a shared subtree (the r8 re-audit item): the
-      // arrival-order branch, the per-day offset table, and the sorted
-      // branch's join side each scan `li` — but the scans are
-      // 3-column-pruned parquet reads, and MEASURED at sf0.1 a
-      // localCheckpoint barrier made the query 1.7× SLOWER (cache
-      // write+read round-trip > three vectorized scans). Re-scanning
-      // the pruned columns is the right plan at every scale here.
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
-        col("l_shipdate"))
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1996-03-31").cast("timestamp")
-      val a = li.withColumn("file", expr("l_orderkey div 4096"))
-      val wd = Window.orderBy(col("l_shipdate"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val off = li.groupBy(col("l_shipdate"))
-        .agg(count(lit(1)).as("dn"))
-        .withColumn("offset", coalesce(sum(col("dn")).over(wd), lit(0L)))
-        .select(col("l_shipdate"), col("offset"))
-      val wl = Window.partitionBy(col("l_shipdate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-      val b = li.join(broadcast(off), "l_shipdate")
-        .withColumn("rn", col("offset") + row_number().over(wl))
-        .withColumn("file", expr("cast(rn - 1 AS bigint) div 4096"))
       def zones(df: DataFrame, name: String): DataFrame =
-        df.groupBy(col("file"))
-          .agg(count(lit(1)).as("f_rows"),
-            min(col("l_shipdate")).as("d_min"),
-            max(col("l_shipdate")).as("d_max"))
-          .agg(count(lit(1)).as("n_files"),
+        df.agg(count(lit(1)).as("n_files"),
             sum(when(col("d_max") < lo || col("d_min") > hi, 1L)
               .otherwise(0L)).as("n_pruned"),
             sum(when(!(col("d_max") < lo || col("d_min") > hi),
               col("f_rows")).otherwise(0L)).as("rows_scanned"))
           .select(lit(name).as("layout"), col("n_files"),
             col("n_pruned"), col("rows_scanned"))
-      zones(a, "by_orderkey").unionAll(zones(b, "shipdate_sorted"))
+      // (a GROUPING SETS ((file),(day)) single-scan fusion of the two
+      // rollups measured 0.64 vs 0.66 s min-of-3 — inside noise; the
+      // two pruned scans are not the floor, so the simpler form stays)
+      val az = lineitem(s, d)
+        .select(expr("l_orderkey div 4096").as("file"), col("l_shipdate"))
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("f_rows"),
+          min(col("l_shipdate")).as("d_min"),
+          max(col("l_shipdate")).as("d_max"))
+      val wd = Window.orderBy(col("l_shipdate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = lineitem(s, d).select(col("l_shipdate"))
+        .groupBy(col("l_shipdate"))
+        .agg(count(lit(1)).as("dn"))
+        .withColumn("o", coalesce(sum(col("dn")).over(wd), lit(0L)))
+      val bz = off
+        .select(col("l_shipdate"), col("o"), col("dn"),
+          explode(expr(
+            "sequence(o div 4096, (o + dn - 1) div 4096)")).as("file"))
+        .groupBy(col("file"))
+        .agg(sum(least(expr("(file + 1) * 4096"), col("o") + col("dn"))
+            - greatest(expr("file * 4096"), col("o"))).as("f_rows"),
+          min(col("l_shipdate")).as("d_min"),
+          max(col("l_shipdate")).as("d_max"))
+      zones(az, "by_orderkey").unionAll(zones(bz, "shipdate_sorted"))
     }),
 
     // Contamination detection: training docs sharing any verbatim

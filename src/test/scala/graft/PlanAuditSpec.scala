@@ -102,9 +102,11 @@ class PlanAuditSpec extends SparkSpec {
     // a raw 8-word span as a shuffle key is the 100 TB scale-killer
     assert(!p.contains("hashpartitioning(span"), s"raw-text shuffle key:\n$p")
     assert(p.contains("hashpartitioning(k#"), p)
-    // counts (≈ one row per distinct span) is corpus-sized: it must
-    // arrive via the co-partitioned shuffle-hash join, never broadcast
-    assert(p.contains("ShuffledHashJoin"), s"counts side not shuffled:\n$p")
+    // the doc-keyed totals ⨝ unique-owner rollup (r11 join-free span
+    // attribution: both sides ≈ one row per doc, still
+    // corpus-proportional) stays a co-partitioned shuffle-hash join,
+    // never broadcast
+    assert(p.contains("ShuffledHashJoin"), s"doc rollup side not shuffled:\n$p")
   }
 
   test("q_substring_dedup: exchanges carry md5 digests, never chunk text") {
