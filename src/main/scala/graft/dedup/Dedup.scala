@@ -534,15 +534,33 @@ object Dedup {
     * document's fingerprints. Guarantee: any verbatim match of at least
     * w+k-1 tokens shares a fingerprint; expected density 2/(w+1).
     *
-    * The tie-break is encoded INTO the window key — digest ||
-    * zero-padded (10^8 − pos) — so a single windowed `min` performs
-    * argmin-with-rightmost-tie in one pass. Scale: the window partitions
-    * by doc and orders by position, so state is one doc's gram sequence;
-    * docs never compare against each other until fingerprints join.
-    * Returns (doc_id, fp_pos, fp).
+    * Computed by the native one-pass `WinnowExpr` kernel: every
+    * selection is a function of the document's own tokens, so the
+    * operator is a pure scan-side map with ZERO shuffles — the
+    * windowed formulation below (kept as `winnowFingerprintsWindowed`,
+    * equivalence-pinned in DedupSpec) shuffled the exploded gram table
+    * on doc_id for the per-doc window and paid a second exchange for
+    * the distinct. Per-document fingerprints should never leave the
+    * scan task at any corpus size. Returns (doc_id, fp_pos, fp).
     */
   def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
-                         k: Int, w: Int): DataFrame = {
+                         k: Int, w: Int): DataFrame =
+    graft.util.Tables.parallelize(
+        docs.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.winnow(col("__t"), k, w))
+          .as("s"))
+      .select(col("doc_id"), col("s.fp_pos").as("fp_pos"),
+        col("s.fp").as("fp"))
+
+  /** The r10 window-over-exploded-grams formulation — the tie-break is
+    * encoded INTO the window key (digest || zero-padded 10^8 − pos) so
+    * a single windowed `min` performs argmin-with-rightmost-tie in one
+    * pass. Kept as the equivalence cross-check for `WinnowExpr`
+    * (DedupSpec pins them row-identical).
+    */
+  def winnowFingerprintsWindowed(docs: DataFrame, id: Column, text: Column,
+                                 k: Int, w: Int): DataFrame = {
     val grams = graft.util.Tables.parallelize(
         docs.select(id.as("doc_id"), text.as("__t")))
       .select(col("doc_id"), TextAnalysis.tokens(col("__t")).as("tk"))

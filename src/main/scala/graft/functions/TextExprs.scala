@@ -46,6 +46,9 @@ object TextExprs {
 
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+
+  def winnow(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
 }
 
 /** Unicode NFC canonical composition (é from e + U+0301, etc.) as a
@@ -395,4 +398,106 @@ case class TermCountsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TermCountsExpr =
     copy(child = newChild)
   override def prettyName: String = "term_counts"
+}
+
+/** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003) in
+  * ONE pass per document: k-token gram md5s, a rightmost-min sliding
+  * window of w grams, distinct selections out as
+  * `array<struct<fp_pos int, fp string>>`. Every selection is a
+  * function of the document's own tokens, so the whole operator is a
+  * scan-side map — the r10 formulation shuffled the exploded gram
+  * table on doc_id just to run a per-doc window and then paid a second
+  * exchange for the distinct; per-document fingerprints should never
+  * leave the scan task at any scale. Semantics pinned bit-for-bit to
+  * the windowed form (DedupSpec equivalence test): grams are
+  * end-capped slices (`slice(tk, pos, k)`), only full windows select
+  * (pos ≤ max(ng−w+1, 1)), and ties on equal md5 pick the RIGHTMOST
+  * gram — the winnowing rule that makes selections position-stable
+  * across document edits.
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("fp_pos", IntegerType, nullable = false),
+    StructField("fp", StringType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"requires string input, got ${child.dataType.simpleString}")
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val n = toks.length
+    val ng = math.max(n - k + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[String](ng)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < ng) {
+      sb.setLength(0)
+      val end = math.min(i + k, n)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      hashes(i) = md5Hex(md, sb.toString)
+      i += 1
+    }
+    // windows start at 0-based p0 ∈ [0, max(ng−w+1,1)); rightmost-min:
+    // scanning ascending and updating on ties (c <= 0) lands the
+    // largest index among equal-hash grams
+    val sel = new java.util.LinkedHashSet[Integer]()
+    val lastP0 = math.max(ng - w + 1, 1) - 1
+    var p0 = 0
+    while (p0 <= lastP0) {
+      var best = p0
+      val wend = math.min(p0 + w, ng)
+      var q = p0 + 1
+      while (q < wend) {
+        if (hashes(q).compareTo(hashes(best)) <= 0) best = q
+        q += 1
+      }
+      sel.add(best)
+      p0 += 1
+    }
+    val out = new Array[Any](sel.size())
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) {
+      val b = it.next().intValue()
+      out(o) = InternalRow(b + 1, UTF8String.fromString(hashes(b)))
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
 }

@@ -276,6 +276,28 @@ class DedupSpec extends SparkSpec {
       fsel == (5 to fng).toSet) // windows 1..5 all pick their last row
   }
 
+  test("winnowing: native kernel ≡ windowed formulation row-for-row") {
+    // the zero-shuffle WinnowExpr kernel and the r10 window-over-
+    // exploded-grams form must select identical (doc_id, fp_pos, fp)
+    // sets, including the partial-gram tail, empty-text, multi-space
+    // and shorter-than-window edge docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha  beta   gamma delta"), // multi-space: empty tokens kept
+      (3L, ""),
+      (4L, "just three words"),
+      (5L, Seq.fill(12)("same").mkString(" ")),
+      (6L, ("tok" + (1 to 40).mkString(" tok")))).toDF("doc_id", "text")
+    for ((k, w) <- Seq((4, 5), (2, 3), (1, 1))) {
+      val native = Dedup.winnowFingerprints(docs, $"doc_id", $"text", k, w)
+        .as[(Long, Int, String)].collect().toSet
+      val windowed = Dedup
+        .winnowFingerprintsWindowed(docs, $"doc_id", $"text", k, w)
+        .as[(Long, Int, String)].collect().toSet
+      assert(native == windowed, s"k=$k w=$w")
+    }
+  }
+
   test("fuzzy-dedup funnel: verified edges drop non-dups, survivors are " +
     "min-id") {
     // candidates from LSH include (0,1),(0,4),(1,4) and likely (0,2);
