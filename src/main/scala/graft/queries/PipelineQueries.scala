@@ -5024,12 +5024,16 @@ object PipelineQueries {
     // the decontamination family probes (a real pipeline lands that
     // index once), distinct()ed per doc; the occurrence side is
     // corpus-sized so the join-back is pinned shuffle-hash on the
-    // 128-bit digest, exactly the q_span_dedup discipline. Disposition
-    // (r10): a window-over-g variant (one fewer exchange) measured
-    // 0.99 s vs 1.07 s at sf0.1 — inside noise, and the window adds a
-    // per-group sort the join-back form doesn't carry at scale; KEEP,
-    // same rationale as q_span_dedup (the family inverts to faster
-    // than the oracle at the ×10 decade).
+    // 128-bit digest, exactly the q_span_dedup discipline.
+    // Dispositions: a window-over-g variant (one fewer exchange)
+    // measured inside noise (r10); r11 measured TWO dup-subset
+    // rewrites (join only occ ≥ 2 with Σocc = n_spans + Σ(occ−1)
+    // reconstitution; then the same with min(doc_id) singles
+    // attribution replacing the totals rollup) — 1.56–1.64 s vs
+    // 1.21 s min for this form at sf0.1: the dup fraction is 5% so
+    // the exchange-volume saving is real, but each variant adds 2–3
+    // stages and stage floors dominate at gate scale. KEEP — the
+    // family inverts to faster than the oracle at the ×10 decade.
     "q_softdedup_weights" -> ((s, d) => {
       val spans = docSpans5(s, d).distinct()
       val occ = spans.groupBy(col("g")).agg(count(lit(1)).as("occ"))
