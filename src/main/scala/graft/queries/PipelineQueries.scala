@@ -3861,8 +3861,12 @@ object PipelineQueries {
     "q_line_dedup" -> ((s, d) => {
       val lineW = 4
       val maxDf = 2 // keep lines in ≤2 docs; ≥3 docs ⇒ boilerplate
-      // lines materialized once: they feed the df-count aggregation,
-      // the join-back, and the per-doc totals
+      // lines deliberately NOT materialized (r11): with the one-agg
+      // reassembly only the df rollup and the join-back consume them,
+      // and re-running the codegen'd split/slice/md5 scan measured
+      // parity with a localCheckpoint barrier (1.17 vs 1.14 s min at
+      // sf0.1) while keeping the lineage an executor-storage loss
+      // needs to recompute (the round-6 checkpoint lesson)
       val lines = parallelize(documents(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), col("t"),
@@ -3873,7 +3877,6 @@ object PipelineQueries {
             (col("i") * lineW + 1).cast("int"), lit(lineW)), " ")
             .as("line"))
         .withColumn("k", md5(col("line")))
-        .localCheckpoint(false)
       val df = lines.groupBy(col("k"))
         .agg(countDistinct(col("doc_id")).as("df"))
       // df is corpus-sized (one row per distinct line): shuffle-hash
