@@ -54,9 +54,14 @@ object ClusterProbe {
                          // as one reference object — a serialization
                          // defect reassigns cells and changes the row
                          // set
-    "q_semdedup")        // kmeans two-level Lloyd passes + the
+    "q_semdedup",        // kmeans two-level Lloyd passes + the
                          // within-cell pair join across real shuffle
                          // boundaries (r11)
+    "q_winnowing")       // WinnowExpr (r11 s2): the zero-shuffle
+                         // struct-array kernel's reference object
+                         // ships to remote codegen; the MessageDigest
+                         // and rightmost-min state live entirely
+                         // executor-side
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
