@@ -2413,13 +2413,22 @@ object PipelineQueries {
         .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("rtf"))
         .filter(!col("t").isin(Bm25Terms: _*))
-      val dfAll = parallelize(documents(s, d))
+      // df rollup SEMI-FILTERED below the aggregation (r11): only the
+      // expansion candidates — the few hundred terms of the 10
+      // pseudo-relevant docs — matter downstream, so the broadcast
+      // rel-term probe sits between the explode and the groupBy and
+      // the exchange carries candidate terms only, not the full
+      // vocabulary. Inner-join ≡ the old agg-then-join (same term
+      // set); at 100 TB this is the difference between a
+      // vocabulary-sized and a query-sized df exchange.
+      val dfRel = parallelize(documents(s, d))
         .select(explode(array_distinct(TextAnalysis.tokens(col("text"))))
           .as("t"))
-        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .join(broadcast(relTf), "t")
+        .groupBy(col("t"), col("rtf")).agg(count(lit(1)).as("df"))
       val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5))
         / (col("df").cast("double") + lit(0.5)) + lit(1.0))
-      dfAll.join(broadcast(relTf), "t").crossJoin(broadcast(st))
+      dfRel.crossJoin(broadcast(st))
         .select(col("t").as("term"), col("rtf"), col("df"),
           (floor(idf * 1e6 + lit(0.5)).cast("long") * col("rtf"))
             .as("w_micro"))
