@@ -563,6 +563,11 @@ object Dedup {
                                  k: Int, w: Int): DataFrame = {
     val grams = graft.util.Tables.parallelize(
         docs.select(id.as("doc_id"), text.as("__t")))
+      // null-text docs: the native kernel drops them (explode of a null
+      // winnow array); drop them here too so the two entry points stay
+      // row-identical — without this, greatest(null,1)=1 would emit a
+      // single null-fp row per null doc
+      .filter(col("__t").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokens(col("__t")).as("tk"))
       .select(col("doc_id"),
         greatest(size(col("tk")) - k + 1, lit(1)).as("ng"),

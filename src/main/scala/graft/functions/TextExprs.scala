@@ -445,7 +445,8 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
     val toks = s.toString.split(" ", -1)
     val n = toks.length
     val ng = math.max(n - k + 1, 1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = WinnowExpr.digest.get()
+    md.reset()
     val hashes = new Array[String](ng)
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -461,21 +462,31 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
       hashes(i) = md5Hex(md, sb.toString)
       i += 1
     }
-    // windows start at 0-based p0 ∈ [0, max(ng−w+1,1)); rightmost-min:
-    // scanning ascending and updating on ties (c <= 0) lands the
-    // largest index among equal-hash grams
+    // windows start at 0-based p0 ∈ [0, max(ng−w+1,1)); rightmost-min
+    // via a monotonic deque: each gram enters once and is evicted at
+    // most once, so the whole selection pass is O(ng) instead of the
+    // O(ng·w) rescans of the per-window loop. The back-pop condition
+    // `back >= incoming` evicts equal-hash grams in favor of the new
+    // (righter) one, which is exactly the rightmost-tie rule that makes
+    // winnowing selections position-stable across document edits.
     val sel = new java.util.LinkedHashSet[Integer]()
     val lastP0 = math.max(ng - w + 1, 1) - 1
+    val deque = new Array[Int](ng)
+    var head = 0
+    var tail = 0 // deque holds indices in [head, tail)
+    var q = 0
     var p0 = 0
     while (p0 <= lastP0) {
-      var best = p0
       val wend = math.min(p0 + w, ng)
-      var q = p0 + 1
       while (q < wend) {
-        if (hashes(q).compareTo(hashes(best)) <= 0) best = q
+        while (tail > head && hashes(deque(tail - 1)).compareTo(hashes(q)) >= 0)
+          tail -= 1
+        deque(tail) = q
+        tail += 1
         q += 1
       }
-      sel.add(best)
+      while (deque(head) < p0) head += 1
+      sel.add(deque(head))
       p0 += 1
     }
     val out = new Array[Any](sel.size())
@@ -500,4 +511,13 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)
   override def prettyName: String = "winnow_fingerprints"
+}
+
+object WinnowExpr {
+  /** One digest per executor thread (BootstrapExprs precedent) — a
+    * provider lookup per document is measurable overhead on
+    * multi-million-doc scans.
+    */
+  private[functions] val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }

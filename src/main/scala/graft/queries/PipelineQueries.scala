@@ -3837,7 +3837,11 @@ object PipelineQueries {
       // shingles are array_distinct'd per doc, so the per-doc span
       // count is just the array size — the totals side never explodes,
       // hashes, or shuffles span rows at all
+      // null-text docs vanish from the spans side via explode(null);
+      // filter them here too so the totals side agrees with the r10
+      // explode-based row set instead of emitting a null-n_spans row
       val totals = parallelize(documents(s, d))
+        .filter(col("text").isNotNull)
         .select(col("doc_id"),
           size(Dedup.shingles(col("text"), 8)).cast("long").as("n_spans"))
       val uniq = spans.groupBy(col("k"))

@@ -287,7 +287,9 @@ class DedupSpec extends SparkSpec {
       (3L, ""),
       (4L, "just three words"),
       (5L, Seq.fill(12)("same").mkString(" ")),
-      (6L, ("tok" + (1 to 40).mkString(" tok")))).toDF("doc_id", "text")
+      (6L, ("tok" + (1 to 40).mkString(" tok"))),
+      (7L, null.asInstanceOf[String]) // null text: BOTH forms drop the doc
+    ).toDF("doc_id", "text")
     for ((k, w) <- Seq((4, 5), (2, 3), (1, 1))) {
       val native = Dedup.winnowFingerprints(docs, $"doc_id", $"text", k, w)
         .as[(Long, Int, String)].collect().toSet
