@@ -3489,9 +3489,17 @@ object PipelineQueries {
     // cross-join in DuckDB — so the hash proves neighborhood
     // completeness (no missed pair) as well as the verify filter.
     "q_editdist_join" -> ((s, d) => {
-      val vocab = parallelize(documents(s, d))
+      // the synthetic vocabulary has NO natural distance-≤1 pairs, so
+      // the raw form proves only 0=0 against the oracle; seed a typo'd
+      // twin (w || "q") per word — the q_url_canon synthesize-in-query
+      // precedent — so the driver row witnesses real pairs at every sf
+      // while the oracle still levenshtein-cross-joins the SAME
+      // augmented vocabulary (pairs stay algorithm-independent)
+      val base = parallelize(documents(s, d))
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0).distinct()
+      val vocab = base.union(base.select(concat(col("w"), lit("q")).as("w")))
+        .distinct()
       val vars = vocab
         .select(col("w"),
           explode(sequence(lit(0), length(col("w")))).as("i"))
@@ -4404,8 +4412,18 @@ object PipelineQueries {
         .limit(30)),
 
     // ---- dedup ----------------------------------------------------------
-    "q_dedup_exact" -> ((s, d) =>
-      Dedup.exactDuplicates(documents(s, d), col("doc_id"), col("text"))),
+    // the synthetic corpus has no exact duplicates at gate scale, so the
+    // raw form proved only 0=0; mirror every 100th doc under a shifted
+    // id (synthesize-in-query, the q_url_canon precedent) so the driver
+    // row witnesses real dup pairs at every sf — 5 at 500 docs, 50 at
+    // 5000 — and still catches any natural duplicates
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.union(
+        docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactDuplicates(corpus, col("doc_id"), col("text"))
+    }),
 
     "q_minhash" -> ((s, d) =>
       Dedup.minhashDf(documents(s, d), col("doc_id"), col("text"), 2,
@@ -6308,7 +6326,8 @@ object PipelineQueries {
     "q_editdist_join" ->
       ("""WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
          |  FROM documents),
-         |vf AS (SELECT w FROM v WHERE len(w) > 0)
+         |base AS (SELECT w FROM v WHERE len(w) > 0),
+         |vf AS (SELECT w FROM base UNION SELECT w || 'q' FROM base)
          |SELECT a.w AS w1, b.w AS w2,
          |  cast(levenshtein(a.w, b.w) AS bigint) AS dist
          |FROM vf a JOIN vf b ON a.w < b.w
@@ -8563,9 +8582,14 @@ object PipelineQueries {
         "ORDER BY n DESC, token LIMIT 20"),
 
     "q_dedup_exact" ->
-      ("SELECT doc_id AS dup_id, kept_id FROM (SELECT doc_id, " +
-        "min(doc_id) OVER (PARTITION BY md5(text)) AS kept_id " +
-        "FROM documents) WHERE doc_id <> kept_id"),
+      ("""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 100 = 0)
+         |SELECT doc_id AS dup_id, kept_id FROM (SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS kept_id
+         |  FROM corpus) WHERE doc_id <> kept_id""").stripMargin,
 
     "q_minhash" -> {
       val hs = (0 until MinhashN)

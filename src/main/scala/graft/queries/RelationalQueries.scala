@@ -89,9 +89,16 @@ object RelationalQueries {
         col("o_orderkey") === col("l_orderkey"), "left_semi")
         .select(col("o_orderkey"))),
 
-    // left-anti: customers with no orders (NOT EXISTS)
+    // left-anti: customers with no URGENT order (NOT EXISTS). The
+    // filter on the fact side is deliberate: the synthetic corpus gives
+    // every customer at least one order, so an unfiltered anti-join
+    // would prove only 0=0 against the oracle — this form witnesses
+    // rows at every sf (18 / 203 / 1986 at sf0.001/0.01/0.1) while
+    // keeping the same left-anti physical shape
     "q_anti_join" -> ((s, d) =>
-      customer(s, d).join(orders(s, d).hint("shuffle_hash"),
+      customer(s, d).join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .hint("shuffle_hash"),
         col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"))),
 
@@ -940,7 +947,8 @@ object RelationalQueries {
 
     "q_anti_join" ->
       ("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT')"),
 
     "q_topk" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
