@@ -5066,8 +5066,11 @@ object PipelineQueries {
     // attribution replacing the totals rollup) — 1.56–1.64 s vs
     // 1.21 s min for this form at sf0.1: the dup fraction is 5% so
     // the exchange-volume saving is real, but each variant adds 2–3
-    // stages and stage floors dominate at gate scale. KEEP — the
-    // family inverts to faster than the oracle at the ×10 decade.
+    // stages and stage floors dominate at gate scale. KEEP — settled
+    // by measurement at the ×100 decade (r12): hash-exact at 500k
+    // docs and 11.45 s vs DuckDB 38.59 s (0.30×) — the inversion
+    // completes exactly like the rest of the span family
+    // (3.0× at sf0.1 → 1.34× at ×10 → 0.30× at ×100, PERF.md).
     "q_softdedup_weights" -> ((s, d) => {
       val spans = docSpans5(s, d).distinct()
       val occ = spans.groupBy(col("g")).agg(count(lit(1)).as("occ"))
