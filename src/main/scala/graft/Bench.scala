@@ -200,6 +200,38 @@ object Bench {
       val (sec, nBatches, stRows, ltRows) =
         Seq(drain(1), drain(2)).minBy(_._1)
       val fps = (n / sec).toLong
+      // Component attribution (r11 verdict item 3): the end-to-end
+      // figure slid 3,743→2,760 f/s across rounds 9-11 with no code
+      // change on the path — time the read→decode prefix and the
+      // read→agg prefix separately (noop sink, same admission control)
+      // so any future movement is attributable to a stage: sink cost =
+      // full − agg, agg cost = agg − read. min-of-2 each, like the
+      // full drain.
+      def prefixDrain(run: Int, withAgg: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val decoded = spark.readStream.format("graft-frames")
+          .option("kind", "peaks")
+          .option("maxFramesPerTrigger", perTrigger.toString)
+          .load(src)
+          .select(col("timestamp_frac").as("frame_id"),
+            timestamp_seconds(col("timestamp_int")).as("ts"),
+            col("serial_number"), col("peak_counts"), col("peaks"))
+        val staged =
+          if (withAgg) graft.pipeline.PeakStreaming.streamAgg(
+            decoded, windowMs = 3600 * 1000)
+          else decoded
+        val q = staged.writeStream
+          .outputMode("append")
+          .option("checkpointLocation",
+            s"$tmp/ck_${if (withAgg) "agg" else "read"}$run")
+          .format("noop")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val readSec = Seq(prefixDrain(1, false), prefixDrain(2, false)).min
+      val aggSec = Seq(prefixDrain(1, true), prefixDrain(2, true)).min
       // regression floor (warn-only): every round 8-11 reading on this
       // host sits in 3,0xx-3,7xx f/s; a sub-2500 figure means the
       // foreachBatch path regressed (or the host is heavily loaded) and
@@ -208,7 +240,11 @@ object Bench {
         System.err.println(s"[bench] WARN streaming throughput $fps f/s " +
           "below the 2500 f/s floor (rounds 8-11 range: 3030-3743)")
       s"""{"frames":$n,"elapsed_sec":$sec,"frames_per_sec":$fps,""" +
-        s""""n_batches":$nBatches,"st_rows":$stRows,"lt_rows":$ltRows}"""
+        s""""n_batches":$nBatches,"st_rows":$stRows,"lt_rows":$ltRows,""" +
+        s""""read_sec":$readSec,"agg_sec":$aggSec,""" +
+        s""""sink_sec":${math.max(sec - aggSec, 0.0)},""" +
+        s""""read_fps":${(n / readSec).toLong},""" +
+        s""""agg_fps":${(n / aggSec).toLong}}"""
     } catch {
       case e: Throwable =>
         s"""{"error":"${e.toString.linesIterator.next().take(200)

@@ -82,10 +82,13 @@ object PeakStreaming {
     * (the reference's flush writes st_* then stride-copies to lt_*,
     * database_peak_streaming.py:47-58).
     */
-  def stream(frames: DataFrame, stPath: String, ltPath: String,
-             checkpoint: String, windowMs: Int = WindowMs,
-             ltIncrement: Int = LtIncrement): DataStreamWriter[Row] = {
-    val agg = frames
+  /** The streaming (watermarked) variant of [[windowed]] — split out so
+    * the bench can time the read→agg prefix of the pipeline separately
+    * from the parquet dual-sink stage (the per-round streaming figure
+    * is attributable component by component, not one opaque number).
+    */
+  def streamAgg(frames: DataFrame, windowMs: Int = WindowMs): DataFrame =
+    frames
       .withWatermark("ts", "10 seconds")
       .groupBy(window(col("ts"), s"$windowMs milliseconds").as("win"))
       .agg(
@@ -94,6 +97,11 @@ object PeakStreaming {
         WindowMean.vecMean(col("peaks")).as("mean_peaks"))
       .select(col("win.start").as("win_start"), col("n_frames"),
         col("port_counts"), col("mean_peaks"))
+
+  def stream(frames: DataFrame, stPath: String, ltPath: String,
+             checkpoint: String, windowMs: Int = WindowMs,
+             ltIncrement: Int = LtIncrement): DataStreamWriter[Row] = {
+    val agg = streamAgg(frames, windowMs)
 
     agg.writeStream
       .outputMode(OutputMode.Append)
