@@ -4007,16 +4007,42 @@ object PipelineQueries {
 
     // Corpus composition by LM-quality decile — the curation view a
     // mixing pipeline balances against: docs ranked by avg bigram NLL
-    // (exact integer micro-nat ratio, doc_id tie-break → total order,
-    // so ntile agrees across engines), then per-decile volume and the
-    // exact pooled NLL. The global ntile sorts DOC-LEVEL aggregates
-    // (corpus rows / ~10^3), not the corpus — fine at 100 TB.
+    // (exact integer micro-nat floor, doc_id tie-break → total order
+    // both engines share), then per-decile volume and the exact pooled
+    // NLL. r12: the global ntile(10) window over per-doc rows is GONE
+    // — doc rows are corpus-proportional (10^8+ at 100 TB), the one
+    // plan shape WindowLawSpec bans. Replaced by the q_rfm two-level
+    // rank decomposition: rows bucket by the milli-nat floor of their
+    // key (monotone in the exact micro key, value-domain-sized bucket
+    // table), bucket counts prefix-scan on that table, each bucket
+    // ranks locally with its offset added, and rank maps to the decile
+    // arithmetically from the broadcast doc count (SQL-standard ntile:
+    // first n%10 buckets hold one extra row).
     "q_ppl_buckets" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(
-        col("nll_sum_micro") / col("n_bigrams"), col("doc_id"))
-      ngramDocNllCached(s, d)
-        .withColumn("decile", ntile(10).over(w))
+      val per = ngramDocNllCached(s, d)
+        .withColumn("q", expr("nll_sum_micro div n_bigrams"))
+      val st = per.agg(count(lit(1)).as("n_docs_all"))
+      val base = per.crossJoin(broadcast(st))
+        .withColumn("__b", expr("q div 1000"))
+      val wb = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = base.groupBy(col("__b"))
+        .agg(count(lit(1)).as("__bn"))
+        .withColumn("__off", coalesce(sum(col("__bn")).over(wb), lit(0L)))
+        .select(col("__b"), col("__off"))
+      val wl = Window.partitionBy(col("__b"))
+        .orderBy(col("q"), col("doc_id"))
+      base.join(broadcast(off), "__b")
+        .withColumn("rn", col("__off") + row_number().over(wl))
+        .withColumn("decile", expr(
+          """cast(CASE
+            |  WHEN rn <= (n_docs_all % 10) * ((n_docs_all div 10) + 1)
+            |  THEN (rn - 1) div ((n_docs_all div 10) + 1) + 1
+            |  ELSE (n_docs_all % 10) +
+            |    (rn - (n_docs_all % 10) * ((n_docs_all div 10) + 1) - 1)
+            |      div (n_docs_all div 10) + 1
+            |END AS int)""".stripMargin))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_bigrams")).as("bigrams_total"),
@@ -6978,7 +7004,7 @@ object PipelineQueries {
       s"""WITH $ngramNllCtes,
          |dec AS (SELECT doc_id, n_bigrams, nll_sum_micro,
          |          cast(ntile(10) OVER (ORDER BY
-         |            nll_sum_micro / n_bigrams, doc_id) AS int) AS decile
+         |            nll_sum_micro // n_bigrams, doc_id) AS int) AS decile
          |        FROM perdoc)
          |SELECT decile, count(*) AS n_docs,
          |  cast(sum(n_bigrams) AS bigint) AS bigrams_total,
