@@ -105,6 +105,12 @@ object PipelineQueries {
   private val MinhashN = 4       // hashes exposed by q_minhash
   private val LshBands = 4
   private val LshRows = 2        // 8 hashes total for LSH
+  // SimHash LSH banding: ⌈64/(3+1)⌉-band pigeonhole minimum for the
+  // Hamming ≤ 3 rule; widen (8/16/32 — must keep ≥ 4) for recall
+  // margin, or move to a wider fingerprint with fewer, wider bands
+  // past ~10⁷ docs (see Dedup.simhashBands). Oracle SQL derives from
+  // the same constant, so turning the knob re-verifies end to end.
+  private val SimhashBands = 4
 
   /** ANN/near-dup blocking parameters are FUNCTIONS of corpus size
     * (within-bucket joins are quadratic in occupancy — fixed bits that
@@ -4583,10 +4589,7 @@ object PipelineQueries {
       val fp = Dedup.simhash64Df(documents(s, d), col("doc_id"),
         col("text"))
       val bands = fp.select(col("doc_id"), col("fp"),
-          explode(array((0 until 4).map(bi =>
-            struct(lit(bi).as("band_idx"),
-              shiftrightunsigned(col("fp"), 16 * bi)
-                .bitwiseAND(lit(65535L)).as("bv"))): _*)).as("b"))
+          explode(Dedup.simhashBands(col("fp"), SimhashBands)).as("b"))
         .select(col("doc_id"), col("fp"),
           col("b.band_idx").as("band_idx"), col("b.bv").as("bv"))
       val a = bands.select(col("doc_id").as("id_a"), col("fp").as("fa"),
@@ -8828,8 +8831,10 @@ object PipelineQueries {
       s"""WITH v AS (SELECT doc_id, $votes FROM documents),
          |fp AS (SELECT doc_id, ($fold) AS fp FROM v),
          |bands AS (SELECT doc_id, fp, b AS band_idx,
-         |    (fp >> (16 * b)) & 65535 AS bv
-         |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |    (fp >> (${64 / SimhashBands} * b)) &
+         |      ${(1L << (64 / SimhashBands)) - 1L} AS bv
+         |  FROM fp, (SELECT unnest(generate_series(0,
+         |    ${SimhashBands - 1})) AS b)),
          |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    a.fp AS fa, b.fp AS fb
          |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx

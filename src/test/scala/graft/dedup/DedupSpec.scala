@@ -300,6 +300,78 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash banding knob: every nBands ≥ 4 catches every " +
+    "Hamming ≤ 3 pair (pigeonhole), and 4 is tight") {
+    // deterministic fp corpus: an LCG walk plus, for each base, twins
+    // at Hamming 1/2/3 with flip positions spread across bands —
+    // every (base, twin) pair MUST share at least one band at any
+    // banding with nBands ≥ h+1 = 4
+    val bases = Iterator.iterate(0x9E3779B97F4A7C15L)(x =>
+      x * 6364136223846793005L + 1442695040888963407L).take(8).toSeq
+    val pairs = bases.zipWithIndex.flatMap { case (b, i) =>
+      val flips = Seq(
+        Seq(63),                       // h=1, sign bit
+        Seq(i % 16, 16 + (i % 16)),    // h=2, two bands
+        Seq(i % 16, 31, 48 + i % 16))  // h=3, three bands
+      flips.map(f => (b, f.foldLeft(b)((acc, p) => acc ^ (1L << p))))
+    }
+    def bandSets(fps: Seq[Long], nBands: Int): Seq[Set[(Int, Long)]] = {
+      val df = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+        .toDF("id", "fp")
+        .select($"id", explode(Dedup.simhashBands($"fp", nBands)).as("b"))
+        .select($"id", $"b.band_idx", $"b.bv")
+        .as[(Long, Int, Long)].collect()
+      fps.indices.map(i =>
+        df.filter(_._1 == i).map(r => (r._2, r._3)).toSet)
+    }
+    for (nBands <- Seq(4, 8, 16, 32)) {
+      val fps = pairs.flatMap(p => Seq(p._1, p._2))
+      val sets = bandSets(fps, nBands)
+      pairs.indices.foreach { k =>
+        val shared = sets(2 * k).intersect(sets(2 * k + 1))
+        assert(shared.nonEmpty,
+          s"nBands=$nBands missed Hamming<=3 pair #$k " +
+            f"(${pairs(k)._1}%016x vs ${pairs(k)._2}%016x)")
+      }
+    }
+    // tightness: one flip in EACH 16-bit band (Hamming 4) shares no
+    // band at nBands=4 — the ⌈64/(3+1)⌉ bound is exactly the rule's
+    // minimum, not slack
+    val evader = Seq(0, 16, 32, 48).foldLeft(bases.head)(
+      (acc, p) => acc ^ (1L << p))
+    val s4 = bandSets(Seq(bases.head, evader), 4)
+    assert(s4(0).intersect(s4(1)).isEmpty,
+      "a Hamming-4 pair flipping every band must evade 4 bands")
+  }
+
+  test("simhash banding knob: the Hamming ≤ 3 near-pair set is " +
+    "invariant across 4/8/16 bands on planted near-dups") {
+    // mirror of the q_simhash_pairs pipeline, banding parameterized
+    def nearPairs(nBands: Int): Set[(Long, Long)] = {
+      val fp = Dedup.simhash64Df(docs, $"doc_id", $"text")
+      val bands = fp.select($"doc_id", $"fp",
+          explode(Dedup.simhashBands($"fp", nBands)).as("b"))
+        .select($"doc_id", $"fp", $"b.band_idx".as("band_idx"),
+          $"b.bv".as("bv"))
+      val a = bands.select($"doc_id".as("id_a"), $"fp".as("fa"),
+        $"band_idx", $"bv")
+      val b = bands.select($"doc_id".as("id_b"), $"fp".as("fb"),
+        $"band_idx", $"bv")
+      a.join(b, Seq("band_idx", "bv"))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b", $"fa", $"fb").distinct()
+        .filter(bit_count($"fa".bitwiseXOR($"fb")) <= 3)
+        .select($"id_a", $"id_b")
+        .as[(Long, Long)].collect().toSet
+    }
+    val base = nearPairs(4)
+    // the fixture plants exact dups (0,1,4) — Hamming 0 — which no
+    // banding may lose; near-dup 2 joins if its fp is within 3 bits
+    assert(Set((0L, 1L), (0L, 4L), (1L, 4L)).subsetOf(base))
+    for (nBands <- Seq(8, 16))
+      assert(nearPairs(nBands) == base, s"nBands=$nBands near set drifted")
+  }
+
   test("fuzzy-dedup funnel: verified edges drop non-dups, survivors are " +
     "min-id") {
     // candidates from LSH include (0,1),(0,4),(1,4) and likely (0,2);
