@@ -945,6 +945,12 @@ object PipelineQueries {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         sum(col("c") * col("nll_micro")).as("nll_sum_micro"))
+      // the doc-level rollup persists too (3 longs per doc — tiny):
+      // q_ppl_buckets consumes it twice (bucket manifest + rank join)
+      // and without this each consumer re-ran the bi⋈biC join-agg;
+      // persist (not checkpoint) keeps lineage, so a block wipe
+      // recomputes — BlockLossRecoverySpec runs q_ppl_buckets
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact Jaccard ≥ 0.6 pairs over 8-word shingles via AllPairs prefix
@@ -4028,18 +4034,22 @@ object PipelineQueries {
       import org.apache.spark.sql.expressions.Window
       val per = ngramDocNllCached(s, d)
         .withColumn("q", expr("nll_sum_micro div n_bigrams"))
-      val st = per.agg(count(lit(1)).as("n_docs_all"))
-      val base = per.crossJoin(broadcast(st))
         .withColumn("__b", expr("q div 1000"))
       val wb = Window.orderBy(col("__b"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val off = base.groupBy(col("__b"))
-        .agg(count(lit(1)).as("__bn"))
+      val wAll = Window.orderBy(col("__b")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      // ONE manifest pass: the prefix offsets and the doc total are
+      // two frames of the same bucket-table window sort, so the
+      // corpus-side table is scanned exactly twice (manifest + rank
+      // join) and the manifest costs a single ~20-row window stage
+      val off = per.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
         .withColumn("__off", coalesce(sum(col("__bn")).over(wb), lit(0L)))
-        .select(col("__b"), col("__off"))
+        .withColumn("n_docs_all", sum(col("__bn")).over(wAll))
+        .select(col("__b"), col("__off"), col("n_docs_all"))
       val wl = Window.partitionBy(col("__b"))
         .orderBy(col("q"), col("doc_id"))
-      base.join(broadcast(off), "__b")
+      per.join(broadcast(off), "__b")
         .withColumn("rn", col("__off") + row_number().over(wl))
         .withColumn("decile", expr(
           """cast(CASE

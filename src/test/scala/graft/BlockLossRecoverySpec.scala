@@ -36,10 +36,20 @@ class BlockLossRecoverySpec extends SparkSpec {
     // two rank windows; q_hill_tail is a driver fold over a bounded
     // top-51 collect whose corpus pass must replay cleanly after the
     // wipe (round-10 verdict item 7 roster sweep)
+    // r12 roster sweep (round-11 verdict item 8): the r11-rewritten
+    // forms join the roster — q_winnowing (native WinnowExpr kernel;
+    // zero-shuffle, must be cache-independent by construction), the
+    // five two-level-IVF consumers (whose coarse-quantizer/centroid
+    // memos must recompute through lineage), q_softdedup_weights
+    // (rides the persisted docSpans5 index), and q_ppl_buckets (the
+    // r12 two-level rank rewrite over the ngram-NLL memo)
     val qs = Seq("q_bloom_decontam", "q_ngram_lm", "q_bpe_apply",
       "q_pagerank", "q_bfs_hops", "q_dup_survivors", "q_auc",
       "q_welch_ttest", "q_bm25", "q_conformal", "q_mcc",
-      "q_llr_colloc", "q_rbo_overlap", "q_hill_tail")
+      "q_llr_colloc", "q_rbo_overlap", "q_hill_tail",
+      "q_winnowing", "q_ann_ivf", "q_ann_ivf_probe", "q_kmeans_embed",
+      "q_semdedup", "q_knn_graph", "q_softdedup_weights",
+      "q_ppl_buckets")
     val before = qs.map(q => q -> run(q)).toMap // materializes the caches
     // simulate total executor-storage loss
     spark.sparkContext.getPersistentRDDs.values
