@@ -165,17 +165,20 @@ class StreamingSoakSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     withRocksDb {
       // digests rotate in phases: phase p (30 batches) touches only
-      // digests p*8..p*8+7, then never again — with a 5 s idle TTL and
-      // ~2.4 s of wall-clock per phase (sleep cadence below), a
-      // phase's digests are evicted ~2-3 phases later, so the store
-      // tracks the live working set while TOTAL distinct digests grow
-      // with the stream. TTL ≫ the ≤4-batch in-phase recurrence gap,
-      // so a loaded host cannot evict a digest that is still live —
-      // the sequential model stays exact
+      // digests p*8..p*8+7, then never again — with a 10 s idle TTL
+      // a phase's digests are evicted a couple of phases later, so
+      // the store tracks the live working set while TOTAL distinct
+      // digests grow with the stream. Every batch touches ALL 8 of
+      // its phase's digests, so the in-phase recurrence gap is ONE
+      // batch: only a single micro-batch stalling past the whole TTL
+      // could evict live state (a 4-batch gap at 5 s flaked exactly
+      // that way on a loaded host — warm-up batches run 1-2 s).
+      // Eviction can then only reset a count nobody reads again, so
+      // the sequential model stays exact regardless of host pace.
       val phases = 10
       val batchesPerPhase = 30
       val in = MemoryStream[StatefulOps.ChunkInstance]
-      val q = StatefulOps.chunkOccurrence(in.toDS(), idleMs = 5000L)
+      val q = StatefulOps.chunkOccurrence(in.toDS(), idleMs = 10000L)
         .writeStream.format("memory").queryName("soak_chunk")
         .outputMode("append").start()
       val sizes = mutable.ArrayBuffer.empty[Long]
@@ -185,14 +188,9 @@ class StreamingSoakSpec extends SparkSpec {
         var doc = 0L
         for (p <- 0 until phases; b <- 0 until batchesPerPhase) {
           val i = p * batchesPerPhase + b
-          val rows = (0 until 2).map { j =>
-            val dg = s"c${p * 8 + (i * 2 + j) % 8}"
+          val rows = (0 until 8).map { j =>
+            val dg = s"c${p * 8 + j}"
             doc += 1
-            // within a phase digests recur every ≤4 batches — far
-            // inside the 5 s TTL — so the sequential model counts
-            // monotonically within the phase, and the digest never
-            // returns after its phase (eviction can only reset a
-            // count nobody reads again)
             model(dg) = model.getOrElse(dg, 0L) + 1L
             expect += ((doc, model(dg)))
             StatefulOps.ChunkInstance(ts(i), doc, 0, dg)
@@ -200,7 +198,7 @@ class StreamingSoakSpec extends SparkSpec {
           in.addData(rows)
           q.processAllAvailable()
           sizes += stateRows(q)
-          if (b % 10 == 9) Thread.sleep(300) // ~2.4 s per phase
+          if (b % 10 == 9) Thread.sleep(600) // ≥1.8 s floor per phase
         }
         val emitted = spark.table("soak_chunk")
           .as[StatefulOps.ChunkVerdict].collect()
