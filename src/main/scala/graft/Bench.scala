@@ -230,8 +230,23 @@ object Bench {
         q.awaitTermination()
         (System.nanoTime() - t0) / 1e9
       }
-      val readSec = Seq(prefixDrain(1, false), prefixDrain(2, false)).min
-      val aggSec = Seq(prefixDrain(1, true), prefixDrain(2, true)).min
+      // attribution drains get their own try (ADVICE r12): a failure
+      // here must degrade the stage split to null, not discard the
+      // already-measured end-to-end figure above
+      val attribution =
+        try {
+          val readSec =
+            Seq(prefixDrain(1, false), prefixDrain(2, false)).min
+          val aggSec = Seq(prefixDrain(1, true), prefixDrain(2, true)).min
+          s""","read_sec":$readSec,"agg_sec":$aggSec,""" +
+            s""""sink_sec":${math.max(sec - aggSec, 0.0)},""" +
+            s""""read_fps":${(n / readSec).toLong},""" +
+            s""""agg_fps":${(n / aggSec).toLong}"""
+        } catch {
+          case e: Throwable =>
+            s""","attribution_error":"${e.toString.linesIterator.next()
+              .take(200).replace("\\", "\\\\").replace("\"", "\\\"")}""""
+        }
       // regression floor (warn-only): every round 8-11 reading on this
       // host sits in 3,0xx-3,7xx f/s; a sub-2500 figure means the
       // foreachBatch path regressed (or the host is heavily loaded) and
@@ -240,11 +255,8 @@ object Bench {
         System.err.println(s"[bench] WARN streaming throughput $fps f/s " +
           "below the 2500 f/s floor (rounds 8-11 range: 3030-3743)")
       s"""{"frames":$n,"elapsed_sec":$sec,"frames_per_sec":$fps,""" +
-        s""""n_batches":$nBatches,"st_rows":$stRows,"lt_rows":$ltRows,""" +
-        s""""read_sec":$readSec,"agg_sec":$aggSec,""" +
-        s""""sink_sec":${math.max(sec - aggSec, 0.0)},""" +
-        s""""read_fps":${(n / readSec).toLong},""" +
-        s""""agg_fps":${(n / aggSec).toLong}}"""
+        s""""n_batches":$nBatches,"st_rows":$stRows,"lt_rows":$ltRows""" +
+        attribution + "}"
     } catch {
       case e: Throwable =>
         s"""{"error":"${e.toString.linesIterator.next().take(200)

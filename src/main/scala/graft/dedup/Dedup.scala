@@ -547,11 +547,27 @@ object Dedup {
     * (mask < 2^width), so the construction is engine-portable — the
     * DuckDB oracle mirrors it from the same constant.
     */
-  def simhashBands(fp: Column, nBands: Int): Column = {
-    require(nBands >= 1 && 64 % nBands == 0,
-      s"nBands must divide 64, got $nBands")
+  /** Width-safe band mask for `nBands` equal bands of a 64-bit
+    * fingerprint. Shared with the DuckDB oracle interpolation so a
+    * `1L << 64` Scala shift-wrap (which evaluates to shift-by-0 →
+    * mask 0) can never silently zero the oracle's band values
+    * (ADVICE r12).
+    */
+  def simhashBandMask(nBands: Int): Long = {
     val width = 64 / nBands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
+    if (width == 64) -1L else (1L << width) - 1L
+  }
+
+  def simhashBands(fp: Column, nBands: Int): Column = {
+    // ≥ 4 is the pigeonhole floor for the suite's Hamming ≤ 3 near-dup
+    // rule (nBands ≥ h+1 = 4 guarantees one identical band) — a knob
+    // turn to 1-3 bands would break recall with no check tripping
+    // (ADVICE r12); divisibility keeps the bands equal-width.
+    require(nBands >= 4 && 64 % nBands == 0,
+      s"nBands must divide 64 and be >= 4 (Hamming<=3 pigeonhole " +
+        s"floor), got $nBands")
+    val width = 64 / nBands
+    val mask = simhashBandMask(nBands)
     array((0 until nBands).map(bi =>
       struct(lit(bi).as("band_idx"),
         shiftrightunsigned(fp, width * bi)

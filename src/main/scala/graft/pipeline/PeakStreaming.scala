@@ -77,11 +77,6 @@ object PeakStreaming {
       .withColumn("ts_epoch", col("win_start").cast("double"))
   }
 
-  /** Streaming form: watermarked event-time windows, append mode, both
-    * sinks written per micro-batch from one aggregation via foreachBatch
-    * (the reference's flush writes st_* then stride-copies to lt_*,
-    * database_peak_streaming.py:47-58).
-    */
   /** The streaming (watermarked) variant of [[windowed]] — split out so
     * the bench can time the read→agg prefix of the pipeline separately
     * from the parquet dual-sink stage (the per-round streaming figure
@@ -98,6 +93,11 @@ object PeakStreaming {
       .select(col("win.start").as("win_start"), col("n_frames"),
         col("port_counts"), col("mean_peaks"))
 
+  /** Streaming form: watermarked event-time windows, append mode, both
+    * sinks written per micro-batch from one aggregation via foreachBatch
+    * (the reference's flush writes st_* then stride-copies to lt_*,
+    * database_peak_streaming.py:47-58).
+    */
   def stream(frames: DataFrame, stPath: String, ltPath: String,
              checkpoint: String, windowMs: Int = WindowMs,
              ltIncrement: Int = LtIncrement): DataStreamWriter[Row] = {

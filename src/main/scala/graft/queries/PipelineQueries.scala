@@ -4057,7 +4057,7 @@ object PipelineQueries {
             |  THEN (rn - 1) div ((n_docs_all div 10) + 1) + 1
             |  ELSE (n_docs_all % 10) +
             |    (rn - (n_docs_all % 10) * ((n_docs_all div 10) + 1) - 1)
-            |      div (n_docs_all div 10) + 1
+            |      div greatest(n_docs_all div 10, 1) + 1
             |END AS int)""".stripMargin))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
@@ -4461,9 +4461,13 @@ object PipelineQueries {
     // 5000 — and still catches any natural duplicates
     "q_dedup_exact" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
+      // twin ids live in a disjoint high-bit range (1L<<40 ≈ 1.1e12):
+      // a fixed +1e6 shift collides with real doc_ids past 1M docs,
+      // and because the oracle mirrored the same shift the parity
+      // check would pass on corrupted kept_id semantics (ADVICE r12)
       val corpus = docs.union(
         docs.filter(col("doc_id") % 100 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
       Dedup.exactDuplicates(corpus, col("doc_id"), col("text"))
     }),
 
@@ -8624,10 +8628,10 @@ object PipelineQueries {
         "ORDER BY n DESC, token LIMIT 20"),
 
     "q_dedup_exact" ->
-      ("""WITH corpus AS (
+      (s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents
+         |  SELECT doc_id + ${1L << 40}, text FROM documents
          |  WHERE doc_id % 100 = 0)
          |SELECT doc_id AS dup_id, kept_id FROM (SELECT doc_id,
          |  min(doc_id) OVER (PARTITION BY md5(text)) AS kept_id
@@ -8842,7 +8846,7 @@ object PipelineQueries {
          |fp AS (SELECT doc_id, ($fold) AS fp FROM v),
          |bands AS (SELECT doc_id, fp, b AS band_idx,
          |    (fp >> (${64 / SimhashBands} * b)) &
-         |      ${(1L << (64 / SimhashBands)) - 1L} AS bv
+         |      ${Dedup.simhashBandMask(SimhashBands)} AS bv
          |  FROM fp, (SELECT unnest(generate_series(0,
          |    ${SimhashBands - 1})) AS b)),
          |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
