@@ -47,6 +47,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // "" degrades to no filter, not an empty bench
+    // SPARK_GRAFT_STREAM=only (local iteration aid, r12 verdict item 1):
+    // skip the query passes entirely and emit ONLY the streaming figure
+    // from a fresh session — isolates the streaming path from whatever
+    // cached/persisted state 245 suite queries leave behind in the same
+    // JVM, so a throughput slide is attributable to the path vs the
+    // co-resident state vs the host.
+    val streamOnly = sys.env.get("SPARK_GRAFT_STREAM").contains("only")
     // a typo'd name silently measuring nothing is worse than a crash:
     // the probe's whole point is the named queries
     only.foreach { o =>
@@ -54,8 +61,10 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    val names =
+      if (streamOnly) Seq.empty[String]
+      else SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n)))
     var errors = Map.empty[String, String]
 
     names.foreach { n =>            // warmup pass (untimed)
@@ -103,7 +112,8 @@ object Bench {
     // a filtered run is a query-timing probe, not the driver contract —
     // scaled decades carry no frame files for the streaming figure
     val streaming =
-      if (only.isDefined) "{}" else streamingFigure(spark, sfDir)
+      if (only.isDefined && !streamOnly) "{}"
+      else streamingFigure(spark, sfDir)
     val core =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"streaming":$streaming,"errors":$errs"""
     // Two stdout line shapes, disambiguated by a trailing "line" tag

@@ -43,13 +43,23 @@ class BlockLossRecoverySpec extends SparkSpec {
     // memos must recompute through lineage), q_softdedup_weights
     // (rides the persisted docSpans5 index), and q_ppl_buckets (the
     // r12 two-level rank rewrite over the ngram-NLL memo)
+    // r13 roster sweep (round-12 verdict item 5): the r12-touched memo
+    // consumers — q_ppl_buckets/q_ngram_lm now share ONE ngram
+    // doc-level NLL rollup (both already in the roster, re-swept on
+    // the shared form), and the newly-parameterized paths join it:
+    // q_simhash_pairs (the SimhashBands constant path through
+    // Dedup.simhashBands), q_rrf_fusion (the bm25_base memo consumed
+    // through two rankers + the fusion join), and q_linkage_clusters
+    // (grid-blocked JW edges through the per-iteration CC
+    // materializations of duplicateClusters)
     val qs = Seq("q_bloom_decontam", "q_ngram_lm", "q_bpe_apply",
       "q_pagerank", "q_bfs_hops", "q_dup_survivors", "q_auc",
       "q_welch_ttest", "q_bm25", "q_conformal", "q_mcc",
       "q_llr_colloc", "q_rbo_overlap", "q_hill_tail",
       "q_winnowing", "q_ann_ivf", "q_ann_ivf_probe", "q_kmeans_embed",
       "q_semdedup", "q_knn_graph", "q_softdedup_weights",
-      "q_ppl_buckets")
+      "q_ppl_buckets", "q_simhash_pairs", "q_rrf_fusion",
+      "q_linkage_clusters")
     val before = qs.map(q => q -> run(q)).toMap // materializes the caches
     // simulate total executor-storage loss
     spark.sparkContext.getPersistentRDDs.values
