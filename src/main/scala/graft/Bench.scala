@@ -257,13 +257,18 @@ object Bench {
             s""","attribution_error":"${e.toString.linesIterator.next()
               .take(200).replace("\\", "\\\\").replace("\"", "\\\"")}""""
         }
-      // regression floor (warn-only): every round 8-11 reading on this
-      // host sits in 3,0xx-3,7xx f/s; a sub-2500 figure means the
-      // foreachBatch path regressed (or the host is heavily loaded) and
-      // must not hide inside round-to-round variance — see PERF.md
+      // regression floor (warn-only): the r13 round-commit bisect
+      // (PERF.md) proved the r9-r12 figure spread (2,0xx-3,7xx f/s) is
+      // HOST variance — identical path code measures 2,0xx-2,4xx on a
+      // 2026-08 VM and 3,0xx+ on the earlier round hosts. A sub-2500
+      // reading therefore flags a noisy/slow host first; before calling
+      // it a code regression, bisect with SPARK_GRAFT_STREAM=only
+      // min-of-3 against a known-good commit on the SAME host.
       if (fps < 2500)
         System.err.println(s"[bench] WARN streaming throughput $fps f/s " +
-          "below the 2500 f/s floor (rounds 8-11 range: 3030-3743)")
+          "below the 2500 f/s floor — host-noise flag first (r13 bisect, " +
+          "PERF.md); confirm with SPARK_GRAFT_STREAM=only min-of-3 " +
+          "before suspecting the path")
       s"""{"frames":$n,"elapsed_sec":$sec,"frames_per_sec":$fps,""" +
         s""""n_batches":$nBatches,"st_rows":$stRows,"lt_rows":$ltRows""" +
         attribution + "}"
