@@ -97,6 +97,14 @@ object PeakStreaming {
     * sinks written per micro-batch from one aggregation via foreachBatch
     * (the reference's flush writes st_* then stride-copies to lt_*,
     * database_peak_streaming.py:47-58).
+    *
+    * Sizing note: the stateful window shuffles every micro-batch into
+    * `spark.sql.shuffle.partitions` state stores, and that conf is
+    * FROZEN into the checkpoint at first start — size it to the
+    * micro-batch volume before starting (small ingest → few
+    * partitions, TB-scale state → thousands). Mis-sizing is pure
+    * per-batch fixed cost: at ~6k frames/trigger, 32 → 8 partitions
+    * measured 2,417 → 4,377 f/s end-to-end (PERF.md r13).
     */
   def stream(frames: DataFrame, stPath: String, ltPath: String,
              checkpoint: String, windowMs: Int = WindowMs,
