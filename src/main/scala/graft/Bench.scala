@@ -61,6 +61,13 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
     }
+    // conflicting intent must not resolve silently (ADVICE r13): in
+    // stream-only mode the query filter is ignored by construction —
+    // refuse the combination rather than validate-then-drop the names
+    require(!(streamOnly && only.isDefined),
+      "SPARK_GRAFT_STREAM=only and SPARK_GRAFT_ONLY are mutually " +
+        "exclusive: stream-only mode runs no queries, so a query filter " +
+        "would be silently ignored")
     val names =
       if (streamOnly) Seq.empty[String]
       else SparkEntry.queries.keys.toSeq.sorted
@@ -193,12 +200,14 @@ object Bench {
       // same hour): 32 partitions → 2,417 f/s (agg 22.9 s); 16 →
       // 3,393 (16.4 s); 8 → 4,377 (12.6 s). At production volume the
       // SAME dial turns the other way (thousands of partitions for
-      // TB-scale state); the point is it is a dial, and a bench
-      // draining 100k frames was mis-sized at 32. Restored after the
-      // drains so the query passes are untouched.
-      val drainPartitions = "8"
+      // TB-scale state); the point is it is a dial. Derived, not
+      // hardcoded (r13 verdict item 4): ceil(perTrigger / 800) rows
+      // per state partition per trigger — reproduces 8 at the current
+      // 100k-frame/16-slice drain and re-sizes itself if the drain
+      // volume ever changes; floor 4 keeps a tiny drain parallel.
+      val drainPartitions =
+        math.max(4L, (perTrigger + 799L) / 800L).toString
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", drainPartitions)
       // two full drains (fresh sinks/checkpoint each), min by elapsed:
       // the 16-micro-batch drain schedules ~50 jobs and is the figure
       // most exposed to host-CPU noise — same rationale as the query
@@ -223,9 +232,6 @@ object Bench {
         ((sec), query.recentProgress.count(_.numInputRows > 0),
           spark.read.parquet(st).count(), spark.read.parquet(lt).count())
       }
-      val (sec, nBatches, stRows, ltRows) =
-        Seq(drain(1), drain(2)).minBy(_._1)
-      val fps = (n / sec).toLong
       // Component attribution (r11 verdict item 3): the end-to-end
       // figure slid 3,743→2,760 f/s across rounds 9-11 with no code
       // change on the path — time the read→decode prefix and the
@@ -256,25 +262,37 @@ object Bench {
         q.awaitTermination()
         (System.nanoTime() - t0) / 1e9
       }
-      // attribution drains get their own try (ADVICE r12): a failure
-      // here must degrade the stage split to null, not discard the
-      // already-measured end-to-end figure above
-      val attribution =
+      // The drain-sized override must not outlive this section whatever
+      // throws (ADVICE r13): ONE finally covers the full drains +
+      // attribution span, so neither a later query pass nor the outer
+      // error-JSON path ever runs under the drain partitioning.
+      val (sec, nBatches, stRows, ltRows, attribution) =
         try {
-          val readSec =
-            Seq(prefixDrain(1, false), prefixDrain(2, false)).min
-          val aggSec = Seq(prefixDrain(1, true), prefixDrain(2, true)).min
-          s""","read_sec":$readSec,"agg_sec":$aggSec,""" +
-            s""""sink_sec":${math.max(sec - aggSec, 0.0)},""" +
-            s""""read_fps":${(n / readSec).toLong},""" +
-            s""""agg_fps":${(n / aggSec).toLong}"""
-        } catch {
-          case e: Throwable =>
-            s""","attribution_error":"${e.toString.linesIterator.next()
-              .take(200).replace("\\", "\\\\").replace("\"", "\\\"")}""""
+          spark.conf.set("spark.sql.shuffle.partitions", drainPartitions)
+          val (s, nb, st, lt) = Seq(drain(1), drain(2)).minBy(_._1)
+          // attribution drains get their own try (ADVICE r12): a failure
+          // here must degrade the stage split to null, not discard the
+          // already-measured end-to-end figure above
+          val attr =
+            try {
+              val readSec =
+                Seq(prefixDrain(1, false), prefixDrain(2, false)).min
+              val aggSec =
+                Seq(prefixDrain(1, true), prefixDrain(2, true)).min
+              s""","read_sec":$readSec,"agg_sec":$aggSec,""" +
+                s""""sink_sec":${math.max(s - aggSec, 0.0)},""" +
+                s""""read_fps":${(n / readSec).toLong},""" +
+                s""""agg_fps":${(n / aggSec).toLong}"""
+            } catch {
+              case e: Throwable =>
+                s""","attribution_error":"${e.toString.linesIterator.next()
+                  .take(200).replace("\\", "\\\\").replace("\"", "\\\"")}""""
+            }
+          (s, nb, st, lt, attr)
         } finally {
           spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         }
+      val fps = (n / sec).toLong
       // regression floor (warn-only). History: the r13 round-commit
       // bisect (PERF.md) proved the r9-r12 figure spread
       // (2,0xx-3,7xx f/s at the old 32-partition drain) was HOST

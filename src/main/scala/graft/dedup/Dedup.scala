@@ -526,6 +526,34 @@ object Dedup {
       .select(col("doc_id"), fp.as("fp"))
   }
 
+  /** Shared banding validation (ADVICE r13): ≥ 4 is the pigeonhole
+    * floor for the suite's Hamming ≤ 3 near-dup rule (nBands ≥ h+1 = 4
+    * guarantees one identical band) — a knob turn to 1-3 bands would
+    * break recall with no check tripping (ADVICE r12); divisibility
+    * keeps the bands equal-width. Enforced on BOTH entry points so the
+    * oracle-SQL interpolation path (which calls only the mask helper)
+    * can never use a banding the Spark path forbids.
+    */
+  private def requireSimhashBands(nBands: Int): Unit =
+    require(nBands >= 4 && 64 % nBands == 0,
+      s"nBands must divide 64 and be >= 4 (Hamming<=3 pigeonhole " +
+        s"floor), got $nBands")
+
+  /** Width-safe band mask for `nBands` equal bands of a 64-bit
+    * fingerprint. Shared with the DuckDB oracle interpolation so a
+    * `1L << 64` Scala shift-wrap (which evaluates to shift-by-0 →
+    * mask 0) can never silently zero the oracle's band values
+    * (ADVICE r12). The top band masks identically under arithmetic or
+    * logical shift (mask < 2^width), so the construction is
+    * engine-portable — the DuckDB oracle mirrors it from the same
+    * constant.
+    */
+  def simhashBandMask(nBands: Int): Long = {
+    requireSimhashBands(nBands)
+    val width = 64 / nBands
+    if (width == 64) -1L else (1L << width) - 1L
+  }
+
   /** SimHash LSH banding knob (r11 verdict item 5): split a 64-bit
     * fingerprint into `nBands` equal-width bands, returned as an array
     * of (band_idx, bv) structs ready to explode into the band-bucket
@@ -542,30 +570,9 @@ object Dedup {
     * fewer, wider bands (with a wider fingerprint) is the scale-out
     * direction, narrower bands the recall-margin direction; either
     * way the choice is now a parameter, not a literal.
-    *
-    * The top band masks identically under arithmetic or logical shift
-    * (mask < 2^width), so the construction is engine-portable — the
-    * DuckDB oracle mirrors it from the same constant.
     */
-  /** Width-safe band mask for `nBands` equal bands of a 64-bit
-    * fingerprint. Shared with the DuckDB oracle interpolation so a
-    * `1L << 64` Scala shift-wrap (which evaluates to shift-by-0 →
-    * mask 0) can never silently zero the oracle's band values
-    * (ADVICE r12).
-    */
-  def simhashBandMask(nBands: Int): Long = {
-    val width = 64 / nBands
-    if (width == 64) -1L else (1L << width) - 1L
-  }
-
   def simhashBands(fp: Column, nBands: Int): Column = {
-    // ≥ 4 is the pigeonhole floor for the suite's Hamming ≤ 3 near-dup
-    // rule (nBands ≥ h+1 = 4 guarantees one identical band) — a knob
-    // turn to 1-3 bands would break recall with no check tripping
-    // (ADVICE r12); divisibility keeps the bands equal-width.
-    require(nBands >= 4 && 64 % nBands == 0,
-      s"nBands must divide 64 and be >= 4 (Hamming<=3 pigeonhole " +
-        s"floor), got $nBands")
+    requireSimhashBands(nBands)
     val width = 64 / nBands
     val mask = simhashBandMask(nBands)
     array((0 until nBands).map(bi =>

@@ -108,7 +108,16 @@ object PeakStreaming {
     */
   def stream(frames: DataFrame, stPath: String, ltPath: String,
              checkpoint: String, windowMs: Int = WindowMs,
-             ltIncrement: Int = LtIncrement): DataStreamWriter[Row] = {
+             ltIncrement: Int = LtIncrement,
+             // fault-injection seam (no-op in production): invoked
+             // between the st write and the lt stride-copy — the one
+             // point where a driver crash leaves the dual sink HALF
+             // flushed (st committed, lt not). The crash-recovery spec
+             // throws here and asserts the checkpoint-replayed batch
+             // converges both sinks (offsets recorded, commit not ⇒
+             // replay; dynamic batch_id overwrite ⇒ no duplicates).
+             midFlushHook: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[Row] = {
     val agg = streamAgg(frames, windowMs)
 
     agg.writeStream
@@ -128,6 +137,7 @@ object PeakStreaming {
         st.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(stPath)
+        midFlushHook(st, batchId)
         // Long-term sink: per-batch stride (restarts each flush, as the
         // reference does). Strided within batch_id: within one micro-batch
         // that is a single bounded partition — the reference's per-flush

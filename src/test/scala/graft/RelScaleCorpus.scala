@@ -37,6 +37,7 @@ import org.apache.spark.sql.functions._
   * ScaleCorpus output) without touching documents/embeddings.
   *
   * Usage: Test/runMain graft.RelScaleCorpus <srcSfDir> <outDir> [N=10]
+  * (or via [[BuildDecades]], which rebuilds every decade dir in one go)
   */
 object RelScaleCorpus {
   def main(args: Array[String]): Unit = {
@@ -50,7 +51,15 @@ object RelScaleCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    build(spark, src, out, n)
+    spark.stop()
+  }
 
+  /** Generate `out/events.parquet` and `out/part.parquet` (both ×n)
+    * from the driver dir `src`, into an existing decade dir. Callable
+    * from [[BuildDecades]] so all decades share one session.
+    */
+  def build(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val reps = spark.range(0, n).select(col("id").cast("int").as("r"))
 
     // read through Tables.events: normalizes the ts encoding
@@ -92,6 +101,5 @@ object RelScaleCorpus {
     println(s"[rel-scale-corpus] $out: events=" +
       spark.read.parquet(s"$out/events.parquet").count() +
       " part=" + spark.read.parquet(s"$out/part.parquet").count())
-    spark.stop()
   }
 }

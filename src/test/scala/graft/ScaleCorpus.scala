@@ -39,6 +39,7 @@ import org.apache.spark.sql.functions._
   * parameters up to maxBits=30 / 2^20 cells).
   *
   * Usage: Test/runMain graft.ScaleCorpus <srcSfDir> <outDir> [N=10] [embN=4]
+  * (or via [[BuildDecades]], which rebuilds every decade dir in one go)
   */
 object ScaleCorpus {
   def main(args: Array[String]): Unit = {
@@ -53,7 +54,16 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    build(spark, src, out, n, embN)
+    spark.stop()
+  }
 
+  /** Generate `out/documents.parquet` (×n) and `out/embeddings.parquet`
+    * (×embN) from the driver dir `src`. Callable from [[BuildDecades]]
+    * so all decades share one session.
+    */
+  def build(spark: SparkSession, src: String, out: String,
+            n: Int, embN: Int): Unit = {
     val reps = spark.range(0, n).select(col("id").cast("int").as("r"))
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -101,6 +111,5 @@ object ScaleCorpus {
     println(s"[scale-corpus] $out: docs=" +
       spark.read.parquet(s"$out/documents.parquet").count() +
       " embs=" + spark.read.parquet(s"$out/embeddings.parquet").count())
-    spark.stop()
   }
 }
