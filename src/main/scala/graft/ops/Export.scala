@@ -25,12 +25,26 @@ object Export {
 
   /** The reference's FULL export loop (analyze_data.py:8-16 iterates
     * every catalog table): each named table to its own CSV directory
-    * under `dir`. Tables export independently — at scale each is its
-    * own parallel write job.
+    * under `dir`. The writes are INDEPENDENT jobs, so they are
+    * submitted from a small driver thread pool (optimization guide
+    * §2.6): Spark schedules concurrent jobs FIFO, and the next
+    * export's tasks back-fill executors freed by the previous job's
+    * straggler tail instead of leaving the cluster idle — measured
+    * r14 on the 4-table export at sf0.1. Failures propagate: the
+    * first failed write rethrows on its `get`.
     */
   def tablesToCsv(tables: Seq[(String, DataFrame)], dir: String,
-                  header: Boolean = true): Unit =
-    tables.foreach { case (name, df) => toCsv(df, s"$dir/$name", header) }
+                  header: Boolean = true): Unit = {
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(tables.size, 4))
+    try {
+      tables.map { case (name, df) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = toCsv(df, s"$dir/$name", header)
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+  }
 
   /** JSON-lines sink — the interchange format training-data pipelines
     * actually ship (one JSON object per line, splittable, append-able).

@@ -251,6 +251,22 @@ object PipelineQueries {
        |      u -> ${poissonCaseOn("u")}))),
        |  w -> cast(w as bigint))""".stripMargin)
 
+  /** JL projection ±1 signs, sign(i, j) = +1 iff the int value of the
+    * first 4 hex chars of md5("i_j") is even — precomputed driver-side
+    * (r14) with the exact construction the oracle SQL and the previous
+    * per-row Spark lambda evaluate, so the values are bit-identical by
+    * definition. 256 dims of headroom over the 64-dim suite corpora.
+    */
+  private lazy val jlSignRow: IndexedSeq[Seq[Long]] =
+    (0 until 4).map { j =>
+      (0 until 256).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${i}_$j".getBytes("UTF-8"))
+          .take(2).map(b => f"$b%02x").mkString
+        if (Integer.parseInt(hex, 16) % 2 == 0) 1L else -1L
+      }.toSeq
+    }
+
   /** Adjacent-word co-occurrence pairs (a, b), both orders filtered to
     * a != b — the shared edge extraction for the graph-analytics
     * family. Only this step touches the corpus; everything downstream
@@ -1243,12 +1259,25 @@ object PipelineQueries {
     // construction as q_contamination, but source×source instead of
     // corpus×benchmark.
     "q_source_overlap" -> ((s, d) => {
+      // r14: shuffle-hash instead of the planner's broadcast (guide
+      // §3.1) — the build side here is the CORPUS-SIZED distinct span
+      // table (~465k rows at sf0.1, one per (source, 8-gram digest)),
+      // and framing + shipping it as a broadcast relation measured
+      // slower than co-partitioning both sides on the fixed-width
+      // digest (interleaved min-of-4 at sf0.1: 2.21 s broadcast vs
+      // 2.00 s shuffle-hash). The subtree still computes on both sides
+      // (the analyzer clones a self-join's right side; compute-once
+      // via localCheckpoint measured slower — store + extra stages
+      // outweigh the saved recompute), but at scale shuffled-on-digest
+      // is the only survivable shape anyway: the span table outgrows
+      // any broadcast long before 100 TB.
       val sp = parallelize(documents(s, d))
         .select(col("source"),
           explode(Dedup.shingles(col("text"), 8)).as("span"))
         .select(col("source"), md5(col("span")).as("h")).distinct()
       sp.select(col("source").as("src_a"), col("h"))
-        .join(sp.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .join(sp.select(col("source").as("src_b"), col("h"))
+          .hint("shuffle_hash"), Seq("h"))
         .filter(col("src_a") < col("src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_shared"))
@@ -1304,11 +1333,21 @@ object PipelineQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(epochS(col("ts")), col("event_id")).rowsBetween(-15, 0)
       val beta = 0.75
+      // r14: the normalizer Σβᵏ depends only on the window LENGTH, so
+      // the interpreted per-row Horner fold (HOFs never reach codegen)
+      // is replaced by a 17-entry literal lookup computed driver-side
+      // with the IDENTICAL left-to-right fold (same IEEE op sequence ⇒
+      // bit-identical doubles; the oracle still evaluates its own
+      // list_reduce and hash-matches). Only the data-dependent
+      // numerator fold remains per row — measured ~15% off the query
+      // at sf0.1.
+      val normLut = typedLit((0 to 16).map(n =>
+        (1 to n).foldLeft(0.0)((acc, _) => acc * beta + 1.0)))
       events(s, d)
         .withColumn("arr", collect_list(col("value")).over(w))
         .select(col("event_id"), col("user_id"),
           r(aggregate(col("arr"), lit(0.0), (acc, x) => acc * beta + x) /
-            aggregate(col("arr"), lit(0.0), (acc, _) => acc * beta + 1.0), 6)
+            element_at(normLut, size(col("arr")) + 1), 6)
             .as("ewma"))
     }),
 
@@ -1922,13 +1961,21 @@ object PipelineQueries {
     // the oracle hash PINS at zero (any row that moved anywhere but
     // shard 16 would flip it).
     "q_shard_assign" -> ((s, d) => {
-      def assign(n: Int) = expr(
-        s"""pmod(array_max(transform(sequence(0, ${n - 1},1),
-           |  s -> cast(conv(substring(md5(concat(
-           |    cast(doc_id as string), '#', cast(s as string))),
-           |    1, 12), 16, 10) as bigint) * 32L + s)), 32L)""".stripMargin)
+      // r14: the 16-shard weight vector is a PREFIX of the 17-shard
+      // one, so the packed weights materialize once per row and both
+      // argmaxes read the same array (array_max of the 16-slice ≡ the
+      // old assign(16) value by construction) — 17 md5s per row
+      // instead of 33; oracle SQL unchanged, hash-gated.
+      val weights = expr(
+        """transform(sequence(0, 16, 1),
+          |  s -> cast(conv(substring(md5(concat(
+          |    cast(doc_id as string), '#', cast(s as string))),
+          |    1, 12), 16, 10) as bigint) * 32L + s)""".stripMargin)
       documents(s, d)
-        .select(assign(16).as("shard"), assign(17).as("a17"))
+        .select(col("doc_id"), weights.as("w"))
+        .select(pmod(array_max(slice(col("w"), 1, 16)), lit(32L))
+            .as("shard"),
+          pmod(array_max(col("w")), lit(32L)).as("a17"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("shard") =!= col("a17"), 1L).otherwise(0L))
@@ -2953,11 +3000,20 @@ object PipelineQueries {
       val embA = embeddings(s, d).select(col("vec_id"),
         expr("transform(cast(embedding AS array<double>), " +
           "x -> cast(floor(x * 1000000.0 + 0.5) AS bigint))").as("xm"))
-      def yExpr(j: Int) = expr(
-        s"""aggregate(zip_with(xm, transform(sequence(0, size(xm) - 1),
-           |  i -> CASE WHEN cast(conv(substring(md5(concat(i, '_', $j)),
-           |    1, 4), 16, 10) AS int) % 2 = 0 THEN 1L ELSE -1L END),
-           |  (x, s) -> x * s), 0L, (acc, x) -> acc + x)""".stripMargin)
+      // r14: the ±1 sign matrix depends only on (i, j) — it used to be
+      // rebuilt PER ROW as 4×dim interpreted md5+conv+substring lambda
+      // calls (HOFs never reach codegen), the query's dominant per-row
+      // cost. The identical values (sign = parity of the first 4 hex
+      // chars of md5("i_j"), the construction the oracle SQL still
+      // computes verbatim) are precomputed once driver-side into a
+      // 256-entry literal and sliced to the row's dim; a >256-dim
+      // embedding would zip_with null-pad → null output → loud oracle
+      // mismatch, never a silent truncation (suite corpora are 64-dim).
+      def yExpr(j: Int) = aggregate(
+        zip_with(col("xm"),
+          slice(typedLit(jlSignRow(j)), lit(1), size(col("xm"))),
+          (x, sgn) => x * sgn),
+        lit(0L), (acc, x) => acc + x)
       val proj = embA.select(col("vec_id"), col("xm"),
         yExpr(0).as("y0"), yExpr(1).as("y1"),
         yExpr(2).as("y2"), yExpr(3).as("y3"))
@@ -4602,6 +4658,22 @@ object PipelineQueries {
     "q_simhash_pairs" -> ((s, d) => {
       val fp = Dedup.simhash64Df(documents(s, d), col("doc_id"),
         col("text"))
+      // r14 disposition — KEEP this double-compute + broadcast shape,
+      // settled by interleaved min-of-4 measurement at sf0.1: the
+      // fingerprint subtree does run on BOTH self-join sides (the
+      // analyzer clones a self-join's right side, so no exchange is
+      // ever shared and AQE stage-reuse never fires), but every
+      // compute-once alternative measured SLOWER — localCheckpoint
+      // barrier 3.82 s, repartition-below-aliases + shuffle-hash
+      // 4.00 s, vs 2.97 s for this shape: the single-pass variants
+      // serialize compute → shuffle → join, while the broadcast plan
+      // overlaps the two subtree stages across idle cores and skips
+      // the band-key shuffle entirely. (An integer conv()-chunk vote
+      // rewrite also measured slower than the substring+instr probes —
+      // rejected.) At production scale the banded table outgrows a
+      // broadcast and the planner falls back to the shuffled join on
+      // its own; the fingerprint pass is then worth landing once via
+      // spark.graft.materializeDir, the measured 100 TB configuration.
       val bands = fp.select(col("doc_id"), col("fp"),
           explode(Dedup.simhashBands(col("fp"), SimhashBands)).as("b"))
         .select(col("doc_id"), col("fp"),

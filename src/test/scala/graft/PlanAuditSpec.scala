@@ -453,10 +453,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(span"),
       s"raw-text shuffle key:\n$p")
     // distinct exchanges key on (source, digest); the self-join keys on
-    // the digest alone (hash-family join — broadcast at toy stats,
-    // shuffled at scale — but the KEY must be the fixed-width digest)
+    // the digest alone and is SHUFFLED-hash (r14: broadcasting the
+    // corpus-sized distinct span table measured slower at sf0.1 and
+    // cannot survive scale — the digest co-partition can)
     assert("hashpartitioning\\(source#\\d+, h#".r.findFirstIn(p).isDefined, p)
-    assert("Join \\[h#".r.findFirstIn(p).isDefined, p)
+    assert("ShuffledHashJoin \\[h#".r.findFirstIn(p).isDefined, p)
   }
 
   test("q_lsh_recall: corpus joins are equi joins; nested loops only " +

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Dump `.explain("formatted")` for named queries to files — the
+  * committed plan evidence for optimization rounds
+  * (`plans/r14/<query>_<suffix>.txt`). Usage:
+  *
+  *   Test/runMain graft.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>
+  *
+  * Uses the same session settings as Bench so the dumped plan is the
+  * plan the bench times (shuffle.partitions = cpus, AQE coalesce).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, suffix, namesCsv) = args.take(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    val names = namesCsv.split(",").map(_.trim).filter(_.nonEmpty)
+    val unknown = names.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"$outDir/${n}_$suffix.txt"), plan)
+      println(s"[plandump] wrote $outDir/${n}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}
