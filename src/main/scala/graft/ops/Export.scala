@@ -34,13 +34,24 @@ object Export {
     * first failed write rethrows on its `get`.
     */
   def tablesToCsv(tables: Seq[(String, DataFrame)], dir: String,
-                  header: Boolean = true): Unit = {
+                  header: Boolean = true): Unit =
+    concurrently(tables.map { case (name, df) =>
+      () => toCsv(df, s"$dir/$name", header)
+    }: _*)
+
+  /** Run independent Spark write jobs from a small driver thread pool
+    * (optimization guide §2.6): concurrent jobs schedule FIFO and a
+    * later job's tasks back-fill executors freed by the earlier job's
+    * straggler tail. Blocks until all complete; the first failure
+    * rethrows on its `get`.
+    */
+  def concurrently(actions: (() => Unit)*): Unit = {
     val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(math.min(tables.size, 4))
+      .newFixedThreadPool(math.min(actions.size, 4))
     try {
-      tables.map { case (name, df) =>
+      actions.map { a =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = toCsv(df, s"$dir/$name", header)
+          def call(): Unit = a()
         })
       }.foreach(_.get())
     } finally pool.shutdown()

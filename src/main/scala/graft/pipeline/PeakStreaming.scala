@@ -133,21 +133,32 @@ object PeakStreaming {
         // the reference's one-SQLite-transaction-per-flush atomicity
         // (database_peak_streaming.py:60-63). Metadata-only at scale:
         // only the replayed batch's files are touched.
-        val st = batch.withColumn("batch_id", lit(batchId))
-        st.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(stPath)
-        midFlushHook(st, batchId)
-        // Long-term sink: per-batch stride (restarts each flush, as the
-        // reference does). Strided within batch_id: within one micro-batch
-        // that is a single bounded partition — the reference's per-flush
-        // restart semantics — never a whole-history sort.
-        graft.ops.Downsample
-          .strided(st, col("win_start"), ltIncrement,
-            partitionBy = Seq(col("batch_id")))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(ltPath)
+        //
+        // The batch frame is PERSISTED across the two sink actions
+        // (r14): foreachBatch hands over a plan, not a result — without
+        // the persist the st write and the lt stride-copy each execute
+        // the micro-batch's windowed aggregation (the drain's dominant
+        // stage) once, i.e. the agg ran twice per batch. Caching the
+        // handful of closed-window rows is the Spark-documented
+        // multi-action foreachBatch pattern; unpersist before returning
+        // so state never outlives its batch.
+        val st = batch.withColumn("batch_id", lit(batchId)).persist()
+        try {
+          st.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(stPath)
+          midFlushHook(st, batchId)
+          // Long-term sink: per-batch stride (restarts each flush, as the
+          // reference does). Strided within batch_id: within one micro-batch
+          // that is a single bounded partition — the reference's per-flush
+          // restart semantics — never a whole-history sort.
+          graft.ops.Downsample
+            .strided(st, col("win_start"), ltIncrement,
+              partitionBy = Seq(col("batch_id")))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(ltPath)
+        } finally st.unpersist()
         ()
       }
   }

@@ -600,13 +600,16 @@ object ReferenceQueries {
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_schevo_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       val ev = events(s, d)
-      ev.filter(col("event_id") % 2 === 0)
-        .select(col("event_id"), col("event_type"))
-        .write.mode("overwrite").parquet(path + "/gen=1")
-      ev.filter(col("event_id") % 2 === 1)
-        .select(col("event_id"), col("event_type"),
-          cents(col("value")).as("value_cents"))
-        .write.mode("overwrite").parquet(path + "/gen=2")
+      // the two generation writes are independent jobs — overlap them
+      // (guide §2.6, same pattern as the CSV export loop; r14)
+      Export.concurrently(
+        () => ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"))
+          .write.mode("overwrite").parquet(path + "/gen=1"),
+        () => ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("event_type"),
+            cents(col("value")).as("value_cents"))
+          .write.mode("overwrite").parquet(path + "/gen=2"))
       s.read.option("mergeSchema", "true").parquet(path)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -17,26 +17,31 @@ object TmpTimeProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.util.Tables.{events, epochS, r}
+    import graft.util.Tables.{lineitem, orders, cents}
 
-    def ewma(norms: Boolean): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(epochS(col("ts")), col("event_id")).rowsBetween(-15, 0)
-      val beta = 0.75
-      val normLit = typedLit((0 to 16).map(n =>
-        (1 to n).foldLeft(0.0)((acc, _) => acc * beta + 1.0)))
-      events(spark, d)
-        .withColumn("arr", collect_list(col("value")).over(w))
-        .select(col("event_id"), col("user_id"),
-          r(aggregate(col("arr"), lit(0.0), (acc, x) => acc * beta + x) /
-            (if (norms) element_at(normLit, size(col("arr")) + 1)
-             else aggregate(col("arr"), lit(0.0),
-               (acc, _) => acc * beta + 1.0)), 6)
-            .as("ewma"))
+    def salted(buildFact: Boolean): DataFrame = {
+      val S = 8
+      val fact0 = lineitem(spark, d)
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_cents"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S))
+            .as("salt"))
+      val dim0 = orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(sequence(lit(0), lit(S - 1))).as("salt"))
+      val (fact, dim) =
+        if (buildFact) (fact0.hint("shuffle_hash"), dim0)
+        else (fact0, dim0.hint("shuffle_hash"))
+      fact.join(dim,
+          fact0("l_orderkey") === dim0("o_orderkey") &&
+            fact0("salt") === dim0("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev_cents")).as("rev_cents"))
     }
-    val variants = Seq("ewma_head" -> (() => ewma(false)),
-      "ewma_lut" -> (() => ewma(true)))
+    val variants = Seq("build_dim" -> (() => salted(false)),
+      "build_fact" -> (() => salted(true)))
     variants.foreach(v =>
       v._2().write.format("noop").mode("overwrite").save())
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
