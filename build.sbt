@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's output defaults to LoggedOutput, which routes every
+// application line through sbt's logger with an "[info] " prefix — the
+// driver's bench-output parser never matched a single round's JSON
+// because of it (BENCH_r01..r14 all "parsed": null). StdoutOutput pipes
+// the child's stdout/stderr through verbatim: same JVM, same flags,
+// same timing — only the log decoration changes. Scoped to `run` (and
+// `runMain`, which shares the scope); test output keeps its prefixes.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

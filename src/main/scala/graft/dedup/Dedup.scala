@@ -453,12 +453,28 @@ object Dedup {
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
-  /** SimHash as a DataFrame op — same explode+agg scale shape as
-    * [[minhashDf]]: one md5 per distinct token (16 votes read nibbles of
-    * that digest), codegen'd partial sums map-side, one shuffle by doc.
-    * Semantics identical to [[simhash16]] (cross-checked in DedupSpec).
+  /** SimHash as a DataFrame op. r15: the fingerprint is a pure per-row
+    * function of the text (votes over its distinct tokens), computed by
+    * the one-pass native [[graft.functions.SimhashDocExpr]] kernel —
+    * scan-side map, zero shuffles (the pre-r15 explode + 16-probe-sum
+    * + shuffle-by-doc shape survives as [[simhashDfSql]], which
+    * DedupSpec pins bit-identical, alongside the [[simhash16]] column
+    * form).
     */
-  def simhashDf(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def simhashDf(docs: DataFrame, id: Column, text: Column): DataFrame =
+    graft.util.Tables.parallelize(
+        docs.select(id.as("doc_id"), text.as("__t")))
+      .where(col("__t").isNotNull) // exploded form dropped null-text docs
+      .select(col("doc_id"),
+        graft.functions.SimhashExprs.doc(col("__t"), 16).cast("int")
+          .as("fp"))
+
+  /** The pre-r15 `functions`-only form of [[simhashDf]] — 1 md5 hex
+    * string + 16 substring/instr probes per token row, 16 sum columns
+    * per doc. Kept as the independent construction DedupSpec pins the
+    * native kernel against (and the shape the DuckDB oracle runs).
+    */
+  def simhashDfSql(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val ex = graft.util.Tables.parallelize(
         docs.select(id.as("doc_id"), text.as("__t")))
       .select(col("doc_id"),
@@ -496,15 +512,32 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** 64-bit SimHash as a DataFrame op — the production-width fingerprint
-    * for hamming-distance banding ([[simhashDf]] is the 16-bit sibling;
-    * same explode+vote scale shape: narrow map, codegen'd partial sums
-    * map-side, one shuffle by doc). Bit b's vote for a token reads the
-    * high bit of nibble b%32 of md5(token) (b < 32) or md5('1' || token)
-    * (b >= 32) — two digests per distinct token give 64 engine-portable
-    * votes, so a DuckDB oracle rebuilds the identical fingerprint.
-    * Returns (doc_id, fp: long).
+    * for hamming-distance banding ([[simhashDf]] is the 16-bit sibling).
+    * Bit b's vote for a token reads the high bit of nibble b%32 of
+    * md5(token) (b < 32) or md5('1' || token) (b >= 32) — two digests
+    * per distinct token give 64 engine-portable votes, so a DuckDB
+    * oracle rebuilds the identical fingerprint. r15: computed per row
+    * by the one-pass native [[graft.functions.SimhashDocExpr]] kernel —
+    * scan-side map, zero shuffles at any corpus size; the pre-r15
+    * explode + 64-probe-sum + shuffle-by-doc shape survives as
+    * [[simhash64DfSql]], pinned bit-identical in DedupSpec. Returns
+    * (doc_id, fp: long).
     */
-  def simhash64Df(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def simhash64Df(docs: DataFrame, id: Column, text: Column): DataFrame =
+    graft.util.Tables.parallelize(
+        docs.select(id.as("doc_id"), text.as("__t")))
+      .where(col("__t").isNotNull) // exploded form dropped null-text docs
+      .select(col("doc_id"),
+        graft.functions.SimhashExprs.doc(col("__t"), 64).as("fp"))
+
+  /** The pre-r15 `functions`-only form of [[simhash64Df]] — 2 md5 hex
+    * strings + 64 substring/instr probes per token row, 64 sum columns
+    * per doc (the r14 verdict's top remaining cost, run on BOTH
+    * q_simhash_pairs self-join sides). Kept as the independent
+    * construction DedupSpec pins the native kernel against (and the
+    * shape the DuckDB oracle runs).
+    */
+  def simhash64DfSql(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val ex = graft.util.Tables.parallelize(
         docs.select(id.as("doc_id"), text.as("__t")))
       .select(col("doc_id"),

@@ -42,10 +42,16 @@ object Export {
   /** Run independent Spark write jobs from a small driver thread pool
     * (optimization guide §2.6): concurrent jobs schedule FIFO and a
     * later job's tasks back-fill executors freed by the earlier job's
-    * straggler tail. Blocks until all complete; the first failure
-    * rethrows on its `get`.
+    * straggler tail. Blocks until all complete. On the first failure
+    * (ADVICE r14): queued-but-unstarted writes are cancelled
+    * (`shutdownNow`) so partial exports do not keep running behind the
+    * caller's error handling, and the ORIGINAL exception rethrows (the
+    * pre-pool behavior callers saw), not the ExecutionException
+    * wrapper. Zero actions is a no-op (the pre-pool `foreach`
+    * semantics; a 0-thread pool would throw).
     */
   def concurrently(actions: (() => Unit)*): Unit = {
+    if (actions.isEmpty) return
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(math.min(actions.size, 4))
     try {
@@ -53,7 +59,14 @@ object Export {
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = a()
         })
-      }.foreach(_.get())
+      }.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            pool.shutdownNow()
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
     } finally pool.shutdown()
   }
 

@@ -201,6 +201,61 @@ class DedupSpec extends SparkSpec {
     assert(dfForm == colForm)
   }
 
+  test("simhashDf native sig+fp kernel equals the SQL probe form") {
+    val native = Dedup.simhashDf(docs, $"doc_id", $"text")
+      .as[(Long, Int)].collect().toMap
+    val sql = Dedup.simhashDfSql(docs, $"doc_id", $"text")
+      .as[(Long, Int)].collect().toMap
+    assert(native == sql)
+  }
+
+  test("simhash64Df native sig+fp kernel equals the SQL probe form") {
+    val native = Dedup.simhash64Df(docs, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    val sql = Dedup.simhash64DfSql(docs, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(native == sql)
+  }
+
+  test("simhash exploded sig+agg shape equals the SQL probe form (both " +
+    "widths) — the scale-shape alternative to the per-doc kernel") {
+    import graft.functions.SimhashExprs
+    import graft.text.TextAnalysis
+    def exploded(nBits: Int) = docs
+      .select($"doc_id",
+        explode(array_distinct(TextAnalysis.tokens($"text"))).as("t"))
+      .select($"doc_id", SimhashExprs.sig($"t", nBits).as("sig"))
+      .groupBy($"doc_id")
+      .agg(SimhashExprs.fp($"sig", nBits).as("fp"))
+    assert(exploded(64).as[(Long, Long)].collect().toMap ==
+      Dedup.simhash64DfSql(docs, $"doc_id", $"text")
+        .as[(Long, Long)].collect().toMap)
+    assert(exploded(16).select($"doc_id", $"fp".cast("int"))
+      .as[(Long, Int)].collect().toMap ==
+      Dedup.simhashDfSql(docs, $"doc_id", $"text")
+        .as[(Long, Int)].collect().toMap)
+  }
+
+  test("simhash doc kernel: split(' ') edge semantics (empty text, " +
+    "leading/consecutive/trailing spaces) match the exploded SQL form") {
+    val edge = Seq((1L, ""), (2L, " "), (3L, "a  b"), (4L, "a b "),
+      (5L, " a"), (6L, "a a a b"), (7L, "x")).toDF("doc_id", "text")
+    val native = Dedup.simhash64Df(edge, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    val sql = Dedup.simhash64DfSql(edge, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(native == sql)
+    // null text: the exploded form drops the doc; the kernel's callers
+    // filter nulls to match
+    val withNull = Seq((1L, Option("a b")), (2L, None))
+      .toDF("doc_id", "text")
+    val n2 = Dedup.simhash64Df(withNull, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    val s2 = Dedup.simhash64DfSql(withNull, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(n2 == s2 && n2.keySet == Set(1L))
+  }
+
   test("simhash: equal fingerprints for identical docs, hamming sane") {
     val fps = docs.select($"doc_id", Dedup.simhash16($"text").as("fp"))
       .as[(Long, Int)].collect().toMap

@@ -144,6 +144,37 @@ class OpsSpec extends SparkSpec {
     assert(chs == Seq(0, 1, 3)) // 0x0B = 1011b
   }
 
+  // ---- Export.concurrently (ADVICE r14 semantics) -----------------------
+
+  test("concurrently: zero actions is a no-op, results complete, failure " +
+    "rethrows the original exception promptly") {
+    Export.concurrently() // must not throw (0-thread pool would)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    Export.concurrently(
+      (() => { hits.incrementAndGet(); () }),
+      (() => { hits.incrementAndGet(); () }),
+      (() => { hits.incrementAndGet(); () }))
+    assert(hits.get() == 3)
+    // failure: the ORIGINAL exception rethrows (not the
+    // ExecutionException wrapper), promptly — not after the slow
+    // peers finish. (shutdownNow cancellation of queued work is
+    // best-effort: a worker freed by the failing action may grab a
+    // queued task before the failure propagates, so "never started"
+    // is not a testable guarantee.)
+    val boom = new IllegalStateException("export failed")
+    val t0 = System.nanoTime()
+    val thrown = intercept[IllegalStateException] {
+      Export.concurrently(
+        (() => throw boom),
+        (() => { Thread.sleep(2000); () }),
+        (() => { Thread.sleep(2000); () }),
+        (() => { Thread.sleep(2000); () }))
+    }
+    assert(thrown eq boom)
+    assert((System.nanoTime() - t0) / 1e6 < 1500,
+      "failure must propagate before the slow peers complete")
+  }
+
   // ---- Physics ----------------------------------------------------------
 
   test("strain / temperature / delay formulas") {

@@ -19,8 +19,6 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       // UTC like every other entry point — Tables.events casts
       // TIMESTAMP_NTZ through the session zone, so a non-UTC host would
