@@ -24,9 +24,20 @@ import graft.text.TextAnalysis
 object Dedup {
 
   /** Word shingles (n-gram tokens joined by a space) as an array column.
-    * Distinct-ified set form for Jaccard/minhash.
+    * Distinct-ified set form for Jaccard/minhash. r15: computed by the
+    * one-pass native [[graft.functions.ShinglesExpr]] kernel — the HOF
+    * form below ([[shinglesHof]]) is interpreted per row and measured
+    * 1.4 s per 5k-doc pass at sf0.1 (paid on BOTH sides of every
+    * verify self-join); DedupSpec pins the two bit-identical.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShinglesExpr.shingles(text, n)
+
+  /** The pre-r15 `functions`-only form of [[shingles]] — kept as the
+    * independent construction DedupSpec pins the native kernel against
+    * (and the shape the DuckDB oracle mirrors).
+    */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
@@ -327,8 +338,9 @@ object Dedup {
   def jaccard(aText: Column, bText: Column, n: Int): Column = {
     val sa = shingles(aText, n)
     val sb = shingles(bText, n)
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    inter / (size(sa) + size(sb) - size(array_intersect(sa, sb)))
+    val inter = graft.functions.StringSim.intersectCount(sa, sb)
+      .cast("double")
+    inter / (size(sa) + size(sb) - inter)
   }
 
   /** Deterministic hash-bucket corpus sampling: keep a row iff the

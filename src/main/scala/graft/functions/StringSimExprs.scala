@@ -20,6 +20,11 @@ object StringSim {
   def jaroWinkler(a: Column, b: Column): Column =
     ColumnBridge.column(
       JaroWinklerExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** ≡ size(array_intersect(a, b)) for string arrays, one pass. */
+  def intersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(IntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** Jaro-Winkler similarity, pinned to the conventions DuckDB's
@@ -106,4 +111,70 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Count of distinct common elements of two string arrays in one pass —
+  * ≡ `size(array_intersect(a, b))` without materializing the
+  * intersection array (no output allocation, no per-element UTF8String
+  * copies; r15, guide §4). Used by the exact-Jaccard / containment
+  * verify filters, which evaluate it once per CANDIDATE PAIR — the
+  * hottest expression of the dedup verify joins. Null inputs yield
+  * null (like array_intersect → size); null ELEMENTS count as one
+  * distinct value when present in both sides (array_intersect
+  * semantics). IntersectCountLawsSpec pins ≡ size(array_intersect)
+  * on random arrays with duplicates and nulls.
+  */
+case class IntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count requires two array<string>, got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val nb = b.numElements()
+    val setB = new java.util.HashSet[UTF8String](math.max(16, nb * 2))
+    var bHasNull = false
+    var i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true
+      else setB.add(b.getUTF8String(i))
+      i += 1
+    }
+    var count = 0
+    var aNullCounted = false
+    val na = a.numElements()
+    i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) {
+        if (bHasNull && !aNullCounted) { count += 1; aNullCounted = true }
+      } else if (setB.remove(a.getUTF8String(i))) {
+        count += 1 // remove-on-match: duplicates in `a` can't recount
+      }
+      i += 1
+    }
+    count
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intersectCount", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "intersect_count"
 }

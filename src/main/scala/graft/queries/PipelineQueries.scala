@@ -659,7 +659,7 @@ object PipelineQueries {
       expr(s"least(9, ($c * 10) div ${nd}L)").cast("long")
     val toks = documents(s, d)
       .groupBy(decOf("doc_id").as("decile"))
-      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tk"))
+      .agg(sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long")).as("tk"))
     val vocab = parallelize(documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
@@ -689,12 +689,14 @@ object PipelineQueries {
     scoredDocsCache.getOrElseUpdate((s, d),
       scoredLabeledDocsPlan(s, d).cache())
   private def scoredLabeledDocsPlan(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks).cast("long")
+    // r15: one-pass native token stats (≡ the split/array_distinct
+    // forms — pinned in TextExprsSpec)
+    val st = graft.functions.TextExprs.tokenStats(col("text"))
+    val nTok = st.getField("n_tok").cast("long")
     val wordChars = (length(col("text")) - (nTok - 1)).cast("long")
     val stopHits = graft.functions.TextExprs
       .tokenSetCount(col("text"), TextAnalysis.Stopwords).cast("long")
-    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nDistinct = st.getField("n_distinct").cast("long")
     val keep = !(nTok < 20 || nTok > 1000) &&
       !(wordChars < nTok * 3 || wordChars > nTok * 10) &&
       stopHits >= 2 && nDistinct * 10 >= nTok * 3
@@ -886,7 +888,7 @@ object PipelineQueries {
       .select(col("doc_id"),
         GramExprs.gramCounts(col("text"), 1).as("m1"),
         GramExprs.gramCounts(col("text"), 2).as("m2"),
-        size(split(col("text"), " ")).cast("long").as("n"))
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
     val x = side.select(col("doc_id").as("id_a"), col("m1").as("m1a"),
       col("m2").as("m2a"), col("n").as("na"))
     val y = side.select(col("doc_id").as("id_b"), col("m1").as("m1b"),
@@ -992,7 +994,8 @@ object PipelineQueries {
       .join(pfx.select(col("doc_id").as("id_b"), col("t")), Seq("t"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val inter = graft.functions.StringSim
+      .intersectCount(col("sa"), col("sb")).cast("double")
     val jac = r(inter / (size(col("sa")) + size(col("sb")) - inter), 6)
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
@@ -1211,7 +1214,8 @@ object PipelineQueries {
         .join(tok.select(col("doc_id").as("id_b"), col("t")), Seq("t"))
         .filter(col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
-      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      val inter = graft.functions.StringSim
+      .intersectCount(col("sa"), col("sb")).cast("double")
       cand
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
@@ -1732,13 +1736,13 @@ object PipelineQueries {
     // multiplied, never divided) — no float boundary can flip a bit
     // between engines. Pure per-row scan work; nothing shuffles.
     "q_gopher_filter" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val nTok = size(toks).cast("long")
+      val st = graft.functions.TextExprs.tokenStats(col("text"))
+      val nTok = st.getField("n_tok").cast("long")
       // chars in words = total chars minus the n-1 separating spaces
       val wordChars = (length(col("text")) - (nTok - 1)).cast("long")
       val stopHits = graft.functions.TextExprs
         .tokenSetCount(col("text"), TextAnalysis.Stopwords).cast("long")
-      val nDistinct = size(array_distinct(toks)).cast("long")
+      val nDistinct = st.getField("n_distinct").cast("long")
       val bTok = when(nTok < 20 || nTok > 1000, 1L).otherwise(0L)
       val bLen = when(wordChars < nTok * 3 || wordChars > nTok * 10, 1L)
         .otherwise(0L)
@@ -1850,7 +1854,7 @@ object PipelineQueries {
       // interpreted HOF chain cost ~0.5 s of per-draw substring+conv
       // at sf0.1; the kernel reads digest bytes directly
       val row = documents(s, d)
-        .select(size(split(col("text"), " ")).cast("long").as("x"),
+        .select(graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("x"),
           graft.functions.BootstrapWeightsExpr.bootstrapWeights(
             col("doc_id"), 25, poissonCuts).as("w"))
         .select(col("x"), col("w"),
@@ -2732,7 +2736,7 @@ object PipelineQueries {
     "q_cliffs_delta" -> ((s, d) => {
       val grid = documents(s, d)
         .select(col("source"),
-          size(split(col("text"), " ")).cast("long").as("l"))
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("l"))
         .groupBy(col("source"), col("l")).agg(count(lit(1)).as("c"))
         .collect() // bounded: sources × capped length domain
         .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
@@ -2857,7 +2861,7 @@ object PipelineQueries {
     "q_wasserstein" -> ((s, d) => {
       val grid = documents(s, d)
         .select(col("source"),
-          size(split(col("text"), " ")).cast("long").as("l"))
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("l"))
         .groupBy(col("source"), col("l")).agg(count(lit(1)).as("c"))
         .collect() // bounded: sources × capped length domain
         .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
@@ -2909,7 +2913,7 @@ object PipelineQueries {
       // slower at sf0.1 purely in stage floors for the same rows)
       val grid = documents(s, d)
         .select(col("source"),
-          size(split(col("text"), " ")).cast("long").as("l"))
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("l"))
         .groupBy(col("source"), col("l")).agg(count(lit(1)).as("c"))
         .collect() // bounded: sources × capped length domain
         .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
@@ -3235,7 +3239,7 @@ object PipelineQueries {
       // totals are plain token counts — a scan-side aggregate (no
       // explode), so the bucket aggregation above runs exactly once
       // (deriving totals FROM bc would re-run the token pass under it)
-      val nTok = size(split(col("text"), " ")).cast("long")
+      val nTok = graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
       val tot = docs.crossJoin(broadcast(tgt))
         .agg(sum(nTok).as("nr"),
           sum(when(col("source") === col("tgt"), nTok).otherwise(0L))
@@ -3504,7 +3508,7 @@ object PipelineQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = parallelize(documents(s, d))
         .select(col("doc_id"), col("n_chars").as("x"),
-          size(split(col("text"), " ")).cast("long").as("y"))
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("y"))
       val perX = docs.groupBy(col("x")).agg(max(col("y")).as("maxy"))
       val wx = Window.orderBy(col("x").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -4235,12 +4239,12 @@ object PipelineQueries {
         .select(col("doc_id"),
           TextAnalysis.normalizeText(col("text")).as("t")), "normalized")
       // stage 1: Gopher gate (q_gopher_filter's integer-exact rules)
-      val toks = split(col("t"), " ")
-      val nTok = size(toks).cast("long")
+      val st = graft.functions.TextExprs.tokenStats(col("t"))
+      val nTok = st.getField("n_tok").cast("long")
       val wordChars = (length(col("t")) - (nTok - 1)).cast("long")
       val stopHits = graft.functions.TextExprs
         .tokenSetCount(col("t"), TextAnalysis.Stopwords).cast("long")
-      val nDistinct = size(array_distinct(toks)).cast("long")
+      val nDistinct = st.getField("n_distinct").cast("long")
       val t1 = t0.filter(!(nTok < 20 || nTok > 1000) &&
         !(wordChars < nTok * 3 || wordChars > nTok * 10) &&
         stopHits >= 2 && nDistinct * 10 >= nTok * 3)
@@ -4285,7 +4289,7 @@ object PipelineQueries {
           .cast("int") < 204)
       def funnel(stage: Int, name: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(size(split(col("t"), " ")).cast("long")), lit(0L))
+            coalesce(sum(graft.text.TextAnalysis.tokenCount(col("t")).cast("long")), lit(0L))
               .as("n_tokens"))
           .select(lit(stage).as("stage"), lit(name).as("stage_name"),
             col("n_docs"), col("n_tokens"))
@@ -4708,7 +4712,8 @@ object PipelineQueries {
             LshBands, LshRows)), s"fuzzy_cand_$d")
       val sh = docs.select(col("doc_id"),
         Dedup.shingles(col("text"), 2).as("sh"))
-      val inter = size(array_intersect(col("sa"), col("sb")))
+      val inter = graft.functions.StringSim
+        .intersectCount(col("sa"), col("sb"))
       val edges = cand
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")),
           "id_a")
@@ -5255,7 +5260,8 @@ object PipelineQueries {
         .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
-      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      val inter = graft.functions.StringSim
+      .intersectCount(col("sa"), col("sb")).cast("double")
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
           r(inter / (size(col("sa")) + size(col("sb")) - inter), 6)
@@ -5402,7 +5408,8 @@ object PipelineQueries {
         col("vocab").as("va"))
       val b = v.select(col("sidx").as("sb"), col("source").as("src_b"),
         col("vocab").as("vb"))
-      val inter = size(array_intersect(col("va"), col("vb"))).cast("double")
+      val inter = graft.functions.StringSim
+        .intersectCount(col("va"), col("vb")).cast("double")
       a.join(b, col("sb") === col("sidx") + 1)
         .select(col("src_a"), col("src_b"),
           size(col("va")).as("n_a"), size(col("vb")).as("n_b"),

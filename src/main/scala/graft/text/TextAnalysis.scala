@@ -18,7 +18,11 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  // r15: one-pass native byte scan (≡ size(split(text, " ")) — pinned
+  // in TextExprsSpec); the split form materialized the token array via
+  // Java regex just to count it
+  def tokenCount(text: Column): Column =
+    graft.functions.TextExprs.tokenCount(text)
 
   /** BPE-ish sub-word-ish tokenization: split on word/number/punct
     * boundaries (the regex family GPT-2's tokenizer pre-splits with).

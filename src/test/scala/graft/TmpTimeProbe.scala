@@ -98,7 +98,98 @@ object TmpTimeProbe {
         .filter(inter * 2 >= size(col("sa")) + size(col("sb")) - inter)
         .select(col("id_a"), col("id_b"))
     }
+    // q_curation_pipeline stage prefixes (mirrors the query body sans
+    // barriers; decides which funnel stage dominates)
+    def curationStages(): Seq[(String, () => DataFrame)] = {
+      val lineW = 4
+      def t0() = docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.normalizeText(col("text")).as("t"))
+      def t1() = {
+        val toks = split(col("t"), " ")
+        val nTok = size(toks).cast("long")
+        val wordChars = (length(col("t")) - (nTok - 1)).cast("long")
+        val stopHits = graft.functions.TextExprs
+          .tokenSetCount(col("t"), graft.text.TextAnalysis.Stopwords)
+          .cast("long")
+        val nDistinct = size(array_distinct(toks)).cast("long")
+        t0().filter(!(nTok < 20 || nTok > 1000) &&
+          !(wordChars < nTok * 3 || wordChars > nTok * 10) &&
+          stopHits >= 2 && nDistinct * 10 >= nTok * 3)
+      }
+      def t2() = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("t")))
+        t1().withColumn("kid", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("kid")).drop("kid")
+      }
+      def lines() = t2()
+        .select(col("doc_id"), split(col("t"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L),
+            expr(s"(size(tk) - 1) div $lineW"))).as("i"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("tk"),
+            (col("i") * lineW + 1).cast("int"), lit(lineW)), " ")
+            .as("line"))
+        .withColumn("k", md5(col("line")))
+      def t3() = {
+        val l = lines()
+        val lineDf = l.groupBy(col("k"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        l.join(lineDf.hint("shuffle_hash"), "k")
+          .groupBy(col("doc_id"))
+          .agg(array_join(
+            transform(array_sort(collect_list(
+              when(col("df") <= 2, struct(col("i"), col("line"))))),
+              x => x.getField("line")), " ").as("t"))
+          .filter(col("t") =!= "")
+      }
+      Seq(
+        "c_t0_normalize" -> (() => t0()),
+        "c_t1_gopher" -> (() => t1()),
+        "c_t2_exact" -> (() => t2()),
+        "c_lines" -> (() => lines()),
+        "c_t3_linededup" -> (() => t3()),
+        "c_full" -> (() => SparkEntry.queries("q_curation_pipeline")(s, d)))
+    }
+    def gopherOld() = {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("long")
+      val wordChars = (length(col("text")) - (nTok - 1)).cast("long")
+      val stopHits = graft.functions.TextExprs
+        .tokenSetCount(col("text"), graft.text.TextAnalysis.Stopwords)
+        .cast("long")
+      val nDistinct = size(array_distinct(toks)).cast("long")
+      docs.filter(!(nTok < 20 || nTok > 1000) &&
+        !(wordChars < nTok * 3 || wordChars > nTok * 10) &&
+        stopHits >= 2 && nDistinct * 10 >= nTok * 3)
+    }
+    def gopherNew() = {
+      val st = graft.functions.TextExprs.tokenStats(col("text"))
+      val nTok = st.getField("n_tok").cast("long")
+      val wordChars = (length(col("text")) - (nTok - 1)).cast("long")
+      val stopHits = graft.functions.TextExprs
+        .tokenSetCount(col("text"), graft.text.TextAnalysis.Stopwords)
+        .cast("long")
+      val nDistinct = st.getField("n_distinct").cast("long")
+      docs.filter(!(nTok < 20 || nTok > 1000) &&
+        !(wordChars < nTok * 3 || wordChars > nTok * 10) &&
+        stopHits >= 2 && nDistinct * 10 >= nTok * 3)
+    }
     Map(
+      "gopher_forms" -> Seq(
+        "old_split" -> (() => gopherOld()),
+        "new_stats" -> (() => gopherNew())),
+      "curation_parts" -> curationStages(),
+      "fuzzy_sh" -> Seq(
+        "sh_only" -> (() => docs.select(col("doc_id"),
+          graft.dedup.Dedup.shingles(col("text"), 2).as("sh"))),
+        "cand_count" -> (() => fuzzyCand()
+          .agg(count(lit(1)).as("n"))),
+        "sh_sizes" -> (() => docs.select(
+          sum(size(graft.dedup.Dedup.shingles(col("text"), 2)))
+            .as("total_shingles")))),
       "fuzzy_parts" -> Seq(
         "cand_only" -> (() => fuzzyCand()),
         "edges_only" -> (() => fuzzyEdges()),

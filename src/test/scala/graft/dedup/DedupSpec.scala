@@ -256,6 +256,21 @@ class DedupSpec extends SparkSpec {
     assert(n2 == s2 && n2.keySet == Set(1L))
   }
 
+  test("shingles native kernel equals the HOF form (n = 1, 2, 5, 8), " +
+    "including order and edge texts") {
+    val edge = Seq((100L, ""), (101L, " "), (102L, "a"), (103L, "a b"),
+      (104L, "a  b"), (105L, "a b "), (106L, " a b"),
+      (107L, "w x w x w y"), (108L, "t t t t t t t t t"))
+      .toDF("doc_id", "text")
+    for (df <- Seq(docs.select($"doc_id", $"text"), edge); n <- Seq(1, 2, 5, 8)) {
+      val nat = df.select($"doc_id", Dedup.shingles($"text", n).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val hof = df.select($"doc_id", Dedup.shinglesHof($"text", n).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(nat == hof, s"n=$n") // incl. element ORDER (first occurrence)
+    }
+  }
+
   test("simhash: equal fingerprints for identical docs, hamming sane") {
     val fps = docs.select($"doc_id", Dedup.simhash16($"text").as("fp"))
       .as[(Long, Int)].collect().toMap

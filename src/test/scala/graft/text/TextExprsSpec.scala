@@ -183,6 +183,35 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("tokenCount and tokenStats equal the split/array_distinct forms " +
+    "on fixture edges and real docs") {
+    val fx = Seq((1L, ""), (2L, " "), (3L, "a"), (4L, "a b"),
+      (5L, "a  b"), (6L, "a b "), (7L, " a b"), (8L, "x y x y z x"),
+      (9L, "é ü é"), (10L, "t t t t"))
+      .toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    for (df <- Seq(fx, real)) {
+      val got = df.select($"doc_id",
+          TextExprs.tokenCount($"text").as("n"),
+          TextExprs.tokenStats($"text").getField("n_tok").as("nt"),
+          TextExprs.tokenStats($"text").getField("n_distinct").as("nd"))
+        .as[(Long, Int, Int, Int)].collect()
+        .map { case (a, b, c, d) => a -> (b, c, d) }.toMap
+      val want = df.select($"doc_id",
+          size(split($"text", " ")).as("n"),
+          size(split($"text", " ")).as("nt"),
+          size(array_distinct(split($"text", " "))).as("nd"))
+        .as[(Long, Int, Int, Int)].collect()
+        .map { case (a, b, c, d) => a -> (b, c, d) }.toMap
+      assert(got == want)
+    }
+    // null text: both forms null
+    val withNull = Seq((1L, Option("a b")), (2L, None)).toDF("doc_id", "text")
+    assert(withNull.select(TextExprs.tokenCount($"text")).collect()
+      .map(r => r.isNullAt(0)).toSeq == Seq(false, true))
+  }
+
   test("native text exprs stay inside whole-stage codegen") {
     val plan = spark.range(5).select(
         TextExprs.langId(concat(lit("the x "), col("id")),
